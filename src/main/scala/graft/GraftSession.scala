@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table loader for the graft engine.
+  *
+  * Tuned for the harness's local[32] single-JVM mode, but every knob
+  * here (AQE, shuffle partition sizing, broadcast threshold) is the
+  * same one we'd set on a real multi-executor cluster — only the
+  * numbers change with scale.
+  */
+object GraftSession {
+
+  /** Confs applied to any session the engine builds or inherits.
+    * AQE handles runtime re-planning (skew joins, partition
+    * coalescing) — the 100 TB story depends on it, and it costs
+    * nothing at test scale.
+    */
+  val tunedConf: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    // match DuckDB-oracle expectations: µs-precision parquet timestamps
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+  )
+
+  def build(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+    tunedConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Reads one of the standard test tables from an sf directory.
+    *
+    * events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
+    * default; we read nanos as long and truncate to µs timestamps
+    * (matching DuckDB's `CAST(ts AS TIMESTAMP)` truncation).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case None => df
+    }
+  }
+}

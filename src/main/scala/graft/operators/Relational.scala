@@ -1,0 +1,381 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational / analytics core (SURVEY.md §2.2).
+  *
+  * Every query here is written DataFrame-first so Catalyst plans it
+  * (pushdown, pruning, join selection, AQE), and every query carries a
+  * DuckDB-equivalent oracle in [[oracles]].
+  *
+  * Oracle-parity rules (SURVEY.md §6) applied throughout:
+  *  - money math goes through DECIMAL casts before aggregation so the
+  *    result is exact and order-independent on both engines, then back
+  *    to DOUBLE for schema parity;
+  *  - integral-valued doubles (l_quantity) are summed raw — exact in
+  *    fp regardless of order;
+  *  - every result has a total ORDER BY;
+  *  - identical aliases on both sides.
+  */
+object Relational {
+
+  /** price-scale decimal: prices < 10^10, 2 decimals */
+  private def decP(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** rate-scale decimal: discounts / taxes in [0,1) */
+  private def decR(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  private val one = lit(1).cast(DecimalType(3, 2))
+
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** §2.2 #11 — grouped aggregation, TPC-H Q1 shape (pricing summary). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem").filter(col("l_shipdate") <= ts("1998-09-02"))
+    val discPrice = decP(col("l_extendedprice")) * (one - decR(col("l_discount")))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dbl(sum(decP(col("l_extendedprice")))).as("sum_base_price"),
+        dbl(sum(discPrice)).as("sum_disc_price"),
+        dbl(sum(discPrice * (one + decR(col("l_tax"))))).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** §2.2 #10 — selective filter + aggregate; the filter must reach the
+    * parquet scan as PushedFilters (verified in PlanSpec).
+    */
+  def q6Filter(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem").filter(
+      col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24
+    )
+    l.agg(
+      dbl(sum(decP(col("l_extendedprice")) * decR(col("l_discount")))).as("revenue"),
+      count(lit(1)).as("n_rows"),
+    )
+  }
+
+  val q6FilterSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin
+
+  /** §2.2 #12/#16 — 3-way join + broadcast dim + top-k, TPC-H Q3 shape.
+    * customer is the small side at any SF ratio → broadcast.
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = table(spark, dir, "orders").filter(col("o_orderdate") < ts("1997-01-01"))
+    val l = table(spark, dir, "lineitem").filter(col("l_shipdate") > ts("1997-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dbl(sum(decP(col("l_extendedprice")) * (one - decR(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** §2.2 #13 — semi join (EXISTS): orders having a high-quantity line. */
+  def q4Semijoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = table(spark, dir, "lineitem").filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    table(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4SemijoinSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** §2.2 #14 — anti join (NOT EXISTS): customers with no URGENT order. */
+  def qAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    table(spark, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val qAntijoinSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** §2.2 #12 — 6-way join, TPC-H Q5 shape (revenue by nation in ASIA).
+    * region/nation/supplier stay tiny at every SF → broadcast; the
+    * customer⋈orders⋈lineitem chain shuffles on its keys and AQE
+    * handles skew.
+    */
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = table(spark, dir, "nation")
+    val s = table(spark, dir, "supplier")
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val l = table(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dbl(sum(decP(col("l_extendedprice")) * (one - decR(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5MultijoinSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** §2.2 #15 — window functions: per-customer order rank + running spend. */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "orders").select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      col("o_orderdate"),
+      rank().over(w).cast(LongType).as("rk"),
+      dbl(sum(decP(col("o_totalprice"))).over(wRun)).as("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rk,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** §2.2 #17 — distinct / count-distinct per group. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"),
+      )
+      .orderBy("l_returnflag")
+
+  val qDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** §2.2 #18 — rollup: customer counts/balances by region → nation → total. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    val r = table(spark, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dbl(sum(decP(col("c_acctbal")))).as("sum_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_cust"),
+        col("sum_acctbal"),
+      )
+      .orderBy("region_name", "nation_name")
+  }
+
+  val qRollupSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name,
+      |  count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region_name, nation_name""".stripMargin
+
+  /** §2.2 #19 — as-of join: each purchase event paired with the same
+    * user's most recent click at-or-before it.
+    *
+    * Spark-first plan: instead of a per-row correlated lookup (the
+    * oracle's formulation), union click+purchase streams and take a
+    * running max over a single user-partitioned sort — one shuffle,
+    * no join, scales linearly. 'click' < 'purchase' lexicographically,
+    * so ordering by (ts, event_type) makes a same-timestamp click
+    * visible to the purchase, matching `c.ts <= e.ts`.
+    */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_ts", max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+      .orderBy("event_id")
+  }
+
+  val qAsofSql: String =
+    """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  CAST((SELECT max(c.ts) FROM events c
+      |        WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts) AS TIMESTAMP) AS last_click_ts
+      |FROM events e
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
+
+  /** §2.2 #20 — gap-based sessionization (30 min), batch analog of the
+    * streaming flatMapGroupsWithState operator in graft.streaming.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn(
+        "new_s",
+        when(col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us")) > gapUs, 1L).otherwise(0L),
+      )
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(max(ts) AS TIMESTAMP) AS session_end
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** §2.2 #21 — tumbling time-window aggregation over the event stream
+    * (batch form; the streaming form with watermark lives in
+    * graft.streaming).
+    */
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast(LongType)).as("sum_floor_value"),
+        dbl(sum(col("value").cast(DecimalType(12, 2)))).as("sum_value"),
+      )
+      .orderBy("day", "event_type")
+
+  val qEventsWindowSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  count(*) AS n_events,
+      |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor_value,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q6_filter" -> (q6Filter _),
+    "q3_join" -> (q3Join _),
+    "q4_semijoin" -> (q4Semijoin _),
+    "q_antijoin" -> (qAntijoin _),
+    "q5_multijoin" -> (q5Multijoin _),
+    "q_window" -> (qWindow _),
+    "q_distinct" -> (qDistinct _),
+    "q_rollup" -> (qRollup _),
+    "q_asof" -> (qAsof _),
+    "q_sessionize" -> (qSessionize _),
+    "q_events_window" -> (qEventsWindow _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q6_filter" -> q6FilterSql,
+    "q3_join" -> q3JoinSql,
+    "q4_semijoin" -> q4SemijoinSql,
+    "q_antijoin" -> qAntijoinSql,
+    "q5_multijoin" -> q5MultijoinSql,
+    "q_window" -> qWindowSql,
+    "q_distinct" -> qDistinctSql,
+    "q_rollup" -> qRollupSql,
+    "q_asof" -> qAsofSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_events_window" -> qEventsWindowSql,
+  )
+}
