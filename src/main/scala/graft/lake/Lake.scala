@@ -1,0 +1,114 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Store entry in a lake config (reference: lake/config.rs
+  * ConfigStoreEntry {filename, readonly}), extended with a capacity
+  * bound so the reference's spill-over-on-full routing
+  * (lake/mod.rs:77-118) is expressible.
+  */
+final case class StoreEntry(path: String, readonly: Boolean = false, maxBytes: Long = Long.MaxValue)
+
+/** Lake config with a minimal TOML round-trip matching the reference's
+  * on-disk format (lake/config.rs from_toml_str/to_toml_string). No
+  * external TOML dep — the subset used by the config (array-of-tables
+  * with string/bool/int keys) is parsed directly.
+  */
+final case class LakeConfig(stores: Seq[StoreEntry]) {
+  def toToml: String =
+    stores.map { s =>
+      val mb = if (s.maxBytes == Long.MaxValue) "" else s"max_bytes = ${s.maxBytes}\n"
+      s"""[[stores]]\nfilename = "${s.path}"\nreadonly = ${s.readonly}\n$mb"""
+    }.mkString("\n")
+}
+
+object LakeConfig {
+  def fromToml(toml: String): LakeConfig = {
+    val entries = scala.collection.mutable.ListBuffer.empty[StoreEntry]
+    var cur: Option[(String, Boolean, Long)] = None
+    def flush(): Unit = cur.foreach { case (p, r, m) => if (p.nonEmpty) entries += StoreEntry(p, r, m) }
+    toml.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach {
+      case "[[stores]]" =>
+        flush(); cur = Some(("", false, Long.MaxValue))
+      case l if l.contains("=") =>
+        val Array(k, v) = l.split("=", 2).map(_.trim)
+        cur = cur.map { case (p, r, m) =>
+          k match {
+            case "filename" => (v.stripPrefix("\"").stripSuffix("\""), r, m)
+            case "readonly" => (p, v == "true", m)
+            case "max_bytes" => (p, r, v.toLong)
+            case _ => (p, r, m)
+          }
+        }
+      case _ => ()
+    }
+    flush()
+    LakeConfig(entries.toList)
+  }
+}
+
+/** Multi-store lake (reference: DataLake, lake/mod.rs).
+  *
+  * Routing mirrors lake/mod.rs exactly:
+  *  - init: readonly entries load read-only; writable entries are
+  *    initialized if the magic is absent, loaded otherwise
+  *    (lake/mod.rs:36-53 verify_magic branch);
+  *  - get: first store that has the blob wins (lake/mod.rs:59-75
+  *    fallback chain) — implemented as a priority-ranked union so one
+  *    distributed job covers all stores;
+  *  - put: first writable store with space; OutOfSpace/ReadOnly →
+  *    try next; none left → LakeOutOfStores (lake/mod.rs:77-118).
+  */
+final class Lake private (val spark: SparkSession, val config: LakeConfig, val stores: Seq[ChunkStore]) {
+
+  def readable: Seq[ChunkStore] = stores
+  def writable: Seq[ChunkStore] = stores.filterNot(_.readonly)
+
+  def put(blobs: DataFrame): PutResult = {
+    var lastErr: Throwable = null
+    writable.foreach { s =>
+      try return s.putBlobs(blobs)
+      catch {
+        case e: StoreOutOfSpaceException => lastErr = e
+        case e: StoreReadOnlyException => lastErr = e
+      }
+    }
+    throw (if (lastErr != null) new LakeOutOfStoresException else new LakeOutOfStoresException)
+  }
+
+  /** Bulk get across all stores; first (config-order) store holding a
+    * hash provides the payload.
+    */
+  def get(hashDf: DataFrame): DataFrame = {
+    val perStore = stores.zipWithIndex.map { case (s, i) =>
+      s.getBlobs(hashDf).withColumn("store_priority", lit(i))
+    }
+    val all = perStore.reduceLeft(_ unionByName _)
+    val w = Window.partitionBy(col("blob_hash")).orderBy(col("store_priority"))
+    all
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "store_priority")
+  }
+
+  def getBlob(hash: String): Array[Byte] = {
+    stores.foreach { s =>
+      if (s.containsBlob(hash)) return s.getBlob(hash)
+    }
+    throw new BlobNotFoundException(hash)
+  }
+}
+
+object Lake {
+  /** DataLake::init (lake/mod.rs:32-57). */
+  def init(spark: SparkSession, config: LakeConfig, params: LakeParams = LakeParams()): Lake = {
+    val stores = config.stores.map { e =>
+      if (e.readonly) ChunkStore.load(spark, e.path, readonly = true, e.maxBytes, params)
+      else if (ChunkStore.isStore(e.path)) ChunkStore.load(spark, e.path, readonly = false, e.maxBytes, params)
+      else ChunkStore.init(spark, e.path, e.maxBytes, params)
+    }
+    new Lake(spark, config, stores)
+  }
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.GraftSession.table
+import graft.lake.{ChunkStore, Convergent, LakeParams}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1 — the reference's content-addressed store semantics
+  * as oracle-checkable queries over the `documents` table (each doc's
+  * text = one blob). The materialized multi-store paths (§2.1 #7-#9)
+  * are exercised in LakeSpec; these queries pin the *algebra* —
+  * ladder, chunking, dedup, reassembly, bucketing, convergent
+  * encryption — against DuckDB.
+  *
+  * Test-scale params: inline ≤ 64 B, chunk = 256 B (documents are
+  * 48-553 ASCII bytes, so all three ladder kinds occur).
+  */
+object LakeOps {
+
+  private val P = LakeParams(inlineMax = 64, chunkMax = 256, nBuckets = 64)
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  /** §2.1 #1 — put ladder: every blob classified + content-addressed. */
+  def lakePutBlob(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("total_len"),
+        ChunkStore.kindOf(octet_length(col("text")).cast(LongType), P).as("kind"),
+        when(octet_length(col("text")) <= P.inlineMax, lit(0L))
+          .otherwise(expr(s"(octet_length(text) + ${P.chunkMax - 1}) DIV ${P.chunkMax}").cast(LongType))
+          .as("n_chunks"),
+        sha2(col("text"), 256).as("blob_hash"),
+      )
+      .orderBy("doc_id")
+
+  val lakePutBlobSql: String =
+    """SELECT doc_id,
+      |  CAST(len(text) AS BIGINT) AS total_len,
+      |  CASE WHEN len(text) <= 64 THEN 'inline' WHEN len(text) <= 256 THEN 'single' ELSE 'tree' END AS kind,
+      |  CASE WHEN len(text) <= 64 THEN 0 ELSE (len(text) + 255) // 256 END AS n_chunks,
+      |  sha256(text) AS blob_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared chunk-split relation: one row per (non-inline doc, part). */
+  private def chunkSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(octet_length(col("text")) > P.inlineMax)
+      .withColumn(
+        "part_idx",
+        explode(sequence(lit(0L), expr(s"(octet_length(text) + ${P.chunkMax - 1}) DIV ${P.chunkMax}") - 1)),
+      )
+      .withColumn("part", expr(s"substring(text, cast(part_idx * ${P.chunkMax} + 1 as int), ${P.chunkMax})"))
+      .select(
+        col("doc_id"),
+        col("part_idx"),
+        col("part"),
+        octet_length(col("part")).cast(LongType).as("part_len"),
+        sha2(col("part"), 256).as("chunk_hash"),
+      )
+
+  /** §2.1 #2 — fixed-size chunk split with per-part content addresses. */
+  def lakeChunkSplit(spark: SparkSession, dir: String): DataFrame =
+    chunkSplit(spark, dir)
+      .select(col("doc_id"), col("part_idx"), col("part_len"), col("chunk_hash"))
+      .orderBy("doc_id", "part_idx")
+
+  /** Oracle chunk-split CTE: DuckDB's generate_series cannot take
+    * lateral column args, so parts come from unnest(range(n)).
+    */
+  private val oracleChunkCte: String =
+    """WITH exploded AS (
+      |  SELECT doc_id, text, unnest(range((len(text) + 255) // 256)) AS part_idx
+      |  FROM documents WHERE len(text) > 64
+      |), chunks AS (
+      |  SELECT doc_id, part_idx,
+      |    CAST(len(substring(text, CAST(part_idx * 256 + 1 AS INT), 256)) AS BIGINT) AS part_len,
+      |    sha256(substring(text, CAST(part_idx * 256 + 1 AS INT), 256)) AS chunk_hash
+      |  FROM exploded
+      |)""".stripMargin
+
+  val lakeChunkSplitSql: String =
+    s"""$oracleChunkCte
+      |SELECT doc_id, part_idx, part_len, chunk_hash
+      |FROM chunks
+      |ORDER BY doc_id, part_idx""".stripMargin
+
+  /** §2.1 #3 — content-addressing dedup stats (idempotent-put effect). */
+  def lakeDedupStats(spark: SparkSession, dir: String): DataFrame =
+    chunkSplit(spark, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("cnt"), max(col("part_len")).as("len1"))
+      .agg(
+        sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("len1") * col("cnt")).as("bytes_total"),
+        sum(col("len1")).as("bytes_unique"),
+      )
+
+  val lakeDedupStatsSql: String =
+    s"""$oracleChunkCte, per AS (
+      |  SELECT chunk_hash, count(*) AS cnt, max(part_len) AS len1 FROM chunks GROUP BY chunk_hash
+      |)
+      |SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+      |       count(*) AS n_unique_chunks,
+      |       CAST(sum(len1 * cnt) AS BIGINT) AS bytes_total,
+      |       CAST(sum(len1) AS BIGINT) AS bytes_unique
+      |FROM per""".stripMargin
+
+  /** §2.1 #4 — get_blob: reassemble every blob from its parts (ordered
+    * binary concat, exactly the ChunkStore.getBlobs expression) and
+    * verify the content address survives the roundtrip. The oracle
+    * computes the hash from the original text — a mismatch means
+    * reassembly broke.
+    */
+  def lakeGetBlob(spark: SparkSession, dir: String): DataFrame = {
+    val reassembled = chunkSplit(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("part_idx"), col("part")))), p => p.getField("part")),
+          lit(""),
+          (acc, x) => concat(acc, x),
+        ).as("blob")
+      )
+    val inline = docs(spark, dir)
+      .filter(octet_length(col("text")) <= P.inlineMax)
+      .select(col("doc_id"), col("text").as("blob"))
+    inline
+      .unionByName(reassembled)
+      .select(
+        col("doc_id"),
+        sha2(col("blob"), 256).as("blob_hash"),
+        octet_length(col("blob")).cast(LongType).as("blob_len"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val lakeGetBlobSql: String =
+    """SELECT doc_id, sha256(text) AS blob_hash, CAST(len(text) AS BIGINT) AS blob_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** §2.1 #5 — hash-prefix bucket histogram (index-modulo analog).
+    * Bucket derived from the first two hex chars via a
+    * portable char-position trick (identical arithmetic in DuckDB).
+    */
+  def lakeBucketHist(spark: SparkSession, dir: String): DataFrame =
+    chunkSplit(spark, dir)
+      .withColumn(
+        "bucket",
+        expr(
+          "CAST(((locate(substring(chunk_hash,1,1), '0123456789abcdef') - 1) * 16 + " +
+            "locate(substring(chunk_hash,2,1), '0123456789abcdef') - 1) % 64 AS BIGINT)"
+        ),
+      )
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_chunks"), countDistinct(col("chunk_hash")).as("n_unique"))
+      .orderBy("bucket")
+
+  val lakeBucketHistSql: String =
+    s"""$oracleChunkCte
+      |SELECT CAST(((strpos('0123456789abcdef', substring(chunk_hash,1,1)) - 1) * 16 +
+      |             strpos('0123456789abcdef', substring(chunk_hash,2,1)) - 1) % 64 AS BIGINT) AS bucket,
+      |  count(*) AS n_chunks,
+      |  count(DISTINCT chunk_hash) AS n_unique
+      |FROM chunks
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  /** §2.1 #6 — convergent encryption roundtrip. The oracle hashes the
+    * original text: equality proves decrypt(encrypt(x)) == x for every
+    * document. enc_len pins the GCM layout (12 B IV + payload + 16 B tag).
+    */
+  def lakeConvergent(spark: SparkSession, dir: String): DataFrame = {
+    val ct = Convergent.encrypt(col("text"))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        sha2(Convergent.decrypt(ct, Convergent.contentKey(col("text"))), 256).as("round_sha"),
+        octet_length(ct).cast(LongType).as("enc_len"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val lakeConvergentSql: String =
+    """SELECT doc_id, sha256(text) AS round_sha, CAST(len(text) + 28 AS BIGINT) AS enc_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_put_blob" -> (lakePutBlob _),
+    "lake_chunk_split" -> (lakeChunkSplit _),
+    "lake_dedup_stats" -> (lakeDedupStats _),
+    "lake_get_blob" -> (lakeGetBlob _),
+    "lake_bucket_hist" -> (lakeBucketHist _),
+    "lake_convergent" -> (lakeConvergent _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lake_put_blob" -> lakePutBlobSql,
+    "lake_chunk_split" -> lakeChunkSplitSql,
+    "lake_dedup_stats" -> lakeDedupStatsSql,
+    "lake_get_blob" -> lakeGetBlobSql,
+    "lake_bucket_hist" -> lakeBucketHistSql,
+    "lake_convergent" -> lakeConvergentSql,
+  )
+}

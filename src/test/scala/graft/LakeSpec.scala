@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.lake._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LakeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-lake").toString
+
+  private def blobDf(blobs: (Long, String)*) =
+    blobs.toSeq.toDF("blob_id", "s").select(col("blob_id"), col("s").cast("binary").as("data"))
+
+  private val tiny = "short blob" // inline (≤64)
+  private val mid = "m" * 200 // single chunk
+  private val big = ("the quick brown fox " * 40).trim // tree (800 B → 4 parts)
+
+  test("put/get roundtrip across the whole size ladder") {
+    val store = ChunkStore.init(spark, tmp())
+    val res = store.putBlobs(blobDf(1L -> tiny, 2L -> mid, 3L -> big))
+    assert(res.blobs.map(_.kind).sorted == Seq("inline", "single", "tree"))
+    res.blobs.foreach { b =>
+      val back = new String(store.getBlob(b.blobHash), StandardCharsets.UTF_8)
+      assert(Set(tiny, mid, big).contains(back), s"roundtrip failed for ${b.kind}")
+      assert(back.length.toLong == b.totalLen)
+    }
+  }
+
+  test("idempotent put: same content twice stores chunks once") {
+    val store = ChunkStore.init(spark, tmp())
+    store.putBlobs(blobDf(1L -> big))
+    val n1 = store.chunks.count()
+    store.putBlobs(blobDf(9L -> big))
+    assert(store.chunks.count() == n1, "re-put must not add chunks")
+    assert(store.catalog.count() == 1)
+  }
+
+  test("shared chunks dedup across different blobs") {
+    val store = ChunkStore.init(spark, tmp())
+    // two blobs sharing their first 256-byte part
+    val shared = "x" * 256
+    store.putBlobs(blobDf(1L -> (shared + "tailA" * 20), 2L -> (shared + "tailB" * 20)))
+    val hashes = store.chunks.select("chunk_hash").as[String].collect()
+    assert(hashes.length == hashes.distinct.length)
+    assert(store.manifest.count() == 4, "2 blobs × 2 parts")
+    assert(store.chunks.count() == 3, "shared first part stored once")
+  }
+
+  test("readonly store rejects writes") {
+    val p = tmp()
+    ChunkStore.init(spark, p)
+    val ro = ChunkStore.load(spark, p, readonly = true)
+    intercept[StoreReadOnlyException](ro.putBlobs(blobDf(1L -> mid)))
+  }
+
+  test("magic verification rejects non-store dirs and corrupted markers") {
+    val p = tmp()
+    intercept[InvalidMagicException](ChunkStore.load(spark, p, readonly = false))
+    Files.write(Paths.get(p, "_GRAFT_STORE"), "not the magic".getBytes)
+    intercept[InvalidMagicException](ChunkStore.load(spark, p, readonly = false))
+  }
+
+  test("capacity: put exceeding maxBytes raises OutOfSpace before writing") {
+    val store = ChunkStore.init(spark, tmp(), maxBytes = 100)
+    intercept[StoreOutOfSpaceException](store.putBlobs(blobDf(1L -> big)))
+    assert(store.chunks.count() == 0, "failed put must not leave partial chunks")
+  }
+
+  test("lake routes puts past full stores (spill-over) and reads across stores") {
+    val (p1, p2) = (tmp(), tmp())
+    val cfg = LakeConfig(Seq(StoreEntry(p1, maxBytes = 300), StoreEntry(p2)))
+    val lake = Lake.init(spark, cfg)
+    // fills p1 (200 B mid fits; big 800 B spills to p2)
+    val r1 = lake.put(blobDf(1L -> mid))
+    val r2 = lake.put(blobDf(2L -> big))
+    assert(lake.stores(0).containsBlob(r1.blobs.head.blobHash))
+    assert(!lake.stores(0).containsBlob(r2.blobs.head.blobHash))
+    assert(lake.stores(1).containsBlob(r2.blobs.head.blobHash))
+    // fallback read finds both wherever they live
+    assert(new String(lake.getBlob(r1.blobs.head.blobHash), StandardCharsets.UTF_8) == mid)
+    assert(new String(lake.getBlob(r2.blobs.head.blobHash), StandardCharsets.UTF_8) == big)
+    // bulk get across stores
+    val got = lake.get(Seq(r1.blobs.head.blobHash, r2.blobs.head.blobHash).toDF("blob_hash"))
+    assert(got.count() == 2)
+    assert(got.filter(!col("verified")).count() == 0)
+  }
+
+  test("lake with no writable store raises LakeOutOfStores") {
+    val p = tmp()
+    ChunkStore.init(spark, p)
+    val lake = Lake.init(spark, LakeConfig(Seq(StoreEntry(p, readonly = true))))
+    intercept[LakeOutOfStoresException](lake.put(blobDf(1L -> mid)))
+  }
+
+  test("config TOML round-trip preserves entries") {
+    val cfg = LakeConfig(Seq(StoreEntry("/a", readonly = true), StoreEntry("/b", maxBytes = 12345)))
+    val back = LakeConfig.fromToml(cfg.toToml)
+    assert(back == cfg)
+  }
+
+  test("convergent encryption is deterministic (same content → same ciphertext)") {
+    val df = Seq("payload one", "payload one", "payload two")
+      .toDF("s")
+      .select(lake.Convergent.encrypt(col("s")).as("ct"))
+    val cts = df.select(hex(col("ct"))).as[String].collect()
+    assert(cts(0) == cts(1), "equal plaintexts must encrypt identically")
+    assert(cts(0) != cts(2))
+  }
+
+  test("bucket pruning: chunk reads filter to the hash-prefix partition") {
+    val store = ChunkStore.init(spark, tmp())
+    store.putBlobs(blobDf(1L -> big, 2L -> (mid + big)))
+    val buckets = store.chunks.select("bucket").distinct().as[Int].collect()
+    assert(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < 64))
+    // partition layout on disk: chunks/bucket=N/
+    val dirs = Files.list(Paths.get(store.path, "chunks")).toArray.map(_.toString)
+    assert(dirs.exists(_.contains("bucket=")), dirs.mkString(","))
+  }
+}
