@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.3 — deduplication family over `documents`.
+  *
+  * Scale design: exact dedup is one hash-shuffle; MinHash/LSH is the
+  * classic Broder'97 + banding construction — signature computation is
+  * a map-side pass of pure codegen'd higher-order expressions (no
+  * UDFs), and the only wide op is the shuffle on (band_idx, band_key).
+  * SimHash (Charikar'02) uses a 4-segment pigeonhole index so
+  * hamming≤3 search joins on segment equality instead of an all-pairs
+  * cross.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  private val words: Column = split(col("text"), " ")
+
+  /** Distinct 3-word shingles (fallback: whole text for tiny docs). */
+  private[graft] val shingles: Column =
+    when(
+      size(words) >= 3,
+      array_distinct(
+        transform(sequence(lit(0), size(words) - 3), i => concat_ws(" ", slice(words, i + 1, lit(3))))
+      ),
+    ).otherwise(array(col("text")))
+
+  /** exact set-Jaccard between two pre-distinct string arrays. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  // ---------------------------------------------------------------- exact
+
+  /** §2.3 #22 — exact dedup by content hash; min-id survivor. The
+    * idempotent-put semantics of the reference store
+    * (store/mod.rs:330-344) expressed as a relational operator.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    docs(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .orderBy("doc_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT doc_id, sha256(text) AS content_hash,
+      |  min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id,
+      |  doc_id != min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- n-gram jaccard
+
+  /** §2.3 #23 — exact word-set Jaccard near-dup pairs, scoped to
+    * same-source pairs (the blocking key that keeps the pair space
+    * linear-ish at scale; cross-source near-dups are MinHash's job).
+    */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("doc_id"),
+      col("source"),
+      array_distinct(words).as("wset"),
+    )
+    val a = d.select(col("doc_id").as("doc_a"), col("source"), col("wset").as("wa"))
+    val b = d.select(col("doc_id").as("doc_b"), col("source"), col("wset").as("wb"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("wa"), col("wb")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("source"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupJaccardSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS wset FROM documents
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
+      |  CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) / len(list_distinct(list_concat(a.wset, b.wset))) AS jaccard
+      |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- minhash + LSH
+
+  private val P61 = 2305843009213693951L // 2^61 - 1
+  private val NumPerms = 64
+  private val NumBands = 16
+  private val RowsPerBand = 4
+  private val VerifyThreshold = 0.8
+
+  /** Deterministic 2-universal hash params (seed 42). a odd, both
+    * < 2^31 so a*h+b < 2^62 stays exact in Long arithmetic.
+    */
+  private[operators] val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPerms)(((rnd.nextInt(Int.MaxValue).toLong | 1L), rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature column over a distinct-shingle array column. */
+  private[operators] def signature(shingleCol: Column): Column = {
+    val hs = transform(shingleCol, s => pmod(hash(s).cast(LongType), lit(2147483648L)))
+    val permArr = array(perms.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    transform(permArr, p => array_min(transform(hs, h => pmod(p.getField("a") * h + p.getField("b"), lit(P61)))))
+  }
+
+  /** Exploded (doc_id, band_idx, band_key) relation. */
+  private def bandRows(d: DataFrame): DataFrame =
+    d.withColumn("sig", signature(col("sh")))
+      .select(
+        col("doc_id"),
+        col("sh"),
+        explode(
+          transform(
+            sequence(lit(0), lit(NumBands - 1)),
+            b => struct(b.as("band_idx"), slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)).as("band_key")),
+          )
+        ).as("band"),
+      )
+      .select(col("doc_id"), col("sh"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+
+  /** §2.3 #24 — MinHash + LSH banding: 64 perms, 16 bands × 4 rows →
+    * candidate pairs sharing any band, then exact-Jaccard verified at
+    * 0.8 (so precision is 1.0 by construction; recall at s=0.9 is
+    * 1-(1-0.9⁴)¹⁶ ≈ 1-2e-4). The oracle is the exact all-pairs
+    * computation — valid because verified candidates ⊆ exact pairs and
+    * the band parameters make a miss at ≥0.8 similarity vanishingly
+    * unlikely (and deterministic, given the fixed perms).
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), shingles.as("sh"))
+    val bands = bandRows(d)
+    val candidates = bands
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(
+        bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"),
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sa = d.select(col("doc_id").as("doc_a"), col("sh").as("sha_"))
+    val sb = d.select(col("doc_id").as("doc_b"), col("sh").as("shb_"))
+    candidates
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("jaccard", jaccard(col("sha_"), col("shb_")))
+      .filter(col("jaccard") >= VerifyThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashLshSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |      ELSE [text] END AS sh
+      |  FROM w
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- simhash
+
+  /** Per-doc 62-bit SimHash relation (Charikar'02): one aggregate pass
+    * accumulates per-bit +1/-1 counts over word hashes, a second packs
+    * sign bits. Pure codegen'd higher-order exprs; a custom
+    * TypedImperativeAggregate would shave constants but not the
+    * complexity.
+    */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn(
+        "bit_counts",
+        expr(
+          """aggregate(
+            |  transform(split(text, ' '), w -> xxhash64(w)),
+            |  array_repeat(CAST(0 AS BIGINT), 62),
+            |  (acc, h) -> zip_with(acc, sequence(CAST(0 AS BIGINT), CAST(61 AS BIGINT)), (c, i) -> c + IF(((h >> i) & 1) = 1, 1, -1))
+            |)""".stripMargin
+        ),
+      )
+      .withColumn(
+        "simhash",
+        expr(
+          """aggregate(
+            |  sequence(0, 61),
+            |  CAST(0 AS BIGINT),
+            |  (acc, i) -> acc + IF(element_at(bit_counts, i + 1) > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))
+            |)""".stripMargin
+        ),
+      )
+      .drop("bit_counts", "text")
+
+  /** §2.3 #25 — SimHash near-dup pairs at hamming ≤ 3, via the 4-way
+    * segment pigeonhole (a pair within hamming 3 must agree on ≥1 of 4
+    * disjoint segments, so candidates join on segment equality).
+    * Engine-specific hash → rows-only check + ScalaTest.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = simhashDf(spark, dir)
+    val segs = d.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(
+        array((0 until 4).map(j =>
+          struct(lit(j).as("seg_idx"), pmod(shiftright(col("simhash"), j * 16), lit(65536L)).as("seg_val"))): _*)
+      ).as("seg"),
+    ).select(col("doc_id"), col("simhash"), col("seg.seg_idx").as("seg_idx"), col("seg.seg_val").as("seg_val"))
+    segs
+      .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("seg_idx"), col("seg_val"))
+      .join(
+        segs.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("seg_idx"), col("seg_val")),
+        Seq("seg_idx", "seg_val"),
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    // dedup_simhash: engine-specific xxhash64 → rows-only check
+  )
+}

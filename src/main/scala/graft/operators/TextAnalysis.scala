@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.5 — text analysis over `documents`, all pure
+  * `functions._` higher-order expressions (codegen'd, no UDFs).
+  *
+  * The corpus is single-spaced lowercase ASCII, so `split(text, ' ')`
+  * is an exact tokenizer on both engines; ratios are computed as
+  * integer counts divided at the end (deterministic IEEE doubles, so
+  * they hash-match DuckDB).
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  private val words: Column = split(col("text"), " ")
+
+  /** Stopword lists for the language-ID heuristic. Deliberately small
+    * function-word sets; overlap between romance languages is normal
+    * and resolved by the fixed-priority argmax.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "les", "et", "de", "un", "est", "dans"),
+    "zh" -> Seq("de", "shi", "le", "wo", "bu", "zhe", "ni"),
+  )
+
+  private def stopCount(lang: String): Column = {
+    val list = stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"CAST(size(filter(split(text, ' '), w -> w IN ($list))) AS BIGINT)")
+  }
+
+  private def stopCountSqlDuck(lang: String): String = {
+    val list = stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS BIGINT)"
+  }
+
+  /** §2.5 #32 — token counting: whitespace tokens + a BPE-ish estimate
+    * (each word contributes ceil(len/4) subword units — the standard
+    * ~4-chars-per-token heuristic).
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(words).cast(LongType).as("n_tokens"),
+        expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, w) -> acc + (length(w) + 3) DIV 4)")
+          .as("n_bpe_tokens"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+      )
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), w -> (len(w) + 3) // 4)) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(text) AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** §2.5 #31 — quality scoring: lexical-diversity and stopword ratios
+    * with a composite score. All ratios are exact-int divisions.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(words).cast(LongType)
+    val nUniq = size(array_distinct(words)).cast(LongType)
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        nUniq.as("n_uniq"),
+        stopCount("en").as("n_stop"),
+        (octet_length(col("text")).cast(DoubleType) / nTokens).as("avg_token_len"),
+        (nUniq.cast(DoubleType) / nTokens).as("uniq_ratio"),
+        (stopCount("en").cast(DoubleType) / nTokens).as("stop_ratio"),
+        ((nUniq.cast(DoubleType) / nTokens) * least(lit(1.0), nTokens.cast(DoubleType) / 50.0))
+          .as("quality_score"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String = {
+    val stop = stopCountSqlDuck("en")
+    s"""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |  $stop AS n_stop,
+      |  CAST(len(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS uniq_ratio,
+      |  CAST($stop AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+      |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
+      |    * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) AS quality_score
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** §2.5 #30 — language ID: per-language stopword hit counts, argmax
+    * with fixed priority order (en > de > es > fr > zh on ties).
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir).select(
+      col("doc_id") +: col("lang").as("label_lang") +:
+        stopwords.map { case (l, _) => stopCount(l).as(s"score_$l") }: _*
+    )
+    val langs = stopwords.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), elseCol) =>
+      if (i == langs.size - 1) elseCol
+      else {
+        val geAll = langs.drop(i + 1).map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+        when(geAll, lit(l)).otherwise(elseCol)
+      }
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("label_match", col("pred_lang") === col("label_lang"))
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String = {
+    val scores = stopwords.map { case (l, _) => s"${stopCountSqlDuck(l)} AS score_$l" }.mkString(",\n  ")
+    """WITH scored AS (
+      |SELECT doc_id, lang AS label_lang,
+      |  SCORES
+      |FROM documents
+      |)
+      |SELECT doc_id, label_lang, score_en, score_de, score_es, score_fr, score_zh,
+      |  CASE
+      |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+      |    WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+      |    WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+      |    WHEN score_fr >= score_zh THEN 'fr'
+      |    ELSE 'zh'
+      |  END AS pred_lang,
+      |  (CASE
+      |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+      |    WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+      |    WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+      |    WHEN score_fr >= score_zh THEN 'fr'
+      |    ELSE 'zh'
+      |  END) = label_lang AS label_match
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
+  }
+
+  /** §2.5 #33 — document fingerprint: md5 of whitespace-normalized
+    * text (the canonical-form fingerprint; the winnowing rolling-hash
+    * variant is in [[graft.functions.Winnowing]], ScalaTest-checked).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("norm_md5"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+      )
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_md5,
+      |  CAST(len(text) AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql,
+  )
+}

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.4 + §2.3 #26 — similarity search over `embeddings`
+  * (64-dim unit-norm float vectors).
+  *
+  * Cross-engine determinism trick: scores are computed on
+  * round(x*10000) int64-quantized vectors — dot products and norms are
+  * then exact integers, and the final double division/sqrt is
+  * correctly-rounded IEEE on both engines, so cosine values (and
+  * threshold/top-k decisions) hash-match DuckDB bit-for-bit. The
+  * quantization error (~1e-4) is far below any semantic threshold.
+  *
+  * Scale paths: brute-force is the exact baseline (O(n·q)); LSH
+  * (random-hyperplane, Charikar'02) and IVF (coarse-quantizer probe,
+  * Jégou'11) bound the candidate set — their shuffles are on bucket /
+  * centroid keys, and centroids are broadcast.
+  */
+object VectorOps {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+
+  /** int64-quantized copy of the embedding. */
+  private val qvec: Column =
+    transform(col("embedding"), x => round(x * 10000).cast(LongType))
+
+  /** exact integer dot product of two quantized vectors. */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** deterministic cosine from quantized ints. */
+  private def qcos(a: Column, b: Column): Column =
+    qdot(a, b).cast(DoubleType) / (sqrt(qdot(a, a).cast(DoubleType)) * sqrt(qdot(b, b).cast(DoubleType)))
+
+  private def pairs(spark: SparkSession, dir: String, queryFilter: Column): DataFrame = {
+    val d = emb(spark, dir).select(col("vec_id"), qvec.as("qv"))
+    val q = d.filter(queryFilter).select(col("vec_id").as("query_id"), col("qv").as("qa"))
+    val c = d.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", qcos(col("qa"), col("qb")))
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  private val oracleQuantCte: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+      |         * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS DOUBLE))) AS cosine
+      |  FROM q a JOIN q b ON a.vec_id != b.vec_id
+      |)""".stripMargin
+
+  /** §2.4 #27 — exact brute-force cosine top-k (k=5) for the first 20
+    * vectors as queries; ties broken by neighbor id.
+    */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs(spark, dir, col("vec_id") < 20)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annBruteforceSql: String =
+    s"""$oracleQuantCte
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM p WHERE query_id < 20
+      |)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** §2.3 #26 — embedding near-dup: every vector's single nearest
+    * neighbor + a duplicate flag at cosine ≥ 0.5.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs(spark, dir, lit(true))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("query_id").as("vec_id"),
+        col("neighbor_id").as("nearest_id"),
+        col("cosine"),
+        (col("cosine") >= 0.5).as("is_near_dup"),
+      )
+      .orderBy("vec_id")
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""$oracleQuantCte
+      |SELECT query_id AS vec_id, neighbor_id AS nearest_id, cosine, cosine >= 0.5 AS is_near_dup FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM p
+      |)
+      |WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- LSH ANN
+
+  private val NumTables = 8
+  private val BitsPerTable = 4
+
+  /** Deterministic random hyperplanes (seed 7): NumTables × BitsPerTable
+    * planes of 64 coords each, as literal columns (broadcast-free —
+    * they live in the plan).
+    */
+  private val planes: Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumTables)(Seq.fill(BitsPerTable)(Array.fill(64)(rnd.nextGaussian())))
+  }
+
+  private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
+
+  private def signBit(v: Column, p: Array[Double]): Column =
+    when(aggregate(zip_with(v, planeLit(p), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) >= 0, 1).otherwise(0)
+
+  /** bucket id of vector `v` in table `t`. */
+  private def bucketIn(v: Column, t: Int): Column =
+    planes(t).zipWithIndex.map { case (p, i) => signBit(v, p) * (1 << i) }.reduce(_ + _)
+
+  /** §2.4 #28 — random-hyperplane LSH ANN: 8 tables × 4 bits; a
+    * query's candidates are all vectors sharing any bucket; exact
+    * cosine re-rank within candidates. Engine-specific plan (float
+    * dots) → rows-only + recall ScalaTest vs brute force.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = emb(spark, dir).select(
+      col("vec_id"),
+      qvec.as("qv"),
+      explode(
+        array((0 until NumTables).map(t => struct(lit(t).as("tbl"), bucketIn(col("embedding"), t).as("bucket"))): _*)
+      ).as("b"),
+    ).select(col("vec_id"), col("qv"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+
+    val q = d.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"), col("qv").as("qa"), col("tbl"), col("bucket"))
+    val c = d.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("tbl"), col("bucket"))
+    val candidates = q
+      .join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qa", "neighbor_id", "qb")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cosine", qcos(col("qa"), col("qb")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- IVF ANN
+
+  private val NumCentroids = 16
+  private val NumProbes = 4
+
+  /** §2.4 #29 — IVF-style ANN: coarse centroids (deterministic sample:
+    * every 31st vector), inverted lists by nearest centroid, queries
+    * probe the 4 nearest lists, exact re-rank inside. The centroid
+    * table is broadcast (it is tiny by construction at any scale);
+    * the inverted-list shuffle is on centroid id.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), qvec.as("qv"))
+    val centroids = e
+      .filter(pmod(col("vec_id"), lit(31)) === 0)
+      .withColumn("centroid_id", (col("vec_id") / 31).cast(IntegerType))
+      .filter(col("centroid_id") < NumCentroids)
+      .select(col("centroid_id"), col("qv").as("cv"))
+
+    // assign: nearest centroid per vector (broadcast join + argmax)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("centroid_id"))
+    val assigned = e
+      .join(broadcast(centroids), lit(true))
+      .withColumn("cdist", qcos(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("centroid_id"))
+
+    // probe: 4 nearest centroids per query
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("centroid_id"))
+    val probes = e
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("cdist", qcos(col("qa"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NumProbes)
+      .select(col("query_id"), col("qa"), col("centroid_id"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    probes
+      .join(assigned.select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("qv").as("qb")), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", qcos(col("qa"), col("qb")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (annBruteforce _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql,
+    "dedup_embedding" -> dedupEmbeddingSql,
+    // ann_lsh / ann_ivf: engine-specific candidate generation → rows-only + recall tests
+  )
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.Winnowing
+import graft.operators.{Dedup, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupVectorSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("minhash LSH finds exactly the exact-jaccard pairs (full recall on planted dups)") {
+    // the oracle claim: verified LSH candidates == exact all-pairs result
+    val lsh = Dedup.dedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // exact all-pairs via the same shingle definition
+    val d = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.shingles.as("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
+    val exact = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("j", size(array_intersect(col("sa"), col("sb"))).cast("double") / size(array_union(col("sa"), col("sb"))))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size} missed=${(exact -- lsh).size}")
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+  }
+
+  test("simhash pairs all satisfy the hamming bound and include the near-dup pairs") {
+    val sim = Dedup.dedupSimhash(spark, sf).collect()
+    sim.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+    // near-identical docs (0.9+ shingle jaccard) should mostly collide in simhash
+    val minhashPairs = Dedup.dedupMinhashLsh(spark, sf)
+      .filter(col("jaccard") >= 0.95).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val simPairs = sim.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val hit = minhashPairs.count(simPairs.contains)
+    assert(minhashPairs.isEmpty || hit >= minhashPairs.size / 2,
+      s"simhash found $hit of ${minhashPairs.size} very-near dups")
+  }
+
+  test("ann_lsh recall@5 vs brute force") {
+    val bf = VectorOps.annBruteforce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = VectorOps.annLsh(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bf.count(lsh.contains).toDouble / bf.size
+    info(s"ann_lsh recall@5 = $recall")
+    assert(recall >= 0.2, s"LSH recall collapsed: $recall")
+  }
+
+  test("ann_ivf recall@5 vs brute force") {
+    val bf = VectorOps.annBruteforce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorOps.annIvf(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    info(s"ann_ivf recall@5 = $recall")
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+  }
+
+  test("dedup_embedding nearest neighbor agrees with brute-force rank 1") {
+    val bf = VectorOps.annBruteforce(spark, sf)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val nn = VectorOps.dedupEmbedding(spark, sf)
+      .filter(col("vec_id") < 20)
+      .select("vec_id", "nearest_id").as[(Long, Long)].collect().toMap
+    assert(bf == nn)
+  }
+
+  test("winnowing: identical docs share fingerprints; guarantee threshold holds") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "a completely different set of words with no overlap whatsoever here now"),
+    ).toDF("id", "text").withColumn("fp", Winnowing.fingerprints(col("text")))
+    val fp = docs.select("id", "fp").as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L) == fp(2L), "identical text must produce identical fingerprints")
+    assert(fp(1L).intersect(fp(3L)).isEmpty, "disjoint text should share nothing")
+    assert(fp(1L).nonEmpty && fp(1L).size < 11, "winnowing must compress the gram set")
+  }
+
+  test("winnowing: shared long substring guarantees a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"prefix words here $shared"),
+      (2L, s"$shared suffix tail words there"),
+    ).toDF("id", "text").withColumn("fp", Winnowing.fingerprints(col("text")))
+    val fp = docs.select("id", "fp").as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty, "w+k-1 shared tokens must yield a shared fingerprint")
+  }
+
+  test("langid prediction is priority-deterministic on ties") {
+    val out = operators.TextAnalysis.textLangid(spark, sf)
+    val zeros = out.filter(
+      col("score_en") === 0 && col("score_de") === 0 && col("score_es") === 0 &&
+        col("score_fr") === 0 && col("score_zh") === 0
+    )
+    // all-zero scores tie → priority picks 'en'
+    assert(zeros.filter(col("pred_lang") =!= "en").count() == 0)
+  }
+
+  test("quality score stays in [0,1] and ratios are consistent") {
+    val rows = operators.TextAnalysis.textQuality(spark, sf).collect()
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Long]("n_uniq") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+}
