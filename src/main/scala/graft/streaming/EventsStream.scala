@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.7 — Structured Streaming over the events stream.
+  *
+  * Both operators are the streaming forms of batch queries in
+  * [[graft.operators.Relational]] (q_events_window, q_sessionize), and
+  * StreamingSpec pins stream-batch equivalence on the same data.
+  */
+object EventsStream {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_id: Long)
+
+  final case class SessionOut(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+  )
+
+  /** Open-session state carried across micro-batches. */
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** §2.7 #36 — watermarked tumbling-window aggregation. Append mode:
+    * a window emits once the watermark passes its end (late events
+    * beyond 1 day are dropped — the at-scale contract that bounds
+    * state).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("sum_floor_value"),
+      )
+      .select(col("win.start").as("day"), col("event_type"), col("n_events"), col("sum_floor_value"))
+
+  /** §2.7 #37 — gap-based sessionization with explicit state
+    * (flatMapGroupsWithState). A session closes when a later event for
+    * the same user arrives more than `gap` after it; closed sessions
+    * are emitted immediately, the open session rides in state. (The
+    * final open session per user is emitted only on state timeout in a
+    * real deployment; tests account for it explicitly.)
+    *
+    * Within a micro-batch events are sorted by (ts, event_id) — the
+    * same total order as the batch operator, so stream and batch agree
+    * exactly on session boundaries.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+          case Some(s) =>
+            closed += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+}

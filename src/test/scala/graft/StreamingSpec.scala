@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-batch equivalence: the streaming operators must produce the
+  * batch answers on the same data (SURVEY.md §2.7).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val events = GraftSession.table(spark, sf, "events")
+    .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    .cache()
+
+  test("streaming windowed agg equals batch q_events_window (counts per day/type)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val input = stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+
+    val q = EventsStream
+      .windowedCounts(input)
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      stream.addData(events.as[(Long, Timestamp, Long, String, Double)].collect().toSeq)
+      q.processAllAvailable()
+      // advance the watermark past every window with a sentinel batch
+      stream.addData(Seq((0L, Timestamp.valueOf("2030-01-01 00:00:00"), 0L, "sentinel", 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("win_out")
+        .filter(col("event_type") =!= "sentinel")
+        .select("day", "event_type", "n_events", "sum_floor_value")
+      val want = events
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(floor(col("value")).cast("long")).as("sum_floor_value"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"stream=${got.count()} batch=${want.count()}")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization equals batch q_sessionize on closed sessions") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStream
+      .sessionize(stream.toDS(), gapMs = 1800L * 1000)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      val evs = events.select("user_id", "ts", "event_id").as[Event].collect().toSeq
+      // two micro-batches split mid-stream: state must carry open sessions over
+      val (b1, b2) = evs.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(evs.size / 2)
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+
+      val got = spark.table("sess_out").as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events)).toSet
+
+      val batch = operators.Relational.qSessionize(spark, sf).collect()
+        .map(r => (
+          r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").getTime,
+          r.getAs[Timestamp]("session_end").getTime,
+          r.getAs[Long]("n_events"),
+        ))
+      // the stream has not emitted each user's final (still-open) session
+      val lastPerUser = batch.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+      val expectedClosed = batch.toSet -- lastPerUser
+      assert(got == expectedClosed,
+        s"stream=${got.size} expected=${expectedClosed.size} diff=${(got diff expectedClosed).take(3)} missing=${(expectedClosed diff got).take(3)}")
+    } finally q.stop()
+  }
+
+  test("multimodal features roundtrip through the batched decoder") {
+    val feats = multimodal.Multimodal.multimodalFeatures(spark, sf).collect()
+    assert(feats.length == 500)
+    feats.foreach { r =>
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 256)
+      val bright = r.getAs[Double]("brightness")
+      assert(bright > 0 && bright < 256)
+      if (r.getAs[String]("kind") == "vid") assert(r.getAs[Int]("n_frames") >= 1)
+    }
+    val kinds = feats.map(_.getAs[String]("kind")).toSet
+    assert(kinds == Set("img", "aud", "vid"))
+  }
+}
