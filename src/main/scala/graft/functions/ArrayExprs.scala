@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the signature/similarity hot loops.
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) are
+  * interpreted — every lambda application allocates and boxes. For the
+  * pair-space operators (n² dot products, n×perms minhash) that
+  * interpretation overhead dominates the runtime by ~100×, so these
+  * three kernels are native expressions with `doGenCode` emitting the
+  * tight loop. Each is semantically identical to the higher-order
+  * formulation it replaces (same index order, same Long arithmetic),
+  * which the specs pin.
+  */
+object ArrayExprs {
+
+  /** Exact integer dot product of two array<long> columns. */
+  def longDot(a: Column, b: Column): Column =
+    ColumnBridge.column(LongArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** 64-perm MinHash signature of an array<long> of element hashes. */
+  def minhashSig(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), as, bs, p))
+
+  /** 62-bit SimHash of an array<long> of element hashes. */
+  def simhash62(hs: Column): Column =
+    ColumnBridge.column(SimHash62(ColumnBridge.expression(hs)))
+
+  /** |A ∩ B| for two SORTED distinct array<long> columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Two-pointer merge count over sorted distinct long arrays — the
+  * set-similarity hot loop (array_intersect/array_union are interpreted
+  * and hash-based; on an n² pair space the constant matters).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements(), m = $b.numElements();
+         |int i = 0, j = 0, c = 0;
+         |while (i < n && j < m) {
+         |  long xv = $a.getLong(i), yv = $b.getLong(j);
+         |  if (xv == yv) { c++; i++; j++; } else if (xv < yv) { i++; } else { j++; }
+         |}
+         |${ev.value} = c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** sum_i a[i]*b[i] over the common prefix, in Long arithmetic. */
+case class LongArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |long s = 0L;
+         |for (int i = 0; i < n; i++) { s += $a.getLong(i) * $b.getLong(i); }
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** min over hs of (as(j)*h + bs(j)) mod p, per permutation j.
+  * Preconditions (enforced by the caller): 0 <= h < 2^31,
+  * 0 <= as(j),bs(j) < 2^31 — products stay < 2^62, no overflow.
+  * Empty input yields p (the identity of min mod p), matching
+  * array_min of an empty transform = null avoided upstream.
+  */
+case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val hs = in.asInstanceOf[ArrayData]
+    val k = as.length
+    val mins = Array.fill(k)(p)
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, hs => {
+      s"""
+         |int k = $asRef.length;
+         |long[] mins = new long[k];
+         |java.util.Arrays.fill(mins, ${p}L);
+         |int n = $hs.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  long h = $hs.getLong(i);
+         |  for (int j = 0; j < k; j++) {
+         |    long v = ($asRef[j] * h + $bsRef[j]) % ${p}L;
+         |    if (v < mins[j]) mins[j] = v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Charikar'02 SimHash over 62 bits: bit i of the result is set iff
+  * more element hashes have bit i set than clear.
+  */
+case class SimHash62(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(in: Any): Any = {
+    val hs = in.asInstanceOf[ArrayData]
+    val counts = new Array[Int](62)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 62) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 62) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      s"""
+         |int[] counts = new int[62];
+         |int n = $hs.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  long h = $hs.getLong(i);
+         |  for (int b = 0; b < 62; b++) {
+         |    if (((h >> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+         |  }
+         |}
+         |long out = 0L;
+         |for (int b = 0; b < 62; b++) { if (counts[b] > 0) out |= (1L << b); }
+         |${ev.value} = out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

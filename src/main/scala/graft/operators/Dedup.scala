@@ -65,16 +65,22 @@ object Dedup {
     * linear-ish at scale; cross-source near-dups are MinHash's job).
     */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(
-      col("doc_id"),
-      col("source"),
-      array_distinct(words).as("wset"),
-    )
+    // word sets as sorted xxhash64 arrays: |A∩B| then runs in the
+    // codegen'd two-pointer kernel; set sizes (and hence jaccard)
+    // equal the string-set formulation absent 64-bit collisions
+    val d = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        array_sort(array_distinct(transform(words, w => xxhash64(w)))).as("wset"),
+      )
+      .cache()
     val a = d.select(col("doc_id").as("doc_a"), col("source"), col("wset").as("wa"))
     val b = d.select(col("doc_id").as("doc_b"), col("source"), col("wset").as("wb"))
+    val inter = graft.functions.ArrayExprs.sortedIntersectCount(col("wa"), col("wb"))
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("wa"), col("wb")))
+      .withColumn("jaccard", inter.cast(DoubleType) / (size(col("wa")) + size(col("wb")) - inter))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("source"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -101,16 +107,19 @@ object Dedup {
   /** Deterministic 2-universal hash params (seed 42). a odd, both
     * < 2^31 so a*h+b < 2^62 stays exact in Long arithmetic.
     */
-  private[operators] val perms: Seq[(Long, Long)] = {
+  private[graft] val perms: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(NumPerms)(((rnd.nextInt(Int.MaxValue).toLong | 1L), rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature column over a distinct-shingle array column. */
+  /** MinHash signature column over a distinct-shingle array column.
+    * Element hashes land in [0, 2^31) so the codegen'd kernel's
+    * `(a*h + b) % p` is overflow-free and equals `pmod` (all operands
+    * non-negative).
+    */
   private[operators] def signature(shingleCol: Column): Column = {
     val hs = transform(shingleCol, s => pmod(hash(s).cast(LongType), lit(2147483648L)))
-    val permArr = array(perms.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
-    transform(permArr, p => array_min(transform(hs, h => pmod(p.getField("a") * h + p.getField("b"), lit(P61)))))
+    graft.functions.ArrayExprs.minhashSig(hs, perms.map(_._1).toArray, perms.map(_._2).toArray, P61)
   }
 
   /** Exploded (doc_id, band_idx, band_key) relation. */
@@ -137,8 +146,10 @@ object Dedup {
     * unlikely (and deterministic, given the fixed perms).
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), shingles.as("sh"))
-    val bands = bandRows(d)
+    // cached: both sides of the band self-join (and the verify joins)
+    // would otherwise recompute shingling + signatures from scratch
+    val d = docs(spark, dir).select(col("doc_id"), shingles.as("sh")).cache()
+    val bands = bandRows(d).drop("sh").cache()
     val candidates = bands
       .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
       .join(
@@ -185,28 +196,13 @@ object Dedup {
     */
   private def simhashDf(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .withColumn(
-        "bit_counts",
-        expr(
-          """aggregate(
-            |  transform(split(text, ' '), w -> xxhash64(w)),
-            |  array_repeat(CAST(0 AS BIGINT), 62),
-            |  (acc, h) -> zip_with(acc, sequence(CAST(0 AS BIGINT), CAST(61 AS BIGINT)), (c, i) -> c + IF(((h >> i) & 1) = 1, 1, -1))
-            |)""".stripMargin
-        ),
+      .select(
+        col("doc_id"),
+        graft.functions.ArrayExprs
+          .simhash62(transform(words, w => xxhash64(w)))
+          .as("simhash"),
       )
-      .withColumn(
-        "simhash",
-        expr(
-          """aggregate(
-            |  sequence(0, 61),
-            |  CAST(0 AS BIGINT),
-            |  (acc, i) -> acc + IF(element_at(bit_counts, i + 1) > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))
-            |)""".stripMargin
-        ),
-      )
-      .drop("bit_counts", "text")
+      .cache() // the segment self-join reads this twice
 
   /** §2.3 #25 — SimHash near-dup pairs at hamming ≤ 3, via the 4-way
     * segment pigeonhole (a pair within hamming 3 must agree on ≥1 of 4

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.ArrayExprs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen kernels must be bit-identical to the interpreted
+  * higher-order formulations they replaced (the oracle parity of
+  * ann_bruteforce/dedup_embedding depends on it).
+  */
+class ArrayExprsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val vecs = GraftSession.table(spark, sf, "embeddings")
+    .select(col("vec_id"), transform(col("embedding"), x => round(x * 10000).cast("long")).as("q"))
+
+  test("LongArrayDot equals aggregate(zip_with(...)) on real vectors") {
+    val d = vecs.limit(50)
+    val a = d.select(col("vec_id").as("ia"), col("q").as("qa"))
+    val b = d.select(col("vec_id").as("ib"), col("q").as("qb"))
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(
+        ArrayExprs.longDot(col("qa"), col("qb")).as("fast"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("slow"),
+      )
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("MinHashSig equals the per-perm transform/array_min formulation") {
+    val perms = operators.Dedup.perms
+    val p61 = 2305843009213693951L
+    val d = GraftSession.table(spark, sf, "documents").limit(50)
+      .select(transform(operators.Dedup.shingles, s => pmod(hash(s).cast("long"), lit(2147483648L))).as("hs"))
+    val permArr = array(perms.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    val slow = transform(permArr, p => array_min(transform(col("hs"), h => pmod(p.getField("a") * h + p.getField("b"), lit(p61)))))
+    val fast = ArrayExprs.minhashSig(col("hs"), perms.map(_._1).toArray, perms.map(_._2).toArray, p61)
+    val rows = d.select(fast.as("f"), slow.as("s")).as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (f, s) => assert(f == s) }
+  }
+
+  test("SimHash62: identical inputs agree, bit flips move hamming") {
+    val d = Seq(
+      Seq(0x0L, 0x3L, 0x3L),
+      Seq(0x0L, 0x3L, 0x3L),
+      Seq(-1L, -1L, -1L),
+    ).toDF("hs").select(ArrayExprs.simhash62(col("hs")).as("sh")).as[Long].collect()
+    assert(d(0) == d(1))
+    assert(d(0) == 0x3L, s"majority of {0,3,3} sets bits 0,1: got ${d(0)}")
+    assert(d(2) == (1L << 62) - 1, "all-ones hashes set all 62 bits")
+  }
+}
