@@ -98,28 +98,39 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash + LSH
 
-  private val P61 = 2305843009213693951L // 2^61 - 1
+  /** The permutation modulus MUST match the element-hash universe:
+    * with p far above the universe (say 2^61-1 over 2^31 hashes),
+    * a*h+b barely wraps, the affine maps are near-monotone in h, every
+    * "permutation" shares one argmin, and the estimator collapses to a
+    * single bit. p = 2^31-1 (prime) over h ∈ [0, p) wraps ~2^31 times
+    * → a genuine 2-universal permutation family. PropertySpec pins the
+    * estimator against exact Jaccard to keep this honest.
+    */
+  private[graft] val MinHashPrime = 2147483647L // 2^31 - 1
   private val NumPerms = 64
   private val NumBands = 16
   private val RowsPerBand = 4
   private val VerifyThreshold = 0.8
 
-  /** Deterministic 2-universal hash params (seed 42). a odd, both
-    * < 2^31 so a*h+b < 2^62 stays exact in Long arithmetic.
+  /** Deterministic affine-permutation params (seed 42):
+    * a ∈ [1, p-1], b ∈ [0, p-1]; a*h < 2^62 stays exact in Long.
     */
   private[graft] val perms: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NumPerms)(((rnd.nextInt(Int.MaxValue).toLong | 1L), rnd.nextInt(Int.MaxValue).toLong))
+    Seq.fill(NumPerms)((
+      (rnd.nextInt(Int.MaxValue - 1) + 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong,
+    ))
   }
 
   /** MinHash signature column over a distinct-shingle array column.
-    * Element hashes land in [0, 2^31) so the codegen'd kernel's
+    * Element hashes land in [0, p) so the codegen'd kernel's
     * `(a*h + b) % p` is overflow-free and equals `pmod` (all operands
     * non-negative).
     */
-  private[operators] def signature(shingleCol: Column): Column = {
-    val hs = transform(shingleCol, s => pmod(hash(s).cast(LongType), lit(2147483648L)))
-    graft.functions.ArrayExprs.minhashSig(hs, perms.map(_._1).toArray, perms.map(_._2).toArray, P61)
+  private[graft] def signature(shingleCol: Column): Column = {
+    val hs = transform(shingleCol, s => pmod(hash(s).cast(LongType), lit(MinHashPrime)))
+    graft.functions.ArrayExprs.minhashSig(hs, perms.map(_._1).toArray, perms.map(_._2).toArray, MinHashPrime)
   }
 
   /** Exploded (doc_id, band_idx, band_key) relation. */

@@ -169,11 +169,32 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.5 #33b — winnowing near-dup pairs: explode fingerprint sets,
+    * join on shared fingerprints, keep pairs sharing ≥ 5. The standard
+    * plagiarism-detection shape: one shuffle on fingerprint values
+    * (like MinHash bands), no all-pairs cross. xxhash64-based →
+    * rows-only check + WinnowingSpec properties.
+    */
+  def textWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), graft.functions.Winnowing.fingerprints(col("text")).as("fp"))
+      .cache()
+    val ex = d.select(col("doc_id"), explode(col("fp")).as("f"))
+    ex.select(col("doc_id").as("doc_a"), col("f"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("f")), Seq("f"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= 5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_winnow_pairs" -> (textWinnowPairs _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.lake.{Lake, PutResult}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File ingestion into the content-addressed lake and format-flexible
+  * table reads (SURVEY.md §2.1 — the "files in, blobs addressed" flow
+  * the reference exposes through put_blob on file contents).
+  */
+object Ingest {
+
+  /** Whole files → content-addressed blobs. Uses Spark's binaryFile
+    * source (distributed, no driver-side reads); returns the put
+    * summary plus a (path → blob_hash) mapping so callers can build a
+    * name index over the content-addressed store.
+    */
+  def ingestFiles(lake: Lake, glob: String): (PutResult, DataFrame) = {
+    val files = lake.spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content").as("data"))
+    val res = lake.put(files.select(col("data")))
+    val mapping = files.select(col("path"), sha2(col("data"), 256).as("blob_hash"))
+    (res, mapping)
+  }
+
+  /** Extension-dispatched structured read (parquet/csv/json) with the
+    * settings that keep semantics stable across engines: explicit
+    * header handling and schema inference for csv, multiline off for
+    * json (line-delimited = splittable at scale).
+    */
+  def readAuto(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet")) spark.read.parquet(path)
+    else if (lower.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) spark.read.json(path)
+    else spark.read.format("binaryFile").load(path)
+  }
+
+  /** Export a DataFrame to a sink format with optional partition
+    * columns (the write side of the source matrix).
+    */
+  def writeAuto(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val lower = path.toLowerCase
+    val w0 = df.write.mode("overwrite")
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    if (lower.endsWith(".csv")) w.option("header", "true").csv(path)
+    else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) w.json(path)
+    else w.parquet(path)
+  }
+}

@@ -29,12 +29,12 @@ class ArrayExprsSpec extends AnyFunSuite {
 
   test("MinHashSig equals the per-perm transform/array_min formulation") {
     val perms = operators.Dedup.perms
-    val p61 = 2305843009213693951L
+    val prime = operators.Dedup.MinHashPrime
     val d = GraftSession.table(spark, sf, "documents").limit(50)
-      .select(transform(operators.Dedup.shingles, s => pmod(hash(s).cast("long"), lit(2147483648L))).as("hs"))
+      .select(transform(operators.Dedup.shingles, s => pmod(hash(s).cast("long"), lit(operators.Dedup.MinHashPrime))).as("hs"))
     val permArr = array(perms.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
-    val slow = transform(permArr, p => array_min(transform(col("hs"), h => pmod(p.getField("a") * h + p.getField("b"), lit(p61)))))
-    val fast = ArrayExprs.minhashSig(col("hs"), perms.map(_._1).toArray, perms.map(_._2).toArray, p61)
+    val slow = transform(permArr, p => array_min(transform(col("hs"), h => pmod(p.getField("a") * h + p.getField("b"), lit(prime)))))
+    val fast = ArrayExprs.minhashSig(col("hs"), perms.map(_._1).toArray, perms.map(_._2).toArray, prime)
     val rows = d.select(fast.as("f"), slow.as("s")).as[(Seq[Long], Seq[Long])].collect()
     rows.foreach { case (f, s) => assert(f == s) }
   }

@@ -112,6 +112,33 @@ class LakeSpec extends AnyFunSuite {
     assert(cts(0) != cts(2))
   }
 
+  test("file ingest: whole files land content-addressed and read back identical") {
+    val dataDir = Files.createTempDirectory("graft-ingest")
+    val f1 = dataDir.resolve("a.bin"); Files.write(f1, ("file one " * 40).getBytes)
+    val f2 = dataDir.resolve("b.bin"); Files.write(f2, "tiny".getBytes)
+    val lake = Lake.init(spark, LakeConfig(Seq(StoreEntry(tmp()))))
+    val (res, mapping) = sources.Ingest.ingestFiles(lake, dataDir.toString + "/*.bin")
+    assert(res.blobs.size == 2)
+    val m = mapping.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.size == 2)
+    m.foreach { case (path, hash) =>
+      val orig = Files.readAllBytes(Paths.get(path.stripPrefix("file:")))
+      assert(java.util.Arrays.equals(lake.getBlob(hash), orig), s"roundtrip $path")
+    }
+  }
+
+  test("catalog: lake views registered and describable") {
+    val lake = Lake.init(spark, LakeConfig(Seq(StoreEntry(tmp()), StoreEntry(tmp(), readonly = false))))
+    lake.put(blobDf(1L -> big))
+    LakeCatalog.register(lake, "lakespec")
+    val tables = LakeCatalog.lakeTables(spark, "lakespec")
+    assert(tables.contains("lakespec_chunks") && tables.contains("lakespec_s1_catalog"), tables.mkString(","))
+    assert(spark.sql("SELECT count(*) FROM lakespec_chunks").head.getLong(0) > 0)
+    val d = LakeCatalog.describe(lake).collect()
+    assert(d.length == 2)
+    assert(d.map(_.getAs[Long]("n_blobs")).sum == 1)
+  }
+
   test("bucket pruning: chunk reads filter to the hash-prefix partition") {
     val store = ChunkStore.init(spark, tmp())
     store.putBlobs(blobDf(1L -> big, 2L -> (mid + big)))

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.lake.{ChunkStore, Convergent, LakeParams}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests over generated inputs (deterministic seeds).
+  * scalacheck supplies the generators; sampling is explicit so each
+  * property runs as one Spark job over the whole generated batch
+  * instead of a job per case.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("chunk store roundtrips arbitrary binary blobs across the whole ladder") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 2048)
+      bytes <- Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bytes
+    val blobs = sample(gen, 40, seed = 1L).filter(_.nonEmpty)
+    val store = ChunkStore.init(spark, Files.createTempDirectory("graft-prop").toString)
+    val df = blobs.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("blob_id", "data")
+    val res = store.putBlobs(df)
+    // every distinct input must come back byte-identical under its hash
+    val got = store.getBlobs(res.blobs.map(_.blobHash).toDF("blob_hash")).collect()
+    assert(got.length == res.blobs.size)
+    got.foreach(r => assert(r.getAs[Boolean]("verified"), "hash verify must hold"))
+    val byHash = got.map(r => r.getAs[String]("blob_hash") -> r.getAs[Array[Byte]]("data")).toMap
+    blobs.foreach { b =>
+      val h = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+        .map("%02x".format(_)).mkString
+      assert(byHash.contains(h), "blob missing from store")
+      assert(java.util.Arrays.equals(byHash(h), b), "payload corrupted in roundtrip")
+    }
+  }
+
+  test("ladder kinds partition by length exactly at the configured bounds") {
+    val p = LakeParams()
+    val lens = Seq(0, 1, 63, 64, 65, 255, 256, 257, 1000)
+    val df = lens.map(n => ("x" * n)).toDF("s")
+      .select(octet_length(col("s")).cast("long").as("len"), ChunkStore.kindOf(octet_length(col("s")).cast("long"), p).as("kind"))
+    val kinds = df.as[(Long, String)].collect().toMap
+    lens.foreach { n =>
+      val expect = if (n <= 64) "inline" else if (n <= 256) "single" else "tree"
+      assert(kinds(n.toLong) == expect, s"len $n")
+    }
+  }
+
+  test("convergent encryption: roundtrip + determinism + key-sensitivity on random strings") {
+    val gen = Gen.listOfN(30, Gen.alphaNumStr.suchThat(_.nonEmpty))
+    val strs = sample(gen, 1, seed = 7L).head.distinct
+    val df = strs.toDF("s").select(
+      col("s"),
+      Convergent.encrypt(col("s")).as("ct"),
+      sha2(Convergent.decrypt(Convergent.encrypt(col("s")), Convergent.contentKey(col("s"))), 256).as("round_sha"),
+      sha2(col("s"), 256).as("orig_sha"),
+    )
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("round_sha") == r.getAs[String]("orig_sha"), "decrypt∘encrypt != id")
+    }
+    // determinism: re-encrypting yields identical ciphertext
+    val cts1 = df.select(hex(col("ct"))).as[String].collect()
+    val cts2 = strs.toDF("s").select(hex(Convergent.encrypt(col("s")))).as[String].collect()
+    assert(cts1.sorted.sameElements(cts2.sorted))
+    // distinct plaintexts → distinct ciphertexts
+    assert(cts1.distinct.length == strs.length)
+  }
+
+  test("winnowing guarantee on generated word sequences: shared window ⇒ shared fingerprint") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa")
+    val gen = for {
+      shared <- Gen.listOfN(8, word) // ≥ w + k - 1 = 6 tokens
+      pre <- Gen.listOfN(5, word)
+      post <- Gen.listOfN(5, word)
+    } yield (s"${pre.mkString(" ")} ${shared.mkString(" ")}", s"${shared.mkString(" ")} ${post.mkString(" ")}")
+    val pairsIn = sample(gen, 20, seed = 99L)
+    val df = pairsIn.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "ta", "tb")
+      .select(
+        col("id"),
+        graft.functions.Winnowing.fingerprints(col("ta")).as("fa"),
+        graft.functions.Winnowing.fingerprints(col("tb")).as("fb"),
+      )
+      .withColumn("shared", size(array_intersect(col("fa"), col("fb"))))
+    assert(df.filter(col("shared") === 0).count() == 0, "8 shared tokens must give a shared fingerprint")
+  }
+
+  test("minhash similarity estimates track exact jaccard on generated sets") {
+    // signature agreement rate ≈ jaccard (Broder): check |est - exact| < 0.35
+    // at 64 perms for pairs with varying overlap
+    val base = (0 until 40).map(i => s"tok$i")
+    val gen = for {
+      keep <- Gen.chooseNum(10, 35)
+      extra <- Gen.chooseNum(1, 15)
+    } yield (base.take(keep + extra).toArray, base.slice(extra, keep + 2 * extra).toArray)
+    val pairsIn = sample(gen, 25, seed = 5L)
+    val df = pairsIn.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "sa", "sb")
+    val sig = (c: String) => operators.Dedup.signature(col(c))
+    val agree = df.select(
+      col("id"),
+      aggregate(zip_with(sig("sa"), sig("sb"), (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
+        .cast("double").divide(64.0).as("est"),
+      (size(array_intersect(col("sa"), col("sb"))).cast("double") / size(array_union(col("sa"), col("sb")))).as("exact"),
+    ).collect()
+    agree.foreach { r =>
+      val (e, x) = (r.getAs[Double]("est"), r.getAs[Double]("exact"))
+      assert(math.abs(e - x) < 0.35, s"minhash estimate $e too far from exact $x")
+    }
+  }
+}
