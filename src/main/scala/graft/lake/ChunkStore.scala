@@ -200,10 +200,44 @@ final class ChunkStore private (
       .withColumn("verified", sha2(col("data"), 256) === col("blob_hash"))
   }
 
+  /** Point lookups: literal bucket + hash predicates so the parquet
+    * scan statically prunes to the 1/nBuckets hash-prefix partitions
+    * (the reference's index-bucket probe, store/mod.rs:252-257 — and
+    * the difference between reading 100 TB and reading 100 GB).
+    */
+  def getBlobsByHashes(hashes: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val cat = catalog.filter(col("blob_hash").isin(hashes: _*))
+    val inline = cat
+      .filter(col("kind") === "inline")
+      .select(col("blob_hash"), col("inline_data").as("data"))
+    val m = manifest.filter(col("blob_hash").isin(hashes: _*)).cache()
+    val wanted = m.select(col("chunk_hash"), col("bucket")).distinct().as[(String, Int)].collect()
+    val buckets = wanted.map(_._2).distinct.toSeq
+    val chunkHashes = wanted.map(_._1).distinct.toSeq
+    val pruned = chunks
+      .filter(col("bucket").isin(buckets: _*) && col("chunk_hash").isin(chunkHashes: _*))
+    val reassembled = m
+      .join(pruned.select(col("chunk_hash"), col("bucket"), col("data").as("chunk_data")), Seq("chunk_hash", "bucket"))
+      .groupBy(col("blob_hash"))
+      .agg(
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("part_idx"), col("chunk_data")))),
+            p => p.getField("chunk_data"),
+          ),
+          lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x),
+        ).as("data")
+      )
+    inline
+      .unionByName(reassembled)
+      .withColumn("verified", sha2(col("data"), 256) === col("blob_hash"))
+  }
+
   /** Single-blob convenience get with verify-on-read. */
   def getBlob(hash: String): Array[Byte] = {
-    import spark.implicits._
-    val rows = getBlobs(Seq(hash).toDF("blob_hash")).collect()
+    val rows = getBlobsByHashes(Seq(hash)).collect()
     if (rows.isEmpty) throw new BlobNotFoundException(hash)
     val r = rows.head
     if (!r.getAs[Boolean]("verified")) throw new InvalidMagicException(s"hash mismatch for $hash")

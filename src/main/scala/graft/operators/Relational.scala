@@ -349,7 +349,71 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  /** §2.2 #18b — full cube over order status × priority. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dbl(sum(decP(col("o_totalprice")))).as("sum_total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"),
+        col("sum_total"),
+      )
+      .orderBy("status", "priority")
+
+  val qCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** §2.2 #16b — top-3 orders per customer segment by price (the
+    * window-filter top-k-per-group pattern; one shuffle on the group
+    * key, no global sort).
+    */
+  def qTopkGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(spark, dir, "orders")
+      .join(broadcast(table(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  val qTopkGroupSql: String =
+    """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |)
+      |WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** §2.2 #22b — sketch aggregates: HLL distinct + approximate
+    * quantiles next to their exact counterparts. Sketch values are
+    * engine-specific → rows-only driver check; SketchSpec bounds the
+    * approximation error against the exact columns.
+    */
+  def qSketches(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+      )
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (qCube _),
+    "q_topk_group" -> (qTopkGroup _),
+    "q_sketches" -> (qSketches _),
     "q1_agg" -> (q1Agg _),
     "q6_filter" -> (q6Filter _),
     "q3_join" -> (q3Join _),
@@ -365,6 +429,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cube" -> qCubeSql,
+    "q_topk_group" -> qTopkGroupSql,
+    // q_sketches: HLL/quantile sketches are engine-specific → rows-only
     "q1_agg" -> q1AggSql,
     "q6_filter" -> q6FilterSql,
     "q3_join" -> q3JoinSql,

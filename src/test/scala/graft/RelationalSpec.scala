@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
@@ -80,6 +81,31 @@ class PlanSpec extends AnyFunSuite {
   test("q5_multijoin broadcasts the dimension tables") {
     val plan = operators.Relational.q5Multijoin(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("no accidental cartesian products in the pair-space operators") {
+    Seq(
+      operators.Dedup.dedupMinhashLsh(spark, sf),
+      operators.Dedup.dedupSimhash(spark, sf),
+      operators.TextAnalysis.textWinnowPairs(spark, sf),
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    }
+  }
+
+  test("chunk-store point lookup prunes to the hash-prefix bucket partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val store = lake.ChunkStore.init(spark, dir)
+    import spark.implicits._
+    val payload = ("z" * 900) // 4 parts → a few distinct buckets
+    store.putBlobs(Seq((1L, payload)).toDF("id", "s").select(col("id"), col("s").cast("binary").as("data")))
+    val hash = store.catalog.select("blob_hash").as[String].head()
+    val df = store.getBlobsByHashes(Seq(hash))
+    assert(new String(df.filter(col("verified")).select("data").as[Array[Byte]].head()) == payload)
+    // the chunks scan must carry partition filters on bucket
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters: [bucket"), scans.linesIterator.filter(_.contains("FileScan")).take(3).mkString("\n"))
   }
 
   test("q1_agg uses whole-stage codegen") {
