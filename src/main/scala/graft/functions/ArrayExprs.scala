@@ -36,6 +36,87 @@ object ArrayExprs {
   /** |A ∩ B| for two SORTED distinct array<long> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Winnowing fingerprints from an array<long> of word hashes. */
+  def winnow(wordHashes: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(wordHashes), k, w))
+}
+
+/** Winnowing (Schleimer'03) in one pass: FNV-mix k-gram hashes over
+  * the word-hash stream, take the min of each w-window, dedupe + sort.
+  *
+  * Exists as a kernel because the higher-order formulation
+  * (`transform(windows, j -> array_min(slice(grams, ...)))`) re-inlines
+  * the whole `grams` subtree into every window's lambda — interpreted
+  * HOF children are re-evaluated per element, turning O(n·w) into
+  * O(n²·w) with allocations. 25 ms/doc interpreted → µs here.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val wh = in.asInstanceOf[ArrayData]
+    val n = wh.numElements()
+    val m = math.max(n - k + 1, 1)
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k && i + j < n) { h = (h ^ wh.getLong(i + j)) * 0x100000001b3L; j += 1 }
+      grams(i) = h
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    val mins = new Array[Long](nw)
+    i = 0
+    while (i < nw) {
+      var mn = grams(i)
+      var j = 1
+      while (j < w && i + j < m) { val v = grams(i + j); if (v < mn) mn = v; j += 1 }
+      mins(i) = mn
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var cnt = 0
+    i = 0
+    while (i < nw) { if (i == 0 || mins(i) != mins(i - 1)) cnt += 1; i += 1 }
+    val out = new Array[Long](cnt)
+    var o = 0
+    i = 0
+    while (i < nw) { if (i == 0 || mins(i) != mins(i - 1)) { out(o) = mins(i); o += 1 }; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, wh => {
+      s"""
+         |int n = $wh.numElements();
+         |int m = Math.max(n - $k + 1, 1);
+         |long[] grams = new long[m];
+         |for (int i = 0; i < m; i++) {
+         |  long h = 0xcbf29ce484222325L;
+         |  for (int j = 0; j < $k && i + j < n; j++) { h = (h ^ $wh.getLong(i + j)) * 0x100000001b3L; }
+         |  grams[i] = h;
+         |}
+         |int nw = Math.max(m - $w + 1, 1);
+         |long[] mins = new long[nw];
+         |for (int i = 0; i < nw; i++) {
+         |  long mn = grams[i];
+         |  for (int j = 1; j < $w && i + j < m; j++) { if (grams[i + j] < mn) mn = grams[i + j]; }
+         |  mins[i] = mn;
+         |}
+         |java.util.Arrays.sort(mins);
+         |int cnt = 0;
+         |for (int i = 0; i < nw; i++) { if (i == 0 || mins[i] != mins[i-1]) cnt++; }
+         |long[] out = new long[cnt];
+         |int o = 0;
+         |for (int i = 0; i < nw; i++) { if (i == 0 || mins[i] != mins[i-1]) { out[o++] = mins[i]; } }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Two-pointer merge count over sorted distinct long arrays — the

@@ -19,20 +19,12 @@ import org.apache.spark.sql.types._
 object Winnowing {
 
   /** Fingerprint set (sorted array<long>) for a whitespace-tokenized
-    * text column.
+    * text column. The sliding-window machinery runs in the codegen'd
+    * [[WinnowFingerprints]] kernel — see its scaladoc for why the
+    * higher-order formulation is quadratic.
     */
-  def fingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val words = split(text, " ")
-    val grams = transform(
-      sequence(lit(0), greatest(size(words) - k, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(k)))),
-    )
-    val mins = transform(
-      sequence(lit(0), greatest(size(grams) - w, lit(0))),
-      j => array_min(slice(grams, j + 1, lit(w))),
-    )
-    array_sort(array_distinct(mins))
-  }
+  def fingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    ArrayExprs.winnow(transform(split(text, " "), w0 => xxhash64(w0)), k, w)
 
   /** Jaccard similarity of two fingerprint sets. */
   def fingerprintSimilarity(a: Column, b: Column): Column =

@@ -133,7 +133,11 @@ object Dedup {
     graft.functions.ArrayExprs.minhashSig(hs, perms.map(_._1).toArray, perms.map(_._2).toArray, MinHashPrime)
   }
 
-  /** Exploded (doc_id, band_idx, band_key) relation. */
+  /** Exploded (doc_id, band_idx, band_key) relation. The 4-long band
+    * slice is collapsed to one 64-bit hash before the shuffle — a
+    * quarter of the shuffle bytes, and a band-hash collision can only
+    * add a candidate that exact-Jaccard verification then rejects.
+    */
   private def bandRows(d: DataFrame): DataFrame =
     d.withColumn("sig", signature(col("sh")))
       .select(
@@ -142,7 +146,7 @@ object Dedup {
         explode(
           transform(
             sequence(lit(0), lit(NumBands - 1)),
-            b => struct(b.as("band_idx"), slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)).as("band_key")),
+            b => struct(b.as("band_idx"), xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("band_key")),
           )
         ).as("band"),
       )

@@ -398,17 +398,22 @@ object Relational {
     * engine-specific → rows-only driver check; SketchSpec bounds the
     * approximation error against the exact columns.
     */
-  def qSketches(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  def qSketches(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    // exact count-distinct lives in its own aggregate: mixing a distinct
+    // aggregate with object-hash sketch aggregates (HLL, quantile) in one
+    // groupBy forces the whole aggregate onto the slow sort-based path
+    val exact = li.groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    li.groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
       )
+      .join(broadcast(exact), Seq("l_returnflag"))
       .orderBy("l_returnflag")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cube" -> (qCube _),

@@ -178,10 +178,15 @@ object TextAnalysis {
   def textWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), graft.functions.Winnowing.fingerprints(col("text")).as("fp"))
-      .cache()
     val ex = d.select(col("doc_id"), explode(col("fp")).as("f"))
-    ex.select(col("doc_id").as("doc_a"), col("f"))
-      .join(ex.select(col("doc_id").as("doc_b"), col("f")), Seq("f"))
+    // stop-fingerprint cap (MOSS-style): a fingerprint shared by many
+    // documents carries no near-dup signal but contributes O(df²)
+    // candidate pairs — the classic frequent-token join blowup. Cap
+    // document frequency at 20.
+    val rare = ex.groupBy(col("f")).agg(count(lit(1)).as("df")).filter(col("df") <= 20).select("f")
+    val exRare = ex.join(rare, Seq("f")).cache()
+    exRare.select(col("doc_id").as("doc_a"), col("f"))
+      .join(exRare.select(col("doc_id").as("doc_b"), col("f")), Seq("f"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fp"))
