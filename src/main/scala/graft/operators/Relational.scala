@@ -415,7 +415,61 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** §2.2 #23b — set operations: customers buying high-value orders
+    * EXCEPT urgent-order customers; INTERSECT of two order cohorts.
+    */
+  def qSetops(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val highValue = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val early = o.filter(col("o_orderdate") < ts("1997-01-01")).select(col("o_custkey"))
+    highValue.except(urgent).withColumn("cohort", lit("high_minus_urgent"))
+      .unionByName(highValue.intersect(early).withColumn("cohort", lit("high_and_early")))
+      .select(col("cohort"), col("o_custkey"))
+      .orderBy("cohort", "o_custkey")
+  }
+
+  val qSetopsSql: String =
+    """WITH high AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+      |     urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |     early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01')
+      |SELECT 'high_minus_urgent' AS cohort, o_custkey FROM (SELECT o_custkey FROM high EXCEPT SELECT o_custkey FROM urgent)
+      |UNION ALL
+      |SELECT 'high_and_early' AS cohort, o_custkey FROM (SELECT o_custkey FROM high INTERSECT SELECT o_custkey FROM early)
+      |ORDER BY cohort, o_custkey""".stripMargin
+
+  /** §2.2 #23c — pivot: customer counts by region × market segment.
+    * Pivot values are the closed segment set, so the output schema is
+    * static and the oracle mirrors it with conditional aggregation.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+      .na.fill(0L, segs)
+      .orderBy("r_name")
+  }
+
+  val qPivotSql: String =
+    """SELECT r_name,
+      |  count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+      |  count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS "BUILDING",
+      |  count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS "FURNITURE",
+      |  count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+      |  count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS "MACHINERY"
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_setops" -> (qSetops _),
+    "q_pivot" -> (qPivot _),
     "q_cube" -> (qCube _),
     "q_topk_group" -> (qTopkGroup _),
     "q_sketches" -> (qSketches _),
@@ -434,6 +488,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_setops" -> qSetopsSql,
+    "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,
     "q_topk_group" -> qTopkGroupSql,
     // q_sketches: HLL/quantile sketches are engine-specific → rows-only

@@ -41,6 +41,18 @@ object EventsStream {
       )
       .select(col("win.start").as("day"), col("event_type"), col("n_events"), col("sum_floor_value"))
 
+  /** §2.7 #38 — streaming exact dedup: drop events whose (user_id,
+    * event_id) was already seen, with the dedup state bounded by the
+    * watermark (the streaming form of content-addressed idempotent
+    * puts — late duplicates beyond the watermark age out of state
+    * instead of accumulating forever, the contract that makes dedup
+    * state survive at 100 TB/day).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_id")
+
   /** §2.7 #37 — gap-based sessionization with explicit state
     * (flatMapGroupsWithState). A session closes when a later event for
     * the same user arrives more than `gap` after it; closed sessions

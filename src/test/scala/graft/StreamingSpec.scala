@@ -78,6 +78,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates exactly") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long)]
+    val input = stream.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventsStream.dedupEvents(input)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val base = events.select("user_id", "ts", "event_id")
+        .as[(Long, Timestamp, Long)].collect().toSeq.take(2000)
+      // feed every event twice (same batch) plus a second duplicated batch
+      stream.addData(base ++ base)
+      q.processAllAvailable()
+      stream.addData(base.take(500))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").count()
+      assert(got == base.distinct.size.toLong, s"expected ${base.distinct.size} unique, got $got")
+    } finally q.stop()
+  }
+
   test("multimodal features roundtrip through the batched decoder") {
     val feats = multimodal.Multimodal.multimodalFeatures(spark, sf).collect()
     assert(feats.length == 500)
