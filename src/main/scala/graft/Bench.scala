@@ -33,11 +33,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    spark.catalog.clearCache()
     val results = names.map { n =>
       val t0 = System.nanoTime()
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
-      n -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // level the field between queries: no cross-query cache reuse,
+      // no memory creep distorting later timings
+      spark.catalog.clearCache()
+      n -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -108,6 +108,13 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.contains("PartitionFilters: [bucket"), scans.linesIterator.filter(_.contains("FileScan")).take(3).mkString("\n"))
   }
 
+  test("global audit: no query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
   test("q1_agg uses whole-stage codegen") {
     val df = operators.Relational.q1Agg(spark, sf)
     df.collect() // materialize so AQE finalizes the physical plan
