@@ -41,6 +41,24 @@ object EventsStream {
       )
       .select(col("win.start").as("day"), col("event_type"), col("n_events"), col("sum_floor_value"))
 
+  /** §2.7 #39 — streaming ingest into the content-addressed lake:
+    * each micro-batch's `data` binary column goes through the lake's
+    * idempotent put (so replayed/duplicate batches dedupe by content
+    * address, exactly once semantics for free — the streaming form of
+    * the reference's put_blob). Returns the started query.
+    */
+  def lakeSink(
+      blobs: DataFrame,
+      lake: graft.lake.Lake,
+      checkpoint: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    blobs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { lake.put(batch.select("data")); () }
+      }
+      .start()
+
   /** §2.7 #38 — streaming exact dedup: drop events whose (user_id,
     * event_id) was already seen, with the dedup state bounded by the
     * watermark (the streaming form of content-addressed idempotent

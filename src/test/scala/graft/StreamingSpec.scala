@@ -97,6 +97,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming lake sink: micro-batches land content-addressed, replays dedupe") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-lake")
+    val lake = graft.lake.Lake.init(spark, graft.lake.LakeConfig(Seq(graft.lake.StoreEntry(s"$tmp/store"))))
+    val stream = MemoryStream[String]
+    val blobs = stream.toDF().select(col("value").cast("binary").as("data"))
+    val q = EventsStream.lakeSink(blobs, lake, s"$tmp/ckpt")
+    try {
+      val payloads = Seq("stream blob one " * 20, "stream blob two " * 20, "tiny")
+      stream.addData(payloads)
+      q.processAllAvailable()
+      stream.addData(payloads) // replay: content addressing must dedupe
+      q.processAllAvailable()
+      assert(lake.stores.head.catalog.count() == 3, "replayed batch must not add blobs")
+      payloads.foreach { p =>
+        val h = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(p.getBytes).map("%02x".format(_)).mkString
+        assert(new String(lake.getBlob(h)) == p)
+      }
+    } finally q.stop()
+  }
+
   test("multimodal features roundtrip through the batched decoder") {
     val feats = multimodal.Multimodal.multimodalFeatures(spark, sf).collect()
     assert(feats.length == 500)
