@@ -21,8 +21,11 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    // match DuckDB-oracle expectations: µs-precision parquet timestamps
-    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+    // INT96 parquet timestamps read back timezone-NAIVE (like the
+    // DuckDB oracle's TIMESTAMP); TIMESTAMP_MICROS would be annotated
+    // isAdjustedToUTC=true and read tz-aware → naive-vs-aware value
+    // mismatches in any downstream comparison
+    "spark.sql.parquet.outputTimestampType" -> "INT96",
   )
 
   def build(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
