@@ -283,6 +283,33 @@ object Relational {
       |WHERE e.event_type = 'purchase'
       |ORDER BY e.event_id""".stripMargin
 
+  /** §2.2 #19b — as-of join with tolerance (pandas merge_asof
+    * semantics): the prior click only counts if within 1 hour of the
+    * purchase. Same union+running-max plan; the tolerance is a post
+    * filter on the matched timestamp, not a second join.
+    */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 3600L * 1000000L
+    qAsof(spark, dir)
+      .withColumn(
+        "last_click_ts",
+        when(unix_micros(col("ts")) - unix_micros(col("last_click_ts")) <= tolUs, col("last_click_ts")),
+      )
+      .withColumn("matched", col("last_click_ts").isNotNull)
+  }
+
+  val qAsofToleranceSql: String =
+    """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  CAST((SELECT max(c.ts) FROM events c
+      |        WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |          AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR) AS TIMESTAMP) AS last_click_ts,
+      |  (SELECT max(c.ts) FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |     AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR) IS NOT NULL AS matched
+      |FROM events e
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
+
   /** §2.2 #20 — gap-based sessionization (30 min), batch analog of the
     * streaming flatMapGroupsWithState operator in graft.streaming.
     */
@@ -483,6 +510,7 @@ object Relational {
     "q_distinct" -> (qDistinct _),
     "q_rollup" -> (qRollup _),
     "q_asof" -> (qAsof _),
+    "q_asof_tolerance" -> (qAsofTolerance _),
     "q_sessionize" -> (qSessionize _),
     "q_events_window" -> (qEventsWindow _),
   )
@@ -503,6 +531,7 @@ object Relational {
     "q_distinct" -> qDistinctSql,
     "q_rollup" -> qRollupSql,
     "q_asof" -> qAsofSql,
+    "q_asof_tolerance" -> qAsofToleranceSql,
     "q_sessionize" -> qSessionizeSql,
     "q_events_window" -> qEventsWindowSql,
   )

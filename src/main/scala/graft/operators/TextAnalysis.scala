@@ -194,7 +194,41 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** §2.5 #31b — corpus report: per (source, label lang) doc counts,
+    * token totals and mean quality — the dataset-card rollup a
+    * training-data pipeline publishes per snapshot.
+    */
+  def textCorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(words).cast(LongType)
+    val nUniq = size(array_distinct(words)).cast(LongType)
+    val quality = (nUniq.cast(DoubleType) / nTokens) * least(lit(1.0), nTokens.cast(DoubleType) / 50.0)
+    docs(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokens).as("total_tokens"),
+        sum(octet_length(col("text")).cast(LongType)).as("total_bytes"),
+        // per-doc quality quantized to 1e-6 before summing: integer sums
+        // are order-independent, so the mean hash-matches across engines
+        (sum(round(quality * 1000000).cast(LongType)).cast(DoubleType) / (count(lit(1)) * 1000000.0))
+          .as("mean_quality"),
+      )
+      .orderBy("source", "lang")
+  }
+
+  val textCorpusStatsSql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(sum(len(text)) AS BIGINT) AS total_bytes,
+      |  CAST(sum(CAST(round(((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
+      |      * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)) * 1000000) AS BIGINT)) AS DOUBLE)
+      |      / (count(*) * 1000000.0) AS mean_quality
+      |FROM documents
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_corpus_stats" -> (textCorpusStats _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -203,6 +237,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_corpus_stats" -> textCorpusStatsSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
