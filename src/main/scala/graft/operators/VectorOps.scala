@@ -26,9 +26,21 @@ object VectorOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
 
-  /** int64-quantized copy of the embedding. */
+  /** int64-quantized copy of the embedding.
+    *
+    * floor(x*10000 + 0.5), NOT round(): Spark's round() rounds the
+    * shortest decimal repr while DuckDB rounds the binary double — they
+    * disagree when the binary value sits just below x.5 but its
+    * shortest repr is "x.5" (observed at sf0.1). floor(+0.5) is pure
+    * binary IEEE arithmetic, bit-identical in both engines.
+    *
+    * The float element is explicitly widened to double BEFORE the
+    * multiply: without the cast one engine multiplies in float32 and
+    * the other in float64, shifting an occasional element by ±1
+    * quantum (also observed at sf0.1).
+    */
   private val qvec: Column =
-    transform(col("embedding"), x => round(x * 10000).cast(LongType))
+    transform(col("embedding"), x => floor(x.cast(DoubleType) * 10000 + 0.5).cast(LongType))
 
   /** exact integer dot product of two quantized vectors — a codegen'd
     * Catalyst expression ([[graft.functions.LongArrayDot]]); the
@@ -59,7 +71,7 @@ object VectorOps {
 
   private val oracleQuantCte: String =
     """WITH q AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
       |  FROM embeddings
       |), p AS (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
