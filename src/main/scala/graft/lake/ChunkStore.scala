@@ -95,7 +95,23 @@ final class ChunkStore private (
     * already-present blobs and chunks are skipped (idempotent put,
     * store/mod.rs:330-344). Returns a summary per distinct input blob.
     */
-  def putBlobs(blobs: DataFrame): PutResult = {
+  /** Collect-free put for large batches: same semantics as
+    * [[putBlobs]] but the per-blob summary stays distributed (at
+    * 100 TB the driver must never hold one row per blob).
+    */
+  def putBlobsDf(blobs: DataFrame): DataFrame = {
+    putBlobsInternal(blobs, collectSummary = false)
+    catalog.join(
+      blobs.select(sha2(col("data"), 256).as("blob_hash")).distinct(),
+      Seq("blob_hash"),
+      "left_semi",
+    ).select(col("blob_hash"), col("total_len"), col("kind"))
+  }
+
+  def putBlobs(blobs: DataFrame): PutResult =
+    putBlobsInternal(blobs, collectSummary = true).getOrElse(PutResult(Nil))
+
+  private def putBlobsInternal(blobs: DataFrame, collectSummary: Boolean): Option[PutResult] = {
     if (readonly) throw new StoreReadOnlyException(path)
 
     val ladder = blobs
@@ -159,8 +175,10 @@ final class ChunkStore private (
         )
         .write.mode(SaveMode.Append).parquet(catalogDir)
 
-      val summary = ladder.select(col("blob_hash"), col("total_len"), col("kind")).collect()
-      PutResult(summary.map(r => BlobRef(r.getString(0), r.getLong(1), r.getString(2))).toSeq)
+      if (collectSummary) {
+        val summary = ladder.select(col("blob_hash"), col("total_len"), col("kind")).collect()
+        Some(PutResult(summary.map(r => BlobRef(r.getString(0), r.getLong(1), r.getString(2))).toSeq))
+      } else None
     } finally fresh.unpersist()
   }
 

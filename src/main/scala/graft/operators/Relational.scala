@@ -494,7 +494,38 @@ object Relational {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  /** §2.2 #24b — semi-structured extraction: parse the JSON props
+    * column (schema-on-read) and aggregate an extracted field. Spark
+    * side uses from_json with an explicit schema — pushdown-friendly
+    * and typed, vs stringly get_json_object.
+    */
+  def qJson(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = table(spark, dir, "events")
+      .withColumn("k", from_json(col("props"), StructType(Seq(StructField("k", LongType)))).getField("k"))
+    parsed
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+      )
+      .orderBy("event_type")
+  }
+
+  val qJsonSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json" -> (qJson _),
     "q_setops" -> (qSetops _),
     "q_pivot" -> (qPivot _),
     "q_cube" -> (qCube _),
@@ -516,6 +547,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_json" -> qJsonSql,
     "q_setops" -> qSetopsSql,
     "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,

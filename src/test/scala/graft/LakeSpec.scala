@@ -112,6 +112,17 @@ class LakeSpec extends AnyFunSuite {
     assert(cts(0) != cts(2))
   }
 
+  test("putBlobsDf: collect-free put returns the distributed summary") {
+    val store = ChunkStore.init(spark, tmp())
+    val out = store.putBlobsDf(blobDf(1L -> tiny, 2L -> big))
+    assert(out.count() == 2)
+    val kinds = out.select("kind").as[String].collect().sorted
+    assert(kinds.sameElements(Array("inline", "tree")))
+    // idempotent like putBlobs
+    assert(store.putBlobsDf(blobDf(3L -> big)).count() == 1)
+    assert(store.catalog.count() == 2)
+  }
+
   test("file ingest: whole files land content-addressed and read back identical") {
     val dataDir = Files.createTempDirectory("graft-ingest")
     val f1 = dataDir.resolve("a.bin"); Files.write(f1, ("file one " * 40).getBytes)
