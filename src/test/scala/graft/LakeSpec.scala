@@ -138,6 +138,19 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("readAuto/writeAuto roundtrip csv and json with schema intact") {
+    val base = Files.createTempDirectory("graft-fmt").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.25)).toDF("id", "name", "score")
+    for (ext <- Seq("csv", "json")) {
+      val p = s"$base/t.$ext"
+      sources.Ingest.writeAuto(df, p)
+      val back = sources.Ingest.readAuto(spark, p).orderBy("id")
+      assert(back.count() == 2)
+      val r = back.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("score")))
+      assert(r.toSeq == Seq((1L, "alpha", 1.5), (2L, "beta", -2.25)), s"$ext roundtrip")
+    }
+  }
+
   test("catalog: lake views registered and describable") {
     val lake = Lake.init(spark, LakeConfig(Seq(StoreEntry(tmp()), StoreEntry(tmp(), readonly = false))))
     lake.put(blobDf(1L -> big))
