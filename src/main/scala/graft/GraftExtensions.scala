@@ -18,6 +18,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
     def info(name: String) = new ExpressionInfo("graft", name)

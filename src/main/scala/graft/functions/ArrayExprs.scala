@@ -156,14 +156,19 @@ case class SortedLongIntersectCount(left: Expression, right: Expression) extends
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
-/** sum_i a[i]*b[i] over the common prefix, in Long arithmetic. */
+/** sum_i a[i]*b[i] in Long arithmetic; NULL on ragged pairs, matching
+  * the zip_with null-padding semantics so [[graft.plans.RewriteHofDotProduct]]
+  * is an exact rewrite.
+  */
 case class LongArrayDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
@@ -173,10 +178,14 @@ case class LongArrayDot(left: Expression, right: Expression) extends BinaryExpre
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |long s = 0L;
-         |for (int i = 0; i < n; i++) { s += $a.getLong(i) * $b.getLong(i); }
-         |${ev.value} = s;
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long s = 0L;
+         |  for (int i = 0; i < n; i++) { s += $a.getLong(i) * $b.getLong(i); }
+         |  ${ev.value} = s;
+         |}
        """.stripMargin
     })
 

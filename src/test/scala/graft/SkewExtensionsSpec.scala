@@ -42,6 +42,34 @@ class SkewExtensionsSpec extends AnyFunSuite {
     assert(sig.length == 64)
   }
 
+  test("optimizer rule rewrites the HOF dot-product pattern into LongArrayDot") {
+    spark.experimental.extraOptimizations = Seq(graft.plans.RewriteHofDotProduct)
+    try {
+      // parquet-backed so constant folding can't collapse the expression
+      val q = GraftSession.table(spark, TestSpark.sf, "embeddings")
+        .select(transform(col("embedding"), x => floor(x.cast("double") * 10000 + 0.5).cast("long")).as("qv"))
+      val a = q.select(col("qv").as("a")).limit(10)
+      val b = q.select(col("qv").as("b")).limit(10)
+      val df = a.crossJoin(b).select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, v) => acc + v).as("hof_dot"),
+        graft.functions.ArrayExprs.longDot(col("a"), col("b")).as("kernel_dot"),
+      )
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("longarraydot"), optimized)
+      assert(df.filter(col("hof_dot") =!= col("kernel_dot")).count() == 0)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("LongArrayDot yields NULL on ragged pairs (zip_with padding parity)") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+      .select(
+        graft.functions.ArrayExprs.longDot(col("a"), col("b")).as("kernel"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, v) => acc + v).as("hof"),
+      )
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1), "both formulations must be NULL on ragged pairs")
+  }
+
   test("GraftExtensions works via withExtensions at session build") {
     // separate session sharing the context, built with the extensions class
     val s2 = org.apache.spark.sql.SparkSession.builder()
