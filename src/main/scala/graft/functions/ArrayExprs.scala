@@ -88,31 +88,41 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
     new GenericArrayData(out)
   }
 
+  // Every local goes through ctx.freshName: nullSafeCodeGen inlines this
+  // body at function scope when the child is non-nullable, so two kernel
+  // instances in one generated function would otherwise collide in Janino
+  // ("Redefinition of local variable").
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, wh => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val grams = ctx.freshName("grams"); val nw = ctx.freshName("nw")
+      val mins = ctx.freshName("mins"); val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out"); val o = ctx.freshName("o")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val mn = ctx.freshName("mn")
       s"""
-         |int n = $wh.numElements();
-         |int m = Math.max(n - $k + 1, 1);
-         |long[] grams = new long[m];
-         |for (int i = 0; i < m; i++) {
-         |  long h = 0xcbf29ce484222325L;
-         |  for (int j = 0; j < $k && i + j < n; j++) { h = (h ^ $wh.getLong(i + j)) * 0x100000001b3L; }
-         |  grams[i] = h;
+         |int $n = $wh.numElements();
+         |int $m = Math.max($n - $k + 1, 1);
+         |long[] $grams = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $h = 0xcbf29ce484222325L;
+         |  for (int $j = 0; $j < $k && $i + $j < $n; $j++) { $h = ($h ^ $wh.getLong($i + $j)) * 0x100000001b3L; }
+         |  $grams[$i] = $h;
          |}
-         |int nw = Math.max(m - $w + 1, 1);
-         |long[] mins = new long[nw];
-         |for (int i = 0; i < nw; i++) {
-         |  long mn = grams[i];
-         |  for (int j = 1; j < $w && i + j < m; j++) { if (grams[i + j] < mn) mn = grams[i + j]; }
-         |  mins[i] = mn;
+         |int $nw = Math.max($m - $w + 1, 1);
+         |long[] $mins = new long[$nw];
+         |for (int $i = 0; $i < $nw; $i++) {
+         |  long $mn = $grams[$i];
+         |  for (int $j = 1; $j < $w && $i + $j < $m; $j++) { if ($grams[$i + $j] < $mn) $mn = $grams[$i + $j]; }
+         |  $mins[$i] = $mn;
          |}
-         |java.util.Arrays.sort(mins);
-         |int cnt = 0;
-         |for (int i = 0; i < nw; i++) { if (i == 0 || mins[i] != mins[i-1]) cnt++; }
-         |long[] out = new long[cnt];
-         |int o = 0;
-         |for (int i = 0; i < nw; i++) { if (i == 0 || mins[i] != mins[i-1]) { out[o++] = mins[i]; } }
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |java.util.Arrays.sort($mins);
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $nw; $i++) { if ($i == 0 || $mins[$i] != $mins[$i-1]) $cnt++; }
+         |long[] $out = new long[$cnt];
+         |int $o = 0;
+         |for (int $i = 0; $i < $nw; $i++) { if ($i == 0 || $mins[$i] != $mins[$i-1]) { $out[$o++] = $mins[$i]; } }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
@@ -142,14 +152,19 @@ case class SortedLongIntersectCount(left: Expression, right: Expression) extends
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName'd locals — see WinnowFingerprints.doGenCode.
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int n = $a.numElements(), m = $b.numElements();
-         |int i = 0, j = 0, c = 0;
-         |while (i < n && j < m) {
-         |  long xv = $a.getLong(i), yv = $b.getLong(j);
-         |  if (xv == yv) { c++; i++; j++; } else if (xv < yv) { i++; } else { j++; }
+         |int $n = $a.numElements(), $m = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i), $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; } else if ($xv < $yv) { $i++; } else { $j++; }
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 
@@ -177,14 +192,16 @@ case class LongArrayDot(left: Expression, right: Expression) extends BinaryExpre
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName'd locals — see WinnowFingerprints.doGenCode.
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long s = 0L;
-         |  for (int i = 0; i < n; i++) { s += $a.getLong(i) * $b.getLong(i); }
-         |  ${ev.value} = s;
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getLong($i) * $b.getLong($i); }
+         |  ${ev.value} = $s;
          |}
        """.stripMargin
     })
@@ -225,19 +242,23 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
     val asRef = ctx.addReferenceObj("as", as, "long[]")
     val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
     nullSafeCodeGen(ctx, ev, hs => {
+      // freshName'd locals — see WinnowFingerprints.doGenCode.
+      val k = ctx.freshName("k"); val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h"); val v = ctx.freshName("v")
       s"""
-         |int k = $asRef.length;
-         |long[] mins = new long[k];
-         |java.util.Arrays.fill(mins, ${p}L);
-         |int n = $hs.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  long h = $hs.getLong(i);
-         |  for (int j = 0; j < k; j++) {
-         |    long v = ($asRef[j] * h + $bsRef[j]) % ${p}L;
-         |    if (v < mins[j]) mins[j] = v;
+         |int $k = $asRef.length;
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, ${p}L);
+         |int $n = $hs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $hs.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($asRef[$j] * $h + $bsRef[$j]) % ${p}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
     })
   }
@@ -273,18 +294,22 @@ case class SimHash62(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hs => {
+      // freshName'd locals — see WinnowFingerprints.doGenCode.
+      val counts = ctx.freshName("counts"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val b = ctx.freshName("b"); val out = ctx.freshName("out")
       s"""
-         |int[] counts = new int[62];
-         |int n = $hs.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  long h = $hs.getLong(i);
-         |  for (int b = 0; b < 62; b++) {
-         |    if (((h >> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+         |int[] $counts = new int[62];
+         |int $n = $hs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $hs.getLong($i);
+         |  for (int $b = 0; $b < 62; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
          |  }
          |}
-         |long out = 0L;
-         |for (int b = 0; b < 62; b++) { if (counts[b] > 0) out |= (1L << b); }
-         |${ev.value} = out;
+         |long $out = 0L;
+         |for (int $b = 0; $b < 62; $b++) { if ($counts[$b] > 0) $out |= (1L << $b); }
+         |${ev.value} = $out;
        """.stripMargin
     })
 

@@ -363,7 +363,12 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         sum(floor(col("value")).cast(LongType)).as("sum_floor_value"),
-        dbl(sum(col("value").cast(DecimalType(12, 2)))).as("sum_value"),
+        // value is a raw double: a decimal cast rounds differently in
+        // Spark (shortest-repr HALF_UP) vs DuckDB (binary). floor(x*100
+        // + 0.5) is pure IEEE arithmetic, identical in both; the Long
+        // sum is then exact and order-independent (§6).
+        (dbl(sum(floor(col("value").cast(DoubleType) * 100 + 0.5).cast(LongType))) / 100.0)
+          .as("sum_value"),
       )
       .orderBy("day", "event_type")
 
@@ -371,7 +376,7 @@ object Relational {
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
       |  count(*) AS n_events,
       |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor_value,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin

@@ -69,6 +69,34 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  // --------------------------------------------------- LSH hyperplanes
+  // (shared by dedup_embedding and ann_lsh)
+
+  private val NumTables = 8
+  private val BitsPerTable = 4
+
+  /** Deterministic random hyperplanes (seed 7): NumTables × BitsPerTable
+    * planes of 64 coords each, as literal columns (broadcast-free —
+    * they live in the plan).
+    */
+  private val planes: Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumTables)(Seq.fill(BitsPerTable)(Array.fill(64)(rnd.nextGaussian())))
+  }
+
+  /** int64-quantized planes: bucket bits become exact integer sign
+    * tests (qv · qplane), reproducible bit-for-bit in DuckDB SQL.
+    */
+  private val qplanes: Seq[Seq[Array[Long]]] =
+    planes.map(_.map(_.map(x => math.floor(x * 10000 + 0.5).toLong)))
+
+  private def qsignBit(qv: Column, p: Array[Long]): Column =
+    when(qdot(qv, array(p.map(lit(_)): _*)) >= 0, 1).otherwise(0)
+
+  /** integer-exact bucket id of quantized vector `qv` in table `t`. */
+  private def qbucketIn(qv: Column, t: Int): Column =
+    qplanes(t).zipWithIndex.map { case (p, bit) => qsignBit(qv, p) * (1 << bit) }.reduce(_ + _)
+
   private val oracleQuantCte: String =
     """WITH q AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
@@ -103,46 +131,104 @@ object VectorOps {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  /** §2.3 #26 — embedding near-dup: every vector's single nearest
-    * neighbor + a duplicate flag at cosine ≥ 0.5.
+  /** §2.3 #26 — embedding near-dup: each vector's nearest LSH-bucketed
+    * candidate + a duplicate flag at cosine ≥ 0.5.
+    *
+    * Scale design: the only wide ops are the (tbl, bucket) self-join
+    * and the pair dedup — NO all-pairs cartesian (an n² BNLJ cannot
+    * survive 100×; round-1 lesson). Near-dups (the pairs the flag is
+    * for) collide in some bucket with probability ≈ 1; a vector whose
+    * true NN is far away may report its best *candidate* instead —
+    * exactly the LSH trade, and the DuckDB oracle mirrors the same
+    * buckets so the contract is still hash-exact.
+    *
+    * Cross-engine determinism: bucket bits are sign tests on int64
+    * dot products of the quantized vector against int64-quantized
+    * hyperplanes — exact integer math, bit-identical in both engines
+    * (a float-dot sign would flip on summation-order differences).
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs(spark, dir, lit(true))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val d = emb(spark, dir)
+      .select(col("vec_id"), qvec.as("qv"))
+      .withColumn("norm", sqrt(qdot(col("qv"), col("qv")).cast(DoubleType)))
       .select(
-        col("query_id").as("vec_id"),
-        col("neighbor_id").as("nearest_id"),
-        col("cosine"),
-        (col("cosine") >= 0.5).as("is_near_dup"),
+        col("vec_id"), col("qv"), col("norm"),
+        explode(array((0 until NumTables).map(t =>
+          struct(lit(t).as("tbl"), qbucketIn(col("qv"), t).as("bucket"))): _*)).as("b"),
+      )
+      .select(col("vec_id"), col("qv"), col("norm"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      .cache() // both sides of the bucket self-join read this
+    val q = d.select(col("vec_id").as("query_id"), col("qv").as("qa"), col("norm").as("na"), col("tbl"), col("bucket"))
+    val c = d.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"), col("tbl"), col("bucket"))
+    // Cosine is computed map-side right after the bucket join and the
+    // pair is immediately projected to 3 narrow columns: shuffling the
+    // 64-long arrays through a dedup + window was the dominant cost
+    // (wide-row shuffles). A pair colliding in k tables computes its
+    // dot k times — map-side codegen'd work, far cheaper than a wide
+    // shuffle — and collapses in the aggregate below.
+    val scored = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (qdot(col("qa"), col("qb")).cast(DoubleType) / (col("na") * col("nb"))).as("cosine"),
+      )
+    // argmax via max(struct(cosine, -id)): partial aggregation (map-side
+    // combine) replaces a row_number window — same (cosine DESC, id ASC)
+    // tie-break, one narrow shuffle.
+    scored
+      .groupBy(col("query_id").as("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("nid"))).as("m"))
+      .select(
+        col("vec_id"),
+        (-col("m.nid")).as("nearest_id"),
+        col("m.cosine").as("cosine"),
+        (col("m.cosine") >= 0.5).as("is_near_dup"),
       )
       .orderBy("vec_id")
   }
 
-  val dedupEmbeddingSql: String =
-    s"""$oracleQuantCte
-      |SELECT query_id AS vec_id, neighbor_id AS nearest_id, cosine, cosine >= 0.5 AS is_near_dup FROM (
-      |  SELECT query_id, neighbor_id, cosine,
-      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-      |  FROM p
-      |)
-      |WHERE rn = 1
-      |ORDER BY vec_id""".stripMargin
+  /** `[p0, p1, ...]` DuckDB list literal of one quantized plane. */
+  private def qplaneSqlList(p: Array[Long]): String = p.mkString("[", ", ", "]")
+
+  /** bucket id of `qv` in table `t` as DuckDB SQL — same integer sign
+    * tests as [[qbucketIn]].
+    */
+  private def bucketSql(t: Int): String =
+    qplanes(t).zipWithIndex.map { case (p, bit) =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * ${qplaneSqlList(p)}[i])) >= 0 THEN ${1 << bit} ELSE 0 END)"
+    }.mkString(" + ")
+
+  lazy val dedupEmbeddingSql: String = {
+    val bucketSelects = (0 until NumTables)
+      .map(t => s"  SELECT vec_id, qv, norm, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, qv, sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS DOUBLE)) AS norm
+       |  FROM q
+       |), b AS (
+       |$bucketSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id != c.vec_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, 65), i -> na.qv[i] * nb.qv[i])) AS DOUBLE) / (na.norm * nb.norm) AS cosine
+       |  FROM cand JOIN n na ON na.vec_id = cand.query_id JOIN n nb ON nb.vec_id = cand.neighbor_id
+       |)
+       |SELECT query_id AS vec_id, neighbor_id AS nearest_id, cosine, cosine >= 0.5 AS is_near_dup FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored
+       |)
+       |WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- LSH ANN
-
-  private val NumTables = 8
-  private val BitsPerTable = 4
-
-  /** Deterministic random hyperplanes (seed 7): NumTables × BitsPerTable
-    * planes of 64 coords each, as literal columns (broadcast-free —
-    * they live in the plan).
-    */
-  private val planes: Seq[Seq[Array[Double]]] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(NumTables)(Seq.fill(BitsPerTable)(Array.fill(64)(rnd.nextGaussian())))
-  }
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
 

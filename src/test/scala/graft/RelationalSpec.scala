@@ -108,10 +108,18 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.contains("PartitionFilters: [bucket"), scans.linesIterator.filter(_.contains("FileScan")).take(3).mkString("\n"))
   }
 
-  test("global audit: no query plans a CartesianProduct") {
+  test("global audit: no query plans a CartesianProduct or an unbounded BNLJ") {
+    // BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side
+    // is a bounded set by construction: ann_bruteforce (≤20 queries,
+    // exact-baseline by design) and ann_ivf (16 centroids). Everywhere
+    // else a BNLJ means an all-pairs scale-killer slipped in (round-1
+    // dedup_embedding lesson).
+    val boundedBroadcast = Set("ann_bruteforce", "ann_ivf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!boundedBroadcast(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans an unbounded BNLJ")
     }
   }
 
