@@ -36,17 +36,24 @@ object Bench {
     spark.catalog.clearCache()
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      try materialize(SparkEntry.queries(n)(spark, sfDir))
-      catch { case _: Throwable => () }
+      // a failing query must surface in the JSON, not bench as a fast
+      // no-op: record the error instead of swallowing it
+      val err: Option[String] =
+        try { materialize(SparkEntry.queries(n)(spark, sfDir)); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
       val dt = (System.nanoTime() - t0) / 1e9
       // level the field between queries: no cross-query cache reuse,
       // no memory creep distorting later timings
       spark.catalog.clearCache()
-      n -> dt
+      (n, dt, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c if c < ' ' => " "; case c => c.toString } + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

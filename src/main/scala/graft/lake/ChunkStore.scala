@@ -1,8 +1,8 @@
 package graft.lake
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -25,12 +25,20 @@ final class BlobNotFoundException(hash: String)
   *
   * The reference's ladder (store/mod.rs:430-457): raw-inline below
   * MAX_SIZE_RAW, single encrypted chunk below MAX_DECRYPTED_SIZE,
-  * recursive chunk tree (LongHkey) above. Defaults here are test-scale;
-  * production would use e.g. (256, 1 MiB, 1024 buckets).
+  * recursive chunk tree (LongHkey) above. `treeFanout` = manifest
+  * entries per tree node (the analog of how many part keys fit in one
+  * stored LongHkey blob). Defaults here are test-scale; production
+  * would use e.g. (256, 1 MiB, 1024 buckets, 4096 fanout).
   */
-final case class LakeParams(inlineMax: Long = 64L, chunkMax: Long = 256L, nBuckets: Int = 64)
+final case class LakeParams(
+    inlineMax: Long = 64L,
+    chunkMax: Long = 256L,
+    nBuckets: Int = 64,
+    treeFanout: Int = 64,
+) { require(treeFanout >= 2, "treeFanout must be >= 2") }
 
-/** A content-addressed chunk store re-expressed Spark-first.
+/** A content-addressed, convergently-encrypted chunk store
+  * re-expressed Spark-first.
   *
   * Reference analog: one `DataStore` (store/mod.rs) — an mmap'd flat
   * file with a hash index and bump-allocated pages. Here instead:
@@ -39,18 +47,35 @@ final case class LakeParams(inlineMax: Long = 64L, chunkMax: Long = 256L, nBucke
   *    analog, store/mod.rs:252-257): `get(hash)` prunes to a single
   *    hash-prefix partition instead of probing an index, which at
   *    100 TB means a 1/nBuckets partition read, and chunk writes
-  *    distribute uniformly with no coordinator.
-  *  - `manifest/` — the LongHkey tree analog: (blob_hash, part_idx,
-  *    chunk_hash, bucket, part_len) rows.
+  *    distribute uniformly with no coordinator. Payloads are stored
+  *    deflate-compressed + AES-GCM encrypted with a key derived from
+  *    the plaintext (convergent; reference put_chunk → chunk.encrypt(),
+  *    store/mod.rs:399-417), falling back to the raw bytes when the
+  *    ciphertext would be larger (store/mod.rs:380-385). The chunk is
+  *    addressed by the hash of what is actually stored, so dedup
+  *    still works across writers (identical plaintext → identical
+  *    ciphertext).
+  *  - `manifest/` — the LongHkey tree, one row per (level, part):
+  *    level 0 rows are data parts carrying the per-part decryption
+  *    key (the reference's Hkey::Encrypted(hash, key)); level k > 0
+  *    rows are manifest *nodes* — the manifest itself is chunked
+  *    recursively in groups of `treeFanout` until a single root
+  *    remains (LongHkeyExpanded::from_blob → shrink,
+  *    store/mod.rs:419-426).
   *  - `catalog/` — one row per blob: hash, length, kind
   *    (inline|single|tree), inline payload for tiny blobs (the
-  *    reference's raw Hkey, which embeds data in the key itself).
+  *    reference's raw Hkey, which embeds data in the key itself),
+  *    and the tree root (hash, key, bucket, depth).
   *  - `_GRAFT_STORE` — the magic marker (store/mod.rs MAGIC +
-  *    lake/util.rs verify_magic).
+  *    lake/util.rs verify_magic). All paths go through Hadoop's
+  *    FileSystem, so hdfs:///s3a:// store dirs work like local ones.
   *
-  * Content addressing gives idempotent, deduplicating puts exactly as
-  * in the reference (store/mod.rs:330-344: existing hash → return
-  * existing chunk). Concurrent multi-writer atomicity (the reference's
+  * Write order is chunks → manifest → catalog: a blob becomes visible
+  * only once fully written, so a failed-and-retried put (the normal
+  * streaming foreachBatch failure mode) re-runs idempotently — chunk
+  * appends are anti-joined away, and any manifest rows the failed
+  * attempt left behind are deduplicated on read and surfaced by
+  * [[fsck]]. Concurrent multi-writer atomicity (the reference's
   * single-writer mmap guard, store/atomic.rs) is out of scope for
   * plain parquet dirs; a table format (Iceberg/Delta) would supply it
   * without changing this class's dataflow.
@@ -71,15 +96,18 @@ final class ChunkStore private (
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  private def readOr(dir: String, schema: StructType): DataFrame =
-    if (Files.exists(Paths.get(dir))) spark.read.schema(schema).parquet(dir)
+  private def readOr(dir: String, schema: StructType): DataFrame = {
+    val p = new HPath(dir)
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      spark.read.schema(schema).parquet(dir)
     else emptyDf(schema)
+  }
 
   def chunks: DataFrame = readOr(chunksDir, chunkSchema)
   def manifest: DataFrame = readOr(manifestDir, manifestSchema)
   def catalog: DataFrame = readOr(catalogDir, catalogSchema)
 
-  /** Bytes currently stored (chunk payloads + inline payloads). */
+  /** Bytes currently stored (at-rest chunk payloads + inline payloads). */
   def currentBytes: Long = {
     val c = chunks.agg(coalesce(sum(col("size")), lit(0L))).head.getLong(0)
     val i = catalog
@@ -90,11 +118,6 @@ final class ChunkStore private (
     c + i
   }
 
-  /** Stores every blob in `blobs` (column `data`: binary, plus any
-    * caller id columns which are ignored here). Content-addressed:
-    * already-present blobs and chunks are skipped (idempotent put,
-    * store/mod.rs:330-344). Returns a summary per distinct input blob.
-    */
   /** Collect-free put for large batches: same semantics as
     * [[putBlobs]] but the per-blob summary stays distributed (at
     * 100 TB the driver must never hold one row per blob).
@@ -108,8 +131,30 @@ final class ChunkStore private (
     ).select(col("blob_hash"), col("total_len"), col("kind"))
   }
 
+  /** Stores every blob in `blobs` (column `data`: binary). Content-
+    * addressed: already-present blobs and chunks are skipped
+    * (idempotent put, store/mod.rs:330-344).
+    */
   def putBlobs(blobs: DataFrame): PutResult =
     putBlobsInternal(blobs, collectSummary = true).getOrElse(PutResult(Nil))
+
+  /** Convergent encrypt-at-rest pipeline for one level of parts.
+    * In: (blob_hash, part_idx, part). Out adds: part_len (plaintext),
+    * enc ('gcm'|'raw'), stored (at-rest bytes), stored_len,
+    * chunk_hash (address of the STORED bytes), key (hex, null when
+    * raw), bucket. Mirrors put_chunk/put_encrypted_chunk:
+    * deflate+encrypt, keep raw when that is not smaller.
+    */
+  private def encryptParts(df: DataFrame): DataFrame =
+    df.withColumn("part_len", octet_length(col("part")).cast(LongType))
+      .withColumn("ct", Convergent.encryptDeflated(col("part")))
+      .withColumn("enc", when(octet_length(col("ct")) <= col("part_len"), lit("gcm")).otherwise(lit("raw")))
+      .withColumn("stored", when(col("enc") === "gcm", col("ct")).otherwise(col("part")))
+      .withColumn("chunk_hash", sha2(col("stored"), 256))
+      .withColumn("key", when(col("enc") === "gcm", sha2(col("part"), 256)).otherwise(lit(null).cast(StringType)))
+      .withColumn("bucket", bucketOf(col("chunk_hash"), params.nBuckets))
+      .withColumn("stored_len", octet_length(col("stored")).cast(LongType))
+      .select("blob_hash", "part_idx", "chunk_hash", "key", "bucket", "part_len", "enc", "stored", "stored_len")
 
   private def putBlobsInternal(blobs: DataFrame, collectSummary: Boolean): Option[PutResult] = {
     if (readonly) throw new StoreReadOnlyException(path)
@@ -126,30 +171,79 @@ final class ChunkStore private (
     val fresh = ladder
       .join(known, col("blob_hash") === col("known_hash"), "left_anti")
       .cache()
+    val cached = scala.collection.mutable.ListBuffer[DataFrame](fresh)
     try {
       val inline = fresh.filter(col("kind") === "inline")
       val chunked = fresh.filter(col("kind") =!= "inline")
 
       // split into fixed-size parts; SQL substring is 1-based and
       // byte-addressed on BinaryType
-      val parts = chunked
-        .withColumn(
-          "part_idx",
-          explode(sequence(lit(0L), (col("total_len") + lit(params.chunkMax - 1)).divide(lit(params.chunkMax)).cast(LongType) - 1)),
-        )
-        .withColumn("part", expr(s"substring(data, cast(part_idx * ${params.chunkMax} + 1 as int), ${params.chunkMax})"))
-        .select(
-          col("blob_hash"),
-          col("part_idx"),
-          col("part"),
-          sha2(col("part"), 256).as("chunk_hash"),
-          octet_length(col("part")).cast(LongType).as("part_len"),
-        )
-        .withColumn("bucket", bucketOf(col("chunk_hash"), params.nBuckets))
-        .cache()
+      val parts = encryptParts(
+        chunked
+          .withColumn(
+            "part_idx",
+            explode(sequence(lit(0L), (col("total_len") + lit(params.chunkMax - 1)).divide(lit(params.chunkMax)).cast(LongType) - 1)),
+          )
+          .withColumn("part", expr(s"substring(data, cast(part_idx * ${params.chunkMax} + 1 as int), ${params.chunkMax})"))
+          .select(col("blob_hash"), col("part_idx"), col("part"))
+      ).cache()
+      cached += parts
 
-      val newChunks = parts
-        .select(col("chunk_hash"), col("bucket"), col("part_len").as("size"), col("part").as("data"))
+      // ---- recursive manifest tree (LongHkeyExpanded::from_blob →
+      // shrink): fold level-k entries into fanout-sized node blobs,
+      // store each node as a (convergently encrypted) chunk, repeat
+      // until every blob is down to a single root node. O(log_fanout n)
+      // rounds; each round is one distributed groupBy.
+      var roots = parts
+        .join(chunked.filter(col("kind") === "single").select("blob_hash"), Seq("blob_hash"), "left_semi")
+        .select(
+          col("blob_hash"), col("chunk_hash").as("root_hash"), col("key").as("root_key"),
+          col("bucket").as("root_bucket"), lit(0).as("tree_depth"),
+        )
+      var cur = parts
+        .join(chunked.filter(col("kind") === "tree").select("blob_hash"), Seq("blob_hash"), "left_semi")
+        .select(col("blob_hash"), col("part_idx").as("idx"), col("chunk_hash"), col("key"), col("part_len").as("len"), lit("L").as("ck"))
+      var depth = 0
+      var nodeLevels = List.empty[DataFrame]
+      var manifestNodeRows = List.empty[DataFrame]
+      var remaining = cur.limit(1).count() // tree blobs have ≥2 level-0 entries
+
+      while (remaining > 0) {
+        depth += 1
+        val nodesRaw = cur
+          .withColumn("node_idx", expr(s"idx DIV ${params.treeFanout}"))
+          .withColumn("line", concat_ws(",", col("idx"), col("chunk_hash"), coalesce(col("key"), lit("-")), col("len"), col("ck")))
+          .groupBy(col("blob_hash"), col("node_idx"))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("idx"), col("line")))), s => s.getField("line")),
+            "\n",
+          ).as("node_text"))
+          .select(col("blob_hash"), col("node_idx").as("part_idx"), col("node_text").cast(BinaryType).as("part"))
+        val nodes = encryptParts(nodesRaw).cache()
+        cached += nodes
+        nodeLevels ::= nodes
+        manifestNodeRows ::= nodes.select(
+          col("blob_hash"), lit(depth).as("level"), col("part_idx"), col("chunk_hash"), col("key"), col("bucket"), col("part_len"),
+        )
+
+        val counts = nodes.groupBy(col("blob_hash")).agg(count(lit(1)).as("n"))
+        roots = roots.unionByName(
+          nodes
+            .join(counts.filter(col("n") === 1).select("blob_hash"), Seq("blob_hash"), "left_semi")
+            .select(
+              col("blob_hash"), col("chunk_hash").as("root_hash"), col("key").as("root_key"),
+              col("bucket").as("root_bucket"), lit(depth).as("tree_depth"),
+            )
+        )
+        cur = nodes
+          .join(counts.filter(col("n") > 1).select("blob_hash"), Seq("blob_hash"), "left_semi")
+          .select(col("blob_hash"), col("part_idx").as("idx"), col("chunk_hash"), col("key"), col("part_len").as("len"), lit("N").as("ck"))
+        remaining = cur.limit(1).count()
+      }
+
+      val newChunks = (parts :: nodeLevels)
+        .map(_.select(col("chunk_hash"), col("bucket"), col("stored_len").as("size"), col("enc"), col("stored").as("data")))
+        .reduce(_ unionByName _)
         .dropDuplicates("chunk_hash")
         .join(chunks.select(col("chunk_hash").as("kh")), col("chunk_hash") === col("kh"), "left_anti")
         .drop("kh")
@@ -163,15 +257,18 @@ final class ChunkStore private (
         throw new StoreOutOfSpaceException(path)
 
       newChunks.write.mode(SaveMode.Append).partitionBy("bucket").parquet(chunksDir)
-      parts
-        .select(col("blob_hash"), col("part_idx"), col("chunk_hash"), col("bucket"), col("part_len"))
+      (parts.select(col("blob_hash"), lit(0).as("level"), col("part_idx"), col("chunk_hash"), col("key"), col("bucket"), col("part_len")) :: manifestNodeRows)
+        .reduce(_ unionByName _)
         .write.mode(SaveMode.Append).parquet(manifestDir)
       fresh
+        .join(roots, Seq("blob_hash"), "left")
         .select(
           col("blob_hash"),
           col("total_len"),
           col("kind"),
           when(col("kind") === "inline", col("data")).otherwise(lit(null).cast(BinaryType)).as("inline_data"),
+          col("root_hash"), col("root_key"), col("root_bucket"),
+          coalesce(col("tree_depth"), lit(0)).as("tree_depth"),
         )
         .write.mode(SaveMode.Append).parquet(catalogDir)
 
@@ -179,16 +276,32 @@ final class ChunkStore private (
         val summary = ladder.select(col("blob_hash"), col("total_len"), col("kind")).collect()
         Some(PutResult(summary.map(r => BlobRef(r.getString(0), r.getLong(1), r.getString(2))).toSeq))
       } else None
-    } finally fresh.unpersist()
+    } finally cached.foreach(_.unpersist())
   }
+
+  /** Decrypt stored chunk bytes back to the plaintext part. */
+  private def decoded(stored: Column, enc: Column, keyHex: Column): Column =
+    when(enc === "raw", stored).otherwise(Convergent.decryptDeflated(stored, unhex(keyHex)))
+
+  /** manifest-rows → (blob_hash, data) via decrypt + single-allocation
+    * ordered concat (linear in blob size; the aggregate(concat) HOF it
+    * replaces re-copied the accumulated prefix per part — O(parts²)).
+    */
+  private def reassemble(m: DataFrame, chunkSrc: DataFrame): DataFrame =
+    m.join(chunkSrc.select(col("chunk_hash"), col("bucket"), col("enc"), col("data").as("stored")), Seq("chunk_hash", "bucket"))
+      .withColumn("part", decoded(col("stored"), col("enc"), col("key")))
+      .groupBy(col("blob_hash"))
+      .agg(Codec.concatBinary(
+        transform(array_sort(collect_list(struct(col("part_idx"), col("part")))), p => p.getField("part"))
+      ).as("data"))
 
   /** Join-based bulk get: `hashDf` must have a `blob_hash` column.
     * Returns (blob_hash, data, verified). Missing hashes are absent
     * from the result (the caller — e.g. [[Lake]] — decides NotFound).
     *
-    * Reassembly = the reference's LongHkey expansion: manifest rows
-    * joined to chunk payloads, partition-pruned by bucket, then an
-    * ordered binary concat per blob.
+    * Bulk restores read the flat level-0 manifest rows directly (one
+    * distributed join, no tree walk); the recursive tree is the
+    * point-lookup path ([[getBlobsByHashes]]).
     */
   def getBlobs(hashDf: DataFrame): DataFrame = {
     val want = hashDf.select(col("blob_hash")).distinct()
@@ -198,30 +311,25 @@ final class ChunkStore private (
       .filter(col("kind") === "inline")
       .select(col("blob_hash"), col("inline_data").as("data"))
 
-    val m = manifest.join(want, Seq("blob_hash"))
-    val reassembled = m
-      .join(chunks.select(col("chunk_hash"), col("bucket"), col("data").as("chunk_data")), Seq("chunk_hash", "bucket"))
-      .groupBy(col("blob_hash"))
-      .agg(
-        aggregate(
-          transform(
-            array_sort(collect_list(struct(col("part_idx"), col("chunk_data")))),
-            p => p.getField("chunk_data"),
-          ),
-          lit(Array.emptyByteArray),
-          (acc, x) => concat(acc, x),
-        ).as("data")
-      )
+    val m = manifest
+      .filter(col("level") === 0)
+      .join(want, Seq("blob_hash"))
+      // replay-safe: a failed-then-retried put may have appended
+      // duplicate manifest rows (see class doc); rows are identical
+      .dropDuplicates("blob_hash", "part_idx")
 
     inline
-      .unionByName(reassembled)
+      .unionByName(reassemble(m, chunks))
       .withColumn("verified", sha2(col("data"), 256) === col("blob_hash"))
   }
 
-  /** Point lookups: literal bucket + hash predicates so the parquet
-    * scan statically prunes to the 1/nBuckets hash-prefix partitions
-    * (the reference's index-bucket probe, store/mod.rs:252-257 — and
-    * the difference between reading 100 TB and reading 100 GB).
+  /** Point lookups via the recursive manifest tree: walk down from the
+    * catalog root (reference LongHkey expansion), fetching each level
+    * with literal bucket + hash predicates so every chunk scan
+    * statically prunes to its 1/nBuckets hash-prefix partitions
+    * (store/mod.rs:252-257 — and the difference between reading
+    * 100 TB and reading 100 GB). Depth is log_fanout(parts), so the
+    * walk is a handful of pruned reads even for huge blobs.
     */
   def getBlobsByHashes(hashes: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -229,28 +337,57 @@ final class ChunkStore private (
     val inline = cat
       .filter(col("kind") === "inline")
       .select(col("blob_hash"), col("inline_data").as("data"))
-    val m = manifest.filter(col("blob_hash").isin(hashes: _*)).cache()
-    val wanted = m.select(col("chunk_hash"), col("bucket")).distinct().as[(String, Int)].collect()
-    val buckets = wanted.map(_._2).distinct.toSeq
-    val chunkHashes = wanted.map(_._1).distinct.toSeq
-    val pruned = chunks
-      .filter(col("bucket").isin(buckets: _*) && col("chunk_hash").isin(chunkHashes: _*))
-    val reassembled = m
-      .join(pruned.select(col("chunk_hash"), col("bucket"), col("data").as("chunk_data")), Seq("chunk_hash", "bucket"))
-      .groupBy(col("blob_hash"))
-      .agg(
-        aggregate(
-          transform(
-            array_sort(collect_list(struct(col("part_idx"), col("chunk_data")))),
-            p => p.getField("chunk_data"),
-          ),
-          lit(Array.emptyByteArray),
-          (acc, x) => concat(acc, x),
-        ).as("data")
+
+    var leaves = cat
+      .filter(col("kind") === "single")
+      .select(col("blob_hash"), lit(0L).as("part_idx"), col("root_hash").as("chunk_hash"), col("root_key").as("key"), col("root_bucket").as("bucket"))
+    var frontier = cat
+      .filter(col("kind") === "tree")
+      .select(col("blob_hash"), col("root_hash").as("chunk_hash"), col("root_key").as("key"), col("root_bucket").as("bucket"))
+
+    while (!frontier.isEmpty) {
+      val entries = frontier
+        .join(
+          prunedChunks(frontier).select(col("chunk_hash"), col("bucket"), col("enc"), col("data").as("stored")),
+          Seq("chunk_hash", "bucket"),
+        )
+        .select(col("blob_hash"), decoded(col("stored"), col("enc"), col("key")).cast(StringType).as("text"))
+        .select(col("blob_hash"), explode(split(col("text"), "\n")).as("line"))
+        .withColumn("f", split(col("line"), ","))
+        .select(
+          col("blob_hash"),
+          col("f").getItem(0).cast(LongType).as("idx"),
+          col("f").getItem(1).as("chunk_hash"),
+          when(col("f").getItem(2) === "-", lit(null).cast(StringType)).otherwise(col("f").getItem(2)).as("key"),
+          col("f").getItem(4).as("ck"),
+        )
+        .withColumn("bucket", bucketOf(col("chunk_hash"), params.nBuckets))
+        .cache()
+      leaves = leaves.unionByName(
+        entries.filter(col("ck") === "L").select(col("blob_hash"), col("idx").as("part_idx"), col("chunk_hash"), col("key"), col("bucket"))
       )
+      frontier = entries.filter(col("ck") === "N").select(col("blob_hash"), col("chunk_hash"), col("key"), col("bucket"))
+    }
+
+    val m = leaves.dropDuplicates("blob_hash", "part_idx")
     inline
-      .unionByName(reassembled)
+      .unionByName(reassemble(m, prunedChunks(leaves)))
       .withColumn("verified", sha2(col("data"), 256) === col("blob_hash"))
+  }
+
+  /** chunks filtered by literal (bucket, hash) sets from `refs` —
+    * collected to the driver, which is exactly right for point lookups
+    * (the ref set is small by definition) and turns the chunk read
+    * into a partition-pruned scan.
+    */
+  private def prunedChunks(refs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val wanted = refs.select(col("chunk_hash"), col("bucket")).distinct().as[(String, Int)].collect()
+    if (wanted.isEmpty) chunks.limit(0)
+    else chunks.filter(
+      col("bucket").isin(wanted.map(_._2).distinct.toSeq: _*) &&
+        col("chunk_hash").isin(wanted.map(_._1).distinct.toSeq: _*)
+    )
   }
 
   /** Single-blob convenience get with verify-on-read. */
@@ -266,6 +403,54 @@ final class ChunkStore private (
     import spark.implicits._
     catalog.join(Seq(hash).toDF("blob_hash"), Seq("blob_hash"), "left_semi").limit(1).count() > 0
   }
+
+  /** Store consistency audit — the Spark analog of the reference's
+    * load-time corruption checks (store/mod.rs:107-170 bounds/overlap/
+    * modulo sanity). Returns one row per invariant with its violation
+    * count; a healthy store is all zeros.
+    */
+  def fsck(): DataFrame = {
+    import spark.implicits._
+    val m = manifest.cache()
+    val c = chunks.cache()
+    val cat = catalog.cache()
+    try {
+      val missingChunks = m.join(c.select("chunk_hash"), Seq("chunk_hash"), "left_anti").count()
+      val refs = m.select(col("chunk_hash"))
+        .union(cat.filter(col("root_hash").isNotNull).select(col("root_hash")))
+        .distinct()
+      val orphanChunks = c.select("chunk_hash").distinct().join(refs, Seq("chunk_hash"), "left_anti").count()
+      val dupManifest = m.groupBy("blob_hash", "level", "part_idx").count().filter(col("count") > 1).count()
+      val dupChunks = c.groupBy("chunk_hash").count().filter(col("count") > 1).count()
+      val noManifest = cat.filter(col("kind") =!= "inline")
+        .join(m.filter(col("level") === 0).select("blob_hash").distinct(), Seq("blob_hash"), "left_anti")
+        .count()
+      val strayManifest = m.select("blob_hash").distinct()
+        .join(cat.select("blob_hash"), Seq("blob_hash"), "left_anti")
+        .count()
+      val lenMismatch = cat.filter(col("kind") =!= "inline")
+        .join(
+          m.filter(col("level") === 0).dropDuplicates("blob_hash", "part_idx")
+            .groupBy("blob_hash").agg(sum(col("part_len")).as("plen")),
+          Seq("blob_hash"),
+        )
+        .filter(col("plen") =!= col("total_len"))
+        .count()
+      val inlineNull = cat.filter(col("kind") === "inline" && col("inline_data").isNull).count()
+      val rootless = cat.filter(col("kind") =!= "inline" && col("root_hash").isNull).count()
+      Seq(
+        ("manifest_missing_chunks", missingChunks),
+        ("orphan_chunks", orphanChunks),
+        ("duplicate_manifest_rows", dupManifest),
+        ("duplicate_chunks", dupChunks),
+        ("catalog_without_manifest", noManifest),
+        ("manifest_without_catalog", strayManifest),
+        ("blob_length_mismatch", lenMismatch),
+        ("inline_missing_payload", inlineNull),
+        ("chunked_missing_root", rootless),
+      ).toDF("check", "violations")
+    } finally { m.unpersist(); c.unpersist(); cat.unpersist() }
+  }
 }
 
 final case class BlobRef(blobHash: String, totalLen: Long, kind: String)
@@ -273,18 +458,21 @@ final case class PutResult(blobs: Seq[BlobRef])
 
 object ChunkStore {
   /** Magic marker content (reference: store/mod.rs MAGIC = b"DataLake..."). */
-  val Magic = "GraftStore v1"
+  val Magic = "GraftStore v1"
 
   val chunkSchema: StructType = StructType(Seq(
     StructField("chunk_hash", StringType),
     StructField("size", LongType),
+    StructField("enc", StringType),
     StructField("data", BinaryType),
     StructField("bucket", IntegerType),
   ))
   val manifestSchema: StructType = StructType(Seq(
     StructField("blob_hash", StringType),
+    StructField("level", IntegerType),
     StructField("part_idx", LongType),
     StructField("chunk_hash", StringType),
+    StructField("key", StringType),
     StructField("bucket", IntegerType),
     StructField("part_len", LongType),
   ))
@@ -293,6 +481,10 @@ object ChunkStore {
     StructField("total_len", LongType),
     StructField("kind", StringType),
     StructField("inline_data", BinaryType),
+    StructField("root_hash", StringType),
+    StructField("root_key", StringType),
+    StructField("root_bucket", IntegerType),
+    StructField("tree_depth", IntegerType),
   ))
 
   /** Size ladder (store/mod.rs:430-457). */
@@ -305,16 +497,36 @@ object ChunkStore {
   def bucketOf(hashHex: Column, nBuckets: Int): Column =
     (conv(substring(hashHex, 1, 4), 16, 10).cast(IntegerType) % nBuckets).cast(IntegerType)
 
-  private def markerPath(path: String) = Paths.get(path, "_GRAFT_STORE")
+  private def markerPath(path: String) = new HPath(path, "_GRAFT_STORE")
 
-  def isStore(path: String): Boolean =
-    Files.exists(markerPath(path)) &&
-      new String(Files.readAllBytes(markerPath(path)), StandardCharsets.UTF_8).startsWith(Magic)
+  private def hadoopConf(spark: SparkSession) = spark.sessionState.newHadoopConf()
+
+  /** Magic check through Hadoop's FileSystem so hdfs:///s3a:// store
+    * paths resolve with the session's configuration (a java.nio check
+    * would wrongly report remote stores absent).
+    */
+  def isStore(spark: SparkSession, path: String): Boolean = {
+    val m = markerPath(path)
+    val fs = m.getFileSystem(hadoopConf(spark))
+    fs.exists(m) && {
+      val in = fs.open(m)
+      try {
+        val buf = new Array[Byte](Magic.length)
+        in.readFully(buf)
+        new String(buf, StandardCharsets.UTF_8) == Magic
+      } catch { case _: java.io.EOFException => false }
+      finally in.close()
+    }
+  }
 
   /** Initialize a fresh store directory (reference: DataStore::init). */
   def init(spark: SparkSession, path: String, maxBytes: Long = Long.MaxValue, params: LakeParams = LakeParams()): ChunkStore = {
-    Files.createDirectories(Paths.get(path))
-    Files.write(markerPath(path), s"$Magic\nnBuckets=${params.nBuckets}\n".getBytes(StandardCharsets.UTF_8))
+    val root = new HPath(path)
+    val fs = root.getFileSystem(hadoopConf(spark))
+    fs.mkdirs(root)
+    val out = fs.create(markerPath(path), true)
+    try out.write(s"$Magic\nnBuckets=${params.nBuckets}\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     new ChunkStore(spark, path, readonly = false, maxBytes, params)
   }
 
@@ -322,7 +534,7 @@ object ChunkStore {
     * verify_magic, lake/util.rs).
     */
   def load(spark: SparkSession, path: String, readonly: Boolean, maxBytes: Long = Long.MaxValue, params: LakeParams = LakeParams()): ChunkStore = {
-    if (!isStore(path)) throw new InvalidMagicException(path)
+    if (!isStore(spark, path)) throw new InvalidMagicException(path)
     new ChunkStore(spark, path, readonly, maxBytes, params)
   }
 }

@@ -34,4 +34,18 @@ object Convergent {
   /** Decrypt a convergent ciphertext given its key. */
   def decrypt(ciphertext: Column, key: Column): Column =
     aes_decrypt(ciphertext, key, lit("GCM"), lit("NONE"))
+
+  /** Store-path variant: deflate-then-encrypt. The key/IV are still
+    * derived from the PLAINTEXT (deterministic, so identical parts
+    * dedupe), but the encrypted payload is the deflated bytes — this is
+    * what makes the reference's "store raw when encryption would
+    * enlarge" fallback (store/mod.rs:380-385) meaningful: GCM alone
+    * always adds 28 bytes, compressed-then-encrypted text shrinks.
+    */
+  def encryptDeflated(data: Column): Column =
+    aes_encrypt(Codec.deflateCol(data.cast("binary")), contentKey(data), lit("GCM"), lit("NONE"), contentIv(data))
+
+  /** Inverse of [[encryptDeflated]]. */
+  def decryptDeflated(ciphertext: Column, key: Column): Column =
+    Codec.inflateCol(aes_decrypt(ciphertext, key, lit("GCM"), lit("NONE")))
 }

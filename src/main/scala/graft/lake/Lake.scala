@@ -106,7 +106,7 @@ object Lake {
   def init(spark: SparkSession, config: LakeConfig, params: LakeParams = LakeParams()): Lake = {
     val stores = config.stores.map { e =>
       if (e.readonly) ChunkStore.load(spark, e.path, readonly = true, e.maxBytes, params)
-      else if (ChunkStore.isStore(e.path)) ChunkStore.load(spark, e.path, readonly = false, e.maxBytes, params)
+      else if (ChunkStore.isStore(spark, e.path)) ChunkStore.load(spark, e.path, readonly = false, e.maxBytes, params)
       else ChunkStore.init(spark, e.path, e.maxBytes, params)
     }
     new Lake(spark, config, stores)

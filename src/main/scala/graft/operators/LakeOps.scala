@@ -121,15 +121,16 @@ object LakeOps {
     val reassembled = chunkSplit(spark, dir)
       .groupBy(col("doc_id"))
       .agg(
-        aggregate(
-          transform(array_sort(collect_list(struct(col("part_idx"), col("part")))), p => p.getField("part")),
-          lit(""),
-          (acc, x) => concat(acc, x),
+        graft.lake.Codec.concatBinary(
+          transform(
+            array_sort(collect_list(struct(col("part_idx"), col("part")))),
+            p => p.getField("part").cast(BinaryType),
+          )
         ).as("blob")
       )
     val inline = docs(spark, dir)
       .filter(octet_length(col("text")) <= P.inlineMax)
-      .select(col("doc_id"), col("text").as("blob"))
+      .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
     inline
       .unionByName(reassembled)
       .select(

@@ -17,9 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase (salt → partial → merge) aggregation: count + sum-like
-    * aggs per key. `aggs` maps output column name → (partialExpr,
-    * mergeExpr-name) handled generically for the common sum/count case.
+  /** Deterministic row salt: hash of the full row mod `salts`. A
+    * retried/speculated task recomputes the SAME salt for a row
+    * (monotonically_increasing_id or rand would not, letting one row
+    * land in two buckets across attempts mid-job).
+    */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(salts))
+
+  /** Two-phase (salt → partial → merge) aggregation. RESTRICTED to
+    * decomposable sum/count-shaped aggregates: the merge phase sums the
+    * partials, which is wrong for avg/min/max-of-distinct etc. — pass
+    * count(...)/sum(...) partials only.
     */
   def saltedAggregate(
       df: DataFrame,
@@ -27,7 +36,8 @@ object Skew {
       sums: Map[String, Column],
       salts: Int = 16,
   ): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    require(sums.nonEmpty, "saltedAggregate needs at least one sum/count aggregate")
+    val salted = df.withColumn("_salt", rowSalt(df, salts))
     val partial = salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(
@@ -48,7 +58,7 @@ object Skew {
     * where `right` is the deduplicated side.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int = 16): DataFrame = {
-    val saltedLeft = left.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val saltedLeft = left.withColumn("_salt", rowSalt(left, salts))
     val replicatedRight = right.withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
     saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
   }

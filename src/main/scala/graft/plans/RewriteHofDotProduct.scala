@@ -51,9 +51,12 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
           merge: LambdaFunction,
           finish: LambdaFunction,
         )
+        // LEGACY evalMode only: under ANSI the HOF form throws on Long
+        // overflow while the kernel wraps — rewriting would change
+        // observable semantics on overflowing inputs.
         if longElems(left) && longElems(right) &&
-          isBinOp(mul, { case Multiply(l, r, _) => Some((l, r)); case _ => None }) &&
-          isBinOp(merge, { case Add(l, r, _) => Some((l, r)); case _ => None }) &&
+          isBinOp(mul, { case Multiply(l, r, EvalMode.LEGACY) => Some((l, r)); case _ => None }) &&
+          isBinOp(merge, { case Add(l, r, EvalMode.LEGACY) => Some((l, r)); case _ => None }) &&
           (finish.arguments match {
             case Seq(v: NamedLambdaVariable) => isVar(finish.function, v)
             case _ => false

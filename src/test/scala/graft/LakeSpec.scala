@@ -40,15 +40,75 @@ class LakeSpec extends AnyFunSuite {
     assert(store.catalog.count() == 1)
   }
 
-  test("shared chunks dedup across different blobs") {
+  test("shared chunks dedup across different blobs (through convergent encryption)") {
     val store = ChunkStore.init(spark, tmp())
-    // two blobs sharing their first 256-byte part
+    // two blobs sharing their first 256-byte part; convergent encryption
+    // must keep the shared part's ciphertext identical → stored once
     val shared = "x" * 256
     store.putBlobs(blobDf(1L -> (shared + "tailA" * 20), 2L -> (shared + "tailB" * 20)))
     val hashes = store.chunks.select("chunk_hash").as[String].collect()
     assert(hashes.length == hashes.distinct.length)
-    assert(store.manifest.count() == 4, "2 blobs × 2 parts")
-    assert(store.chunks.count() == 3, "shared first part stored once")
+    assert(store.manifest.filter(col("level") === 0).count() == 4, "2 blobs × 2 parts")
+    assert(store.manifest.filter(col("level") === 1).count() == 2, "one manifest node per tree blob")
+    assert(store.chunks.filter(col("data").isNotNull).count() == 5, "3 unique parts + 2 tree nodes")
+  }
+
+  test("chunks are encrypted at rest; keys decrypt them; raw fallback for incompressible parts") {
+    val store = ChunkStore.init(spark, tmp())
+    val compressible = "repeat me " * 30 // 300 B of text → deflate+GCM < raw
+    val rnd = new scala.util.Random(42)
+    val incompressible = Array.fill[Byte](300)(rnd.nextInt().toByte) // random bytes grow under deflate+GCM
+    store.putBlobs(
+      Seq((1L, compressible.getBytes(StandardCharsets.UTF_8)), (2L, incompressible))
+        .toDF("blob_id", "data"),
+    )
+    val encRows = store.chunks.filter(col("enc") === "gcm")
+    val rawRows = store.chunks.filter(col("enc") === "raw")
+    assert(encRows.count() > 0, "compressible parts must be stored encrypted")
+    assert(rawRows.count() > 0, "incompressible parts must fall back to raw")
+    // ciphertext at rest: no stored gcm payload equals any plaintext part
+    val plainParts = Set(compressible.substring(0, 256), compressible.substring(256))
+    encRows.select("data").as[Array[Byte]].collect().foreach { d =>
+      assert(!plainParts.contains(new String(d, StandardCharsets.UTF_8)), "plaintext at rest")
+    }
+    // and the manifest key decrypts back to the plaintext part
+    val dec = store.manifest
+      .filter(col("level") === 0 && col("key").isNotNull)
+      .join(store.chunks.filter(col("enc") === "gcm"), Seq("chunk_hash", "bucket"))
+      .select(Convergent.decryptDeflated(col("data"), unhex(col("key"))).cast("string").as("part"))
+      .as[String].collect()
+    assert(dec.nonEmpty && dec.forall(p => compressible.contains(p)))
+    // both roundtrip
+    val hashes = store.catalog.select("blob_hash").as[String].collect()
+    hashes.foreach(h => assert(store.getBlob(h).nonEmpty))
+  }
+
+  test("recursive manifest: many-part blob builds a multi-level tree and roundtrips") {
+    val p = LakeParams(inlineMax = 4, chunkMax = 8, treeFanout = 4)
+    val store = ChunkStore.init(spark, tmp(), params = p)
+    // 600 B → 75 parts → fanout 4: 75 → 19 → 5 → 2 → 1 = depth 4
+    val payload = (0 until 75).map(i => f"part$i%04d").mkString
+    val res = store.putBlobs(blobDf(1L -> payload))
+    val h = res.blobs.head.blobHash
+    val depth = store.catalog.select("tree_depth").as[Int].head()
+    assert(depth >= 2, s"expected a multi-level tree, got depth $depth")
+    assert(store.manifest.filter(col("level") === 2).count() > 0)
+    assert(new String(store.getBlob(h), StandardCharsets.UTF_8) == payload)
+    // bulk path agrees with the tree path
+    val bulk = store.getBlobs(Seq(h).toDF("blob_hash")).select("data").as[Array[Byte]].head()
+    assert(new String(bulk, StandardCharsets.UTF_8) == payload)
+  }
+
+  test("fsck: healthy store is all-zero; corruption is detected") {
+    val store = ChunkStore.init(spark, tmp())
+    store.putBlobs(blobDf(1L -> tiny, 2L -> mid, 3L -> big))
+    val healthy = store.fsck().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(healthy.values.forall(_ == 0L), s"healthy store reported: $healthy")
+    // corrupt: delete the chunks dir → every manifest row dangles
+    val chunksPath = Paths.get(store.path, "chunks")
+    Files.walk(chunksPath).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]()).forEach(f => Files.delete(f))
+    val broken = store.fsck().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(broken("manifest_missing_chunks") > 0)
   }
 
   test("readonly store rejects writes") {

@@ -43,6 +43,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("10k-part blob roundtrips through a multi-level manifest tree in linear time") {
+    // 48 KiB blob at chunkMax=4 → 12288 parts → fanout 64: 12288 → 192
+    // → 3 → 1 = 3 tree levels. Pins BOTH the recursive manifest and the
+    // single-allocation reassembly kernel (the old aggregate(concat)
+    // HOF was O(parts²) and took minutes at this part count).
+    val p = LakeParams(inlineMax = 2, chunkMax = 4, nBuckets = 64, treeFanout = 64)
+    val store = ChunkStore.init(spark, Files.createTempDirectory("graft-tree").toString, params = p)
+    val payload = new Array[Byte](48 * 1024)
+    new scala.util.Random(11).nextBytes(payload)
+    val res = store.putBlobs(Seq((1L, payload)).toDF("blob_id", "data"))
+    val h = res.blobs.head.blobHash
+    assert(store.manifest.filter(col("level") === 0).count() == 12288)
+    assert(store.catalog.select("tree_depth").as[Int].head() == 3)
+    assert(store.manifest.filter(col("level") === 3).count() == 1, "single root node")
+    // tree-walk get and bulk get both reproduce the exact bytes
+    assert(java.util.Arrays.equals(store.getBlob(h), payload))
+    val bulk = store.getBlobs(Seq(h).toDF("blob_hash"))
+    assert(bulk.filter(col("verified")).count() == 1)
+    assert(java.util.Arrays.equals(bulk.select("data").as[Array[Byte]].head(), payload))
+  }
+
   test("ladder kinds partition by length exactly at the configured bounds") {
     val p = LakeParams()
     val lens = Seq(0, 1, 63, 64, 65, 255, 256, 257, 1000)
