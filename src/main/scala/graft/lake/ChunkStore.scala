@@ -15,6 +15,8 @@ final class StoreReadOnlyException(path: String)
     extends RuntimeException(s"store is read-only: $path")
 final class StoreOutOfSpaceException(path: String)
     extends RuntimeException(s"store is out of space: $path")
+final class StoreLockedException(path: String, holder: String)
+    extends RuntimeException(s"store is locked by another writer ($holder): $path")
 final class LakeOutOfStoresException extends RuntimeException("lake is out of writable stores")
 final class InvalidMagicException(path: String)
     extends RuntimeException(s"not a graft store (bad magic): $path")
@@ -156,9 +158,51 @@ final class ChunkStore private (
       .withColumn("stored_len", octet_length(col("stored")).cast(LongType))
       .select("blob_hash", "part_idx", "chunk_hash", "key", "bucket", "part_len", "enc", "stored", "stored_len")
 
+  private def lockFile = new HPath(path, "_GRAFT_WRITE_LOCK")
+
+  /** Single-writer guard, the parquet-dir analog of the reference's
+    * exclusive mmap writer (store/atomic.rs, store/shared.rs): two
+    * concurrent `putBlobs` against one store dir would race the
+    * capacity gate and double-append chunks, so the second writer must
+    * fail fast instead of corrupting silently. The lock file is created
+    * with `FileSystem.create(overwrite = false)` — atomic on local/HDFS
+    * (object stores without atomic create should front the store with a
+    * table format instead, as the class doc notes). A lock older than
+    * [[ChunkStore.LockTtlMs]] is presumed to belong to a crashed writer
+    * and is taken over.
+    */
+  private def withWriteLock[T](body: => T): T = {
+    val fs = lockFile.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(lockFile)) {
+      val st = fs.getFileStatus(lockFile)
+      if (System.currentTimeMillis() - st.getModificationTime < LockTtlMs) {
+        val holder =
+          try {
+            val in = fs.open(lockFile)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          } catch { case _: java.io.IOException => "unknown" }
+        throw new StoreLockedException(path, holder)
+      }
+      fs.delete(lockFile, false) // stale lock from a crashed writer
+    }
+    val out =
+      try fs.create(lockFile, false) // atomic create-if-absent
+      catch { case _: java.io.IOException => throw new StoreLockedException(path, "concurrent writer") }
+    try out.write(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    try body
+    finally fs.delete(lockFile, false)
+  }
+
   private def putBlobsInternal(blobs: DataFrame, collectSummary: Boolean): Option[PutResult] = {
     if (readonly) throw new StoreReadOnlyException(path)
+    withWriteLock {
+      putBlobsLocked(blobs, collectSummary)
+    }
+  }
 
+  private def putBlobsLocked(blobs: DataFrame, collectSummary: Boolean): Option[PutResult] = {
     val ladder = blobs
       .select(col("data"))
       .filter(col("data").isNotNull)
@@ -459,6 +503,12 @@ final case class PutResult(blobs: Seq[BlobRef])
 object ChunkStore {
   /** Magic marker content (reference: store/mod.rs MAGIC = b"DataLake..."). */
   val Magic = "GraftStore v1"
+
+  /** Write locks older than this are presumed dead and taken over (a
+    * crashed driver must not brick the store forever; a healthy put
+    * refreshes nothing, so size the TTL well above the longest put).
+    */
+  val LockTtlMs: Long = 30L * 60 * 1000
 
   val chunkSchema: StructType = StructType(Seq(
     StructField("chunk_hash", StringType),

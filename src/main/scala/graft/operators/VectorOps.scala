@@ -6,8 +6,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** SURVEY.md §2.4 + §2.3 #26 — similarity search over `embeddings`
-  * (64-dim unit-norm float vectors).
+/** SURVEY.md §2.4 + §2.3 #26 — similarity search over embedding
+  * columns (unit-norm float vectors).
+  *
+  * Public API: [[annBruteforce]], [[annLsh]], [[annIvf]] take an
+  * arbitrary `data` and `queries` frame — each exposing
+  * (`id`: long, `embedding`: array<float|double>) — and return the
+  * top-`k` neighbors per query as (query_id, rank, neighbor_id,
+  * cosine). [[kmeansCentroids]] trains the IVF coarse quantizer. The
+  * `(SparkSession, dir)` overloads are the driver-checked named
+  * queries over the `embeddings` table (first 20 vectors as queries).
   *
   * Cross-engine determinism trick: scores are computed on
   * round(x*10000) int64-quantized vectors — dot products and norms are
@@ -16,10 +24,11 @@ import org.apache.spark.sql.types._
   * threshold/top-k decisions) hash-match DuckDB bit-for-bit. The
   * quantization error (~1e-4) is far below any semantic threshold.
   *
-  * Scale paths: brute-force is the exact baseline (O(n·q)); LSH
-  * (random-hyperplane, Charikar'02) and IVF (coarse-quantizer probe,
-  * Jégou'11) bound the candidate set — their shuffles are on bucket /
-  * centroid keys, and centroids are broadcast.
+  * Scale paths: brute-force is the exact baseline (O(n·q), query side
+  * broadcast); LSH (random-hyperplane, Charikar'02) and IVF (coarse
+  * quantizer probe, Jégou'11) bound the candidate set — their shuffles
+  * are on bucket / centroid keys, and centroids are broadcast (tiny by
+  * construction at any scale).
   */
 object VectorOps {
 
@@ -50,24 +59,74 @@ object VectorOps {
   private def qdot(a: Column, b: Column): Column =
     graft.functions.ArrayExprs.longDot(a, b)
 
-  /** deterministic cosine from quantized ints. */
-  private def qcos(a: Column, b: Column): Column =
-    qdot(a, b).cast(DoubleType) / (sqrt(qdot(a, a).cast(DoubleType)) * sqrt(qdot(b, b).cast(DoubleType)))
+  /** cosine from precomputed norms: one dot per pair (norms are
+    * computed once per vector in [[prep]] — anything per-pair beyond
+    * the single dot multiplies the dominant term of the pair space).
+    */
+  private def pairCos(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    qdot(qa, qb).cast(DoubleType) / (na * nb)
 
-  private def pairs(spark: SparkSession, dir: String, queryFilter: Column): DataFrame = {
-    // norms are computed once per vector, not per pair (at n vectors the
-    // pair space is n² — anything per-pair beyond the single dot product
-    // multiplies the dominant term)
-    val d = emb(spark, dir).select(col("vec_id"), qvec.as("qv"))
+  /** (id, embedding) → (id, qv, norm): the normalized internal shape
+    * every entry point works on.
+    */
+  private def prep(df: DataFrame): DataFrame =
+    df.select(col("id").cast(LongType).as("id"), qvec.as("qv"))
       .withColumn("norm", sqrt(qdot(col("qv"), col("qv")).cast(DoubleType)))
-      .cache() // both sides of the pair join read this
-    val q = d.filter(queryFilter)
-      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("norm").as("na"))
-    val c = d.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", qdot(col("qa"), col("qb")).cast(DoubleType) / (col("na") * col("nb")))
-      .select("query_id", "neighbor_id", "cosine")
+
+  /** deterministic top-k per query: (cosine DESC, neighbor_id ASC). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
   }
+
+  // ------------------------------------------------------- brute force
+
+  /** §2.4 #27 — exact cosine top-k of every query against all of
+    * `data`. The query side is broadcast (a bounded query batch is the
+    * API contract — an unbounded one belongs in [[annLsh]]/[[annIvf]]);
+    * the big side streams map-side, so the only wide op is the final
+    * per-query top-k.
+    */
+  def annBruteforce(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = prep(queries).select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"))
+    val c = prep(data).select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"))
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** named query: first 20 vectors vs the whole table, k=5. */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    annBruteforce(e, e.filter(col("id") < 20), 5)
+  }
+
+  private val oracleQuantCte: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+      |         * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS DOUBLE))) AS cosine
+      |  FROM q a JOIN q b ON a.vec_id != b.vec_id
+      |)""".stripMargin
+
+  val annBruteforceSql: String =
+    s"""$oracleQuantCte
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM p WHERE query_id < 20
+      |)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   // --------------------------------------------------- LSH hyperplanes
   // (shared by dedup_embedding and ann_lsh)
@@ -97,69 +156,34 @@ object VectorOps {
   private def qbucketIn(qv: Column, t: Int): Column =
     qplanes(t).zipWithIndex.map { case (p, bit) => qsignBit(qv, p) * (1 << bit) }.reduce(_ + _)
 
-  private val oracleQuantCte: String =
-    """WITH q AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-      |  FROM embeddings
-      |), p AS (
-      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-      |    CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
-      |      / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
-      |         * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS DOUBLE))) AS cosine
-      |  FROM q a JOIN q b ON a.vec_id != b.vec_id
-      |)""".stripMargin
-
-  /** §2.4 #27 — exact brute-force cosine top-k (k=5) for the first 20
-    * vectors as queries; ties broken by neighbor id.
+  /** (id, qv, norm) → one row per (id, table) with the vector's LSH
+    * bucket — integer sign tests on the quantized planes (codegen'd
+    * dots; a float-dot sign would also flip on summation-order
+    * differences across engines).
     */
-  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs(spark, dir, col("vec_id") < 20)
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rank")
-  }
-
-  val annBruteforceSql: String =
-    s"""$oracleQuantCte
-      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
-      |  SELECT query_id, neighbor_id, cosine,
-      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-      |  FROM p WHERE query_id < 20
-      |)
-      |WHERE rank <= 5
-      |ORDER BY query_id, rank""".stripMargin
+  private def withQBuckets(d: DataFrame): DataFrame =
+    d.select(
+      col("id"), col("qv"), col("norm"),
+      explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("tbl"), qbucketIn(col("qv"), t).as("bucket"))): _*)).as("b"),
+    ).select(col("id"), col("qv"), col("norm"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
 
   /** §2.3 #26 — embedding near-dup: each vector's nearest LSH-bucketed
     * candidate + a duplicate flag at cosine ≥ 0.5.
     *
     * Scale design: the only wide ops are the (tbl, bucket) self-join
-    * and the pair dedup — NO all-pairs cartesian (an n² BNLJ cannot
+    * and the final argmax — NO all-pairs cartesian (an n² BNLJ cannot
     * survive 100×; round-1 lesson). Near-dups (the pairs the flag is
     * for) collide in some bucket with probability ≈ 1; a vector whose
     * true NN is far away may report its best *candidate* instead —
     * exactly the LSH trade, and the DuckDB oracle mirrors the same
     * buckets so the contract is still hash-exact.
-    *
-    * Cross-engine determinism: bucket bits are sign tests on int64
-    * dot products of the quantized vector against int64-quantized
-    * hyperplanes — exact integer math, bit-identical in both engines
-    * (a float-dot sign would flip on summation-order differences).
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val d = emb(spark, dir)
-      .select(col("vec_id"), qvec.as("qv"))
-      .withColumn("norm", sqrt(qdot(col("qv"), col("qv")).cast(DoubleType)))
-      .select(
-        col("vec_id"), col("qv"), col("norm"),
-        explode(array((0 until NumTables).map(t =>
-          struct(lit(t).as("tbl"), qbucketIn(col("qv"), t).as("bucket"))): _*)).as("b"),
-      )
-      .select(col("vec_id"), col("qv"), col("norm"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val d = withQBuckets(prep(emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))))
       .cache() // both sides of the bucket self-join read this
-    val q = d.select(col("vec_id").as("query_id"), col("qv").as("qa"), col("norm").as("na"), col("tbl"), col("bucket"))
-    val c = d.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"), col("tbl"), col("bucket"))
+    val q = d.select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"), col("tbl"), col("bucket"))
+    val c = d.select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"), col("tbl"), col("bucket"))
     // Cosine is computed map-side right after the bucket join and the
     // pair is immediately projected to 3 narrow columns: shuffling the
     // 64-long arrays through a dedup + window was the dominant cost
@@ -171,7 +195,7 @@ object VectorOps {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        (qdot(col("qa"), col("qb")).cast(DoubleType) / (col("na") * col("nb"))).as("cosine"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"),
       )
     // argmax via max(struct(cosine, -id)): partial aggregation (map-side
     // combine) replaces a row_number window — same (cosine DESC, id ASC)
@@ -230,101 +254,248 @@ object VectorOps {
 
   // ---------------------------------------------------------------- LSH ANN
 
-  private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
-
-  private def signBit(v: Column, p: Array[Double]): Column =
-    when(aggregate(zip_with(v, planeLit(p), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) >= 0, 1).otherwise(0)
-
-  /** bucket id of vector `v` in table `t`. */
-  private def bucketIn(v: Column, t: Int): Column =
-    planes(t).zipWithIndex.map { case (p, i) => signBit(v, p) * (1 << i) }.reduce(_ + _)
-
   /** §2.4 #28 — random-hyperplane LSH ANN: 8 tables × 4 bits; a
-    * query's candidates are all vectors sharing any bucket; exact
-    * cosine re-rank within candidates. Engine-specific plan (float
-    * dots) → rows-only + recall ScalaTest vs brute force.
+    * query's candidates are all data vectors sharing any bucket; exact
+    * cosine re-rank within candidates. Shuffles only on (table, bucket)
+    * keys — no pair space beyond colliding candidates.
+    */
+  def annLsh(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = withQBuckets(prep(queries))
+      .select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"), col("tbl"), col("bucket"))
+    val c = withQBuckets(prep(data))
+      .select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"), col("tbl"), col("bucket"))
+    val scored = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    topK(scored, k)
+  }
+
+  /** named query: first 20 vectors as queries, k=5. Engine-specific
+    * candidate set → rows-only + recall ScalaTest vs brute force.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val d = emb(spark, dir).select(
-      col("vec_id"),
-      qvec.as("qv"),
-      explode(
-        array((0 until NumTables).map(t => struct(lit(t).as("tbl"), bucketIn(col("embedding"), t).as("bucket"))): _*)
-      ).as("b"),
-    ).select(col("vec_id"), col("qv"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    annLsh(e, e.filter(col("id") < 20), 5)
+  }
 
-    val q = d.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"), col("qv").as("qa"), col("tbl"), col("bucket"))
-    val c = d.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("tbl"), col("bucket"))
-    val candidates = q
-      .join(c, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qa", "neighbor_id", "qb")
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
-      .withColumn("cosine", qcos(col("qa"), col("qb")))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rank")
+  // ------------------------------------------------------------- k-means
+
+  /** Spherical k-means over the quantized vectors, for the IVF coarse
+    * quantizer. Distributed k-means||-style pipeline (Bahmani'12):
+    *
+    *  1. oversampling init — `oversampleRounds` passes, each sampling
+    *     points with probability ∝ their cosine distance to the current
+    *     candidate set (deterministic hash-based Bernoulli, so retries
+    *     and speculation see the same sample);
+    *  2. the (small) candidate set is weighted by cluster population
+    *     and reduced to `k` centers driver-side with weighted
+    *     k-means++ + local Lloyd;
+    *  3. `lloydIters` distributed Lloyd rounds: broadcast centroids →
+    *     argmax-cosine assign (map-side partial agg, no window) →
+    *     per-position mean.
+    *
+    * Only the candidate set (≲ 2k·rounds rows) and the k×dim centroid
+    * table ever reach the driver — data-side work is map-side against
+    * broadcast centroids plus one narrow shuffle per round.
+    *
+    * Returns (centroid_id: int, cv: array<bigint>, cnorm: double).
+    */
+  def kmeansCentroids(
+      data: DataFrame,
+      k: Int,
+      oversampleRounds: Int = 2,
+      lloydIters: Int = 3,
+  ): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    require(k >= 1, "k must be >= 1")
+    val d = prep(data).cache()
+    try {
+      def centDf(cs: Seq[Array[Long]]): DataFrame =
+        cs.zipWithIndex.map { case (cv, i) => (i, cv) }.toDF("cid", "cv")
+          .withColumn("cnorm", sqrt(qdot(col("cv"), col("cv")).cast(DoubleType)))
+
+      /** per-point best (cosine, centroid) against a broadcast centroid set. */
+      def assign(cs: Seq[Array[Long]]): DataFrame =
+        d.join(broadcast(centDf(cs)), lit(true))
+          .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
+          .groupBy(col("id"))
+          .agg(
+            max(struct(col("cos"), (-col("cid")).cast(LongType).as("nid"))).as("m"),
+            first(col("qv")).as("qv"),
+          )
+          .select(col("id"), col("qv"), col("m.cos").as("best_cos"), (-col("m.nid")).cast(IntegerType).as("best_cid"))
+
+      // 1. seed with a deterministic pseudo-random point, then
+      // oversample (min_by = one partial-agg job, not a global sort)
+      val seed = d.agg(min_by(col("qv"), struct(pmod(hash(col("id")), lit(1 << 30)), col("id"))).as("qv"))
+        .select("qv").as[Seq[Long]].head().toArray
+      var cand = Vector(seed)
+      for (r <- 1 to oversampleRounds) {
+        val scored = assign(cand)
+          .withColumn("dist", greatest(lit(0.0), lit(1.0) - col("best_cos")))
+        val cost = math.max(scored.agg(sum(col("dist"))).head.getDouble(0), 1e-12)
+        // P(sample) = min(1, 2k·dist/cost) via a deterministic uniform
+        // from hash(id, round)
+        val fresh = scored
+          .withColumn("u", pmod(hash(col("id"), lit(r)), lit(1000003)).cast(DoubleType) / 1000003.0)
+          .filter(col("u") * cost < col("dist") * (2.0 * k))
+          .select("qv").as[Seq[Long]].collect().map(_.toArray)
+        cand = cand ++ fresh
+      }
+
+      // 2. weight candidates by population, reduce to k locally
+      val weights = assign(cand).groupBy("best_cid").count().as[(Int, Long)].collect().toMap
+      var centers: Array[Array[Long]] = localWeightedKMeans(
+        cand.toArray,
+        cand.indices.map(i => math.max(weights.getOrElse(i, 0L).toDouble, 1e-9)).toArray,
+        k,
+      )
+
+      // 3. distributed Lloyd refinement
+      for (_ <- 1 to lloydIters) {
+        val upd = assign(centers.toSeq)
+          .select(col("best_cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("best_cid", "pos").agg(avg(col("v")).as("m"))
+          .as[(Int, Int, Double)].collect()
+        val byC = upd.groupBy(_._1)
+        centers = centers.zipWithIndex.map { case (old, i) =>
+          byC.get(i) match {
+            case Some(rows) =>
+              // spherical k-means: project the mean back onto the
+              // sphere (the raw mean of unit vectors lies inside it),
+              // then re-quantize to the ×10000 grid
+              val mean = old.map(_.toDouble)
+              rows.foreach { case (_, pos, m) => mean(pos) = m }
+              val nrm = math.max(math.sqrt(mean.map(x => x * x).sum), 1e-12)
+              mean.map(x => math.floor(x / nrm * 10000 + 0.5).toLong)
+            case None => old // empty cluster: keep the previous center
+          }
+        }
+      }
+      centDf(centers.toSeq).select(col("cid").as("centroid_id"), col("cv"), col("cnorm"))
+    } finally d.unpersist()
+  }
+
+  /** Driver-side weighted k-means++ + Lloyd on the (tiny) k-means||
+    * candidate set. Cosine geometry: centers live on the unit sphere,
+    * re-quantized to the same ×10000 int64 grid as the data.
+    */
+  private def localWeightedKMeans(
+      pts: Array[Array[Long]],
+      w: Array[Double],
+      k: Int,
+      iters: Int = 10,
+  ): Array[Array[Long]] = {
+    val n = pts.length
+    if (n <= k) return pts
+    val dim = pts(0).length
+    val unit = pts.map { p =>
+      val nrm = math.max(math.sqrt(p.map(x => x.toDouble * x).sum), 1e-12)
+      p.map(_ / nrm)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(13)
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](unit(rnd.nextInt(n)))
+    while (centers.size < k) {
+      val dists = unit.indices.map(i => w(i) * math.max(0.0, 1.0 - centers.iterator.map(c => cos(c, unit(i))).max))
+      val tot = dists.sum
+      if (tot <= 0) centers += unit(rnd.nextInt(n))
+      else {
+        var t = rnd.nextDouble() * tot
+        var i = 0
+        while (i < n - 1 && t > dists(i)) { t -= dists(i); i += 1 }
+        centers += unit(i)
+      }
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val ws = new Array[Double](k)
+      unit.indices.foreach { i =>
+        var best = 0; var bc = -2.0
+        var c = 0
+        while (c < k) { val s = cos(centers(c), unit(i)); if (s > bc) { bc = s; best = c }; c += 1 }
+        ws(best) += w(i)
+        var j = 0
+        while (j < dim) { sums(best)(j) += w(i) * unit(i)(j); j += 1 }
+      }
+      centers.indices.foreach { c =>
+        if (ws(c) > 0) {
+          val nrm = math.max(math.sqrt(sums(c).map(x => x * x).sum), 1e-12)
+          centers(c) = sums(c).map(_ / nrm)
+        }
+      }
+    }
+    centers.map(_.map(x => math.floor(x * 10000 + 0.5).toLong)).toArray
   }
 
   // ---------------------------------------------------------------- IVF ANN
 
-  private val NumCentroids = 16
-  private val NumProbes = 4
+  /** §2.4 #29 — IVF ANN with a supplied coarse quantizer
+    * (from [[kmeansCentroids]]): inverted lists by nearest centroid,
+    * each query probes the `nProbes` nearest lists, exact cosine
+    * re-rank inside. The centroid table is broadcast; the only wide op
+    * is the inverted-list shuffle on centroid id.
+    */
+  def annIvf(data: DataFrame, queries: DataFrame, k: Int, nProbes: Int, centroids: DataFrame): DataFrame = {
+    val cs = broadcast(centroids)
 
-  /** §2.4 #29 — IVF-style ANN: coarse centroids (deterministic sample:
-    * every 31st vector), inverted lists by nearest centroid, queries
-    * probe the 4 nearest lists, exact re-rank inside. The centroid
-    * table is broadcast (it is tiny by construction at any scale);
-    * the inverted-list shuffle is on centroid id.
+    // inverted lists: argmax-cosine centroid per vector (map-side
+    // partial agg, no window)
+    val assigned = prep(data)
+      .join(cs, lit(true))
+      .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
+      .groupBy(col("id"))
+      .agg(
+        max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"),
+        first(col("qv")).as("qv"),
+        first(col("norm")).as("norm"),
+      )
+      .select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"), (-col("m.nid")).cast(IntegerType).as("centroid_id"))
+
+    // probes: nProbes nearest centroids per query (query batch is small
+    // → window is cheap here and keeps the deterministic tie-break)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("centroid_id"))
+    val probes = prep(queries)
+      .select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"))
+      .join(cs, lit(true))
+      .withColumn("cos", pairCos(col("qa"), col("cv"), col("na"), col("cnorm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbes)
+      .select(col("query_id"), col("qa"), col("na"), col("centroid_id"))
+
+    // each data vector lives in exactly one list and probe lists are
+    // distinct, so (query, neighbor) pairs are already unique
+    val scored = probes
+      .join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** trains the quantizer on `data` itself. */
+  def annIvf(data: DataFrame, queries: DataFrame, k: Int, nProbes: Int = 4, numCentroids: Int = 16): DataFrame =
+    annIvf(data, queries, k, nProbes, kmeansCentroids(data, numCentroids))
+
+  /** named query: first 20 vectors as queries, k=5, 16 k-means
+    * centroids, 4 probes. Engine-specific candidate set → rows-only +
+    * recall ScalaTest vs brute force.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id"), qvec.as("qv"))
-    val centroids = e
-      .filter(pmod(col("vec_id"), lit(31)) === 0)
-      .withColumn("centroid_id", (col("vec_id") / 31).cast(IntegerType))
-      .filter(col("centroid_id") < NumCentroids)
-      .select(col("centroid_id"), col("qv").as("cv"))
-
-    // assign: nearest centroid per vector (broadcast join + argmax)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("centroid_id"))
-    val assigned = e
-      .join(broadcast(centroids), lit(true))
-      .withColumn("cdist", qcos(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("centroid_id"))
-
-    // probe: 4 nearest centroids per query
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("centroid_id"))
-    val probes = e
-      .filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
-      .join(broadcast(centroids), lit(true))
-      .withColumn("cdist", qcos(col("qa"), col("cv")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NumProbes)
-      .select(col("query_id"), col("qa"), col("centroid_id"))
-
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    probes
-      .join(assigned.select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("qv").as("qb")), Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", qcos(col("qa"), col("qb")))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rank")
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    annIvf(e, e.filter(col("id") < 20), 5)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_bruteforce" -> (annBruteforce _),
+    "ann_bruteforce" -> (annBruteforce(_: SparkSession, _: String)),
     "dedup_embedding" -> (dedupEmbedding _),
-    "ann_lsh" -> (annLsh _),
-    "ann_ivf" -> (annIvf _),
+    "ann_lsh" -> (annLsh(_: SparkSession, _: String)),
+    "ann_ivf" -> (annIvf(_: SparkSession, _: String)),
   )
 
   val oracles: Map[String, String] = Map(

@@ -80,6 +80,51 @@ class DedupVectorSpec extends AnyFunSuite {
     flagged.foreach(c => assert(c >= 0.5))
   }
 
+  test("generic ANN API: held-out query set, LSH and IVF recall vs brute force") {
+    // queries the named entry points never see — exercises the
+    // parameterized (data, queries, k) API end to end
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val held = e.filter(col("id") >= 200 && col("id") < 220)
+    val bf = VectorOps.annBruteforce(e, held, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(bf.size == 20 * 5)
+    val lsh = VectorOps.annLsh(e, held, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lshRecall = bf.count(lsh.contains).toDouble / bf.size
+    info(s"held-out ann_lsh recall@5 = $lshRecall")
+    assert(lshRecall >= 0.2, s"LSH recall collapsed on held-out queries: $lshRecall")
+    val ivf = VectorOps.annIvf(e, held, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = bf.count(ivf.contains).toDouble / bf.size
+    info(s"held-out ann_ivf recall@5 = $ivfRecall")
+    assert(ivfRecall >= 0.2, s"IVF recall collapsed on held-out queries: $ivfRecall")
+  }
+
+  test("kmeansCentroids: k centers on the unit sphere, every list populated") {
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cents = VectorOps.kmeansCentroids(e, 8).collect()
+    assert(cents.length == 8)
+    cents.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("cv")).length == 64)
+      // data is unit-norm ×10000-quantized; spherical means stay near the sphere
+      val n = r.getAs[Double]("cnorm")
+      assert(n > 5000 && n < 15000, s"centroid norm off the sphere: $n")
+    }
+    // centroids should partition the data non-degenerately: the largest
+    // inverted list must not swallow (almost) everything
+    val cdf = VectorOps.kmeansCentroids(e, 8)
+    val counts = e.select(col("id"), col("embedding"))
+      .join(broadcast(cdf), expr("true"))
+      .withColumn("qv", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))"))
+      .withColumn("cos", expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .groupBy("id").agg(max(struct(col("cos"), col("centroid_id"))).as("m"))
+      .groupBy(col("m.centroid_id")).count()
+      .select("count").as[Long].collect()
+    assert(counts.max < 450, s"one centroid swallowed ${counts.max} of 500 vectors")
+  }
+
   test("winnowing: identical docs share fingerprints; guarantee threshold holds") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -111,6 +111,23 @@ class LakeSpec extends AnyFunSuite {
     assert(broken("manifest_missing_chunks") > 0)
   }
 
+  test("write lock: concurrent writer is refused, stale lock is taken over, put releases") {
+    val store = ChunkStore.init(spark, tmp())
+    val lock = Paths.get(store.path, "_GRAFT_WRITE_LOCK")
+    // a fresh foreign lock refuses the put
+    Files.write(lock, "pid=9999 ts=now".getBytes(StandardCharsets.UTF_8))
+    intercept[StoreLockedException] { store.putBlobs(blobDf(1L -> tiny)) }
+    // a stale lock (crashed writer) is taken over
+    Files.setLastModifiedTime(
+      lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ChunkStore.LockTtlMs - 1000),
+    )
+    store.putBlobs(blobDf(1L -> tiny))
+    assert(store.catalog.count() == 1)
+    // and a successful put releases the lock
+    assert(!Files.exists(lock))
+  }
+
   test("readonly store rejects writes") {
     val p = tmp()
     ChunkStore.init(spark, p)
