@@ -94,6 +94,7 @@ final class ChunkStore private (
   private def chunksDir = s"$path/chunks"
   private def manifestDir = s"$path/manifest"
   private def catalogDir = s"$path/catalog"
+  private def tombstonesDir = s"$path/tombstones"
 
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -108,6 +109,13 @@ final class ChunkStore private (
   def chunks: DataFrame = readOr(chunksDir, chunkSchema)
   def manifest: DataFrame = readOr(manifestDir, manifestSchema)
   def catalog: DataFrame = readOr(catalogDir, catalogSchema)
+  def tombstones: DataFrame = readOr(tombstonesDir, tombstoneSchema)
+
+  /** catalog minus tombstoned blobs — what readers see. Deletes are
+    * two-phase (content-addressed chunks are shared, so nothing can be
+    * dropped eagerly): [[deleteBlobs]] tombstones, [[gc]] reclaims.
+    */
+  def liveCatalog: DataFrame = catalog.join(tombstones, Seq("blob_hash"), "left_anti")
 
   /** Bytes currently stored (at-rest chunk payloads + inline payloads). */
   def currentBytes: Long = {
@@ -349,7 +357,7 @@ final class ChunkStore private (
     */
   def getBlobs(hashDf: DataFrame): DataFrame = {
     val want = hashDf.select(col("blob_hash")).distinct()
-    val cat = catalog.join(want, Seq("blob_hash"))
+    val cat = liveCatalog.join(want, Seq("blob_hash"))
 
     val inline = cat
       .filter(col("kind") === "inline")
@@ -377,7 +385,7 @@ final class ChunkStore private (
     */
   def getBlobsByHashes(hashes: Seq[String]): DataFrame = {
     import spark.implicits._
-    val cat = catalog.filter(col("blob_hash").isin(hashes: _*))
+    val cat = liveCatalog.filter(col("blob_hash").isin(hashes: _*))
     val inline = cat
       .filter(col("kind") === "inline")
       .select(col("blob_hash"), col("inline_data").as("data"))
@@ -445,7 +453,91 @@ final class ChunkStore private (
 
   def containsBlob(hash: String): Boolean = {
     import spark.implicits._
-    catalog.join(Seq(hash).toDF("blob_hash"), Seq("blob_hash"), "left_semi").limit(1).count() > 0
+    liveCatalog.join(Seq(hash).toDF("blob_hash"), Seq("blob_hash"), "left_semi").limit(1).count() > 0
+  }
+
+  /** Tombstone blobs for deletion (no data is reclaimed yet — chunks
+    * are shared across blobs by content addressing, so the space comes
+    * back at the next [[gc]]). Unknown and already-deleted hashes are
+    * ignored. Returns the number of newly tombstoned blobs.
+    */
+  def deleteBlobsDf(hashDf: DataFrame): Long = {
+    if (readonly) throw new StoreReadOnlyException(path)
+    withWriteLock {
+      val fresh = hashDf.select(col("blob_hash")).distinct()
+        .join(catalog.select("blob_hash"), Seq("blob_hash"), "left_semi")
+        .join(tombstones, Seq("blob_hash"), "left_anti")
+        .cache()
+      try {
+        val n = fresh.count()
+        if (n > 0) fresh.write.mode(SaveMode.Append).parquet(tombstonesDir)
+        n
+      } finally fresh.unpersist()
+    }
+  }
+
+  def deleteBlobs(hashes: Seq[String]): Long = {
+    import spark.implicits._
+    deleteBlobsDf(hashes.toDF("blob_hash"))
+  }
+
+  /** Garbage collection: rewrite the store keeping only chunks
+    * reachable from live (non-tombstoned) catalog entries. One
+    * distributed anti-join cascade — catalog → manifest rows →
+    * referenced chunk hashes — then an atomic-ish swap (write to a
+    * temp dir, delete old, rename). Also compacts away replayed
+    * duplicate manifest rows and orphan chunks from failed puts (the
+    * same classes [[fsck]] reports).
+    *
+    * Requires the write lock; concurrent READERS during the swap
+    * window would see a partial store — at 100 TB, front the store
+    * with a table format for snapshot-isolated GC, as the class doc
+    * notes. Returns a one-row stats frame.
+    */
+  def gc(): DataFrame = {
+    if (readonly) throw new StoreReadOnlyException(path)
+    import spark.implicits._
+    withWriteLock {
+      val conf = spark.sessionState.newHadoopConf()
+      val tmpRoot = new HPath(path, ".gc_tmp")
+      val fs = tmpRoot.getFileSystem(conf)
+      fs.delete(tmpRoot, true) // debris from a crashed previous gc
+
+      val beforeChunks = chunks.agg(count(lit(1)), coalesce(sum(col("size")), lit(0L))).as[(Long, Long)].head()
+      val deadBlobs = tombstones.count()
+
+      val liveCat = liveCatalog
+      val liveMan = manifest
+        .dropDuplicates("blob_hash", "level", "part_idx")
+        .join(liveCat.select("blob_hash"), Seq("blob_hash"), "left_semi")
+      val liveChunks = chunks
+        .dropDuplicates("chunk_hash")
+        .join(liveMan.select("chunk_hash").distinct(), Seq("chunk_hash"), "left_semi")
+
+      // materialize the survivors BEFORE touching the source dirs (the
+      // frames above read them lazily)
+      liveChunks.write.partitionBy("bucket").parquet(s"$path/.gc_tmp/chunks")
+      liveMan.write.parquet(s"$path/.gc_tmp/manifest")
+      liveCat.write.parquet(s"$path/.gc_tmp/catalog")
+
+      Seq("chunks", "manifest", "catalog").foreach { d =>
+        val dst = new HPath(path, d)
+        fs.delete(dst, true)
+        if (!fs.rename(new HPath(tmpRoot, d), dst))
+          throw new java.io.IOException(s"gc: rename failed for $d in $path")
+      }
+      fs.delete(tmpRoot, true)
+      fs.delete(new HPath(tombstonesDir), true)
+
+      val afterChunks = chunks.agg(count(lit(1)), coalesce(sum(col("size")), lit(0L))).as[(Long, Long)].head()
+      Seq((
+        deadBlobs,
+        beforeChunks._1 - afterChunks._1,
+        beforeChunks._2 - afterChunks._2,
+        afterChunks._1,
+        afterChunks._2,
+      )).toDF("blobs_deleted", "chunks_reclaimed", "bytes_reclaimed", "chunks_live", "bytes_live")
+    }
   }
 
   /** Store consistency audit — the Spark analog of the reference's
@@ -535,6 +627,9 @@ object ChunkStore {
     StructField("root_key", StringType),
     StructField("root_bucket", IntegerType),
     StructField("tree_depth", IntegerType),
+  ))
+  val tombstoneSchema: StructType = StructType(Seq(
+    StructField("blob_hash", StringType),
   ))
 
   /** Size ladder (store/mod.rs:430-457). */

@@ -99,6 +99,18 @@ final class Lake private (val spark: SparkSession, val config: LakeConfig, val s
     }
     throw new BlobNotFoundException(hash)
   }
+
+  /** Tombstone blobs in every writable store that holds them (a blob
+    * put before a spill-over may live in several). Returns the number
+    * of (store, blob) tombstones written.
+    */
+  def delete(hashes: Seq[String]): Long =
+    writable.map(_.deleteBlobs(hashes)).sum
+
+  /** GC every writable store; returns per-store stats keyed by path. */
+  def gc(): DataFrame =
+    writable.map(s => s.gc().withColumn("store", lit(s.path)))
+      .reduceLeft(_ unionByName _)
 }
 
 object Lake {

@@ -61,24 +61,39 @@ object Dedup {
   // ---------------------------------------------------------------- n-gram jaccard
 
   /** §2.3 #23 — exact word-set Jaccard near-dup pairs, scoped to
-    * same-source pairs (the blocking key that keeps the pair space
-    * linear-ish at scale; cross-source near-dups are MinHash's job).
+    * same-source pairs (cross-source near-dups are MinHash's job).
+    *
+    * Blocking is (source, size band), not source alone: J(A,B) ≥ 0.8
+    * forces min(|A|,|B|) ≥ 0.8·max(|A|,|B|) (|A∩B| ≤ min, |A∪B| ≥
+    * max), so qualifying pairs differ by at most one geometric
+    * log₁.₂₅ size band — joining each doc against its own and the two
+    * adjacent bands prunes the pair space LOSSLESSLY (identical output,
+    * same oracle) and keeps a hot source key from detonating into
+    * O(n²): the quadratic term is now per (source, band), and band
+    * population is bounded by the corpus length distribution.
     */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     // word sets as sorted xxhash64 arrays: |A∩B| then runs in the
     // codegen'd two-pointer kernel; set sizes (and hence jaccard)
     // equal the string-set formulation absent 64-bit collisions
+    val bandBase = math.log(1.25)
     val d = docs(spark, dir)
       .select(
         col("doc_id"),
         col("source"),
         array_sort(array_distinct(transform(words, w => xxhash64(w)))).as("wset"),
       )
+      .withColumn("band", floor(log(greatest(size(col("wset")), lit(1)).cast(DoubleType)) / bandBase).cast(IntegerType))
       .cache()
-    val a = d.select(col("doc_id").as("doc_a"), col("source"), col("wset").as("wa"))
-    val b = d.select(col("doc_id").as("doc_b"), col("source"), col("wset").as("wb"))
+    val a = d.select(col("doc_id").as("doc_a"), col("source"), col("wset").as("wa"), col("band"))
+      // a qualifying partner's band is within ±1 of ours; emitting the
+      // three bands on the smaller-id side keeps each pair matched
+      // exactly once (the partner's band is a single value)
+      .withColumn("jband", explode(array(col("band") - 1, col("band"), col("band") + 1)))
+      .drop("band")
+    val b = d.select(col("doc_id").as("doc_b"), col("source"), col("wset").as("wb"), col("band").as("jband"))
     val inter = graft.functions.ArrayExprs.sortedIntersectCount(col("wa"), col("wb"))
-    a.join(b, Seq("source"))
+    a.join(b, Seq("source", "jband"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", inter.cast(DoubleType) / (size(col("wa")) + size(col("wb")) - inter))
       .filter(col("jaccard") >= 0.8)

@@ -111,6 +111,37 @@ class LakeSpec extends AnyFunSuite {
     assert(broken("manifest_missing_chunks") > 0)
   }
 
+  test("delete + gc: tombstone hides the blob, gc reclaims unique chunks, shared chunks survive") {
+    val store = ChunkStore.init(spark, tmp())
+    val shared = "x" * 256
+    val a = shared + ("tailA" * 20)
+    val b = shared + ("tailB" * 20)
+    val ha = store.putBlobs(blobDf(1L -> a)).blobs.head.blobHash
+    val hb = store.putBlobs(blobDf(2L -> b)).blobs.head.blobHash
+    val chunksBefore = store.chunks.count()
+
+    assert(store.deleteBlobs(Seq(ha)) == 1)
+    assert(store.deleteBlobs(Seq(ha)) == 0, "tombstoning is idempotent")
+    intercept[BlobNotFoundException] { store.getBlob(ha) }
+    assert(!store.containsBlob(ha) && store.containsBlob(hb))
+    assert(new String(store.getBlob(hb), StandardCharsets.UTF_8) == b, "sibling blob unaffected by tombstone")
+
+    val stats = store.gc().collect().head
+    assert(stats.getAs[Long]("blobs_deleted") == 1)
+    // a's unique tail part + a's manifest node go; the shared first
+    // part must survive (b's manifest still references it)
+    assert(stats.getAs[Long]("chunks_reclaimed") == 2, s"reclaimed ${stats.getAs[Long]("chunks_reclaimed")}")
+    assert(store.chunks.count() == chunksBefore - 2)
+    assert(store.tombstones.count() == 0, "gc clears tombstones")
+    assert(new String(store.getBlob(hb), StandardCharsets.UTF_8) == b, "sibling blob survives gc")
+    val fsckAfter = store.fsck().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fsckAfter.values.forall(_ == 0L), s"gc left inconsistencies: $fsckAfter")
+
+    // deleted content can be re-put and read again
+    store.putBlobs(blobDf(3L -> a))
+    assert(new String(store.getBlob(ha), StandardCharsets.UTF_8) == a)
+  }
+
   test("write lock: concurrent writer is refused, stale lock is taken over, put releases") {
     val store = ChunkStore.init(spark, tmp())
     val lock = Paths.get(store.path, "_GRAFT_WRITE_LOCK")
