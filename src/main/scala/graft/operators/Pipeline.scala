@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline composition operators over `documents`:
+  * near-dup cluster assignment (pair lists → per-doc dedup decisions),
+  * deterministic stratified sampling (corpus mixing), and
+  * token-budget sequence packing. All three are hash-oracled against
+  * DuckDB — the math is integer/md5-exact by construction.
+  */
+object Pipeline {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  // ------------------------------------------------ connected components
+
+  /** Connected components by iterative min-label propagation:
+    * label(x) ← min(label(x), min over neighbors' labels) until no
+    * label changes. Each round is one shuffle on the edge key + one on
+    * doc_id; rounds = component diameter, which for near-dup clusters
+    * is tiny (dup groups are cliques or near-cliques from banding).
+    * For adversarial long-chain graphs swap in pointer-doubling
+    * (large-star/small-star) — same join shape, O(log n) rounds.
+    *
+    * `pairs` must expose (doc_a, doc_b); returns (doc_id, cluster_id)
+    * for every endpoint, cluster_id = min doc id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.withColumnRenamed("cluster_id", "old")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"), col("old"))
+        .cache()
+      changed = next.filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next.drop("old")
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** §2.3 #22b — near-dup cluster assignment: MinHash-LSH pairs
+    * ([[Dedup.dedupMinhashLsh]]) resolved into per-document dedup
+    * decisions — cluster id (min doc id of the connected component)
+    * and a canonical-survivor flag. This is the step that turns a pair
+    * list into "which rows do I actually drop" at corpus scale.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(Dedup.dedupMinhashLsh(spark, dir).select("doc_a", "doc_b"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+
+  /** Oracle: exact all-pairs Jaccard edges (the declared-equivalent
+    * oracle regime of `dedup_minhash_lsh`) + a recursive min-label CTE.
+    */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |      ELSE [text] END AS sh
+      |  FROM w
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM p
+      |), nodes AS (
+      |  SELECT DISTINCT src AS doc_id FROM edges
+      |), conn AS (
+      |  SELECT doc_id, doc_id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst, c.lbl FROM conn c JOIN edges e ON e.src = c.doc_id WHERE c.lbl < e.dst
+      |)
+      |SELECT doc_id, min(lbl) AS cluster_id, min(lbl) = doc_id AS is_canonical
+      |FROM conn GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- stratified sampling
+
+  /** §2.5 #31b — deterministic stratified sampling for corpus mixing:
+    * per-source keep rates, membership decided by an md5-derived
+    * uniform so the sample is reproducible across runs, engines, task
+    * retries, and cluster sizes (no rand(), no partition dependence).
+    * Purely map-side — the filter pushes to the scan at any scale.
+    *
+    * Demo rate schedule: (1 + source_number mod 4) / 4 ∈ {.25,.5,.75,1}.
+    */
+  def sampleMix(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rate", (lit(1.0) + pmod(substring(col("source"), 4, 10).cast(IntegerType), lit(4))) / 4.0)
+      .withColumn("u32", conv(substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 8), 16, 10).cast(LongType))
+      .filter(col("u32") < (col("rate") * 4294967296.0).cast(LongType))
+      .select(col("doc_id"), col("source"), col("rate"))
+      .orderBy("doc_id")
+
+  val sampleMixSql: String =
+    """SELECT doc_id, source, rate FROM (
+      |  SELECT doc_id, source,
+      |    (1.0 + (CAST(substr(source, 4) AS INTEGER) % 4)) / 4.0 AS rate,
+      |    ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+      |  FROM documents
+      |)
+      |WHERE u32 < CAST(rate * 4294967296 AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- sequence packing
+
+  private val PackBudget = 2048L
+
+  /** §2.5 #32b — token-budget sequence packing (the concat-then-window
+    * layout LLM training uses): docs are concatenated per source in
+    * doc_id order and cut into `PackBudget`-token sequences; each doc
+    * learns its sequence index and offset. One windowed prefix sum per
+    * source — a range-partitioned sort at scale, no driver state. All
+    * integer math → hash-exact across engines.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tokens"),
+        expr(s"CAST(cum DIV $PackBudget AS BIGINT)").as("seq_idx"),
+        expr(s"CAST(cum % $PackBudget AS BIGINT)").as("seq_offset"),
+      )
+      .orderBy("source", "doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT doc_id, source, n_tokens,
+      |  CAST(cum // $PackBudget AS BIGINT) AS seq_idx,
+      |  CAST(cum % $PackBudget AS BIGINT) AS seq_offset
+      |FROM (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS cum
+      |  FROM (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+      |)
+      |ORDER BY source, doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
+    "sample_mix" -> (sampleMix _),
+    "pack_sequences" -> (packSequences _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql,
+    "sample_mix" -> sampleMixSql,
+    "pack_sequences" -> packSequencesSql,
+  )
+}

@@ -125,6 +125,15 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(counts.max < 450, s"one centroid swallowed ${counts.max} of 500 vectors")
   }
 
+  test("connectedComponents: chains merge transitively, components stay separate") {
+    // 1-2, 2-3, 3-4 chain → one cluster labeled 1; 10-11 separate; 20-21, 21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 22L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = operators.Pipeline.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("winnowing: identical docs share fingerprints; guarantee threshold holds") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
