@@ -148,6 +148,19 @@ object Dedup {
     graft.functions.ArrayExprs.minhashSig(hs, perms.map(_._1).toArray, perms.map(_._2).toArray, MinHashPrime)
   }
 
+  /** (band_idx, band_key) structs of a precomputed signature column —
+    * shared by the batch band relation and the streaming near-dup
+    * candidate operator so both index identically.
+    */
+  private[graft] def bandArrayOf(sig: Column): Column =
+    transform(
+      sequence(lit(0), lit(NumBands - 1)),
+      b => struct(
+        b.cast(IntegerType).as("band_idx"),
+        xxhash64(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))).as("band_key"),
+      ),
+    )
+
   /** Exploded (doc_id, band_idx, band_key) relation. The 4-long band
     * slice is collapsed to one 64-bit hash before the shuffle — a
     * quarter of the shuffle bytes, and a band-hash collision can only
@@ -155,16 +168,7 @@ object Dedup {
     */
   private def bandRows(d: DataFrame): DataFrame =
     d.withColumn("sig", signature(col("sh")))
-      .select(
-        col("doc_id"),
-        col("sh"),
-        explode(
-          transform(
-            sequence(lit(0), lit(NumBands - 1)),
-            b => struct(b.as("band_idx"), xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("band_key")),
-          )
-        ).as("band"),
-      )
+      .select(col("doc_id"), col("sh"), explode(bandArrayOf(col("sig"))).as("band"))
       .select(col("doc_id"), col("sh"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
 
   /** §2.3 #24 — MinHash + LSH banding: 64 perms, 16 bands × 4 rows →

@@ -31,8 +31,11 @@ object Pipeline {
     * for every endpoint, cluster_id = min doc id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // the symmetric union reads `pairs` twice — without this cache an
+    // expensive upstream (e.g. the whole MinHash pipeline) runs twice
+    val p = pairs.cache()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -53,6 +56,7 @@ object Pipeline {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 

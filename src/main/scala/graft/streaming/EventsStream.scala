@@ -109,4 +109,69 @@ object EventsStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class BandHit(band_idx: Int, band_key: Long, doc_id: Long, ts: Timestamp)
+  final case class BandOwner(ownerId: Long)
+  final case class CandPair(doc_a: Long, doc_b: Long, band_idx: Int)
+
+  /** §2.7 #40 — streaming MinHash near-dup candidates: each incoming
+    * document is banded with EXACTLY the batch LSH index
+    * ([[graft.operators.Dedup]] signature + band keys), and a band's
+    * first-ever document becomes its state-held owner; later documents
+    * colliding in that band emit an (owner, newcomer) candidate pair.
+    * Downstream exact-Jaccard verification (batch, e.g.
+    * `dedup_minhash_lsh`'s verify stage) filters candidates — same
+    * contract as the batch operator, so precision survives band-hash
+    * collisions.
+    *
+    * State is one owner id per seen band key, expired
+    * `stateTtlMs` past the watermark (the bound that lets the operator
+    * run forever on an unbounded corpus; a pair spanning longer than
+    * the TTL is the batch job's to find). A pair colliding in k bands
+    * emits k rows — dedup is the downstream verifier's first step, not
+    * a second stateful stage here (chained stateful operators restrict
+    * output modes).
+    *
+    * `docs` must expose (doc_id: long, ts: timestamp, text: string).
+    */
+  def nearDupCandidates(
+      docs: DataFrame,
+      watermarkDelay: String = "1 hour",
+      stateTtlMs: Long = 3600L * 1000,
+  ): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+
+    val bands = docs
+      .withColumn("sig", Dedup.signature(Dedup.shingles))
+      .select(col("doc_id"), col("ts"), explode(Dedup.bandArrayOf(col("sig"))).as("b"))
+      .select(col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"), col("doc_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[BandHit]
+
+    def fn(key: (Int, Long), it: Iterator[BandHit], state: GroupState[BandOwner]): Iterator[CandPair] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      // micro-batch arrival order is nondeterministic — impose the
+      // same (ts, doc_id) total order the batch operator implies
+      val sorted = it.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+      var owner = state.getOption.map(_.ownerId)
+      sorted.foreach { h =>
+        owner match {
+          case None => owner = Some(h.doc_id)
+          case Some(o) if o != h.doc_id =>
+            out += CandPair(math.min(o, h.doc_id), math.max(o, h.doc_id), key._1)
+          case _ => ()
+        }
+      }
+      state.update(BandOwner(owner.get))
+      state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + stateTtlMs)
+      out.iterator
+    }
+
+    bands
+      .groupByKey(h => (h.band_idx, h.band_key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

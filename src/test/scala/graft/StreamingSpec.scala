@@ -119,6 +119,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates: cross-batch dups caught, distinct docs silent") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val input = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = EventsStream.nearDupCandidates(input)
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      val base = ("many shared words in this rather long synthetic document body " * 6).trim
+      val t = Timestamp.valueOf("2026-01-01 10:00:00")
+      // batch 1: the original + an unrelated doc
+      stream.addData(Seq((1L, t, base), (50L, t, "completely different vocabulary everywhere " * 8)))
+      q.processAllAvailable()
+      // batch 2: a near-identical copy (one word appended) + another unrelated doc
+      stream.addData(Seq((2L, t, base + " tail"), (60L, t, "nothing alike here at all " * 9)))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out")
+        .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"cross-batch near-dup not caught: $pairs")
+      assert(pairs.forall { case (a, b) => Set(a, b) == Set(1L, 2L) },
+        s"unrelated docs must not pair: $pairs")
+      // candidates match the batch band index: every emitted pair shares
+      // a band in the batch formulation too
+      val batchBands = Seq((1L, base), (2L, base + " tail"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), explode(graft.operators.Dedup.bandArrayOf(
+          graft.operators.Dedup.signature(graft.operators.Dedup.shingles))).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
+      val shared = batchBands.as("x").join(batchBands.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id")).count()
+      assert(shared > 0, "batch index must agree that the pair collides")
+    } finally q.stop()
+  }
+
   test("multimodal features roundtrip through the batched decoder") {
     val feats = multimodal.Multimodal.multimodalFeatures(spark, sf).collect()
     assert(feats.length == 500)
