@@ -119,13 +119,79 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Typed row for one sampled video frame. */
+  final case class FrameRow(doc_id: Long, frame_idx: Long, n_frames: Long, luma: Double)
+
+  /** Frames sampled per video — a budget, not a stride: real pipelines
+    * cap decoder work per asset regardless of media length.
+    */
+  val MaxFrameSamples = 8
+
+  /** STUB frame sampler: deterministic fake per-frame decode. A real
+    * implementation seeks the codec to the sampled frame here; the
+    * sampling schedule (budgeted stride), batch shape, and typed
+    * output schema are the production plumbing. The fake's "luma" is
+    * the byte mean of the frame's 64-byte slice.
+    */
+  def sampleFramesBatch(batch: Seq[MediaRow]): Seq[FrameRow] =
+    batch.filter(_.kind == "vid").flatMap { m =>
+      val frames = 1L + m.payload.length / 64
+      val stride = math.max(1L, math.ceil(frames.toDouble / MaxFrameSamples).toLong)
+      (0L until frames by stride).map { f =>
+        val from = (f * 64).toInt
+        val slice = m.payload.slice(from, math.min(from + 64, m.payload.length))
+        val luma =
+          if (slice.isEmpty) 0.0
+          else slice.foldLeft(0L)((acc, x) => acc + (x & 0xff)).toDouble / slice.length
+        FrameRow(m.doc_id, f, frames, luma)
+      }
+    }
+
+  /** §2.6 #35b — frame sampling: one row per sampled frame of each
+    * `vid` payload, ≤ [[MaxFrameSamples]] per video. Same batched
+    * mapPartitions shape as [[multimodalFeatures]]; the explode happens
+    * inside the decoder (bounded by the sample budget), so output size
+    * is O(videos × budget) at any media length.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(b => sampleFramesBatch(b.toSeq)))
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val multimodalFramesSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, text, CAST(1 + len(text) // 64 AS BIGINT) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), s AS (
+      |  SELECT doc_id, text, n_frames,
+      |    greatest(1, CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS BIGINT)) AS stride
+      |  FROM v
+      |), f AS (
+      |  SELECT doc_id, n_frames, unnest(range(0, n_frames, stride)) AS frame_idx, text FROM s
+      |), sl AS (
+      |  SELECT doc_id, frame_idx, n_frames,
+      |    substring(text, CAST(frame_idx * 64 + 1 AS INT), 64) AS sub
+      |  FROM f
+      |)
+      |SELECT doc_id, frame_idx, n_frames,
+      |  CASE WHEN len(sub) = 0 THEN 0.0
+      |       ELSE CAST(list_sum(list_transform(range(1, len(sub) + 1), i -> ord(substring(sub, CAST(i AS INT), 1)))) AS DOUBLE) / len(sub)
+      |  END AS luma
+      |FROM sl
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames" -> (multimodalFrames _),
   )
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_frames" -> multimodalFramesSql,
   )
 }
