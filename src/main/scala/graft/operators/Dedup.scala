@@ -220,6 +220,81 @@ object Dedup {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- incremental
+
+  /** §2.3 #24b — incremental corpus dedup: the production pattern where
+    * a corpus's MinHash band index is built ONCE and each new ingest
+    * batch is checked against it (no corpus self-join, no re-signing of
+    * old data). Demo split: `doc_id % 10 == 0` is the arriving batch,
+    * the rest is the standing corpus. Candidates come from joining the
+    * batch's band rows against the corpus band index — the batch side is
+    * small, so at scale this is a broadcast against the bucketed index —
+    * then exact-Jaccard verification picks the best corpus match per new
+    * doc ((jaccard desc, dup_of asc) tiebreak → deterministic).
+    *
+    * Output: every batch doc with `is_dup` and its best match (null
+    * when none). Oracle = exact batch×corpus Jaccard (valid for the
+    * same reason as `dedup_minhash_lsh`: verified candidates ⊆ exact
+    * pairs and band recall at the 0.8 threshold is 1−(1−0.8⁴)¹⁶ ≈
+    * 0.9998 per pair, deterministic given the fixed perms).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), shingles.as("sh"), (col("doc_id") % 10 === 0).as("is_new"))
+      .cache()
+    val corpus = d.filter(!col("is_new"))
+    val batch = d.filter(col("is_new"))
+    val corpusBands = bandRows(corpus).drop("sh") // the persistent index
+    val batchBands = bandRows(batch).drop("sh")
+    val candidates = batchBands
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
+      .join(
+        corpusBands.select(col("doc_id").as("dup_of"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"),
+      )
+      .select("doc_id", "dup_of")
+      .distinct()
+    val verified = candidates
+      .join(batch.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
+      .join(corpus.select(col("doc_id").as("dup_of"), col("sh").as("sh_c")), "dup_of")
+      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_c")))
+      .filter(col("jaccard") >= VerifyThreshold)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("dup_of"))
+    val best = verified
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
+    batch.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |      ELSE [text] END AS sh
+      |  FROM w
+      |), batch AS (SELECT * FROM s WHERE doc_id % 10 = 0),
+      |corpus AS (SELECT * FROM s WHERE doc_id % 10 <> 0),
+      |m AS (
+      |  SELECT n.doc_id, c.doc_id AS dup_of,
+      |    CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(n.sh, c.sh))) AS jaccard
+      |  FROM batch n JOIN corpus c ON
+      |    CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.8
+      |), r AS (
+      |  SELECT doc_id, dup_of, jaccard,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, dup_of) AS rk
+      |  FROM m
+      |)
+      |SELECT b.doc_id, r.dup_of IS NOT NULL AS is_dup, r.dup_of, r.jaccard
+      |FROM batch b LEFT JOIN (SELECT doc_id, dup_of, jaccard FROM r WHERE rk = 1) r USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- simhash
 
   /** Per-doc 62-bit SimHash relation (Charikar'02): one aggregate pass
@@ -271,12 +346,14 @@ object Dedup {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_incremental" -> (dedupIncremental _),
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     // dedup_simhash: engine-specific xxhash64 → rows-only check
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.GraftSession.table
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -101,6 +101,82 @@ object Pipeline {
       |SELECT doc_id, min(lbl) AS cluster_id, min(lbl) = doc_id AS is_canonical
       |FROM conn GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- decontamination
+
+  private val DecontamN = 5
+
+  /** Distinct n-word grams (whole text for shorter docs). */
+  private def wordGrams(n: Int): Column = {
+    val ws = split(col("text"), " ")
+    when(
+      size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n), i => concat_ws(" ", slice(ws, i + 1, lit(n))))),
+    ).otherwise(array(col("text")))
+  }
+
+  /** §2.3 #26e — benchmark decontamination: flag training documents
+    * sharing 5-gram spans with an eval set (the n-gram-collision
+    * decontamination step every LLM data pipeline runs before
+    * training; GPT-3/PaLM-style 8–13 gram checks, scaled to this
+    * corpus's doc lengths). Demo split: `doc_id % 37 == 0` is the
+    * "benchmark"; production passes a separate eval table.
+    *
+    * Scale shape: the eval index is distinct 5-grams of the BENCHMARK
+    * only — benchmarks are MBs, so it is broadcast; the training side
+    * explodes grams map-side, the broadcast inner join filters to hits
+    * before anything shuffles, and the only wide op is the per-doc hit
+    * count on `doc_id`. Training docs with zero hits survive via the
+    * final left join against the (tiny, already-aggregated) hit list.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir).select(col("doc_id"), wordGrams(DecontamN).as("grams"))
+    val evalIndex = g.filter(col("doc_id") % 37 === 0)
+      .select(explode(col("grams")).as("gram"))
+      .distinct()
+    val train = g.filter(col("doc_id") % 37 =!= 0)
+    val hits = train
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalIndex), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits")) // grams are per-doc distinct
+    train
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast(LongType).as("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / size(col("grams"))).as("contamination"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / size(col("grams")) > 0.2).as("is_contaminated"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val terms = (0 until DecontamN).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= $DecontamN
+      |      THEN list_distinct(list_transform(range(1, len(ws) - ${DecontamN - 2}), i -> $terms))
+      |      ELSE [text] END AS grams
+      |  FROM w
+      |), eval_g AS (
+      |  SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 37 = 0)
+      |), train AS (SELECT * FROM g WHERE doc_id % 37 <> 0),
+      |hits AS (
+      |  SELECT t.doc_id, count(*) AS n_hits
+      |  FROM (SELECT doc_id, unnest(grams) AS gram FROM train) t JOIN eval_g e USING (gram)
+      |  GROUP BY t.doc_id
+      |)
+      |SELECT tr.doc_id,
+      |  CAST(len(tr.grams) AS BIGINT) AS n_ngrams,
+      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(tr.grams) AS contamination,
+      |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(tr.grams) > 0.2 AS is_contaminated
+      |FROM train tr LEFT JOIN hits h USING (doc_id)
+      |ORDER BY tr.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- stratified sampling
 
   /** §2.5 #31b — deterministic stratified sampling for corpus mixing:
@@ -169,12 +245,14 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
+    "decontaminate" -> (decontaminate _),
     "sample_mix" -> (sampleMix _),
     "pack_sequences" -> (packSequences _),
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "decontaminate" -> decontaminateSql,
     "sample_mix" -> sampleMixSql,
     "pack_sequences" -> packSequencesSql,
   )

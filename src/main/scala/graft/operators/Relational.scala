@@ -375,7 +375,7 @@ object Relational {
   val qEventsWindowSql: String =
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
       |  count(*) AS n_events,
-      |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor_value,
+      |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value,
       |  CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |FROM events
       |GROUP BY 1, 2

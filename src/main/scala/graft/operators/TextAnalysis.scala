@@ -194,6 +194,58 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** n-word grams of `words` as a (non-distinct) array; docs shorter
+    * than n yield a single whole-text gram.
+    */
+  private def ngrams(n: Int): Column =
+    when(
+      size(words) >= n,
+      transform(sequence(lit(0), size(words) - n), i => concat_ws(" ", slice(words, i + 1, lit(n)))),
+    ).otherwise(array(col("text")))
+
+  /** §2.5 #31c — repetition scoring: the repeated-n-gram ratio
+    * (1 − distinct/total over 2- and 3-grams), the standard boilerplate
+    * / degenerate-generation signal (Gopher/MassiveText-style repetition
+    * filters). Pure map-side column math — no shuffle at any scale.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def stats(n: Int) = {
+      val g = ngrams(n)
+      val total = size(g).cast(LongType)
+      val uniq = size(array_distinct(g)).cast(LongType)
+      (total, uniq, when(total > 0, lit(1.0) - uniq.cast(DoubleType) / total).otherwise(lit(0.0)))
+    }
+    val (t2, u2, r2) = stats(2)
+    val (t3, u3, r3) = stats(3)
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        t2.as("n_2grams"), u2.as("uniq_2grams"), r2.as("rep2_ratio"),
+        t3.as("n_3grams"), u3.as("uniq_3grams"), r3.as("rep3_ratio"),
+        (r3 > 0.2).as("is_repetitive"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String = {
+    def g(n: Int) = {
+      val terms = (0 until n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"CASE WHEN len(ws) >= $n THEN list_transform(range(1, len(ws) - ${n - 2}), i -> $terms) ELSE [text] END"
+    }
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, ${g(2)} AS g2, ${g(3)} AS g3 FROM w)
+      |SELECT doc_id,
+      |  CAST(len(g2) AS BIGINT) AS n_2grams,
+      |  CAST(len(list_distinct(g2)) AS BIGINT) AS uniq_2grams,
+      |  CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END AS rep2_ratio,
+      |  CAST(len(g3) AS BIGINT) AS n_3grams,
+      |  CAST(len(list_distinct(g3)) AS BIGINT) AS uniq_3grams,
+      |  CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END AS rep3_ratio,
+      |  (CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END) > 0.2 AS is_repetitive
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** §2.5 #31b — corpus report: per (source, label lang) doc counts,
     * token totals and mean quality — the dataset-card rollup a
     * training-data pipeline publishes per snapshot.
@@ -234,6 +286,7 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_winnow_pairs" -> (textWinnowPairs _),
+    "text_repetition" -> (textRepetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -242,5 +295,6 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_repetition" -> textRepetitionSql,
   )
 }

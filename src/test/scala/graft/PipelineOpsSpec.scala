@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the r3 pipeline operators: incremental dedup,
+  * decontamination, repetition scoring.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("dedup_incremental equals exact batch-vs-corpus jaccard matching") {
+    val got = Dedup.dedupIncremental(spark, sf)
+      .filter(col("is_dup"))
+      .select(col("doc_id"), col("dup_of"))
+      .as[(Long, Long)].collect().toMap
+
+    val d = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.shingles.as("sh"))
+    val batch = d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("sh").as("sn"))
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("dup_of"), col("sh").as("sc"))
+    val exact = batch.crossJoin(corpus)
+      .withColumn("j", size(array_intersect(col("sn"), col("sc"))).cast("double") /
+        size(array_union(col("sn"), col("sc"))))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_id"), col("dup_of"), col("j"))
+      .as[(Long, Long, Double)].collect()
+    val exactBest = exact.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.maxBy(r => (r._3, -r._2))._2
+    }
+    assert(got == exactBest, s"got=${got.size} exact=${exactBest.size}")
+    assert(got.nonEmpty, "test data should contain cross-split near-dups")
+  }
+
+  test("dedup_incremental output covers every batch doc exactly once") {
+    val out = Dedup.dedupIncremental(spark, sf).select("doc_id").as[Long].collect()
+    val batchIds = GraftSession.table(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0).select("doc_id").as[Long].collect()
+    assert(out.sorted.toSeq == batchIds.sorted.toSeq)
+    assert(out.length == out.distinct.length)
+  }
+
+  test("decontaminate hit counts match a driver-side recomputation") {
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length >= 5) ws.sliding(5).map(_.mkString(" ")).toSet else Set(t)
+    }
+    val evalGrams = docs.filter(_._1 % 37 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filterNot(_._1 % 37 == 0).map { case (id, t) =>
+      val g = grams(t)
+      id -> (g.size.toLong, g.count(evalGrams.contains).toLong)
+    }.toMap
+
+    val got = Pipeline.decontaminate(spark, sf)
+      .select(col("doc_id"), col("n_ngrams"), col("n_hits"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "planted near-dups should contaminate")
+    assert(got.values.forall { case (n, h) => h <= n })
+  }
+
+  test("text_repetition ratios match a driver-side recomputation and are bounded") {
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def stats(t: String, n: Int): (Long, Long) = {
+      val ws = t.split(" ", -1)
+      val g = if (ws.length >= n) ws.sliding(n).map(_.mkString(" ")).toSeq else Seq(t)
+      (g.size.toLong, g.distinct.size.toLong)
+    }
+    val rows = TextAnalysis.textRepetition(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = docs.find(_._1 == id).get._2
+      val (t2, u2) = stats(text, 2)
+      val (t3, u3) = stats(text, 3)
+      assert(r.getAs[Long]("n_2grams") == t2)
+      assert(r.getAs[Long]("uniq_2grams") == u2)
+      assert(r.getAs[Long]("n_3grams") == t3)
+      assert(r.getAs[Long]("uniq_3grams") == u3)
+      val rep3 = r.getAs[Double]("rep3_ratio")
+      assert(rep3 >= 0.0 && rep3 < 1.0)
+      assert(math.abs(rep3 - (if (t3 > 0) 1.0 - u3.toDouble / t3 else 0.0)) < 1e-12)
+    }
+  }
+}

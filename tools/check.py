@@ -36,6 +36,15 @@ def eq(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # the driver hashes the pandas materialization, where an int-typed
+    # Spark column vs a float-typed oracle column (e.g. DuckDB HUGEINT
+    # from sum(BIGINT)) mismatches even when the values are equal —
+    # treat cross-type numeric equality as a failure here too
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        if isinstance(a, float) != isinstance(b, float):
+            return False
     return a == b
 
 
@@ -67,6 +76,28 @@ def main():
         wc, wr = canon(want_rows, want_cols)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+            continue
+        # the driver compares pandas materializations, where type family
+        # matters: DuckDB HUGEINT (from sum(BIGINT)) lands as float64 and
+        # hash-mismatches Spark's int64 even with equal values. Compare
+        # declared type families so that class of bug fails locally too.
+        def family(t):
+            t = t.upper()
+            if "HUGEINT" in t:
+                return "float"  # pandas materializes int128 as float64
+            if any(x in t for x in ("INT", "BIGINT")):
+                return "int"
+            if any(x in t for x in ("DOUBLE", "FLOAT", "REAL", "DECIMAL")):
+                return "float"
+            return "other"
+        gtypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+        ).fetchall()}
+        wtypes = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        tbad = [c for c in gc if family(gtypes.get(c, "")) != family(wtypes.get(c, ""))]
+        if tbad:
+            print(f"FAIL {name}: type family mismatch on {[(c, gtypes.get(c), wtypes.get(c)) for c in tbad]}")
             n_fail += 1
             continue
         if len(gr) != len(wr):
