@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Temporary profiling main (not part of the library surface). */
 object Scratch {
@@ -18,14 +19,31 @@ object Scratch {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg", "q_json", "q_sketches", "q_topk_group")
-    // warm
-    names.foreach(n => materialize(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")))
-    names.foreach { n =>
+    def time(name: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      materialize(SparkEntry.queries(n)(spark, sfDir))
+      materialize(df)
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"TIMING $n%-20s $dt%8.2f s")
+      println(f"TIMING $name%-24s $dt%8.2f s")
+    }
+
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val ws = split(col("text"), " ")
+    def hofGrams = when(
+      size(ws) >= 5,
+      array_distinct(transform(sequence(lit(0), size(ws) - 5), i => concat_ws(" ", slice(ws, i + 1, lit(5))))),
+    ).otherwise(array(col("text")))
+    def kernelGrams = array_distinct(graft.functions.ArrayExprs.wordNgrams(ws, 5))
+
+    time("warm")(docs.select(col("doc_id")))
+    time("hof_grams")(docs.select(col("doc_id"), hofGrams.as("g")))
+    time("kernel_grams")(docs.select(col("doc_id"), kernelGrams.as("g")))
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("decontaminate", "text_repetition", "dedup_incremental", "dedup_clusters", "dedup_minhash_lsh")
+    names.foreach { n =>
+      try time(n)(SparkEntry.queries(n)(spark, sfDir))
+      catch { case e: Throwable => println(s"ERROR $n: ${e.getMessage}"); e.printStackTrace() }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

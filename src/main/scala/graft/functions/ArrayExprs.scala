@@ -40,6 +40,75 @@ object ArrayExprs {
   /** Winnowing fingerprints from an array<long> of word hashes. */
   def winnow(wordHashes: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(wordHashes), k, w))
+
+  /** Space-joined word n-grams of an array<string> column. */
+  def wordNgrams(words: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(words), n))
+}
+
+/** Space-joined n-grams of a word array; a document shorter than n
+  * words yields a single gram of all its words (for the single-spaced
+  * corpus this equals the whole text, matching the
+  * `when(size < n, array(text))` fallback it replaces).
+  *
+  * Exists as a kernel because the higher-order formulation
+  * (`transform(sequence(...), i -> concat_ws(' ', slice(ws, i+1, n)))`)
+  * is interpreted — per gram it allocates a lambda frame, a sliced
+  * array copy, and boxes — and it drops the whole projection out of
+  * whole-stage codegen. Gram assembly here is one UTF8String.concatWs
+  * per gram inside the generated loop.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val ws = in.asInstanceOf[ArrayData]
+    val nw = ws.numElements()
+    val k = math.min(n, nw)
+    val m = if (nw >= n) nw - n + 1 else 1
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = ws.getUTF8String(i + j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj(
+      "sep",
+      org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+      "org.apache.spark.unsafe.types.UTF8String",
+    )
+    nullSafeCodeGen(ctx, ev, ws => {
+      // freshName'd locals — see WinnowFingerprints.doGenCode.
+      val nw = ctx.freshName("nw"); val k = ctx.freshName("k")
+      val m = ctx.freshName("m"); val out = ctx.freshName("out")
+      val parts = ctx.freshName("parts")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      s"""
+         |int $nw = $ws.numElements();
+         |int $k = Math.min($n, $nw);
+         |int $m = $nw >= $n ? $nw - $n + 1 : 1;
+         |Object[] $out = new Object[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String[] $parts = new org.apache.spark.unsafe.types.UTF8String[$k];
+         |  for (int $j = 0; $j < $k; $j++) { $parts[$j] = $ws.getUTF8String($i + $j); }
+         |  $out[$i] = org.apache.spark.unsafe.types.UTF8String.concatWs($sepRef, $parts);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Winnowing (Schleimer'03) in one pass: FNV-mix k-gram hashes over

@@ -23,14 +23,13 @@ object Dedup {
 
   private val words: Column = split(col("text"), " ")
 
-  /** Distinct 3-word shingles (fallback: whole text for tiny docs). */
+  /** Distinct 3-word shingles (fallback: whole text for tiny docs —
+    * the [[graft.functions.WordNgrams]] kernel emits one all-words
+    * gram for short docs, which equals the whole text on this
+    * single-spaced corpus).
+    */
   private[graft] val shingles: Column =
-    when(
-      size(words) >= 3,
-      array_distinct(
-        transform(sequence(lit(0), size(words) - 3), i => concat_ws(" ", slice(words, i + 1, lit(3))))
-      ),
-    ).otherwise(array(col("text")))
+    array_distinct(graft.functions.ArrayExprs.wordNgrams(words, 3))
 
   /** exact set-Jaccard between two pre-distinct string arrays. */
   private def jaccard(a: Column, b: Column): Column =
@@ -295,6 +294,48 @@ object Dedup {
       |FROM batch b LEFT JOIN (SELECT doc_id, dup_of, jaccard FROM r WHERE rk = 1) r USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- fuzzy match
+
+  /** Approximate string join on arbitrary (name) frames: pairs of
+    * distinct values within levenshtein distance `maxDist`.
+    *
+    * Blocking is lossless length banding: edit distance ≤ d bounds the
+    * length difference by d, so with band width d+1 a qualifying
+    * partner sits in the same or an adjacent band. One side explodes
+    * to its 3 candidate bands, the other keeps its single band — a
+    * plain equi-join on the band key, no cross join at any scale; the
+    * `a < b` orientation on the exploding side yields each pair exactly
+    * once.
+    */
+  def fuzzyPairs(names: DataFrame, maxDist: Int): DataFrame = {
+    val bandW = maxDist + 1
+    val d = names.select(col("name")).distinct()
+      .withColumn("band", (length(col("name")) / bandW).cast(IntegerType))
+    val a = d.select(col("name").as("name_a"), col("band"))
+      .withColumn("jband", explode(array(col("band") - 1, col("band"), col("band") + 1)))
+      .drop("band")
+    val b = d.select(col("name").as("name_b"), col("band").as("jband"))
+    a.join(b, Seq("jband"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** §2.3 #23c — named query: part names within edit distance 2 (the
+    * record-linkage / catalog-entity near-match primitive).
+    */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(table(spark, dir, "part").select(col("p_name").as("name")), 2)
+
+  val dedupFuzzySql: String =
+    """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM n a JOIN n b ON a.name < b.name AND levenshtein(a.name, b.name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   // ---------------------------------------------------------------- simhash
 
   /** Per-doc 62-bit SimHash relation (Charikar'02): one aggregate pass
@@ -347,6 +388,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_fuzzy" -> (dedupFuzzy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +396,7 @@ object Dedup {
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_fuzzy" -> dedupFuzzySql,
     // dedup_simhash: engine-specific xxhash64 → rows-only check
   )
 }

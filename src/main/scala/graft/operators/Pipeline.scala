@@ -105,14 +105,11 @@ object Pipeline {
 
   private val DecontamN = 5
 
-  /** Distinct n-word grams (whole text for shorter docs). */
-  private def wordGrams(n: Int): Column = {
-    val ws = split(col("text"), " ")
-    when(
-      size(ws) >= n,
-      array_distinct(transform(sequence(lit(0), size(ws) - n), i => concat_ws(" ", slice(ws, i + 1, lit(n))))),
-    ).otherwise(array(col("text")))
-  }
+  /** Distinct n-word grams (whole text for shorter docs); codegen
+    * kernel, see [[graft.functions.WordNgrams]].
+    */
+  private def wordGrams(n: Int): Column =
+    array_distinct(graft.functions.ArrayExprs.wordNgrams(split(col("text"), " "), n))
 
   /** §2.3 #26e — benchmark decontamination: flag training documents
     * sharing 5-gram spans with an eval set (the n-gram-collision

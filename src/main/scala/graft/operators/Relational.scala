@@ -529,8 +529,171 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** §2.2 #15b — window navigation (lead/lag): per-user event deltas —
+    * previous/next event type and the inter-event gap in microseconds.
+    * One shuffle on user_id; all three window functions share a single
+    * Window exchange+sort.
+    */
+  def qLeadlag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val qLeadlagSql: String =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |  lag(event_type) OVER w AS prev_type,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+      |  lead(event_type) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** §2.2 #18c — explicit grouping sets, finer-grained than
+    * rollup/cube: ((flag, status), (flag), ()) with the grouping_id
+    * disambiguator (same bit encoding in Spark and DuckDB: 1 bit per
+    * column, set = aggregated out).
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty[Column]),
+        col("l_returnflag"),
+        col("l_linestatus"),
+      )
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+      )
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n_rows,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** §2.2 #19c — time-range (interval) join: for each purchase, the
+    * count and value of the same user's clicks in the preceding 10
+    * minutes.
+    *
+    * Scale shape: the naive plan for a non-equi time predicate is a
+    * BroadcastNestedLoopJoin — O(n²) and a scale-killer. Here the range
+    * is made shuffle-friendly by flooring time into buckets exactly as
+    * long as the window (10 min): each click lands in one bucket, each
+    * purchase explodes to its two candidate buckets, and the join is a
+    * plain equi-join on (user_id, bucket) followed by the exact range
+    * filter. 2× candidate amplification, zero misses, no cartesian at
+    * any scale.
+    *
+    * The bucket is computed with subtract-mod rather than
+    * divide-then-truncate: (us - us % b) / b is exact in doubles (the
+    * numerator is a multiple of b and the quotient < 2^53), while
+    * truncating a rounded quotient can mis-bucket boundary values.
+    */
+  def qRangejoin(spark: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 600L * 1000000L
+    def bucket(us: Column): Column = ((us - pmod(us, lit(bucketUs))) / lit(bucketUs)).cast(LongType)
+    val ev = table(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"),
+        floor(col("value").cast(DoubleType) * 100 + 0.5).cast(LongType).as("c_cents"),
+      )
+      .withColumn("c_bucket", bucket(col("c_us")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), unix_micros(col("ts")).as("p_us"))
+    val hits = purchases
+      .withColumn("pb", bucket(col("p_us")))
+      .withColumn("b", explode(array(col("pb") - 1, col("pb"))))
+      .join(
+        clicks,
+        col("user_id") === col("c_user") && col("b") === col("c_bucket") &&
+          col("c_us") >= col("p_us") - lit(bucketUs) && col("c_us") < col("p_us"),
+      )
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("c_cents")).as("cents"))
+    purchases
+      .join(hits, Seq("event_id"), "left")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        (dbl(coalesce(col("cents"), lit(0L))) / 100.0).as("click_value"),
+      )
+      .orderBy("event_id")
+  }
+
+  val qRangejoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us,
+      |        CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c_cents
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id, count(*) AS n_clicks, sum(c.c_cents) AS cents
+      |      FROM p JOIN c ON p.user_id = c.c_user
+      |        AND c.c_us >= p.p_us - 600000000 AND c.c_us < p.p_us
+      |      GROUP BY p.event_id)
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |  coalesce(j.n_clicks, 0) AS n_clicks,
+      |  CAST(coalesce(j.cents, 0) AS DOUBLE) / 100.0 AS click_value
+      |FROM p LEFT JOIN j USING (event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** §2.2 #13c — correlated scalar subquery (parts priced ≥1.01× their
+    * type's average), decorrelated the way Catalyst rewrites it: the
+    * per-type aggregate is computed once and broadcast back — no
+    * per-row subquery execution at any scale.
+    *
+    * Cross-engine determinism: the comparison is done as
+    * `price·n > 1.01·sum` with an exact decimal sum, so no
+    * order-dependent double average is involved (§6).
+    */
+  def qCorrScalar(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    val typeAgg = p.groupBy(col("p_type")).agg(
+      dbl(sum(decP(col("p_retailprice")))).as("type_sum"),
+      count(lit(1)).as("type_n"),
+    )
+    p.join(broadcast(typeAgg), Seq("p_type"))
+      .filter(col("p_retailprice") * col("type_n") > lit(1.01) * col("type_sum"))
+      .select(
+        col("p_partkey"),
+        col("p_name"),
+        col("p_type"),
+        col("p_retailprice"),
+        (col("type_sum") / col("type_n")).as("type_avg"),
+      )
+      .orderBy("p_partkey")
+  }
+
+  val qCorrScalarSql: String =
+    """WITH t AS (
+      |  SELECT p_type,
+      |    CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS type_sum,
+      |    count(*) AS type_n
+      |  FROM part GROUP BY p_type
+      |)
+      |SELECT p_partkey, p_name, p.p_type, p_retailprice, type_sum / type_n AS type_avg
+      |FROM part p JOIN t ON p.p_type = t.p_type
+      |WHERE p_retailprice * type_n > 1.01 * type_sum
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json" -> (qJson _),
+    "q_leadlag" -> (qLeadlag _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_rangejoin" -> (qRangejoin _),
+    "q_corr_scalar" -> (qCorrScalar _),
     "q_setops" -> (qSetops _),
     "q_pivot" -> (qPivot _),
     "q_cube" -> (qCube _),
@@ -553,6 +716,10 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_json" -> qJsonSql,
+    "q_leadlag" -> qLeadlagSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_rangejoin" -> qRangejoinSql,
+    "q_corr_scalar" -> qCorrScalarSql,
     "q_setops" -> qSetopsSql,
     "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,

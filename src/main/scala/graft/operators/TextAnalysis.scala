@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftSession.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -195,13 +196,11 @@ object TextAnalysis {
   }
 
   /** n-word grams of `words` as a (non-distinct) array; docs shorter
-    * than n yield a single whole-text gram.
+    * than n yield a single whole-text gram. Codegen kernel, see
+    * [[graft.functions.WordNgrams]].
     */
   private def ngrams(n: Int): Column =
-    when(
-      size(words) >= n,
-      transform(sequence(lit(0), size(words) - n), i => concat_ws(" ", slice(words, i + 1, lit(n)))),
-    ).otherwise(array(col("text")))
+    graft.functions.ArrayExprs.wordNgrams(words, n)
 
   /** §2.5 #31c — repetition scoring: the repeated-n-gram ratio
     * (1 − distinct/total over 2- and 3-grams), the standard boilerplate
@@ -246,6 +245,50 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** §2.5 #31d — tf-idf keyword extraction: top-10 terms per source
+    * scored by tf·(N/df) — the log-free tf-idf variant: transcendental
+    * idf rounds differently across engines, while a ratio of exact
+    * integer counts is bit-deterministic, and any monotone idf yields
+    * the identical ranking.
+    *
+    * Scale shape: one map-side explode feeds two partially-aggregated
+    * shuffles (per-(source,term) tf and per-term df over distinct doc
+    * terms); N arrives as a broadcast 1-row cross join (never a
+    * collect); the per-source top-k is a WindowGroupLimit, not a
+    * global sort.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val tokens = d.select(col("doc_id"), col("source"), explode(words).as("term"))
+    val tf = tokens.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast(DoubleType) * col("n_docs") / col("df"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("source", "rk")
+  }
+
+  val textTfidfSql: String =
+    """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term),
+      |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT source, term, tf, df,
+      |    CAST(tf AS DOUBLE) * n_docs / df AS score,
+      |    row_number() OVER (PARTITION BY source ORDER BY CAST(tf AS DOUBLE) * n_docs / df DESC, term) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, term, tf, df, score
+      |FROM s WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+
   /** §2.5 #31b — corpus report: per (source, label lang) doc counts,
     * token totals and mean quality — the dataset-card rollup a
     * training-data pipeline publishes per snapshot.
@@ -287,6 +330,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _),
     "text_winnow_pairs" -> (textWinnowPairs _),
     "text_repetition" -> (textRepetition _),
+    "text_tfidf" -> (textTfidf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,5 +340,6 @@ object TextAnalysis {
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
+    "text_tfidf" -> textTfidfSql,
   )
 }

@@ -491,8 +491,58 @@ object VectorOps {
     annIvf(e, e.filter(col("id") < 20), 5)
   }
 
+  /** §2.4 #29b — int8 symmetric quantization of embeddings (the
+    * compression step before shipping vectors to an ANN index):
+    * scale = max|x_i|, q_i = floor(x_i/scale·127 + 0.5) ∈ [-127,127].
+    * Emits an md5 digest of the quantized vector (cross-engine-stable
+    * oracle surface; the int8 array itself stays columnar internally),
+    * the saturation count, and the max-abs reconstruction error (a
+    * max, not a sum — order-independent, so bit-deterministic).
+    * Pure map-side column math — no shuffle at any scale.
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .withColumn("scale", array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))))
+      .withColumn(
+        "q",
+        when(
+          col("scale") > 0,
+          transform(col("embedding"), x => floor(x.cast(DoubleType) / col("scale") * 127 + 0.5).cast(LongType)),
+        ).otherwise(transform(col("embedding"), _ => lit(0L))),
+      )
+      .select(
+        col("vec_id"),
+        col("scale"),
+        md5(concat_ws(",", col("q"))).as("q_md5"),
+        size(filter(col("q"), v => abs(v) === 127)).cast(LongType).as("n_sat"),
+        array_max(
+          zip_with(col("q"), col("embedding"), (qi, x) => abs(qi.cast(DoubleType) * col("scale") / 127 - x.cast(DoubleType)))
+        ).as("err_max"),
+      )
+      .orderBy("vec_id")
+
+  val embQuantizeSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings
+      |), z AS (
+      |  SELECT vec_id, embedding, scale,
+      |    CASE WHEN scale > 0
+      |      THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS BIGINT))
+      |      ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+      |  FROM q
+      |)
+      |SELECT vec_id, scale,
+      |  md5(array_to_string(q, ',')) AS q_md5,
+      |  CAST(len(list_filter(q, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+      |  list_max(list_transform(range(1, len(q) + 1), i -> abs(q[i] * scale / 127 - CAST(embedding[i] AS DOUBLE)))) AS err_max
+      |FROM z
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce(_: SparkSession, _: String)),
+    "emb_quantize" -> (embQuantize _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_lsh" -> (annLsh(_: SparkSession, _: String)),
     "ann_ivf" -> (annIvf(_: SparkSession, _: String)),
@@ -500,6 +550,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
+    "emb_quantize" -> embQuantizeSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     // ann_lsh / ann_ivf: engine-specific candidate generation → rows-only + recall tests
   )

@@ -39,6 +39,25 @@ class ArrayExprsSpec extends AnyFunSuite {
     rows.foreach { case (f, s) => assert(f == s) }
   }
 
+  test("WordNgrams equals the transform/slice/concat_ws formulation incl. short-doc fallback") {
+    val ws = split(col("text"), " ")
+    for (n <- Seq(2, 3, 5)) {
+      val hof = when(
+        size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n), i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
+      ).otherwise(array(col("text")))
+      val bad = GraftSession.table(spark, sf, "documents")
+        .select(ArrayExprs.wordNgrams(ws, n).as("fast"), hof.as("slow"))
+        .filter(col("fast") =!= col("slow"))
+      assert(bad.count() == 0, s"n=$n")
+    }
+    // short-doc fallback: fewer words than n yields one whole-text gram
+    val short = Seq("one two", "solo").toDF("text")
+      .select(ArrayExprs.wordNgrams(split(col("text"), " "), 5).as("g"))
+      .as[Seq[String]].collect()
+    assert(short.toSeq == Seq(Seq("one two"), Seq("solo")))
+  }
+
   test("SimHash62: identical inputs agree, bit flips move hamming") {
     val d = Seq(
       Seq(0x0L, 0x3L, 0x3L),

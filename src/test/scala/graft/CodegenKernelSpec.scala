@@ -55,6 +55,8 @@ class CodegenKernelSpec extends AnyFunSuite {
         ArrayExprs.simhash62(col("r")).as("s2"),
         ArrayExprs.winnow(col("q"), 3, 4).as("w1"),
         ArrayExprs.winnow(col("r"), 3, 4).as("w2"),
+        ArrayExprs.wordNgrams(transform(col("q"), x => x.cast("string")), 3).as("g1"),
+        ArrayExprs.wordNgrams(transform(col("r"), x => x.cast("string")), 3).as("g2"),
       ).collect()
 
       assert(out.length == 20)
@@ -76,6 +78,8 @@ class CodegenKernelSpec extends AnyFunSuite {
       assert(SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count() >= 0)
       assert(SparkEntry.queries("dedup_simhash")(spark, sf).count() >= 0)
       assert(SparkEntry.queries("text_winnow_pairs")(spark, sf).count() >= 0)
+      assert(SparkEntry.queries("decontaminate")(spark, sf).count() > 0)
+      assert(SparkEntry.queries("text_repetition")(spark, sf).count() > 0)
     }
   }
 }

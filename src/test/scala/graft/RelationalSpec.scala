@@ -111,10 +111,11 @@ class PlanSpec extends AnyFunSuite {
   test("global audit: no query plans a CartesianProduct or an unbounded BNLJ") {
     // BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side
     // is a bounded set by construction: ann_bruteforce (≤20 queries,
-    // exact-baseline by design) and ann_ivf (16 centroids). Everywhere
-    // else a BNLJ means an all-pairs scale-killer slipped in (round-1
-    // dedup_embedding lesson).
-    val boundedBroadcast = Set("ann_bruteforce", "ann_ivf")
+    // exact-baseline by design), ann_ivf (16 centroids), and text_tfidf
+    // (a 1-row global-count aggregate cross-joined in as the corpus
+    // size N). Everywhere else a BNLJ means an all-pairs scale-killer
+    // slipped in (round-1 dedup_embedding lesson).
+    val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "text_tfidf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
