@@ -174,6 +174,113 @@ object Pipeline {
       |ORDER BY tr.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------- heuristic filter
+
+  /** §2.5 #31e — heuristic quality filter chain (the C4/Gopher-style
+    * rule battery every pretraining pipeline runs before anything
+    * model-based): word-count bounds, mean-word-length bounds, lexical
+    * diversity, and repeated-3-gram boilerplate, each emitting its rule
+    * tag into `reasons` so drops are auditable. Pure map-side column
+    * math (the gram work is the codegen [[graft.functions.WordNgrams]]
+    * kernel) — no shuffle at any scale; every ratio is an exact-int
+    * division, so the verdict is bit-deterministic cross-engine.
+    */
+  def textFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nWords = size(ws).cast(LongType)
+    val meanLen = octet_length(col("text")).cast(DoubleType) / nWords
+    val uniqRatio = size(array_distinct(ws)).cast(DoubleType) / nWords
+    val g3 = graft.functions.ArrayExprs.wordNgrams(ws, 3)
+    val rep3 = lit(1.0) - size(array_distinct(g3)).cast(DoubleType) / size(g3)
+    val reasonArr = array(
+      when(nWords < 20, lit("too_short")),
+      when(nWords > 5000, lit("too_long")),
+      when(meanLen < 2.0 || meanLen > 12.0, lit("word_len")),
+      when(uniqRatio < 0.32, lit("low_diversity")),
+      when(rep3 > 0.01, lit("repetitive")),
+    )
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        uniqRatio.as("uniq_ratio"),
+        rep3.as("rep3_ratio"),
+        concat_ws(",", filter(reasonArr, r => r.isNotNull)).as("reasons"),
+      )
+      .withColumn("keep", col("reasons") === "")
+      .orderBy("doc_id")
+  }
+
+  val textFilterSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3
+      |      THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+      |      ELSE [text] END AS g3
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(strlen(text) AS DOUBLE) / len(ws) AS mean_word_len,
+      |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+      |    1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS rep3_ratio
+      |  FROM w
+      |)
+      |, r AS (
+      |  SELECT doc_id, n_words, mean_word_len, uniq_ratio, rep3_ratio,
+      |    -- empty list => array_to_string is NULL in DuckDB, '' in Spark's concat_ws
+      |    coalesce(array_to_string(list_filter([
+      |      CASE WHEN n_words < 20 THEN 'too_short' END,
+      |      CASE WHEN n_words > 5000 THEN 'too_long' END,
+      |      CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_len' END,
+      |      CASE WHEN uniq_ratio < 0.32 THEN 'low_diversity' END,
+      |      CASE WHEN rep3_ratio > 0.01 THEN 'repetitive' END
+      |    ], x -> x IS NOT NULL), ','), '') AS reasons
+      |  FROM m
+      |)
+      |SELECT doc_id, n_words, mean_word_len, uniq_ratio, rep3_ratio, reasons,
+      |  reasons = '' AS keep
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- sharding
+
+  /** §2.5 #31f — deterministic shard assignment for training export:
+    * shard = md5(doc) mod n (content-keyed, so it is stable under
+    * retries, re-runs, and engine changes — never `rand()` or
+    * `monotonically_increasing_id`), position within the shard by
+    * (md5, doc_id). One shuffle on shard_id; each shard's rows arrive
+    * pre-shuffled for the writer, which is exactly the property a
+    * 100 TB export wants (one task per output shard, no global sort).
+    */
+  def shardAssign(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val h = md5(col("text"))
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard_id", pmod(conv(substring(col("h"), 1, 8), 16, 10).cast(LongType), lit(nShards.toLong)))
+      .withColumn("pos_in_shard", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard_id"), col("pos_in_shard"), col("h"))
+      .orderBy("doc_id")
+  }
+
+  private def shardAssignQuery(spark: SparkSession, dir: String): DataFrame =
+    shardAssign(spark, dir)
+
+  val shardAssignSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS shard_id
+      |  FROM documents
+      |)
+      |SELECT doc_id, shard_id,
+      |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS pos_in_shard,
+      |  h
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- stratified sampling
 
   /** §2.5 #31b — deterministic stratified sampling for corpus mixing:
@@ -245,6 +352,8 @@ object Pipeline {
     "decontaminate" -> (decontaminate _),
     "sample_mix" -> (sampleMix _),
     "pack_sequences" -> (packSequences _),
+    "text_filter" -> (textFilter _),
+    "shard_assign" -> (shardAssignQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -252,5 +361,7 @@ object Pipeline {
     "decontaminate" -> decontaminateSql,
     "sample_mix" -> sampleMixSql,
     "pack_sequences" -> packSequencesSql,
+    "text_filter" -> textFilterSql,
+    "shard_assign" -> shardAssignSql,
   )
 }

@@ -70,6 +70,29 @@ class Round3OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_filter: keep iff reasons empty, and both verdicts occur") {
+    val rows = operators.Pipeline.textFilter(spark, sf)
+      .select("keep", "reasons").as[(Boolean, String)].collect()
+    rows.foreach { case (keep, reasons) => assert(keep == reasons.isEmpty) }
+    assert(rows.exists(_._1) && rows.exists(!_._1), "filter should split the corpus")
+  }
+
+  test("shard_assign: balanced-ish deterministic shards with dense positions") {
+    val rows = operators.Pipeline.shardAssign(spark, sf, 16)
+      .select("shard_id", "pos_in_shard").as[(Long, Long)].collect()
+    val byShard = rows.groupBy(_._1)
+    assert(byShard.keys.forall(s => s >= 0 && s < 16))
+    byShard.foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, "positions are dense 1..k")
+    }
+    // content-keyed md5 sharding: no shard takes more than ~3x its fair share
+    assert(byShard.values.map(_.length).max <= rows.length / 16 * 3)
+    // determinism across evaluations
+    val again = operators.Pipeline.shardAssign(spark, sf, 16)
+      .select("shard_id", "pos_in_shard").as[(Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("q_grouping_sets: finer sets roll up consistently") {
     val rows = Relational.qGroupingSets(spark, sf)
       .select(col("gid"), col("n_rows")).as[(Long, Long)].collect()
