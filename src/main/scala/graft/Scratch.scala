@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Temporary profiling main (not part of the library surface). */
+/** Temporary profiling main (not part of the library surface): times
+  * the named queries (args, default = the recent heavy hitters) at
+  * SPARK_GRAFT_SF_DIR after a warm-up pass.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,20 +29,12 @@ object Scratch {
       println(f"TIMING $name%-24s $dt%8.2f s")
     }
 
-    val docs = GraftSession.table(spark, sfDir, "documents")
-    val ws = split(col("text"), " ")
-    def hofGrams = when(
-      size(ws) >= 5,
-      array_distinct(transform(sequence(lit(0), size(ws) - 5), i => concat_ws(" ", slice(ws, i + 1, lit(5))))),
-    ).otherwise(array(col("text")))
-    def kernelGrams = array_distinct(graft.functions.ArrayExprs.wordNgrams(ws, 5))
-
-    time("warm")(docs.select(col("doc_id")))
-    time("hof_grams")(docs.select(col("doc_id"), hofGrams.as("g")))
-    time("kernel_grams")(docs.select(col("doc_id"), kernelGrams.as("g")))
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("decontaminate", "text_repetition", "dedup_incremental", "dedup_clusters", "dedup_minhash_lsh")
+      else Seq("dedup_clusters", "ann_ivf", "dedup_embedding", "text_winnow_pairs")
+    // JVM/codegen warm-up so timings measure the plan, not cold start
+    names.foreach(n => materialize(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")))
+    spark.catalog.clearCache()
     names.foreach { n =>
       try time(n)(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable => println(s"ERROR $n: ${e.getMessage}"); e.printStackTrace() }

@@ -27,13 +27,51 @@ object Pipeline {
     * For adversarial long-chain graphs swap in pointer-doubling
     * (large-star/small-star) — same join shape, O(log n) rounds.
     *
+    * Below `driverMaxEdges` the pair list is finished with union-find
+    * on the driver instead: a near-dup EDGE list is orders of magnitude
+    * smaller than the corpus (it is the output of dedup detection, not
+    * the corpus itself), so even a 100 TB corpus's pair list routinely
+    * fits — and the iterative loop's fixed cost (2 shuffles + an action
+    * per round) dwarfs a single collect at that size. Identical result
+    * by construction (union-find with min-root representatives ≡ the
+    * min-label fixpoint); above the bound the distributed loop runs.
+    *
     * `pairs` must expose (doc_a, doc_b); returns (doc_id, cluster_id)
     * for every endpoint, cluster_id = min doc id of the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIters: Int = 50,
+      driverMaxEdges: Long = 2000000L,
+  ): DataFrame = {
     // the symmetric union reads `pairs` twice — without this cache an
     // expensive upstream (e.g. the whole MinHash pipeline) runs twice
     val p = pairs.cache()
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    if (p.count() <= driverMaxEdges) {
+      val es = p.select(col("doc_a").cast(LongType), col("doc_b").cast(LongType)).as[(Long, Long)].collect()
+      p.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins => representative = component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      return parent.keys.toSeq.sorted
+        .map(x => (x, find(x)))
+        .toDF("doc_id", "cluster_id")
+    }
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()

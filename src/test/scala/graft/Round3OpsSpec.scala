@@ -93,6 +93,22 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("connectedComponents: driver union-find fast path equals the distributed loop") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), // chain -> {1,2,3}
+      (10L, 11L), // pair
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle
+      (30L, 31L), (32L, 31L), (33L, 30L), (34L, 33L), // deeper chain
+    ).toDF("doc_a", "doc_b")
+    val fast = operators.Pipeline.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    val dist = operators.Pipeline.connectedComponents(pairs, driverMaxEdges = -1L)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == dist)
+    assert(fast.filter(_._1 <= 3L).map(_._2) == Set(1L))
+    assert(fast.filter(t => t._1 >= 30 && t._1 <= 34).map(_._2) == Set(30L))
+  }
+
   test("q_grouping_sets: finer sets roll up consistently") {
     val rows = Relational.qGroupingSets(spark, sf)
       .select(col("gid"), col("n_rows")).as[(Long, Long)].collect()
