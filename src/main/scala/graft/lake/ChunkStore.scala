@@ -540,6 +540,65 @@ final class ChunkStore private (
     }
   }
 
+  private def countDataFiles(dir: String): Long = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+  }
+
+  /** Small-file compaction. Every put appends its own parquet files, so
+    * a long-lived store fragments — the classic append-ingest killer at
+    * scale (namenode/listing pressure, an open() per tiny file, no
+    * row-group locality). Rewrites chunks co-partitioned by `bucket`
+    * (one file per bucket per shuffle task) and manifest/catalog
+    * repartitioned on `blob_hash`, under the write lock with the same
+    * tmp-dir + rename swap as [[gc]]. Contents are untouched — only the
+    * file layout changes. Returns per-table before/after file counts.
+    */
+  def compact(): DataFrame = {
+    if (readonly) throw new StoreReadOnlyException(path)
+    import spark.implicits._
+    withWriteLock {
+      val conf = spark.sessionState.newHadoopConf()
+      val tmpRoot = new HPath(path, ".compact_tmp")
+      val fs = tmpRoot.getFileSystem(conf)
+      fs.delete(tmpRoot, true) // debris from a crashed previous compact
+
+      val before = Map(
+        "chunks" -> countDataFiles(chunksDir),
+        "manifest" -> countDataFiles(manifestDir),
+        "catalog" -> countDataFiles(catalogDir),
+      )
+      chunks.repartition(col("bucket")).write.partitionBy("bucket")
+        .parquet(s"$path/.compact_tmp/chunks")
+      manifest.repartition(col("blob_hash")).write.parquet(s"$path/.compact_tmp/manifest")
+      catalog.repartition(col("blob_hash")).write.parquet(s"$path/.compact_tmp/catalog")
+
+      Seq("chunks", "manifest", "catalog").foreach { d =>
+        val dst = new HPath(path, d)
+        fs.delete(dst, true)
+        if (!fs.rename(new HPath(tmpRoot, d), dst))
+          throw new java.io.IOException(s"compact: rename failed for $d in $path")
+      }
+      fs.delete(tmpRoot, true)
+
+      Seq("chunks", "manifest", "catalog").map { d =>
+        val dir = d match {
+          case "chunks" => chunksDir
+          case "manifest" => manifestDir
+          case _ => catalogDir
+        }
+        (d, before(d), countDataFiles(dir))
+      }.toDF("table", "files_before", "files_after")
+    }
+  }
+
   /** Store consistency audit — the Spark analog of the reference's
     * load-time corruption checks (store/mod.rs:107-170 bounds/overlap/
     * modulo sanity). Returns one row per invariant with its violation

@@ -223,7 +223,11 @@ object Pipeline {
     * kernel) — no shuffle at any scale; every ratio is an exact-int
     * division, so the verdict is bit-deterministic cross-engine.
     */
-  def textFilter(spark: SparkSession, dir: String): DataFrame = {
+  /** The filter applied to any frame with (doc_id, text) — a stateless
+    * projection, so it runs unchanged on a streaming DataFrame (pinned
+    * stream ≡ batch in StreamingSpec).
+    */
+  def textFilterOn(df: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val nWords = size(ws).cast(LongType)
     val meanLen = octet_length(col("text")).cast(DoubleType) / nWords
@@ -237,8 +241,7 @@ object Pipeline {
       when(uniqRatio < 0.32, lit("low_diversity")),
       when(rep3 > 0.01, lit("repetitive")),
     )
-    docs(spark, dir)
-      .select(
+    df.select(
         col("doc_id"),
         nWords.as("n_words"),
         meanLen.as("mean_word_len"),
@@ -247,8 +250,10 @@ object Pipeline {
         concat_ws(",", filter(reasonArr, r => r.isNotNull)).as("reasons"),
       )
       .withColumn("keep", col("reasons") === "")
-      .orderBy("doc_id")
   }
+
+  def textFilter(spark: SparkSession, dir: String): DataFrame =
+    textFilterOn(docs(spark, dir)).orderBy("doc_id")
 
   val textFilterSql: String =
     """WITH w AS (

@@ -31,6 +31,26 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: many small puts collapse to few files, contents and fsck intact") {
+    val store = ChunkStore.init(spark, tmp())
+    val payloads = (1L to 8L).map(i => i -> (s"payload-$i-" + ("z" * 300)))
+    payloads.foreach { case (i, s) => store.putBlobs(blobDf(i -> s)) } // 8 separate appends
+    val hashes = store.catalog.select("blob_hash").as[String].collect().toSeq
+    val report = store.compact().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    report.foreach { case (t, (before, after)) =>
+      assert(after < before, s"$t: $before -> $after files")
+    }
+    // contents untouched: every blob still roundtrips, audit stays clean
+    payloads.foreach { case (i, s) =>
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+      assert(hashes.contains(h))
+      assert(new String(store.getBlob(h), StandardCharsets.UTF_8) == s)
+    }
+    assert(store.fsck().filter(col("violations") > 0).count() == 0)
+  }
+
   test("idempotent put: same content twice stores chunks once") {
     val store = ChunkStore.init(spark, tmp())
     store.putBlobs(blobDf(1L -> big))

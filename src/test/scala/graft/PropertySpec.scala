@@ -21,6 +21,27 @@ class PropertySpec extends AnyFunSuite {
   private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
 
+  test("WordNgrams equals the HOF formulation on arbitrary word arrays") {
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val gen = for {
+      n <- Gen.chooseNum(0, 30)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val texts = sample(gen, 300, seed = 3L)
+    for (n <- Seq(1, 2, 5)) {
+      val ws = split(col("text"), " ")
+      val hof = when(
+        size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n), i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
+      ).otherwise(array(col("text")))
+      val bad = texts.toDF("text")
+        .select(col("text"), graft.functions.ArrayExprs.wordNgrams(ws, n).as("fast"), hof.as("slow"))
+        .filter(col("fast") =!= col("slow"))
+        .collect()
+      assert(bad.isEmpty, s"n=$n diverged on: ${bad.take(3).mkString("; ")}")
+    }
+  }
+
   test("chunk store roundtrips arbitrary binary blobs across the whole ladder") {
     val gen = for {
       n <- Gen.chooseNum(0, 2048)

@@ -153,6 +153,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality filter equals batch text_filter (stateless transform reuse)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val input = stream.toDF().toDF("doc_id", "text")
+
+    val q = operators.Pipeline.textFilterOn(input)
+      .writeStream.format("memory").queryName("filter_out").outputMode("append").start()
+    try {
+      val docs = GraftSession.table(spark, sf, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      // two micro-batches: verdicts must not depend on batch boundaries
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+
+      val got = spark.table("filter_out").orderBy("doc_id")
+      val want = operators.Pipeline.textFilter(spark, sf)
+      assert(got.collect().toSeq == want.collect().toSeq)
+      assert(got.filter(!col("keep")).count() > 0, "filter should fire on this corpus")
+    } finally q.stop()
+  }
+
   test("multimodal features roundtrip through the batched decoder") {
     val feats = multimodal.Multimodal.multimodalFeatures(spark, sf).collect()
     assert(feats.length == 500)
