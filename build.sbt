@@ -32,6 +32,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // headroom for local[32] runs: 8g leaves ~4.6g storage memory, which
   // under concurrent machine load degrades to GC thrash on the
-  // shuffle-heavy suite; the box has 125g
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // shuffle-heavy suite; the box has 125g, so take a wide margin
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
   * codegen + classloading warm-up, so timings measure the plan, not
   * JVM cold start), then timed at the target SF with a full
   * materialization via the noop sink (`count()` would let Spark prune
-  * sorts/projections and under-measure).
+  * sorts/projections and under-measure). Each query is timed twice
+  * and the minimum reported: the engine is deterministic, so the min
+  * is the plan's cost and the max is transient machine noise — a
+  * shared box under concurrent load inflated one round's reading 7×
+  * on identical code.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,7 +38,7 @@ object Bench {
     }
 
     spark.catalog.clearCache()
-    val results = names.map { n =>
+    def timedRun(n: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // a failing query must surface in the JSON, not bench as a fast
       // no-op: record the error instead of swallowing it
@@ -45,7 +49,12 @@ object Bench {
       // level the field between queries: no cross-query cache reuse,
       // no memory creep distorting later timings
       spark.catalog.clearCache()
-      (n, dt, err)
+      (dt, err)
+    }
+    val results = names.map { n =>
+      val (dt1, err1) = timedRun(n)
+      if (err1.isDefined) (n, dt1, err1)
+      else { val (dt2, err2) = timedRun(n); (n, math.min(dt1, dt2), err2) }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c if c < ' ' => " "; case c => c.toString } + "\""

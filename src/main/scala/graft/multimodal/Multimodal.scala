@@ -183,14 +183,57 @@ object Multimodal {
       |FROM sl
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** §2.6 #34b — media dedup by content address: the binary-column
+    * twin of the document/store dedup family (the same sha-256
+    * grouping a media-heavy training pipeline runs before decode, so
+    * duplicate assets are fetched/decoded once). One hash shuffle with
+    * map-side combine; per-kind stats ride the same aggregate.
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame =
+    multimodalDedupOn(mediaTable(spark, dir))
+
+  /** [[multimodalDedup]] over an arbitrary (doc_id, kind, payload)
+    * frame.
+    */
+  def multimodalDedupOn(media: DataFrame): DataFrame =
+    media
+      .groupBy(sha2(col("payload"), 256).as("payload_sha"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keep_id"),
+        min(octet_length(col("payload")).cast(LongType)).as("n_bytes"),
+        concat_ws(",", array_sort(collect_set(col("kind")))).as("kinds"),
+      )
+      .withColumn("dup_bytes", (col("n_copies") - 1) * col("n_bytes"))
+      .orderBy("payload_sha")
+
+  val multimodalDedupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'img' WHEN doc_id % 3 = 1 THEN 'aud' ELSE 'vid' END AS kind,
+      |    text AS payload
+      |  FROM documents
+      |)
+      |SELECT sha256(payload) AS payload_sha,
+      |  count(*) AS n_copies,
+      |  min(doc_id) AS keep_id,
+      |  CAST(min(len(payload)) AS BIGINT) AS n_bytes,
+      |  array_to_string(list_sort(list_distinct(list(kind))), ',') AS kinds,
+      |  (count(*) - 1) * CAST(min(len(payload)) AS BIGINT) AS dup_bytes
+      |FROM m
+      |GROUP BY sha256(payload)
+      |ORDER BY payload_sha""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_dedup" -> (multimodalDedup _),
   )
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_dedup" -> multimodalDedupSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
   )

@@ -324,6 +324,78 @@ object Pipeline {
       |FROM h
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.5 #31g — training-export sink: the write side of
+    * [[shardAssign]]. Content-keyed shard dirs (`shard_id=K/`), one
+    * shuffle total: `repartition(nShards, shard_id)` co-locates each
+    * shard in one task and `sortWithinPartitions` fixes the row order
+    * inside every file, so the export is byte-deterministic under
+    * retries and cluster-size changes — no global sort, no driver
+    * bottleneck, exactly one writer task per shard at any scale.
+    * Returns the written manifest (same shape as [[exportManifest]])
+    * computed from the files actually written, so callers can diff it
+    * against the pre-write expectation as an end-to-end audit.
+    */
+  def exportShards(df: DataFrame, outDir: String, nShards: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    df.select(col("doc_id"), col("text"))
+      .withColumn("h", md5(col("text")))
+      .withColumn("shard_id", pmod(conv(substring(col("h"), 1, 8), 16, 10).cast(LongType), lit(nShards.toLong)))
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("h"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    manifestOf(spark.read.parquet(outDir))
+  }
+
+  private def manifestOf(sharded: DataFrame): DataFrame =
+    sharded
+      .select(
+        col("shard_id").cast(LongType).as("shard_id"),
+        col("h"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      )
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("h")).as("first_h"),
+        max(col("h")).as("last_h"),
+      )
+      .orderBy("shard_id")
+
+  /** §2.5 #31g (oracle face) — per-shard export manifest derived
+    * directly from the table: doc counts, byte/token volume, hash
+    * range. Pure hash+aggregate math → DuckDB-hash-exact; one shuffle
+    * with map-side combine.
+    */
+  def exportManifest(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame =
+    manifestOf(
+      docs(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("h", md5(col("text")))
+        .withColumn("shard_id", pmod(conv(substring(col("h"), 1, 8), 16, 10).cast(LongType), lit(nShards.toLong))),
+    )
+
+  private def exportManifestQuery(spark: SparkSession, dir: String): DataFrame =
+    exportManifest(spark, dir)
+
+  val exportManifestSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, text, md5(text) AS h,
+      |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS shard_id
+      |  FROM documents
+      |)
+      |SELECT shard_id,
+      |  count(*) AS n_docs,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  min(h) AS first_h,
+      |  max(h) AS last_h
+      |FROM h
+      |GROUP BY shard_id
+      |ORDER BY shard_id""".stripMargin
+
   // ------------------------------------------------- stratified sampling
 
   /** §2.5 #31b — deterministic stratified sampling for corpus mixing:
@@ -397,6 +469,7 @@ object Pipeline {
     "pack_sequences" -> (packSequences _),
     "text_filter" -> (textFilter _),
     "shard_assign" -> (shardAssignQuery _),
+    "export_manifest" -> (exportManifestQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,5 +479,6 @@ object Pipeline {
     "pack_sequences" -> packSequencesSql,
     "text_filter" -> textFilterSql,
     "shard_assign" -> shardAssignSql,
+    "export_manifest" -> exportManifestSql,
   )
 }

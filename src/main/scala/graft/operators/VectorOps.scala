@@ -306,6 +306,7 @@ object VectorOps {
       k: Int,
       oversampleRounds: Int = 2,
       lloydIters: Int = 3,
+      driverMaxPoints: Long = 100000L,
   ): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
@@ -315,6 +316,47 @@ object VectorOps {
       def centDf(cs: Seq[Array[Long]]): DataFrame =
         cs.zipWithIndex.map { case (cv, i) => (i, cv) }.toDF("cid", "cv")
           .withColumn("cnorm", sqrt(qdot(col("cv"), col("cv")).cast(DoubleType)))
+
+      // Bounded driver fast path: k-means|| exists to avoid collecting
+      // the DATA; below the bound the data itself is as small as the
+      // candidate set the distributed path collects anyway, and full
+      // local k-means++ + Lloyd replaces ~2+rounds+lloydIters sequential
+      // Spark jobs with one collect (and trains on every point, not an
+      // oversampled subset). Deterministic: points sorted by id, fixed
+      // k-means++ seed.
+      def asResult(df: DataFrame): DataFrame =
+        df.select(col("cid").as("centroid_id"), col("cv"), col("cnorm"))
+
+      if (d.count() <= driverMaxPoints) {
+        val pts = d.select(col("id"), col("qv")).as[(Long, Seq[Long])].collect()
+          .sortBy(_._1).map(_._2.toArray)
+        if (pts.isEmpty) return asResult(centDf(Seq.empty))
+        val unit = pts.map { p =>
+          val nrm = math.max(math.sqrt(p.map(x => x.toDouble * x).sum), 1e-12)
+          p.map(_ / nrm)
+        }
+        // deterministic multi-restart: k-means++ is seed-sensitive; pick
+        // the restart with the lowest spherical quantization cost
+        def cost(cs: Array[Array[Long]]): Double = {
+          val cu = cs.map { c =>
+            val nrm = math.max(math.sqrt(c.map(x => x.toDouble * x).sum), 1e-12)
+            c.map(_ / nrm)
+          }
+          unit.map { p =>
+            var best = -2.0
+            cu.foreach { c =>
+              var s = 0.0; var i = 0
+              while (i < p.length) { s += p(i) * c(i); i += 1 }
+              if (s > best) best = s
+            }
+            1.0 - best
+          }.sum
+        }
+        val centers = Seq(13, 101, 997)
+          .map(s => localWeightedKMeans(pts, Array.fill(pts.length)(1.0), k, iters = 12, seed = s))
+          .minBy(cost)
+        return asResult(centDf(centers.toSeq))
+      }
 
       /** per-point best (cosine, centroid) against a broadcast centroid set. */
       def assign(cs: Seq[Array[Long]]): DataFrame =
@@ -387,6 +429,7 @@ object VectorOps {
       w: Array[Double],
       k: Int,
       iters: Int = 10,
+      seed: Int = 13,
   ): Array[Array[Long]] = {
     val n = pts.length
     if (n <= k) return pts
@@ -400,7 +443,7 @@ object VectorOps {
       while (i < dim) { s += a(i) * b(i); i += 1 }
       s
     }
-    val rnd = new scala.util.Random(13)
+    val rnd = new scala.util.Random(seed)
     val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](unit(rnd.nextInt(n)))
     while (centers.size < k) {
       val dists = unit.indices.map(i => w(i) * math.max(0.0, 1.0 - centers.iterator.map(c => cos(c, unit(i))).max))
@@ -491,6 +534,66 @@ object VectorOps {
     annIvf(e, e.filter(col("id") < 20), 5)
   }
 
+  // ------------------------------------------------------- filtered ANN
+
+  /** §2.4 #29c — metadata-filtered similarity search: top-k neighbors
+    * among the data vectors satisfying a per-query predicate expressed
+    * as an equi-key (here: the partition label both sides share). The
+    * hybrid-search primitive of a training pipeline — "nearest
+    * neighbors within the same language / domain / shard".
+    *
+    * Scale design: the filter key becomes the JOIN key, so the pair
+    * space is pruned to same-key pairs by the shuffle itself — no
+    * post-hoc filter over a broadcast-everything cross join (which at
+    * 100× data is exactly the all-pairs mistake the bucketed family
+    * exists to avoid). Within a hot key the LSH/IVF variants compose
+    * (bucket within key); at the test corpus's label cardinality the
+    * equi-join is already the right plan.
+    */
+  def annFiltered(data: DataFrame, queries: DataFrame, k: Int, key: String): DataFrame = {
+    val q = prep(queries.select(col("id"), col("embedding")))
+      .join(queries.select(col("id"), col(key)), "id")
+      .select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"), col(key))
+    val c = prep(data.select(col("id"), col("embedding")))
+      .join(data.select(col("id"), col(key)), "id")
+      .select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"), col(key))
+    val scored = q.join(c, Seq(key))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col(key), col("neighbor_id"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"),
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(key), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** named query: first 20 vectors, top-3 within the query's own
+    * `label` partition.
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"), col("label"))
+    annFiltered(e, e.filter(col("id") < 20), 3, "label")
+  }
+
+  val annFilteredSql: String =
+    s"""$oracleQuantCte, lbl AS (
+      |  SELECT vec_id, label FROM embeddings
+      |)
+      |SELECT query_id, label, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+      |  SELECT p.query_id, la.label, p.neighbor_id, p.cosine,
+      |    row_number() OVER (PARTITION BY p.query_id ORDER BY p.cosine DESC, p.neighbor_id) AS rank
+      |  FROM p
+      |  JOIN lbl la ON la.vec_id = p.query_id
+      |  JOIN lbl lb ON lb.vec_id = p.neighbor_id
+      |  WHERE p.query_id < 20 AND la.label = lb.label
+      |)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   /** §2.4 #29b — int8 symmetric quantization of embeddings (the
     * compression step before shipping vectors to an ANN index):
     * scale = max|x_i|, q_i = floor(x_i/scale·127 + 0.5) ∈ [-127,127].
@@ -546,12 +649,14 @@ object VectorOps {
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_lsh" -> (annLsh(_: SparkSession, _: String)),
     "ann_ivf" -> (annIvf(_: SparkSession, _: String)),
+    "ann_filtered" -> (annFiltered(_: SparkSession, _: String)),
   )
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "emb_quantize" -> embQuantizeSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "ann_filtered" -> annFilteredSql,
     // ann_lsh / ann_ivf: engine-specific candidate generation → rows-only + recall tests
   )
 }

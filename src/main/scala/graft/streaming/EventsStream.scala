@@ -110,6 +110,23 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** §2.7 #42 — stream-static enrichment: arriving events joined to a
+    * slowly-changing dimension, then window-aggregated per dimension
+    * attribute. The static side is broadcast (no stream-side shuffle
+    * for the join at any scale) and re-read every micro-batch, so dim
+    * updates flow in without restarting the query. Left join: an
+    * unmatched event aggregates under a null attribute rather than
+    * silently disappearing — at 100 TB/day, dropped-row debugging is
+    * far costlier than a null group.
+    */
+  def enrichedWindowedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 day").as("win"), col("segment"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("day"), col("segment"), col("n_events"))
+
   final case class BandHit(band_idx: Int, band_key: Long, doc_id: Long, ts: Timestamp)
   final case class BandOwner(ownerId: Long)
   final case class CandPair(doc_a: Long, doc_b: Long, band_idx: Int)

@@ -93,6 +93,33 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("exportShards: sharded write round-trips, one file per shard, manifest matches") {
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+    try {
+      val docsDf = GraftSession.table(spark, sf, "documents").select("doc_id", "text")
+      val written = operators.Pipeline.exportShards(docsDf, out, 16)
+        .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+      val expected = operators.Pipeline.exportManifest(spark, sf, 16)
+        .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+      assert(written == expected, "post-write manifest equals pre-write expectation")
+      // round trip: every doc lands in exactly the shard shardAssign gives it
+      val back = spark.read.parquet(out).select(col("doc_id"), col("shard_id").cast("long"))
+        .as[(Long, Long)].collect().toMap
+      val assign = operators.Pipeline.shardAssign(spark, sf, 16)
+        .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+      assert(back == assign)
+      // exactly one data file per shard dir: the one-writer-task-per-shard contract
+      val shardDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard_id="))
+      assert(shardDirs.length == 16)
+      shardDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"${d.getName} has ${files.length} files")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("connectedComponents: driver union-find fast path equals the distributed loop") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), // chain -> {1,2,3}
@@ -107,6 +134,67 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(fast == dist)
     assert(fast.filter(_._1 <= 3L).map(_._2) == Set(1L))
     assert(fast.filter(t => t._1 >= 30 && t._1 <= 34).map(_._2) == Set(30L))
+  }
+
+  test("multimodal_dedup: copies partition the table, dup_bytes consistent") {
+    val media = multimodal.Multimodal.mediaTable(spark, sf)
+    val rows = multimodal.Multimodal.multimodalDedup(spark, sf)
+      .select("n_copies", "keep_id", "n_bytes", "dup_bytes")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sum == media.count(), "every payload lands in exactly one group")
+    rows.foreach { case (n, _, bytes, dup) => assert(dup == (n - 1) * bytes) }
+    // keep_id is the min doc_id of its group -> keep_ids are distinct
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // duplicate payloads (constructed): copies collapse to one group
+    // keyed by the smallest doc_id, and dup_bytes counts the copies
+    val withDups = media.unionByName(
+      media.limit(10).withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val dgroups = multimodal.Multimodal.multimodalDedupOn(withDups)
+      .filter(col("n_copies") > 1)
+      .select("n_copies", "keep_id", "n_bytes", "dup_bytes")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(dgroups.length >= 10)
+    dgroups.foreach { case (n, keep, bytes, dup) =>
+      assert(keep < 1000000L, "survivor is the original, not the copy")
+      assert(dup == (n - 1) * bytes)
+    }
+  }
+
+  test("kmeansCentroids: distributed path (driverMaxPoints=0) matches the fast-path contract") {
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cents = VectorOps.kmeansCentroids(e, 8, driverMaxPoints = 0L)
+      .select("centroid_id", "cv").as[(Int, Seq[Long])].collect()
+    assert(cents.map(_._1).sorted.toSeq == (0 until 8))
+    cents.foreach { case (_, cv) =>
+      assert(cv.length == 64)
+      // centers live on the ×10000 quantized unit sphere
+      val n = math.sqrt(cv.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 10000.0) < 150.0, s"center norm $n off the sphere")
+    }
+    // the fast path must also satisfy the same contract and fill every list
+    val fast = VectorOps.kmeansCentroids(e, 8)
+    val lists = VectorOps.annIvf(e, e.filter(col("id") < 5), 3, 2, fast)
+    assert(lists.count() == 15)
+  }
+
+  test("annFiltered: equals brute-force top-k restricted to the query's label") {
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"), col("label"))
+    val got = VectorOps.annFiltered(e, e.filter(col("id") < 10), 3, "label")
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    // brute force: all (query, candidate) pairs, keep same-label, rank by the
+    // same quantized cosine + id tiebreak
+    val all = VectorOps.annBruteforce(e.select(col("id"), col("embedding")), e.filter(col("id") < 10), e.count().toInt)
+      .join(e.select(col("id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(e.select(col("id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .filter(col("ql") === col("nl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val brute = all.withColumn("r", row_number().over(w).cast("long")).filter(col("r") <= 3)
+      .select("query_id", "r", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.size == 30, "10 queries x top-3 within label")
   }
 
   test("q_grouping_sets: finer sets roll up consistently") {

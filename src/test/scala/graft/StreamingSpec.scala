@@ -175,6 +175,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch join+window aggregate") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val input = stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dim = GraftSession.table(spark, sf, "customer")
+      .select(col("c_custkey").cast("long").as("user_id"), col("c_mktsegment").as("segment"))
+    val q = EventsStream.enrichedWindowedCounts(input, dim)
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      val evs = events.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+      // ts-ordered split: the second batch never falls behind the first
+      // batch's watermark, so stream≡batch must hold exactly
+      val (b1, b2) = evs.sortBy(_._2.getTime).splitAt(evs.size / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      stream.addData(Seq((0L, Timestamp.valueOf("2030-01-01 00:00:00"), 0L, "sentinel", 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("enrich_out").filter(col("day") < lit("2029-01-01"))
+      val want = events.join(dim, Seq("user_id"), "left")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("segment"))
+        .agg(count(lit(1)).as("n_events"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"stream=${got.count()} batch=${want.count()}")
+      assert(got.filter(col("segment").isNotNull).count() > 0, "some events must enrich")
+    } finally q.stop()
+  }
+
   test("multimodal features roundtrip through the batched decoder") {
     val feats = multimodal.Multimodal.multimodalFeatures(spark, sf).collect()
     assert(feats.length == 500)
