@@ -219,6 +219,60 @@ object Dedup {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** §2.3 #24c — EXACT n-gram Jaccard similarity join via prefix
+    * filtering (the AllPairs/PPJoin family): each doc's distinct
+    * shingles are globally ordered rarest-first (by document
+    * frequency), and only the first `n - ⌈t·n⌉ + 1` shingles are
+    * indexed. The prefix-filtering lemma makes candidate generation
+    * LOSSLESS: two sets with J ≥ t must collide inside these prefixes
+    * under any shared total order, so unlike MinHash there is no
+    * recall parameter — the output IS the exact similarity join.
+    *
+    * Scale shape: doc-frequency count (one shuffle, map-side combine),
+    * per-doc prefix (one window over doc_id), then a self-join keyed
+    * on RARE shingles — rarest-first ordering means hot n-grams never
+    * enter an index prefix unless a doc is nearly all stopword grams,
+    * so posting lists stay short and the candidate pair space stays
+    * near-linear. Verification reuses the codegen'd sorted-intersect
+    * kernel on xxhash64'd shingles.
+    */
+  def ngramJaccardPairs(d0: DataFrame, t: Double): DataFrame = {
+    val d = d0
+      .select(col("doc_id"), array_sort(array_distinct(transform(col("sh"), g => xxhash64(g)))).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .cache()
+    val posts = d.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
+    val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefixes = posts
+      .join(dfreq, "g")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("g"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val inter = graft.functions.ArrayExprs.sortedIntersectCount(col("ha"), col("hb"))
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", inter.cast(DoubleType) / (col("na") + col("nb") - inter))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** named query: exact global 3-gram-shingle Jaccard join at 0.8 —
+    * same semantics as `dedup_minhash_lsh`'s oracle, but guaranteed
+    * (lossless candidates) rather than probabilistic.
+    */
+  def dedupNgramExact(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(docs(spark, dir).select(col("doc_id"), shingles.as("sh")), VerifyThreshold)
+
+  val dedupNgramExactSql: String = dedupMinhashLshSql
+
   // ---------------------------------------------------------------- incremental
 
   /** §2.3 #24b — incremental corpus dedup: the production pattern where
@@ -386,6 +440,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_ngram_exact" -> (dedupNgramExact _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_fuzzy" -> (dedupFuzzy _),
@@ -395,6 +450,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_ngram_exact" -> dedupNgramExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_fuzzy" -> dedupFuzzySql,
     // dedup_simhash: engine-specific xxhash64 → rows-only check

@@ -197,6 +197,26 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(got.size == 30, "10 queries x top-3 within label")
   }
 
+  test("dedup_ngram_exact: prefix filtering is lossless vs the brute-force all-pairs join") {
+    val got = Dedup.dedupNgramExact(spark, sf)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val s = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(
+        graft.functions.ArrayExprs.wordNgrams(split(col("text"), " "), 3)).as("sh"))
+    val brute = s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"), col("j")).as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "corpus should contain near-duplicate shingle sets")
+    // exact join must cover everything the probabilistic MinHash path finds
+    val minhash = Dedup.dedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(minhash.subsetOf(got.map(t => (t._1, t._2))))
+  }
+
   test("q_grouping_sets: finer sets roll up consistently") {
     val rows = Relational.qGroupingSets(spark, sf)
       .select(col("gid"), col("n_rows")).as[(Long, Long)].collect()
