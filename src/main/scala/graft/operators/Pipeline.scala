@@ -139,6 +139,65 @@ object Pipeline {
       |SELECT doc_id, min(lbl) AS cluster_id, min(lbl) = doc_id AS is_canonical
       |FROM conn GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** §2.3 #22c — quality-aware survivor selection: the production
+    * dedup policy. Min-id canonical ([[dedupClusters]]) is arbitrary;
+    * what a training pipeline actually keeps is the highest-QUALITY
+    * member of each near-dup cluster. Composes the cluster assignment
+    * with [[TextAnalysis.textQuality]]'s score and picks the
+    * (score desc, doc_id asc) argmax per cluster — deterministic, and
+    * every arithmetic step is the already-oracled IEEE formula, so the
+    * composition stays hash-exact. The cluster table is the small side
+    * (only docs appearing in dup pairs), so the join adds one doc_id
+    * shuffle and a per-cluster window, nothing corpus-quadratic.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val clusters =
+      connectedComponents(Dedup.dedupMinhashLsh(spark, dir).select("doc_a", "doc_b"))
+    val q = TextAnalysis.textQuality(spark, dir).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("quality_score").desc, col("doc_id"))
+    clusters
+      .join(q, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSurvivorsSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |      ELSE [text] END AS sh
+      |  FROM w
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM p
+      |), nodes AS (
+      |  SELECT DISTINCT src AS doc_id FROM edges
+      |), conn AS (
+      |  SELECT doc_id, doc_id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst, c.lbl FROM conn c JOIN edges e ON e.src = c.doc_id WHERE c.lbl < e.dst
+      |), cl AS (
+      |  SELECT doc_id, min(lbl) AS cluster_id FROM conn GROUP BY doc_id
+      |), q AS (
+      |  SELECT doc_id,
+      |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
+      |      * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) AS quality_score
+      |  FROM documents
+      |)
+      |SELECT c.doc_id, c.cluster_id, q.quality_score,
+      |  row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality_score DESC, c.doc_id) = 1 AS keep
+      |FROM cl c JOIN q ON q.doc_id = c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   // ----------------------------------------------------- decontamination
 
   private val DecontamN = 5
@@ -464,6 +523,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_survivors" -> (dedupSurvivors _),
     "decontaminate" -> (decontaminate _),
     "sample_mix" -> (sampleMix _),
     "pack_sequences" -> (packSequences _),
@@ -474,6 +534,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_survivors" -> dedupSurvivorsSql,
     "decontaminate" -> decontaminateSql,
     "sample_mix" -> sampleMixSql,
     "pack_sequences" -> packSequencesSql,

@@ -217,6 +217,19 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(minhash.subsetOf(got.map(t => (t._1, t._2))))
   }
 
+  test("dedup_survivors: exactly one keeper per cluster, and it's the best-quality member") {
+    val rows = operators.Pipeline.dedupSurvivors(spark, sf)
+      .select("doc_id", "cluster_id", "quality_score", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cid must keep exactly one doc")
+      val best = members.maxBy(m => (m._3, -m._1))
+      assert(members.find(_._4).get._1 == best._1,
+        s"cluster $cid keeper is not the (score desc, id asc) argmax")
+    }
+  }
+
   test("q_grouping_sets: finer sets roll up consistently") {
     val rows = Relational.qGroupingSets(spark, sf)
       .select(col("gid"), col("n_rows")).as[(Long, Long)].collect()
