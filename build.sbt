@@ -27,11 +27,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap scales with the host: a quarter of RAM clamped to
+// [8g, 32g], so the big bench box gets its wide margin (8g leaves
+// ~4.6g storage memory, which under concurrent load degrades to GC
+// thrash on the shuffle-heavy suite) while smaller contributor/CI
+// machines stay inside a bounded JVM instead of swapping.
+// SPARK_DRIVER_MEM overrides either way.
+val defaultHeapGb: Int = {
+  val memTotalKb = try {
+    scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") => l.split("\\s+")(1).toLong }
+      .getOrElse(0L)
+  } catch { case _: Throwable => 0L }
+  if (memTotalKb <= 0) 8 else math.max(8L, math.min(32L, memTotalKb / 1024 / 1024 / 4)).toInt
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // headroom for local[32] runs: 8g leaves ~4.6g storage memory, which
-  // under concurrent machine load degrades to GC thrash on the
-  // shuffle-heavy suite; the box has 125g, so take a wide margin
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

@@ -2,7 +2,7 @@ package graft.lake
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -201,6 +201,24 @@ final class ChunkStore private (
     finally out.close()
     try body
     finally fs.delete(lockFile, false)
+  }
+
+  // Writable load: if a crashed gc/compact left swap debris, recover
+  // it before any read can observe a half-swapped store (readOr treats
+  // a missing table dir as empty — silent truncation). Skipped when a
+  // live writer holds the lock: that writer owns the swap in flight.
+  locally {
+    if (!readonly) {
+      val conf0 = spark.sessionState.newHadoopConf()
+      val hasDebris =
+        Seq(".gc_tmp", ".compact_tmp", "chunks.old", "manifest.old", "catalog.old").exists { d =>
+          val p = new HPath(path, d)
+          p.getFileSystem(conf0).exists(p)
+        }
+      if (hasDebris)
+        try withWriteLock(recoverInterruptedSwap())
+        catch { case _: StoreLockedException => () }
+    }
   }
 
   private def putBlobsInternal(blobs: DataFrame, collectSummary: Boolean): Option[PutResult] = {
@@ -501,7 +519,7 @@ final class ChunkStore private (
       val conf = spark.sessionState.newHadoopConf()
       val tmpRoot = new HPath(path, ".gc_tmp")
       val fs = tmpRoot.getFileSystem(conf)
-      fs.delete(tmpRoot, true) // debris from a crashed previous gc
+      recoverInterruptedSwap() // finish or roll back a crashed prior swap
 
       val beforeChunks = chunks.agg(count(lit(1)), coalesce(sum(col("size")), lit(0L))).as[(Long, Long)].head()
       val deadBlobs = tombstones.count()
@@ -520,13 +538,7 @@ final class ChunkStore private (
       liveMan.write.parquet(s"$path/.gc_tmp/manifest")
       liveCat.write.parquet(s"$path/.gc_tmp/catalog")
 
-      Seq("chunks", "manifest", "catalog").foreach { d =>
-        val dst = new HPath(path, d)
-        fs.delete(dst, true)
-        if (!fs.rename(new HPath(tmpRoot, d), dst))
-          throw new java.io.IOException(s"gc: rename failed for $d in $path")
-      }
-      fs.delete(tmpRoot, true)
+      swapCommitted(fs, tmpRoot, Seq("chunks", "manifest", "catalog"), "gc")
       fs.delete(new HPath(tombstonesDir), true)
 
       val afterChunks = chunks.agg(count(lit(1)), coalesce(sum(col("size")), lit(0L))).as[(Long, Long)].head()
@@ -537,6 +549,62 @@ final class ChunkStore private (
         afterChunks._1,
         afterChunks._2,
       )).toDF("blobs_deleted", "chunks_reclaimed", "bytes_reclaimed", "chunks_live", "bytes_live")
+    }
+  }
+
+  /** Crash-safe table swap shared by [[gc]] and [[compact]]. After the
+    * rewrite fully lands in `tmpRoot`, a `_COMMIT` marker is created;
+    * each table is then swapped by renaming the live dir ASIDE
+    * (`<d>.old`) before renaming the tmp dir in, so a complete copy of
+    * every table exists on disk at every instant. The previous
+    * delete-then-rename protocol had a window where the only copy
+    * lived in the tmp dir and the next run deleted it as debris.
+    */
+  private def swapCommitted(fs: FileSystem, tmpRoot: HPath, tables: Seq[String], what: String): Unit = {
+    fs.create(new HPath(tmpRoot, "_COMMIT"), true).close()
+    tables.foreach { d =>
+      val dst = new HPath(path, d)
+      val old = new HPath(path, s"$d.old")
+      fs.delete(old, true)
+      if (fs.exists(dst) && !fs.rename(dst, old))
+        throw new java.io.IOException(s"$what: rename-aside failed for $d in $path")
+      if (!fs.rename(new HPath(tmpRoot, d), dst))
+        throw new java.io.IOException(s"$what: rename failed for $d in $path")
+      fs.delete(old, true)
+    }
+    fs.delete(tmpRoot, true)
+  }
+
+  /** Recover from a crash mid-[[gc]]/[[compact]]: roll a committed
+    * swap forward (the `_COMMIT` marker means every tmp table is a
+    * complete rewrite), restore any renamed-aside table of an
+    * uncommitted one, then clear debris. Idempotent; runs at writable
+    * load and under the write lock before either rewrite.
+    */
+  private[lake] def recoverInterruptedSwap(): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tables = Seq("chunks", "manifest", "catalog")
+    Seq(".gc_tmp", ".compact_tmp").foreach { t =>
+      val tmpRoot = new HPath(path, t)
+      val fs = tmpRoot.getFileSystem(conf)
+      val committed = fs.exists(new HPath(tmpRoot, "_COMMIT"))
+      tables.foreach { d =>
+        val dst = new HPath(path, d)
+        val old = new HPath(path, s"$d.old")
+        val tmp = new HPath(tmpRoot, d)
+        if (committed && fs.exists(tmp)) {
+          // roll forward: the committed tmp copy is the new truth
+          if (fs.exists(dst)) { fs.delete(old, true); fs.rename(dst, old) }
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"swap recovery: rename failed for $d in $path")
+        } else if (!fs.exists(dst) && fs.exists(old)) {
+          // roll back: restore the renamed-aside live copy
+          if (!fs.rename(old, dst))
+            throw new java.io.IOException(s"swap recovery: restore failed for $d in $path")
+        }
+        if (fs.exists(dst)) fs.delete(old, true)
+      }
+      fs.delete(tmpRoot, true)
     }
   }
 
@@ -568,7 +636,7 @@ final class ChunkStore private (
       val conf = spark.sessionState.newHadoopConf()
       val tmpRoot = new HPath(path, ".compact_tmp")
       val fs = tmpRoot.getFileSystem(conf)
-      fs.delete(tmpRoot, true) // debris from a crashed previous compact
+      recoverInterruptedSwap() // finish or roll back a crashed prior swap
 
       val before = Map(
         "chunks" -> countDataFiles(chunksDir),
@@ -580,13 +648,7 @@ final class ChunkStore private (
       manifest.repartition(col("blob_hash")).write.parquet(s"$path/.compact_tmp/manifest")
       catalog.repartition(col("blob_hash")).write.parquet(s"$path/.compact_tmp/catalog")
 
-      Seq("chunks", "manifest", "catalog").foreach { d =>
-        val dst = new HPath(path, d)
-        fs.delete(dst, true)
-        if (!fs.rename(new HPath(tmpRoot, d), dst))
-          throw new java.io.IOException(s"compact: rename failed for $d in $path")
-      }
-      fs.delete(tmpRoot, true)
+      swapCommitted(fs, tmpRoot, Seq("chunks", "manifest", "catalog"), "compact")
 
       Seq("chunks", "manifest", "catalog").map { d =>
         val dir = d match {

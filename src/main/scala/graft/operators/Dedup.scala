@@ -244,10 +244,14 @@ object Dedup {
     val posts = d.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
     val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    // ⌈t·n⌉ in exact terms: fp can round n*t up past the true integer
+    // (shrinking the prefix and breaking the lossless guarantee), so
+    // shave an epsilon below any representable fp drift before ceil —
+    // an undershoot only lengthens the prefix, which stays lossless
     val prefixes = posts
       .join(dfreq, "g")
       .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+      .filter(col("pos") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
       .select(col("doc_id"), col("g"))
     val cand = prefixes.select(col("doc_id").as("doc_a"), col("g"))
       .join(prefixes.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
@@ -255,13 +259,20 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
     val inter = graft.functions.ArrayExprs.sortedIntersectCount(col("ha"), col("hb"))
-    cand
+    val out = cand
       .join(d.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard", inter.cast(DoubleType) / (col("na") + col("nb") - inter))
       .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
+    // materialize the (near-dup-sized, small) pair output while `d` is
+    // cached, then release the full hs-array corpus cache — returning
+    // the lazy plan instead would pin it for the session's lifetime
+    val res = out.cache()
+    res.count()
+    d.unpersist()
+    res
   }
 
   /** named query: exact global 3-gram-shingle Jaccard join at 0.8 —

@@ -45,12 +45,18 @@ object Pipeline {
       driverMaxEdges: Long = 2000000L,
   ): DataFrame = {
     // the symmetric union reads `pairs` twice — without this cache an
-    // expensive upstream (e.g. the whole MinHash pipeline) runs twice
-    val p = pairs.cache()
+    // expensive upstream (e.g. the whole MinHash pipeline) runs twice.
+    // Cast endpoints to Long up front so both branches emit the same
+    // (LongType, LongType) schema regardless of edge count, and drop
+    // null endpoints (the fast path's union-find would NPE on them).
+    val p = pairs
+      .select(col("doc_a").cast(LongType), col("doc_b").cast(LongType))
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
+      .cache()
     val spark = pairs.sparkSession
     import spark.implicits._
     if (p.count() <= driverMaxEdges) {
-      val es = p.select(col("doc_a").cast(LongType), col("doc_b").cast(LongType)).as[(Long, Long)].collect()
+      val es = p.as[(Long, Long)].collect()
       p.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
