@@ -447,6 +447,60 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------- duplicate spans
+
+  /** §2.3 #25b — duplicated-span detection at 10-gram granularity (the
+    * distributable form of exact-substring training-data dedup: a
+    * duplicated substring of ≥ 10 words is exactly a run of duplicated
+    * 10-grams). A gram is "duplicated" when it occurs more than once in
+    * the corpus — including twice in the same document; each doc
+    * reports its duplicated-gram ratio, the fraction of its content
+    * that exists elsewhere.
+    *
+    * Scale shape: grams are xxhash64'd map-side so the corpus-frequency
+    * groupBy and the posting join shuffle 8-byte keys, never gram
+    * strings (~70 bytes each); both aggregations are partial
+    * (map-side combine). Collisions at 64 bits are ~n²/2⁶⁵ — no
+    * engine-visible hash reaches the output, so the DuckDB oracle
+    * groups the gram strings themselves and must agree wherever no
+    * collision occurs.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val grams10 = graft.functions.ArrayExprs.wordNgrams(words, 10)
+    val posts = docs(spark, dir)
+      .select(col("doc_id"), explode(transform(grams10, g => xxhash64(g))).as("g"))
+    val gfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    posts
+      .join(gfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum((col("cnt") > 1).cast(LongType)).as("n_dup_grams"),
+      )
+      .withColumn("dup_ratio", col("n_dup_grams").cast(DoubleType) / col("n_grams"))
+      .withColumn("is_mostly_dup", col("dup_ratio") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  val dedupSpansSql: String = {
+    val gram10 = (0 until 10).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(ws) >= 10 THEN list_transform(range(1, len(ws) - 8), i -> $gram10)
+      |    ELSE [text] END) AS g
+      |  FROM w
+      |), c AS (SELECT g, count(*) AS cnt FROM g GROUP BY g)
+      |SELECT doc_id,
+      |  count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+      |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio,
+      |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5 AS is_mostly_dup
+      |FROM g JOIN c USING (g)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -455,6 +509,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_fuzzy" -> (dedupFuzzy _),
+    "dedup_spans" -> (dedupSpans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -464,6 +519,7 @@ object Dedup {
     "dedup_ngram_exact" -> dedupNgramExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_fuzzy" -> dedupFuzzySql,
+    "dedup_spans" -> dedupSpansSql,
     // dedup_simhash: engine-specific xxhash64 → rows-only check
   )
 }

@@ -322,6 +322,225 @@ object TextAnalysis {
       |GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- PII
+
+  /** Portable PII patterns (identical semantics in Java regex and
+    * DuckDB's RE2): email, NANP-style phone, dotted-quad IPv4. Kept to
+    * `[0-9]`/explicit classes — no `\d`/lookaround, which differ across
+    * engines.
+    */
+  private[graft] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private[graft] val PiiIpv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** §2.5 #33g — PII scrub: per-row match counts for each pattern plus
+    * the redacted text. Pure map-side regex (codegen'd `RegExpReplace`/
+    * `RegExpCount`) — no shuffle at any scale; the order (email → ipv4
+    * → phone) is fixed so replacement tokens can't create new matches.
+    */
+  def piiScrub(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_emails", regexp_count(text, lit(PiiEmailRe)).cast(LongType))
+      .withColumn("n_ipv4", regexp_count(text, lit(PiiIpv4Re)).cast(LongType))
+      .withColumn("n_phones", regexp_count(text, lit(PiiPhoneRe)).cast(LongType))
+      .withColumn(
+        "clean",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+            PiiIpv4Re,
+            "<IP>",
+          ),
+          PiiPhoneRe,
+          "<PHONE>",
+        ),
+      )
+
+  /** The synthetic corpus carries no natural PII, so the named query
+    * appends a DETERMINISTIC PII suffix derived from doc_id (whether
+    * each kind appears varies with doc_id, so counts aren't constant)
+    * — the DuckDB oracle mirrors the same construction, making the
+    * whole detect+redact path hash-checked end to end. The generic
+    * entry point is [[piiScrub]]; PiiSpec exercises it on realistic
+    * strings.
+    */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    val piiText = concat(
+      col("text"),
+      when(
+        pmod(col("doc_id"), lit(3)) < 2,
+        concat(lit(" contact user"), col("doc_id").cast(StringType), lit("@mail.example.com")),
+      ).otherwise(lit("")),
+      when(
+        pmod(col("doc_id"), lit(2)) === 0,
+        concat(
+          lit(" call 555-"),
+          lpad(pmod(col("doc_id") * 7, lit(1000)).cast(StringType), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id") * 13, lit(10000)).cast(StringType), 4, "0"),
+        ),
+      ).otherwise(lit("")),
+      when(
+        pmod(col("doc_id"), lit(5)) < 3,
+        concat(
+          lit(" from 10."),
+          pmod(col("doc_id"), lit(256)).cast(StringType),
+          lit("."),
+          pmod(col("doc_id") * 3, lit(256)).cast(StringType),
+          lit("."),
+          pmod(col("doc_id") * 5, lit(256)).cast(StringType),
+        ),
+      ).otherwise(lit("")),
+    )
+    piiScrub(docs(spark, dir).select(col("doc_id"), piiText.as("pii_text")), col("pii_text"))
+      .select(
+        col("doc_id"),
+        col("n_emails"),
+        col("n_phones"),
+        col("n_ipv4"),
+        (col("n_emails") + col("n_phones") + col("n_ipv4") > 0).as("has_pii"),
+        md5(col("clean")).as("clean_md5"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val textPiiSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 3 < 2 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 2 = 0 THEN ' call 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    || CASE WHEN doc_id % 5 < 3 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 3 % 256 AS VARCHAR) || '.' || CAST(doc_id * 5 % 256 AS VARCHAR) ELSE '' END
+      |    AS pii_text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(pii_text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(pii_text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+      |  len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    + len(regexp_extract_all(pii_text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))
+      |    + len(regexp_extract_all(pii_text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) > 0 AS has_pii,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS clean_md5
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- vocab
+
+  /** §2.5 #31e — corpus vocabulary report: top-100 terms by total
+    * occurrences (term asc tiebreak) with document frequency — the
+    * tokenizer-training / vocab-audit rollup.
+    *
+    * Scale shape: explode feeds a partially-aggregated groupBy(term)
+    * (map-side combine) and a two-phase distinct count; the top-100 is
+    * TakeOrderedAndProject (no global sort materialization), and the
+    * rank window runs on ≤100 rows after the limit — a deliberate
+    * limit-then-rank so the single-partition window is bounded at any
+    * corpus size.
+    */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = docs(spark, dir).select(col("doc_id"), explode(words).as("term"))
+    val agg = tokens
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val top = agg.orderBy(col("tf").desc, col("term")).limit(100)
+    top
+      .withColumn("rk", row_number().over(Window.orderBy(col("tf").desc, col("term"))).cast(LongType))
+      .select(col("rk"), col("term"), col("tf"), col("df"))
+      .orderBy("rk")
+  }
+
+  val textVocabSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |v AS (
+      |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rk, term, tf, df
+      |FROM v
+      |ORDER BY tf DESC, term
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- BM25
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** §2.5 #31f — BM25 retrieval for a literal query over the corpus.
+    *
+    * The idf is the LOG-FREE rational form (N − df + 0.5)/(df + 0.5):
+    * log() is transcendental and rounds differently across engines
+    * (SURVEY §6), while this ratio of exact integers is
+    * bit-deterministic — and since log is monotone, the ranking is the
+    * classic BM25 ranking.
+    *
+    * Scale shape: query terms are literals, so per-doc term frequencies
+    * are MAP-SIDE `size(filter(words, = term))` — no explode, no
+    * per-token shuffle; df/N/avgdl come from one single-row aggregate
+    * broadcast back; scoring is map-side and the top-k is
+    * TakeOrderedAndProject. A full-corpus BM25 pass with zero wide
+    * shuffles.
+    */
+  def bm25(d: DataFrame, textCol: Column, terms: Seq[String], k: Int): DataFrame = {
+    val ws = split(textCol, " ")
+    def tfCol(t: String): Column = size(filter(ws, w => w === lit(t))).cast(LongType)
+    val base = d
+      .select(
+        col("doc_id") +: size(ws).cast(LongType).as("dl") +:
+          terms.map(t => tfCol(t).as(s"tf_$t")): _*
+      )
+    val aggCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      terms.map(t => sum((col(s"tf_$t") > 0).cast(LongType)).as(s"df_$t"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    def contrib(t: String): Column = {
+      val tf = col(s"tf_$t").cast(DoubleType)
+      val idf = (col("n_docs").cast(DoubleType) - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5)
+      // k1+1 appears as the literal 2.2 (not Bm25K1 + 1.0 computed in
+      // Scala): a compile-time double add can land 1 ulp off the parsed
+      // SQL literal, and the oracle comparison is bit-exact
+      idf * (tf * lit(2.2)) / (tf + lit(Bm25K1) * (lit(1.0) - Bm25B + lit(Bm25B) * (col("dl").cast(DoubleType) / avgdl)))
+    }
+    base
+      .crossJoin(broadcast(stats))
+      .withColumn("score", terms.map(contrib).reduce(_ + _))
+      .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** named query: BM25 top-20 for "spark stream join". */
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(docs(spark, dir), col("text"), Seq("spark", "stream", "join"), 20)
+
+  val textBm25Sql: String = {
+    val terms = Seq("spark", "stream", "join")
+    val tfs = terms
+      .map(t => s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n  ")
+    val dfs = terms.map(t => s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    val contribs = terms.map { t =>
+      s"""((CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5))
+         |    * (CAST(tf_$t AS DOUBLE) * 2.2)
+         |    / (CAST(tf_$t AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))""".stripMargin
+    }.mkString("\n  + ")
+    s"""WITH base AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |  $tfs
+      |  FROM documents
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM base
+      |)
+      |SELECT doc_id, tf_spark, tf_stream, tf_join,
+      |  $contribs AS score
+      |FROM base CROSS JOIN stats
+      |WHERE tf_spark + tf_stream + tf_join > 0
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_corpus_stats" -> (textCorpusStats _),
     "text_tokens" -> (textTokens _),
@@ -331,6 +550,9 @@ object TextAnalysis {
     "text_winnow_pairs" -> (textWinnowPairs _),
     "text_repetition" -> (textRepetition _),
     "text_tfidf" -> (textTfidf _),
+    "text_pii" -> (textPii _),
+    "text_vocab" -> (textVocab _),
+    "text_bm25" -> (textBm25 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,5 +563,8 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
+    "text_pii" -> textPiiSql,
+    "text_vocab" -> textVocabSql,
+    "text_bm25" -> textBm25Sql,
   )
 }
