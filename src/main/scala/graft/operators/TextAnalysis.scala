@@ -541,6 +541,29 @@ object TextAnalysis {
       |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- compression
+
+  /** §2.5 #31g — compression-ratio quality signal: deflate size over
+    * raw size. Low ratio = repetitive/boilerplate text, ratio near the
+    * corpus ceiling = high-entropy content; both tails are the classic
+    * drop candidates in large-corpus quality filtering. Map-side only
+    * (a codegen'd [[graft.functions.DeflateLen]] expression, zlib state
+    * reused per task thread) — no shuffle at any scale. No deflate in
+    * DuckDB → rows-only + ScalaTest determinism/monotonicity.
+    */
+  def textCompress(spark: SparkSession, dir: String): DataFrame = {
+    val raw = octet_length(col("text")).cast(LongType)
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        raw.as("n_bytes"),
+        graft.functions.Compress.deflateLen(col("text").cast(BinaryType)).cast(LongType).as("deflate_bytes"),
+      )
+      .withColumn("ratio", col("deflate_bytes").cast(DoubleType) / col("n_bytes"))
+      .withColumn("is_repetitive", col("ratio") < 0.3)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_corpus_stats" -> (textCorpusStats _),
     "text_tokens" -> (textTokens _),
@@ -553,6 +576,7 @@ object TextAnalysis {
     "text_pii" -> (textPii _),
     "text_vocab" -> (textVocab _),
     "text_bm25" -> (textBm25 _),
+    "text_compress" -> (textCompress _),
   )
 
   val oracles: Map[String, String] = Map(

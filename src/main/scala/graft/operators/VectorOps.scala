@@ -643,6 +643,66 @@ object VectorOps {
       |FROM z
       |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------- semantic dedup
+
+  /** §2.3 #26i — semantic deduplication (the SemDeDup recipe,
+    * Abbas'23): k-means-cluster the embeddings, then compare pairs
+    * only WITHIN a cluster; each vector reports its best
+    * (max-cosine) lower-id cluster-mate and a duplicate flag at
+    * cosine ≥ `tau`. Lower-id survivorship makes the keep-set
+    * deterministic.
+    *
+    * Scale design: the pair space is bucketed by the coarse quantizer —
+    * the same shuffle shape as [[annIvf]]'s inverted lists (centroids
+    * broadcast, one narrow shuffle on cluster id), so the quadratic
+    * term is per-cluster, controlled by `numClusters` ∝ corpus size
+    * (SemDeDup's own scaling knob). No all-pairs join at any scale.
+    */
+  def semDedup(data: DataFrame, numClusters: Int, tau: Double): DataFrame = {
+    val cs = broadcast(kmeansCentroids(data, numClusters))
+    val assigned = prep(data)
+      .join(cs, lit(true))
+      .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
+      .groupBy(col("id"))
+      .agg(
+        max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"),
+        first(col("qv")).as("qv"),
+        first(col("norm")).as("norm"),
+      )
+      .select(col("id"), col("qv"), col("norm"), (-col("m.nid")).cast(IntegerType).as("cluster_id"))
+      .cache() // both sides of the within-cluster join read this
+    val a = assigned.select(col("id").as("vec_id"), col("qv").as("qa"), col("norm").as("na"), col("cluster_id"))
+    val b = assigned.select(col("id").as("dup_of"), col("qv").as("qb"), col("norm").as("nb"), col("cluster_id"))
+    val best = a.join(b, Seq("cluster_id"))
+      .filter(col("dup_of") < col("vec_id"))
+      .select(
+        col("vec_id"), col("cluster_id"),
+        col("dup_of"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"),
+      )
+      .groupBy(col("vec_id"), col("cluster_id"))
+      .agg(max(struct(col("cosine"), (-col("dup_of")).as("nid"))).as("m"))
+      .select(col("vec_id"), col("cluster_id"), (-col("m.nid")).as("dup_of"), col("m.cosine").as("cosine"))
+    assigned.select(col("id").as("vec_id"), col("cluster_id"))
+      .join(best, Seq("vec_id", "cluster_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cluster_id").cast(LongType).as("cluster_id"),
+        col("dup_of"),
+        col("cosine"),
+        coalesce(col("cosine") >= tau, lit(false)).as("is_semantic_dup"),
+      )
+      .orderBy("vec_id")
+  }
+
+  /** named query: 16 clusters, tau = 0.5 (the same near-dup threshold
+    * as `dedup_embedding`, whose LSH buckets this replaces with learned
+    * clusters). Engine-specific quantizer → rows-only + ScalaTest
+    * within-cluster brute-force equality.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    semDedup(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")), 16, 0.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce(_: SparkSession, _: String)),
     "emb_quantize" -> (embQuantize _),
@@ -650,6 +710,7 @@ object VectorOps {
     "ann_lsh" -> (annLsh(_: SparkSession, _: String)),
     "ann_ivf" -> (annIvf(_: SparkSession, _: String)),
     "ann_filtered" -> (annFiltered(_: SparkSession, _: String)),
+    "dedup_semantic" -> (dedupSemantic _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -127,6 +127,35 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("win.start").as("day"), col("segment"), col("n_events"))
 
+  /** §2.7 #43 — stream-stream interval join: purchases matched to the
+    * same user's clicks in the preceding `lookbackMinutes` (the
+    * streaming form of the batch `q_rangejoin`). Both sides are
+    * watermarked so Spark bounds the join state: a buffered click can
+    * be evicted once the purchase-side watermark passes
+    * click_ts + lookback, which is exactly the condition the time-range
+    * predicate encodes — state stays O(watermark window), not O(stream).
+    * Inner join in append mode: a pair emits as soon as both sides have
+    * arrived.
+    */
+  def purchaseClickJoin(events: DataFrame, lookbackMinutes: Int = 10): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases
+      .join(
+        clicks,
+        col("click_user") === col("user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("click_ts") < col("purchase_ts"),
+      )
+      .select(col("user_id"), col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   final case class BandHit(band_idx: Int, band_key: Long, doc_id: Long, ts: Timestamp)
   final case class BandOwner(ownerId: Long)
   final case class CandPair(doc_a: Long, doc_b: Long, band_idx: Int)

@@ -97,6 +97,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch purchase-click range join") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val input = stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = EventsStream.purchaseClickJoin(input, lookbackMinutes = 10)
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      val evs = events.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+        .sortBy(e => (e._2.getTime, e._3))
+      // two micro-batches split mid-stream: a purchase in batch 2 must
+      // still find its batch-1 clicks in the join state
+      val (b1, b2) = evs.splitAt(evs.size / 2)
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+
+      val got = spark.table("ssj_out")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+
+      val p = events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+      val c = events.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"), unix_micros(col("ts")).as("c_us"))
+      val want = p.join(
+          c,
+          col("pu") === col("cu") && col("c_us") >= col("p_us") - lit(600000000L) && col("c_us") < col("p_us"),
+        )
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"stream=${got.size} batch=${want.size}")
+      assert(want.nonEmpty, "the corpus should contain purchase-click matches")
+    } finally q.stop()
+  }
+
   test("streaming lake sink: micro-batches land content-addressed, replays dedupe") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-lake")
