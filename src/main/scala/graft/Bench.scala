@@ -61,7 +61,16 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // self-check against the committed BASELINE.md floors (sf0.1 only —
+    // the floors were measured there): any query >2× its floor is a
+    // regression the next round must explain or fix
+    val regs =
+      if (sfDir.endsWith("sf0.1"))
+        BenchBaseline.regressions(results.map(r => (r._1, r._2)))
+          .map { case (n, v, f) => "\"" + n + "\":{\"sec\":" + v + ",\"floor\":" + f + "}" }
+          .mkString("{", ",", "}")
+      else "{}"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

@@ -1,0 +1,102 @@
+package graft
+
+/** Frozen per-query performance floors (seconds) at sf0.1, local[32] —
+  * the round-5 bench (`BENCH_r05.json`, total 31.9 s), committed as the
+  * repo's numeric baseline in `BASELINE.md`.
+  *
+  * [[Bench]] compares each run against these and emits a
+  * `"regressions"` JSON field for any query slower than
+  * [[RegressionFactor]] × its floor, making the "within 2× of
+  * baseline" gate mechanically checkable from `BENCH_r{N}.json` alone.
+  * Run-to-run environmental variance on the shared box is ~12%
+  * (r4 vs r5 on byte-identical code), so 2× is signal, not noise.
+  *
+  * Queries added after round 5 have no floor yet; they join the map
+  * when their first sf0.1 numbers are frozen.
+  */
+object BenchBaseline {
+
+  val RegressionFactor = 2.0
+
+  /** sf0.1 floors from BENCH_r05.json (identical code to r4; the min
+    * of the two rounds would be marginally tighter but r5 is the
+    * committed snapshot).
+    */
+  val sf01Floors: Map[String, Double] = Map(
+    "ann_bruteforce" -> 0.393,
+    "ann_filtered" -> 0.356,
+    "ann_ivf" -> 0.749,
+    "ann_lsh" -> 0.820,
+    "decontaminate" -> 0.954,
+    "dedup_clusters" -> 1.093,
+    "dedup_embedding" -> 1.389,
+    "dedup_exact" -> 0.193,
+    "dedup_fuzzy" -> 0.229,
+    "dedup_incremental" -> 0.763,
+    "dedup_jaccard" -> 0.831,
+    "dedup_minhash_lsh" -> 0.840,
+    "dedup_ngram_exact" -> 1.399,
+    "dedup_semantic" -> 1.000,
+    "dedup_simhash" -> 0.329,
+    "dedup_spans" -> 0.525,
+    "dedup_survivors" -> 1.016,
+    "emb_quantize" -> 0.379,
+    "export_manifest" -> 0.261,
+    "lake_bucket_hist" -> 0.256,
+    "lake_chunk_split" -> 0.198,
+    "lake_convergent" -> 0.279,
+    "lake_dedup_stats" -> 0.175,
+    "lake_get_blob" -> 0.329,
+    "lake_put_blob" -> 0.136,
+    "multimodal_dedup" -> 0.221,
+    "multimodal_features" -> 0.160,
+    "multimodal_frames" -> 0.163,
+    "multimodal_meta" -> 0.143,
+    "pack_sequences" -> 0.189,
+    "q1_agg" -> 0.620,
+    "q3_join" -> 0.481,
+    "q4_semijoin" -> 0.285,
+    "q5_multijoin" -> 0.694,
+    "q6_filter" -> 0.136,
+    "q_antijoin" -> 0.218,
+    "q_asof" -> 0.297,
+    "q_asof_tolerance" -> 0.299,
+    "q_corr_scalar" -> 0.231,
+    "q_cube" -> 0.498,
+    "q_distinct" -> 0.603,
+    "q_events_window" -> 0.218,
+    "q_grouping_sets" -> 0.309,
+    "q_json" -> 0.427,
+    "q_leadlag" -> 0.628,
+    "q_pivot" -> 0.336,
+    "q_rangejoin" -> 0.392,
+    "q_rollup" -> 0.334,
+    "q_sessionize" -> 0.421,
+    "q_setops" -> 0.345,
+    "q_sketches" -> 0.665,
+    "q_topk_group" -> 0.426,
+    "q_window" -> 0.479,
+    "sample_mix" -> 0.152,
+    "shard_assign" -> 0.187,
+    "text_bm25" -> 0.451,
+    "text_compress" -> 0.261,
+    "text_corpus_stats" -> 0.212,
+    "text_filter" -> 1.087,
+    "text_fingerprint" -> 0.212,
+    "text_langid" -> 0.528,
+    "text_pii" -> 0.778,
+    "text_quality" -> 0.288,
+    "text_repetition" -> 0.559,
+    "text_tfidf" -> 0.398,
+    "text_tokens" -> 0.295,
+    "text_vocab" -> 0.308,
+    "text_winnow_pairs" -> 1.097,
+  )
+
+  /** queries running slower than factor×floor: (name, measured, floor). */
+  def regressions(measured: Seq[(String, Double)]): Seq[(String, Double, Double)] =
+    measured.collect {
+      case (n, v) if sf01Floors.get(n).exists(f => v > RegressionFactor * f) =>
+        (n, v, sf01Floors(n))
+    }
+}

@@ -41,6 +41,29 @@ object GraftSession {
     spark
   }
 
+  /** Materialize-then-release for operators whose plan self-joins a
+    * cached intermediate: force the UNSORTED `out` (cache + count)
+    * while the intermediates are hot, then unpersist every
+    * intermediate so no executor memory stays pinned past the call,
+    * and apply the final deterministic ordering on top of the cached
+    * result. Returning the lazy plan with live caches instead would
+    * leak them for the session lifetime (the round-4 "Asked to cache
+    * already cached data" warnings); caching WITH the orderBy would
+    * bake a range-shuffle + sort into the materialization. The
+    * materialized result is small by construction (a near-dup pair set
+    * or per-row summary), so the sort-on-read is noise.
+    */
+  def materialized(out: DataFrame, sortCols: Seq[String], intermediates: DataFrame*): DataFrame = {
+    // cache() is keyed on the logical plan: a repeat invocation of the
+    // same query would hit "Asked to cache already cached data", so
+    // only cache when the plan isn't already in the cache manager
+    val res =
+      if (out.storageLevel == org.apache.spark.storage.StorageLevel.NONE) out.cache() else out
+    res.count()
+    intermediates.foreach(_.unpersist())
+    res.orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   /** Reads one of the standard test tables from an sf directory.
     *
     * events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.GraftSession.table
+import graft.GraftSession.{materialized, table}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -92,12 +92,12 @@ object Dedup {
       .drop("band")
     val b = d.select(col("doc_id").as("doc_b"), col("source"), col("wset").as("wb"), col("band").as("jband"))
     val inter = graft.functions.ArrayExprs.sortedIntersectCount(col("wa"), col("wb"))
-    a.join(b, Seq("source", "jband"))
+    val out = a.join(b, Seq("source", "jband"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", inter.cast(DoubleType) / (size(col("wa")) + size(col("wb")) - inter))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("source"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    materialized(out, Seq("doc_a", "doc_b"), d)
   }
 
   val dedupJaccardSql: String =
@@ -194,13 +194,13 @@ object Dedup {
       .distinct()
     val sa = d.select(col("doc_id").as("doc_a"), col("sh").as("sha_"))
     val sb = d.select(col("doc_id").as("doc_b"), col("sh").as("shb_"))
-    candidates
+    val out = candidates
       .join(sa, "doc_a")
       .join(sb, "doc_b")
       .withColumn("jaccard", jaccard(col("sha_"), col("shb_")))
       .filter(col("jaccard") >= VerifyThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    materialized(out, Seq("doc_a", "doc_b"), d, bands)
   }
 
   val dedupMinhashLshSql: String =
@@ -265,14 +265,10 @@ object Dedup {
       .withColumn("jaccard", inter.cast(DoubleType) / (col("na") + col("nb") - inter))
       .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
     // materialize the (near-dup-sized, small) pair output while `d` is
     // cached, then release the full hs-array corpus cache — returning
     // the lazy plan instead would pin it for the session's lifetime
-    val res = out.cache()
-    res.count()
-    d.unpersist()
-    res
+    materialized(out, Seq("doc_a", "doc_b"), d)
   }
 
   /** named query: exact global 3-gram-shingle Jaccard join at 0.8 —
@@ -328,10 +324,10 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("dup_of"), col("jaccard"))
-    batch.select(col("doc_id"))
+    val out = batch.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("jaccard"))
-      .orderBy("doc_id")
+    materialized(out, Seq("doc_id"), d)
   }
 
   val dedupIncrementalSql: String =
@@ -417,15 +413,21 @@ object Dedup {
           .simhash62(transform(words, w => xxhash64(w)))
           .as("simhash"),
       )
-      .cache() // the segment self-join reads this twice
+  // deliberately NOT cached: the signature is one codegen map pass, so
+  // each side of the segment self-join recomputing it from the scan is
+  // cheaper than a cache round-trip (and at corpus scale, pinning the
+  // full signature table in executor memory is the wrong trade — two
+  // streaming scans beat a spill-prone cache)
 
   /** §2.3 #25 — SimHash near-dup pairs at hamming ≤ 3, via the 4-way
     * segment pigeonhole (a pair within hamming 3 must agree on ≥1 of 4
     * disjoint segments, so candidates join on segment equality).
     * Engine-specific hash → rows-only check + ScalaTest.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = simhashDf(spark, dir)
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashOn(simhashDf(spark, dir)).orderBy("doc_a", "doc_b")
+
+  private def dedupSimhashOn(d: DataFrame): DataFrame = {
     val segs = d.select(
       col("doc_id"),
       col("simhash"),
@@ -444,7 +446,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------- duplicate spans

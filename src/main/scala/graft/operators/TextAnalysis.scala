@@ -186,13 +186,13 @@ object TextAnalysis {
     // document frequency at 20.
     val rare = ex.groupBy(col("f")).agg(count(lit(1)).as("df")).filter(col("df") <= 20).select("f")
     val exRare = ex.join(rare, Seq("f")).cache()
-    exRare.select(col("doc_id").as("doc_a"), col("f"))
+    val out = exRare.select(col("doc_id").as("doc_a"), col("f"))
       .join(exRare.select(col("doc_id").as("doc_b"), col("f")), Seq("f"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= 5)
-      .orderBy("doc_a", "doc_b")
+    graft.GraftSession.materialized(out, Seq("doc_a", "doc_b"), exRare)
   }
 
   /** n-word grams of `words` as a (non-distinct) array; docs shorter

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.GraftSession.table
+import graft.GraftSession.{materialized, table}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -200,7 +200,7 @@ object VectorOps {
     // argmax via max(struct(cosine, -id)): partial aggregation (map-side
     // combine) replaces a row_number window — same (cosine DESC, id ASC)
     // tie-break, one narrow shuffle.
-    scored
+    val out = scored
       .groupBy(col("query_id").as("vec_id"))
       .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("nid"))).as("m"))
       .select(
@@ -209,7 +209,7 @@ object VectorOps {
         col("m.cosine").as("cosine"),
         (col("m.cosine") >= 0.5).as("is_near_dup"),
       )
-      .orderBy("vec_id")
+    materialized(out, Seq("vec_id"), d)
   }
 
   /** `[p0, p1, ...]` DuckDB list literal of one quantized plane. */
@@ -327,7 +327,12 @@ object VectorOps {
       def asResult(df: DataFrame): DataFrame =
         df.select(col("cid").as("centroid_id"), col("cv"), col("cnorm"))
 
-      if (d.count() <= driverMaxPoints) {
+      // probe with limit(n+1) instead of a full count: the distributed
+      // path only needs to know "more than driverMaxPoints rows exist",
+      // and CollectLimit stops scanning as soon as n+1 rows are found —
+      // a full count job over 100 TB just to pick the branch is waste
+      val probeN = math.min(driverMaxPoints, Int.MaxValue - 1L).toInt + 1
+      if (d.limit(probeN).count() <= driverMaxPoints) {
         val pts = d.select(col("id"), col("qv")).as[(Long, Seq[Long])].collect()
           .sortBy(_._1).map(_._2.toArray)
         if (pts.isEmpty) return asResult(centDf(Seq.empty))
@@ -521,12 +526,19 @@ object VectorOps {
     topK(scored, k)
   }
 
-  /** trains the quantizer on `data` itself. */
-  def annIvf(data: DataFrame, queries: DataFrame, k: Int, nProbes: Int = 4, numCentroids: Int = 16): DataFrame =
+  /** trains the quantizer on `data` itself. nProbes default picked by
+    * sweep (tools/IvfSweep): 8 of 16 lists holds recall@5 ≥ 0.75 on
+    * both the named and held-out query sets (4 probes sat at 0.59-0.67,
+    * under the ≥0.7 floor DedupVectorSpec asserts). At corpus scale
+    * numCentroids grows ∝ n and the probed FRACTION shrinks — the
+    * recall/cost point is the caller's knob, this default is the test
+    * corpus's.
+    */
+  def annIvf(data: DataFrame, queries: DataFrame, k: Int, nProbes: Int = 8, numCentroids: Int = 16): DataFrame =
     annIvf(data, queries, k, nProbes, kmeansCentroids(data, numCentroids))
 
   /** named query: first 20 vectors as queries, k=5, 16 k-means
-    * centroids, 4 probes. Engine-specific candidate set → rows-only +
+    * centroids, 8 probes. Engine-specific candidate set → rows-only +
     * recall ScalaTest vs brute force.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -683,7 +695,7 @@ object VectorOps {
       .groupBy(col("vec_id"), col("cluster_id"))
       .agg(max(struct(col("cosine"), (-col("dup_of")).as("nid"))).as("m"))
       .select(col("vec_id"), col("cluster_id"), (-col("m.nid")).as("dup_of"), col("m.cosine").as("cosine"))
-    assigned.select(col("id").as("vec_id"), col("cluster_id"))
+    val out = assigned.select(col("id").as("vec_id"), col("cluster_id"))
       .join(best, Seq("vec_id", "cluster_id"), "left")
       .select(
         col("vec_id"),
@@ -692,7 +704,7 @@ object VectorOps {
         col("cosine"),
         coalesce(col("cosine") >= tau, lit(false)).as("is_semantic_dup"),
       )
-      .orderBy("vec_id")
+    materialized(out, Seq("vec_id"), assigned)
   }
 
   /** named query: 16 clusters, tau = 0.5 (the same near-dup threshold

@@ -45,7 +45,8 @@ class DedupVectorSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = bf.count(lsh.contains).toDouble / bf.size
     info(s"ann_lsh recall@5 = $recall")
-    assert(recall >= 0.2, s"LSH recall collapsed: $recall")
+    // deterministic (fixed hyperplane seed); measures 0.70 here
+    assert(recall >= 0.5, s"LSH recall under the pinned floor: $recall")
   }
 
   test("ann_ivf recall@5 vs brute force") {
@@ -55,7 +56,9 @@ class DedupVectorSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = bf.count(ivf.contains).toDouble / bf.size
     info(s"ann_ivf recall@5 = $recall")
-    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+    // floor pinned from the tools/IvfSweep sweep: 8/16 probes measures
+    // 0.76 here — deterministic given the fixed k-means seeds
+    assert(recall >= 0.7, s"IVF recall under the pinned floor: $recall")
   }
 
   test("dedup_embedding: candidate-NN is sound and recalls the true NN well") {
@@ -93,12 +96,12 @@ class DedupVectorSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val lshRecall = bf.count(lsh.contains).toDouble / bf.size
     info(s"held-out ann_lsh recall@5 = $lshRecall")
-    assert(lshRecall >= 0.2, s"LSH recall collapsed on held-out queries: $lshRecall")
+    assert(lshRecall >= 0.5, s"LSH recall under the pinned floor on held-out queries: $lshRecall")
     val ivf = VectorOps.annIvf(e, held, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivfRecall = bf.count(ivf.contains).toDouble / bf.size
     info(s"held-out ann_ivf recall@5 = $ivfRecall")
-    assert(ivfRecall >= 0.2, s"IVF recall collapsed on held-out queries: $ivfRecall")
+    assert(ivfRecall >= 0.7, s"IVF recall under the pinned floor on held-out queries: $ivfRecall")
   }
 
   test("kmeansCentroids: k centers on the unit sphere, every list populated") {

@@ -158,4 +158,48 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(e - x) < 0.35, s"minhash estimate $e too far from exact $x")
     }
   }
+
+  test("semDedup at 10k vectors: pair space stays bounded as numClusters scales, planted dups caught") {
+    // SemDeDup's scaling claim: the quadratic term is per-cluster, so
+    // with numClusters ∝ corpus size the within-cluster pair space is
+    // ~n²/k, not n². 10k vectors in 40 planted directions, k=40.
+    val dim = 64
+    val nGroups = 40
+    val perGroup = 250 // 10k total
+    // well-separated unit directions: one-hot on coord g with
+    // deterministic per-member jitter on the upper coords
+    val rows = for (g <- 0 until nGroups; i <- 0 until perGroup) yield {
+      val src = if (i % 50 == 1) i - 1 else i // every 50th pair: exact copy of predecessor
+      val v = Array.fill(dim)(0.0)
+      v(g) = 1.0
+      v(40 + (g * 7 + src) % 24) += 0.04 + 0.0001 * src
+      v(40 + (g * 13 + 3 * src) % 24) += 0.03
+      (g * perGroup.toLong + i, v.toSeq)
+    }
+    val df = rows.toDF("id", "embedding").repartition(8)
+    val out = operators.VectorOps.semDedup(df, nGroups, 0.99)
+      .select("vec_id", "cluster_id", "dup_of", "is_semantic_dup")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    assert(out.length == nGroups * perGroup)
+    // bounded pair space: sum over clusters of n_c² must be far below
+    // n² — the within-cluster join's actual row count
+    val n = out.length.toDouble
+    val pairSpace = out.groupBy(_._2).view.mapValues(_.length.toDouble).values.map(c => c * c).sum
+    info(f"within-cluster pair space = ${pairSpace / (n * n)}%.4f of n²")
+    assert(pairSpace <= n * n / 8.0,
+      s"clustering degenerated: pair space $pairSpace vs n²=${n * n}")
+    // every planted exact copy must be flagged against its predecessor
+    // (the only lower-id cluster-mate at cosine exactly 1)
+    val byId = out.map(r => r._1 -> r).toMap
+    var nPlanted = 0
+    for (g <- 0 until nGroups; i <- 0 until perGroup if i % 50 == 1 && i > 1) {
+      nPlanted += 1
+      val id = g * perGroup.toLong + i
+      val (_, cid, dupOf, isDup) = byId(id)
+      assert(cid == byId(id - 1)._2, s"identical vectors $id/${id - 1} split across clusters")
+      assert(isDup, s"planted exact dup $id not flagged")
+      assert(dupOf.contains(id - 1), s"planted dup $id: dup_of=$dupOf, expected ${id - 1}")
+    }
+    assert(nPlanted == nGroups * (perGroup / 50 - 1))
+  }
 }

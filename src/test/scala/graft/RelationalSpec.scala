@@ -111,17 +111,23 @@ class PlanSpec extends AnyFunSuite {
   test("global audit: no query plans a CartesianProduct or an unbounded BNLJ") {
     // BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side
     // is a bounded set by construction: ann_bruteforce (≤20 queries,
-    // exact-baseline by design), ann_ivf (16 centroids), and text_tfidf
-    // (a 1-row global-count aggregate cross-joined in as the corpus
-    // size N). Everywhere else a BNLJ means an all-pairs scale-killer
-    // slipped in (round-1 dedup_embedding lesson).
-    val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "text_tfidf")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // exact-baseline by design), ann_ivf and dedup_semantic (both join
+    // against the same broadcast 16-centroid quantizer), and text_tfidf
+    // + text_bm25 (a 1-row global-stats aggregate cross-joined in as
+    // corpus size N / avgdl — surfaced only once this audit stopped
+    // fail-fasting). Everywhere else a BNLJ means an all-pairs
+    // scale-killer slipped in (round-1 dedup_embedding lesson).
+    val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "dedup_semantic", "text_tfidf", "text_bm25")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
-      if (!boundedBroadcast(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans an unbounded BNLJ")
+      val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
+      val bnlj =
+        if (!boundedBroadcast(name) && plan.contains("BroadcastNestedLoopJoin"))
+          Seq(s"$name plans an unbounded BNLJ")
+        else Nil
+      cartesian ++ bnlj
     }
+    assert(failures.isEmpty, failures.mkString("; "))
   }
 
   test("q1_agg uses whole-stage codegen") {

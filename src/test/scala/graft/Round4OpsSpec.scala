@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, TextAnalysis, VectorOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -70,6 +70,77 @@ class Round4OpsSpec extends AnyFunSuite {
     // there but bites at the sf0.01 gate scale)
     dupDocs.foreach(id => assert(ratios(id) == 1.0, s"exact-dup doc $id must have dup_ratio 1.0"))
     assert(got.nonEmpty && got.values.exists(_._2 > 0), "corpus should contain duplicated grams")
+  }
+
+  test("semDedup: reported best cluster-mate equals the within-cluster brute force on planted dups") {
+    // 4 well-separated directions in 64-dim, 10 members each; member 5
+    // of every group is an exact copy of member 4 (the planted dups)
+    val dim = 64
+    val rows = for (g <- 0 until 4; i <- 0 until 10) yield {
+      val src = if (i == 5) 4 else i
+      val v = Array.fill(dim)(0.0)
+      v(g) = 1.0
+      v(4 + (g * 10 + src) % 60) += 0.05 * (src + 1)
+      (g * 10L + i, v.toSeq)
+    }
+    val df = rows.toDF("id", "embedding")
+    val out = VectorOps.semDedup(df, 4, 0.9)
+      .select("vec_id", "cluster_id", "dup_of", "cosine", "is_semantic_dup")
+      .as[(Long, Long, Option[Long], Option[Double], Boolean)].collect()
+    assert(out.length == rows.length)
+
+    // brute force WITHIN each reported cluster, on the same ×10000
+    // int64 quantization: best lower-id mate by (cosine desc, id asc)
+    val qv = rows.map { case (id, v) => id -> v.map(x => math.floor(x * 10000 + 0.5).toLong).toArray }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, cid, dupOf, cosine, isDup) =>
+      val mates = out.collect { case (m, c, _, _, _) if c == cid && m < id => m }
+      if (mates.isEmpty) {
+        assert(dupOf.isEmpty && cosine.isEmpty && !isDup, s"vec $id has no lower-id mates")
+      } else {
+        val best = mates.map(m => (m, cos(qv(id), qv(m)))).minBy { case (m, c) => (-c, m) }
+        assert(dupOf.contains(best._1), s"vec $id: reported dup_of=$dupOf, brute-force=${best._1}")
+        assert(math.abs(cosine.get - best._2) < 1e-9, s"vec $id: cosine ${cosine.get} vs ${best._2}")
+        assert(isDup == (cosine.get >= 0.9), s"vec $id: flag inconsistent with tau")
+      }
+    }
+    // the planted exact copies MUST be flagged against their original
+    for (g <- 0 until 4) {
+      val (_, _, dupOf, cosine, isDup) = out.find(_._1 == g * 10L + 5).get
+      assert(cluster(g * 10L + 5) == cluster(g * 10L + 4), "identical vectors must share a cluster")
+      assert(dupOf.contains(g * 10L + 4) && isDup && cosine.exists(_ > 0.9999),
+        s"planted dup ${g * 10 + 5} not caught: dup_of=$dupOf cos=$cosine")
+    }
+  }
+
+  test("textCompress: deterministic across invocations; repetitive text compresses below random text") {
+    val a = TextAnalysis.textCompress(spark, sf)
+      .select("doc_id", "deflate_bytes", "ratio").as[(Long, Long, Double)].collect().sortBy(_._1)
+    val b = TextAnalysis.textCompress(spark, sf)
+      .select("doc_id", "deflate_bytes", "ratio").as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "same input must produce identical deflate sizes")
+    a.foreach { case (id, bytes, ratio) =>
+      assert(bytes > 0, s"doc $id: empty deflate stream")
+      assert(ratio > 0 && ratio < 1.5, s"doc $id: ratio $ratio outside sanity range")
+    }
+    // monotonicity: boilerplate ≪ random at matched length
+    val rnd = new scala.util.Random(3)
+    val random = Seq.fill(200)(Seq.fill(5)(('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+    val repetitive = ("abcde " * 200).trim
+    val ratios = Seq((1L, repetitive), (2L, random)).toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        (graft.functions.Compress.deflateLen(col("text").cast("binary")).cast("double") /
+          octet_length(col("text"))).as("ratio"),
+      )
+      .as[(Long, Double)].collect().toMap
+    assert(ratios(1L) < 0.3, s"repetitive ratio ${ratios(1L)} should be far below 0.3")
+    assert(ratios(1L) < ratios(2L) / 2, s"repetitive ${ratios(1L)} must compress well below random ${ratios(2L)}")
   }
 
   test("text_vocab: ranks are dense, ordered by (tf desc, term), and tf sums to the token count") {
