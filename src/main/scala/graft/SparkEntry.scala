@@ -17,7 +17,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.LakeOps.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
-      operators.VectorOps.queries ++ operators.Pipeline.queries ++ multimodal.Multimodal.queries
+      operators.VectorOps.queries ++ operators.Pipeline.queries ++
+      operators.Graph.queries ++ sources.Ingest.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -25,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.LakeOps.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
-      operators.VectorOps.oracles ++ operators.Pipeline.oracles ++ multimodal.Multimodal.oracles
+      operators.VectorOps.oracles ++ operators.Pipeline.oracles ++
+      operators.Graph.oracles ++ sources.Ingest.oracles ++ multimodal.Multimodal.oracles
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.GraftSession.{materialized, table}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.8 — graph analytics over relational edge lists.
+  *
+  * PageRank (Page et al. '99) as iterative DataFrame joins — no graph
+  * library, just the two relational primitives a 1000-executor cluster
+  * already scales: an equi-join of the edge list with the current mass
+  * vector (shuffle on src) and a partial-aggregated sum per dst. The
+  * edge+degree relation is the loop invariant: cached once, released
+  * after the final iteration materializes.
+  *
+  * Cross-engine determinism: rank mass is INTEGER-quantized (the
+  * ×10^12 analog of VectorOps' ×10^4 trick). Each transfer is
+  * `(85 * mass div 100) div degree` in int64 — floor division in both
+  * engines, summed exactly (integer sums are order-independent, double
+  * sums are not), so a DuckDB oracle replays the identical iteration
+  * and the final masses hash-match bit-for-bit. No dangling-node term:
+  * the bipartite edges are emitted in both directions, so every node
+  * has out-degree ≥ 1.
+  *
+  * Scale notes: per iteration = one shuffle join + one partial agg; at
+  * web scale you would lower `scale` to 10^9 (hub mass must stay under
+  * 2^63/85) and checkpoint the mass vector every few iterations to cut
+  * lineage — both are knobs here, not redesigns.
+  */
+object Graph {
+
+  /** `iterations` rounds of damped (0.85) integer PageRank over a
+    * directed edge list (`src`, `dst`). Returns (node_id, mass) with
+    * mass on the ×`scale` integer grid; nodes = every src in `edges`.
+    */
+  def pageRank(edges: DataFrame, iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src").cache() // loop invariant: read every iteration
+    val teleport = scale * 15 / 100
+    var mass = deg.select(col("src").as("node_id"), lit(scale).as("mass"))
+    for (_ <- 1 to iterations) {
+      mass = ed.join(mass, col("src") === col("node_id"))
+        .select(col("dst"), expr("((85 * mass) div 100) div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_mass"))
+        .select(col("dst").as("node_id"), (lit(teleport) + col("in_mass")).as("mass"))
+    }
+    materialized(mass, Seq("node_id"), ed)
+  }
+
+  /** named query: PageRank over the customer↔supplier trade graph
+    * (distinct pairs from orders⋈lineitem, both directions; customers
+    * at node 2k, suppliers at 2k+1), 5 iterations.
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    pageRank(edges, 5)
+      .select(
+        col("node_id"),
+        when(col("node_id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        col("mass"),
+      )
+      .orderBy("node_id")
+  }
+
+  val qPagerankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT ed.dst AS node_id,
+         |    CAST(150000000000 + SUM((85 * m.mass // 100) // ed.deg) AS BIGINT) AS mass
+         |  FROM ed JOIN $prev m ON m.node_id = ed.src GROUP BY ed.dst
+         |)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |), e AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs
+       |), d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)),
+       |m0 AS (SELECT src AS node_id, CAST(1000000000000 AS BIGINT) AS mass FROM d),
+       |${iter("m0", "m1")},
+       |${iter("m1", "m2")},
+       |${iter("m2", "m3")},
+       |${iter("m3", "m4")},
+       |${iter("m4", "m5")}
+       |SELECT node_id,
+       |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  mass
+       |FROM m5
+       |ORDER BY node_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> qPagerankSql,
+  )
+}

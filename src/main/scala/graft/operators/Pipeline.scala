@@ -490,6 +490,50 @@ object Pipeline {
       |WHERE u32 < CAST(rate * 4294967296 AS BIGINT)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- importance sampling
+
+  /** §2.3 #26j — quality-weighted importance sampling: each doc is
+    * kept with probability equal to its (oracled) composite quality
+    * score — the Bernoulli form of quality-proportional data selection
+    * (the DSIR-family "sample good data more" step), where
+    * [[sampleMix]] is the per-SOURCE fixed-rate variant. Membership
+    * comes from the same md5-derived uniform (reproducible across
+    * engines, retries, cluster sizes); the threshold is
+    * `floor(p·2^32)` — floor EXPLICITLY, because a bare double→int
+    * cast truncates in Spark but rounds in DuckDB, an off-by-one that
+    * flips `kept` whenever the uniform lands exactly on the boundary.
+    * Emits every doc with its keep flag (the audit view; filtering is
+    * the caller's one-liner). Purely map-side at any scale.
+    */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nTokens = size(ws).cast(LongType)
+    val nUniq = size(array_distinct(ws)).cast(LongType)
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        ((nUniq.cast(DoubleType) / nTokens) * least(lit(1.0), nTokens.cast(DoubleType) / 50.0))
+          .as("p_keep"),
+      )
+      .withColumn("u32", conv(substring(md5(concat_ws(":", lit("imp"), col("doc_id"))), 1, 8), 16, 10).cast(LongType))
+      .withColumn("kept", col("u32") < floor(col("p_keep") * 4294967296.0).cast(LongType))
+      .select(col("doc_id"), col("source"), col("p_keep"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  val sampleImportanceSql: String =
+    """SELECT doc_id, source, p_keep,
+      |  u32 < CAST(floor(p_keep * 4294967296) AS BIGINT) AS kept
+      |FROM (
+      |  SELECT doc_id, source,
+      |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
+      |      * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) AS p_keep,
+      |    ('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- sequence packing
 
   private val PackBudget = 2048L
@@ -532,6 +576,7 @@ object Pipeline {
     "dedup_survivors" -> (dedupSurvivors _),
     "decontaminate" -> (decontaminate _),
     "sample_mix" -> (sampleMix _),
+    "sample_importance" -> (sampleImportance _),
     "pack_sequences" -> (packSequences _),
     "text_filter" -> (textFilter _),
     "shard_assign" -> (shardAssignQuery _),
@@ -543,6 +588,7 @@ object Pipeline {
     "dedup_survivors" -> dedupSurvivorsSql,
     "decontaminate" -> decontaminateSql,
     "sample_mix" -> sampleMixSql,
+    "sample_importance" -> sampleImportanceSql,
     "pack_sequences" -> packSequencesSql,
     "text_filter" -> textFilterSql,
     "shard_assign" -> shardAssignSql,

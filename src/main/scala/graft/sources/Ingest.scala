@@ -31,6 +31,7 @@ object Ingest {
   def readAuto(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet")) spark.read.parquet(path)
+    else if (lower.endsWith(".orc")) spark.read.orc(path)
     else if (lower.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) spark.read.json(path)
@@ -46,6 +47,39 @@ object Ingest {
     val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     if (lower.endsWith(".csv")) w.option("header", "true").csv(path)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) w.json(path)
+    else if (lower.endsWith(".orc")) w.orc(path)
     else w.parquet(path)
   }
+
+  /** named query: ORC sink+source round-trip — `documents` is written
+    * to ORC and read back; the projection must equal reading the
+    * parquet original (which is exactly what the DuckDB oracle does).
+    * Columnar-format interchange is table stakes for a lake engine;
+    * ORC ships in Spark, so the round-trip costs one write+scan.
+    */
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/documents.orc"
+    writeAuto(graft.GraftSession.table(spark, dir, "documents"), tmp)
+    readAuto(spark, tmp)
+      .select(
+        col("doc_id"),
+        col("source"),
+        md5(col("text")).as("text_md5"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val qOrcRoundtripSql: String =
+    """SELECT doc_id, source, md5(text) AS text_md5, CAST(len(text) AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_orc_roundtrip" -> qOrcRoundtripSql,
+  )
 }

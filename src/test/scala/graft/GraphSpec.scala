@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("pageRank: one iteration on a hand-computed path graph") {
+    // path 1-2-3, both directions. deg: 1→1, 2→2, 3→1; m0 = 1e12 each.
+    // transfers: 1 sends 8.5e11 to 2; 2 sends 4.25e11 to each of 1,3;
+    // 3 sends 8.5e11 to 2. teleport = 1.5e11.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, 1).as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> (150000000000L + 425000000000L),
+      2L -> (150000000000L + 850000000000L + 850000000000L),
+      3L -> (150000000000L + 425000000000L),
+    ))
+  }
+
+  test("pageRank: mass stays bounded and symmetric nodes tie across iterations") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    for (iters <- Seq(2, 5)) {
+      val m = Graph.pageRank(edges, iters).as[(Long, Long)].collect().toMap
+      assert(m(1L) == m(3L), "graph-symmetric nodes must have identical mass")
+      assert(m(2L) > m(1L), "the hub must out-rank the leaves")
+      // floor losses only shrink total mass; teleport keeps a floor
+      assert(m.values.sum <= 3L * 1000000000000L)
+      m.values.foreach(v => assert(v >= 150000000000L))
+    }
+  }
+
+  test("pageRank: a star hub dominates and every spoke ties") {
+    val spokes = (2L to 9L)
+    val edges = (spokes.map(s => (1L, s)) ++ spokes.map(s => (s, 1L))).toDF("src", "dst")
+    val m = Graph.pageRank(edges, 3).as[(Long, Long)].collect().toMap
+    assert(spokes.map(m).distinct.size == 1, "spokes are exchangeable")
+    assert(m(1L) > 3 * m(2L), "hub receives all spoke mass each round")
+  }
+
+  test("q_pagerank: covers both node types, masses positive, deterministic across runs") {
+    val a = Graph.qPagerank(spark, sf).collect()
+    val types = a.map(_.getAs[String]("node_type")).toSet
+    assert(types == Set("customer", "supplier"))
+    a.foreach(r => assert(r.getAs[Long]("mass") >= 150000000000L))
+    val b = Graph.qPagerank(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("sample_importance: kept fraction tracks mean quality, flag agrees with threshold") {
+    val rows = operators.Pipeline.sampleImportance(spark, sf)
+      .select("doc_id", "p_keep", "kept").as[(Long, Double, Boolean)].collect()
+    rows.foreach { case (_, p, _) => assert(p >= 0.0 && p <= 1.0) }
+    val meanP = rows.map(_._2).sum / rows.length
+    val keptFrac = rows.count(_._3).toDouble / rows.length
+    // Bernoulli(p_i) with independent uniforms: kept fraction within a
+    // loose CLT band of the mean quality (n = 500 docs at test sf)
+    assert(math.abs(keptFrac - meanP) < 0.15, s"kept=$keptFrac vs meanP=$meanP")
+  }
+
+  test("orc roundtrip preserves the documents projection byte-for-byte") {
+    val orc = sources.Ingest.qOrcRoundtrip(spark, sf)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val pq = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("m"), octet_length(col("text")).cast("long"))
+      .orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(orc == pq)
+  }
+}
