@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.LakeOps.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.VectorOps.queries ++ operators.Pipeline.queries ++
-      operators.Graph.queries ++ sources.Ingest.queries ++ multimodal.Multimodal.queries
+      operators.Graph.queries ++ operators.Bpe.queries ++
+      sources.Ingest.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.LakeOps.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.VectorOps.oracles ++ operators.Pipeline.oracles ++
-      operators.Graph.oracles ++ sources.Ingest.oracles ++ multimodal.Multimodal.oracles
+      operators.Graph.oracles ++ operators.Bpe.oracles ++
+      sources.Ingest.oracles ++ multimodal.Multimodal.oracles
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.5 #33k — distributed BPE (byte-pair-encoding) vocab
+  * training (Sennrich'16), the subword-tokenizer construction step of
+  * an LLM data pipeline.
+  *
+  * The classic algorithm, shaped for a cluster:
+  *  1. one shuffle builds the (word, freq) table — afterwards corpus
+  *     size only enters through integer freq weights;
+  *  2. per merge round: count adjacent symbol pairs (map-side
+  *     zip_with + one partial-agg shuffle over the word table), take
+  *     the argmax pair (a TakeOrdered of ONE row to the driver —
+  *     deterministic (count desc, left, right) tie-break), and apply
+  *     the merge to every word with a codegen'd fold (greedy
+  *     left-to-right non-overlapping, the standard BPE scan);
+  *  3. the symbol table is re-cached each round and the previous
+  *     round released, so lineage and memory stay O(1) per round
+  *     instead of O(rounds) (at web scale you would checkpoint every
+  *     few rounds — same idea, different knob).
+  *
+  * Only the merge list (numMerges rows) ever lives on the driver.
+  * Iterative argmax is not expressible in one SQL statement → declared
+  * rows-only + ScalaTest exact replay against a plain-Scala reference.
+  */
+object Bpe {
+
+  /** greedy left-to-right merge of adjacent (left, right) into
+    * `merged` over a symbol array — a lookbehind fold: appending `s`
+    * merges with the accumulator tail exactly when the tail is `left`
+    * and `s` is `right`, which reproduces BPE's non-overlapping scan
+    * ("aaaa" + (a,a) → [aa, aa]).
+    */
+  private def applyMerge(syms: Column, left: String, right: String): Column = {
+    val l = lit(left)
+    val r = lit(right)
+    val m = lit(left + right)
+    aggregate(
+      syms,
+      array().cast(ArrayType(StringType)),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === l && s === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+          .otherwise(concat(acc, array(s))),
+    )
+  }
+
+  /** adjacent symbol pairs of a word, weighted later by its freq. */
+  private def pairsOf(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      (a, b) => struct(a.as("l"), b.as("r")),
+    )
+
+  /** Train `numMerges` BPE merges over a (word, freq) table. Returns
+    * the merge table: (merge_idx, left, right, merged, pair_count).
+    */
+  def bpeTrain(wordFreq: DataFrame, numMerges: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    var syms = wordFreq
+      .select(col("freq"), split(col("word"), "").as("syms"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    try {
+      for (i <- 0 until numMerges) {
+        val top = syms
+          .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1)
+          .as[(String, String, Long)]
+          .collect()
+        if (top.isEmpty) return mergesDf(spark, merges.toSeq) // corpus exhausted
+        val (l, r, cnt) = top.head
+        merges += ((i, l, r, l + r, cnt))
+        val next = syms
+          .select(col("freq"), applyMerge(col("syms"), l, r).as("syms"))
+          .cache()
+        next.count() // materialize before releasing the previous round
+        syms.unpersist()
+        syms = next
+      }
+      mergesDf(spark, merges.toSeq)
+    } finally syms.unpersist()
+  }
+
+  private def mergesDf(spark: SparkSession, m: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    m.toDF("merge_idx", "left", "right", "merged", "pair_count")
+      .select(
+        col("merge_idx").cast(LongType).as("merge_idx"),
+        col("left"), col("right"), col("merged"),
+        col("pair_count"),
+      )
+  }
+
+  /** named query: 16 merges over the documents corpus (lowercased
+    * whitespace words).
+    */
+  def textBpe(spark: SparkSession, dir: String): DataFrame = {
+    val wf = table(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    bpeTrain(wf, 16).orderBy("merge_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe" -> (textBpe _),
+  )
+
+  val oracles: Map[String, String] = Map.empty // declared rows-only + ScalaTest replay
+}

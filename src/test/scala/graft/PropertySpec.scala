@@ -159,6 +159,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank equals an exact driver-side integer replay on random graphs") {
+    // the distributed join+agg iteration must reproduce the reference
+    // integer recurrence exactly — any floor/overflow/ordering slip
+    // shows up as a mass mismatch on some graph
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 15
+      val raw = (0 until n * 3).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // both directions so every node with an edge has out-degree >= 1
+      val und = (raw ++ raw.map(_.swap)).distinct
+      val got = operators.Graph.pageRank(und.toDF("src", "dst"), 4)
+        .as[(Long, Long)].collect().toMap
+      // exact replay in plain Scala
+      val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val incoming = und.groupBy(_._2)
+      var mass = deg.keys.map(_ -> 1000000000000L).toMap
+      for (_ <- 1 to 4) {
+        mass = deg.keys.map { v =>
+          val in = incoming.getOrElse(v, Seq.empty)
+            .map { case (s, _) => (85L * mass(s) / 100L) / deg(s) }.sum
+          v -> (150000000000L + in)
+        }.toMap
+      }
+      assert(got == mass, s"trial $trial: distributed != replay (n=$n, edges=${und.size})")
+    }
+  }
+
   test("semDedup at 10k vectors: pair space stays bounded as numClusters scales, planted dups caught") {
     // SemDeDup's scaling claim: the quadratic term is per-cluster, so
     // with numClusters ∝ corpus size the within-cluster pair space is
