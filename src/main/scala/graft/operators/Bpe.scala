@@ -63,32 +63,35 @@ object Bpe {
   def bpeTrain(wordFreq: DataFrame, numMerges: Int): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
+    // localCheckpoint (eager) per round, NOT cache: the merge fold
+    // nests one HOF expression per round, so an uncut lineage makes
+    // Catalyst re-analyze an O(rounds)-deep tree every round —
+    // measured ~6 s/round of pure driver time at ANY data size.
+    // Checkpointing truncates the plan to a flat scan; the superseded
+    // round's storage is released by the context cleaner when its ref
+    // drops. (On a real cluster use reliable checkpoint for fault
+    // tolerance — same shape, different sink.)
     var syms = wordFreq
       .select(col("freq"), split(col("word"), "").as("syms"))
-      .cache()
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
-    try {
-      for (i <- 0 until numMerges) {
-        val top = syms
-          .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1)
-          .as[(String, String, Long)]
-          .collect()
-        if (top.isEmpty) return mergesDf(spark, merges.toSeq) // corpus exhausted
-        val (l, r, cnt) = top.head
-        merges += ((i, l, r, l + r, cnt))
-        val next = syms
-          .select(col("freq"), applyMerge(col("syms"), l, r).as("syms"))
-          .cache()
-        next.count() // materialize before releasing the previous round
-        syms.unpersist()
-        syms = next
-      }
-      mergesDf(spark, merges.toSeq)
-    } finally syms.unpersist()
+    for (i <- 0 until numMerges) {
+      val top = syms
+        .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (top.isEmpty) return mergesDf(spark, merges.toSeq) // corpus exhausted
+      val (l, r, cnt) = top.head
+      merges += ((i, l, r, l + r, cnt))
+      syms = syms
+        .select(col("freq"), applyMerge(col("syms"), l, r).as("syms"))
+        .localCheckpoint()
+    }
+    mergesDf(spark, merges.toSeq)
   }
 
   private def mergesDf(spark: SparkSession, m: Seq[(Int, String, String, String, Long)]): DataFrame = {

@@ -40,14 +40,22 @@ object Graph {
     val ed = edges.join(deg, "src").cache() // loop invariant: read every iteration
     val teleport = scale * 15 / 100
     var mass = deg.select(col("src").as("node_id"), lit(scale).as("mass"))
+    // localCheckpoint (eager) per iteration cuts the join lineage —
+    // without it Catalyst re-analyzes an O(iterations)-deep plan each
+    // round and a failure would recompute the whole chain; this is the
+    // canonical Spark iterative-algorithm shape (reliable checkpoint on
+    // a real cluster). The final checkpointed mass no longer depends on
+    // `ed`, so releasing the edge cache cannot invalidate the result.
     for (_ <- 1 to iterations) {
       mass = ed.join(mass, col("src") === col("node_id"))
         .select(col("dst"), expr("((85 * mass) div 100) div deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
         .select(col("dst").as("node_id"), (lit(teleport) + col("in_mass")).as("mass"))
+        .localCheckpoint()
     }
-    materialized(mass, Seq("node_id"), ed)
+    ed.unpersist()
+    mass.orderBy("node_id")
   }
 
   /** named query: PageRank over the customer↔supplier trade graph
