@@ -708,6 +708,72 @@ final class ChunkStore private (
       ).toDF("check", "violations")
     } finally { m.unpersist(); c.unpersist(); cat.unpersist() }
   }
+
+  /** Catalog-level diff vs another store: one row per blob seen by
+    * either side with its reconciliation status. Content addressing
+    * makes this exact with nothing but a full-outer join on the hash
+    * — `length_mismatch` can only mean corruption, since equal hashes
+    * imply equal content.
+    */
+  def diff(other: ChunkStore): DataFrame =
+    catalog.select(col("blob_hash"), col("total_len").as("len_here"))
+      .join(
+        other.catalog.select(col("blob_hash"), col("total_len").as("len_other")),
+        Seq("blob_hash"),
+        "full_outer",
+      )
+      .select(
+        col("blob_hash"),
+        when(col("len_other").isNull, "only_here")
+          .when(col("len_here").isNull, "only_other")
+          .when(col("len_here") =!= col("len_other"), "length_mismatch")
+          .otherwise("in_sync")
+          .as("status"),
+        col("len_here"),
+        col("len_other"),
+      )
+
+  /** Replicate every blob this store has and `target` lacks, by
+    * content address: the missing catalog rows, their manifest rows
+    * (keys travel with them, so convergent-encrypted parts stay
+    * decryptable), and only the chunk payloads the target does not
+    * already hold — cross-store dedup is the same anti-join the put
+    * path uses, so shared chunks are never re-shipped. Idempotent;
+    * honors the target's capacity gate and write lock; follows the
+    * chunks → manifest → catalog visibility order so a failed copy
+    * leaves no readable half-blob. Returns the number of blobs copied.
+    */
+  def replicateTo(target: ChunkStore): Long = {
+    if (target.readonly) throw new StoreReadOnlyException(target.path)
+    target.withWriteLock {
+      val missing = catalog
+        .join(target.catalog.select("blob_hash"), Seq("blob_hash"), "left_anti")
+        .cache()
+      try {
+        val n = missing.count()
+        if (n > 0) {
+          val mRows = manifest
+            .join(missing.select("blob_hash"), Seq("blob_hash"), "left_semi")
+            .cache()
+          val wanted = mRows.select(col("chunk_hash")).distinct()
+          val newChunks = chunks
+            .join(wanted, Seq("chunk_hash"), "left_semi")
+            .join(target.chunks.select("chunk_hash"), Seq("chunk_hash"), "left_anti")
+          val addBytes = newChunks.agg(coalesce(sum(col("size")), lit(0L))).head.getLong(0)
+          val inlineBytes = missing.filter(col("kind") === "inline")
+            .agg(coalesce(sum(col("total_len")), lit(0L))).head.getLong(0)
+          if (target.maxBytes != Long.MaxValue &&
+            target.currentBytes + addBytes + inlineBytes > target.maxBytes)
+            throw new StoreOutOfSpaceException(target.path)
+          newChunks.write.mode(SaveMode.Append).partitionBy("bucket").parquet(target.chunksDir)
+          mRows.write.mode(SaveMode.Append).parquet(target.manifestDir)
+          missing.write.mode(SaveMode.Append).parquet(target.catalogDir)
+          mRows.unpersist()
+        }
+        n
+      } finally missing.unpersist()
+    }
+  }
 }
 
 final case class BlobRef(blobHash: String, totalLen: Long, kind: String)

@@ -340,6 +340,41 @@ class LakeSpec extends AnyFunSuite {
     assert(d.map(_.getAs[Long]("n_blobs")).sum == 1)
   }
 
+  test("replicateTo: missing blobs copy by content address, shared chunks dedup, idempotent") {
+    val a = ChunkStore.init(spark, tmp())
+    val b = ChunkStore.init(spark, tmp())
+    a.putBlobs(blobDf(1L -> tiny, 2L -> mid, 3L -> big))
+    b.putBlobs(blobDf(1L -> mid)) // overlap: `mid` already present in target
+    assert(a.diff(b).filter(col("status") === "only_here").count() == 2)
+
+    val copied = a.replicateTo(b)
+    assert(copied == 2, s"expected 2 missing blobs copied, got $copied")
+    // every blob now reads back from the target byte-identically
+    Seq(tiny, mid, big).foreach { s =>
+      val h = a.catalog.filter(col("total_len") === s.length).select("blob_hash").as[String].head()
+      assert(new String(b.getBlob(h), StandardCharsets.UTF_8) == s)
+    }
+    // fully in sync, target store healthy, no duplicated chunk rows
+    assert(a.diff(b).filter(col("status") =!= "in_sync").count() == 0)
+    assert(b.fsck().filter(col("violations") > 0).count() == 0)
+    // idempotent: nothing left to copy, chunk count stable
+    val chunksBefore = b.chunks.count()
+    assert(a.replicateTo(b) == 0)
+    assert(b.chunks.count() == chunksBefore)
+  }
+
+  test("replicateTo honors the target capacity gate and readonly flag") {
+    val a = ChunkStore.init(spark, tmp())
+    a.putBlobs(blobDf(1L -> big))
+    val small = ChunkStore.init(spark, tmp(), maxBytes = 100L)
+    intercept[StoreOutOfSpaceException](a.replicateTo(small))
+    assert(small.catalog.count() == 0, "failed replicate must not leave catalog rows")
+    val roDir = tmp()
+    ChunkStore.init(spark, roDir)
+    val ro = ChunkStore.load(spark, roDir, readonly = true)
+    intercept[StoreReadOnlyException](a.replicateTo(ro))
+  }
+
   test("bucket pruning: chunk reads filter to the hash-prefix partition") {
     val store = ChunkStore.init(spark, tmp())
     store.putBlobs(blobDf(1L -> big, 2L -> (mid + big)))
