@@ -505,22 +505,27 @@ object Pipeline {
     * Emits every doc with its keep flag (the audit view; filtering is
     * the caller's one-liner). Purely map-side at any scale.
     */
-  def sampleImportance(spark: SparkSession, dir: String): DataFrame = {
+  /** stateless core over any (doc_id, source, text) frame — batch or
+    * streaming (no shuffle, no state, so stream ≡ batch by
+    * construction; StreamingSpec pins it).
+    */
+  def sampleImportanceOn(d: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val nTokens = size(ws).cast(LongType)
     val nUniq = size(array_distinct(ws)).cast(LongType)
-    docs(spark, dir)
-      .select(
-        col("doc_id"),
-        col("source"),
-        ((nUniq.cast(DoubleType) / nTokens) * least(lit(1.0), nTokens.cast(DoubleType) / 50.0))
-          .as("p_keep"),
-      )
+    d.select(
+      col("doc_id"),
+      col("source"),
+      ((nUniq.cast(DoubleType) / nTokens) * least(lit(1.0), nTokens.cast(DoubleType) / 50.0))
+        .as("p_keep"),
+    )
       .withColumn("u32", conv(substring(md5(concat_ws(":", lit("imp"), col("doc_id"))), 1, 8), 16, 10).cast(LongType))
       .withColumn("kept", col("u32") < floor(col("p_keep") * 4294967296.0).cast(LongType))
       .select(col("doc_id"), col("source"), col("p_keep"), col("kept"))
-      .orderBy("doc_id")
   }
+
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame =
+    sampleImportanceOn(docs(spark, dir)).orderBy("doc_id")
 
   val sampleImportanceSql: String =
     """SELECT doc_id, source, p_keep,

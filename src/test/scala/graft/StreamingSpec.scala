@@ -209,6 +209,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming importance sampling equals batch sample_importance (stateless reuse)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val input = stream.toDF().toDF("doc_id", "source", "text")
+
+    val q = operators.Pipeline.sampleImportanceOn(input)
+      .writeStream.format("memory").queryName("imp_out").outputMode("append").start()
+    try {
+      val docs = GraftSession.table(spark, sf, "documents")
+        .select(col("doc_id"), col("source"), col("text")).as[(Long, String, String)].collect().toSeq
+      // keep decisions must not depend on micro-batch boundaries
+      val (b1, b2) = docs.splitAt(docs.length / 3)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+
+      val got = spark.table("imp_out").orderBy("doc_id")
+      val want = operators.Pipeline.sampleImportance(spark, sf)
+      assert(got.collect().toSeq == want.collect().toSeq)
+      assert(got.filter(col("kept")).count() > 0, "some docs must be kept")
+      assert(got.filter(!col("kept")).count() > 0, "some docs must be dropped")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment equals the batch join+window aggregate") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
