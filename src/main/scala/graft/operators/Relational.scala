@@ -688,7 +688,64 @@ object Relational {
       |WHERE p_retailprice * type_n > 1.01 * type_sum
       |ORDER BY p_partkey""".stripMargin
 
+  /** §2.2 #21l — SCD-1 upsert (MERGE INTO semantics relationally):
+    * apply a change batch to a keyed dimension, latest-wins per key
+    * with a deterministic (version desc, key) tiebreak. Here the
+    * change feed is each customer's orders (most recent order sets
+    * the account balance to its total price); unmatched keys keep the
+    * base row.
+    *
+    * Scale shape: union + one row_number window partitioned by the
+    * merge key — a single shuffle on the key, the same plan MERGE
+    * INTO compiles to in lakehouse table formats. No join explosion;
+    * base and changes co-partition on the shuffle.
+    */
+  def qUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "customer")
+      .select(
+        col("c_custkey"), col("c_name"), col("c_acctbal").as("acctbal"),
+        lit(0L).as("version"), lit("base").as("src"),
+      )
+    val changes = table(spark, dir, "orders")
+      .select(
+        col("o_custkey").as("c_custkey"),
+        col("o_totalprice").as("acctbal"),
+        col("o_orderkey").as("version"), // orderkeys grow with time: a valid version stamp
+        lit("change").as("src"),
+      )
+      .join(base.select(col("c_custkey")), Seq("c_custkey"), "left_semi")
+    val named = changes
+      .join(base.select(col("c_custkey"), col("c_name")), Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("acctbal"), col("version"), col("src"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("version").desc)
+    base.unionByName(named)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("c_name"), col("acctbal"), col("version"), col("src"))
+      .orderBy("c_custkey")
+  }
+
+  val qUpsertSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_acctbal AS acctbal, CAST(0 AS BIGINT) AS version, 'base' AS src
+      |  FROM customer
+      |), changes AS (
+      |  SELECT o.o_custkey AS c_custkey, c.c_name, o.o_totalprice AS acctbal,
+      |    o.o_orderkey AS version, 'change' AS src
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |), u AS (
+      |  SELECT c_custkey, c_name, acctbal, version, src FROM base
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, acctbal, version, src FROM changes
+      |)
+      |SELECT c_custkey, c_name, acctbal, version, src FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn FROM u
+      |)
+      |WHERE rn = 1
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert" -> (qUpsert _),
     "q_json" -> (qJson _),
     "q_leadlag" -> (qLeadlag _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -720,6 +777,7 @@ object Relational {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_rangejoin" -> qRangejoinSql,
     "q_corr_scalar" -> qCorrScalarSql,
+    "q_upsert" -> qUpsertSql,
     "q_setops" -> qSetopsSql,
     "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,
