@@ -564,7 +564,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- normalize
+
+  /** cleaning battery over any string column: unicode NFC (codegen
+    * [[graft.functions.NfcNormalize]] — composed-vs-decomposed
+    * representations hash differently and silently defeat exact dedup,
+    * so canonicalize BEFORE any content hash), control/format-char
+    * strip, whitespace collapse, trim. Pure map-side at any scale.
+    */
+  def normalizeText(t: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.TextNorm.nfcNormalize(t), "[\\p{Cc}\\p{Cf}]", " "),
+      "\\s+", " "))
+
+  /** §2.5 #33l — named query: canonical clean form of every doc with a
+    * changed flag and byte sizes (the C4/CCNet pre-hash cleaning step).
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        normalizeText(col("text")).as("clean"),
+        (normalizeText(col("text")) =!= col("text")).as("changed"),
+        octet_length(col("text")).cast(LongType).as("n_bytes_raw"),
+        octet_length(normalizeText(col("text"))).cast(LongType).as("n_bytes_clean"),
+      )
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g')) AS clean,
+      |  trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g')) != text AS changed,
+      |  CAST(len(text) AS BIGINT) AS n_bytes_raw,
+      |  CAST(len(trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_bytes_clean
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (textNormalize _),
     "text_corpus_stats" -> (textCorpusStats _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -580,6 +617,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" -> textNormalizeSql,
     "text_corpus_stats" -> textCorpusStatsSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

@@ -72,6 +72,32 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.exists(_._2 > 0), "corpus should contain duplicated grams")
   }
 
+  test("normalizeText: NFC canonicalization, control strip, whitespace collapse on planted unicode") {
+    val composed = "Café résumé"
+    val decomposed = "Café résumé"
+    val rows = Seq(
+      (1L, decomposed),
+      (2L, composed),
+      (3L, "tabs\tand\u0000control\u0007chars"),
+      (4L, "  spaced   out​text  "),
+      (5L, "already clean"),
+    ).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == composed, "decomposed accents must canonicalize to the composed form")
+    assert(got(1L) == got(2L), "both representations must converge — the dedup-before-hash property")
+    assert(got(3L) == "tabs and control chars")
+    assert(got(4L) == "spaced out text")
+    assert(got(5L) == "already clean")
+    // the full named query agrees with itself and flags nothing on the
+    // already-canonical ASCII corpus
+    val out = TextAnalysis.textNormalize(spark, sf).collect()
+    out.foreach { r =>
+      assert(!r.getAs[Boolean]("changed"), s"ASCII corpus doc ${r.getAs[Long]("doc_id")} should be canonical")
+      assert(r.getAs[Long]("n_bytes_clean") <= r.getAs[Long]("n_bytes_raw"))
+    }
+  }
+
   test("semDedup: reported best cluster-mate equals the within-cluster brute force on planted dups") {
     // 4 well-separated directions in 64-dim, 10 members each; member 5
     // of every group is an exact copy of member 4 (the planted dups)
