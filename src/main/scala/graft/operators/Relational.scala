@@ -744,8 +744,71 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY c_custkey""".stripMargin
 
+  /** §2.2 #21m — ordered funnel analysis (view → click → purchase):
+    * per user, the first view, the first click strictly AFTER that
+    * view, and the first purchase strictly after that click — the
+    * product-analytics conversion primitive, distinct from
+    * sessionization (order across types, not gaps within a stream).
+    *
+    * Scale shape: one keyed aggregation per stage plus a keyed join
+    * against the previous stage — every shuffle is on user_id, so the
+    * stages co-partition and AQE reuses the exchange; no windows over
+    * the full event stream. Cross-engine exactness: every comparison
+    * and min() runs on integer epoch-MICROSECONDS on both sides
+    * (events.parquet carries nanos; comparing raw timestamps would
+    * let DuckDB see sub-µs orderings Spark's µs truncation cannot).
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    def stage(tpe: String, prev: DataFrame, prevCol: String, outCol: String): DataFrame =
+      e.filter(col("event_type") === tpe)
+        .join(prev.select(col("user_id"), col(prevCol)), "user_id")
+        .filter(col("us") > col(prevCol))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as(outCol))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("ts_view_us"))
+    val c = stage("click", v, "ts_view_us", "ts_click_us")
+    val p = stage("purchase", c, "ts_click_us", "ts_purchase_us")
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("ts_view_us"),
+        col("ts_click_us"),
+        col("ts_purchase_us"),
+        (lit(1L) + col("ts_click_us").isNotNull.cast(LongType) + col("ts_purchase_us").isNotNull.cast(LongType))
+          .as("depth"),
+      )
+      .orderBy("user_id")
+  }
+
+  val qFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+      |), v AS (
+      |  SELECT user_id, min(us) AS ts_view_us FROM e WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(us) AS ts_click_us
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND us > ts_view_us
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(us) AS ts_purchase_us
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > ts_click_us
+      |  GROUP BY e.user_id
+      |)
+      |SELECT v.user_id, ts_view_us, ts_click_us, ts_purchase_us,
+      |  CAST(1 + (CASE WHEN ts_click_us IS NULL THEN 0 ELSE 1 END)
+      |         + (CASE WHEN ts_purchase_us IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert" -> (qUpsert _),
+    "q_funnel" -> (qFunnel _),
     "q_json" -> (qJson _),
     "q_leadlag" -> (qLeadlag _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -778,6 +841,7 @@ object Relational {
     "q_rangejoin" -> qRangejoinSql,
     "q_corr_scalar" -> qCorrScalarSql,
     "q_upsert" -> qUpsertSql,
+    "q_funnel" -> qFunnelSql,
     "q_setops" -> qSetopsSql,
     "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,
