@@ -713,12 +713,15 @@ final class ChunkStore private (
     * either side with its reconciliation status. Content addressing
     * makes this exact with nothing but a full-outer join on the hash
     * — `length_mismatch` can only mean corruption, since equal hashes
-    * imply equal content.
+    * imply equal content. Compares the *live* views: a tombstoned
+    * blob reads as absent on its side (it is, to readers), so a blob
+    * deleted here but live over there reports `only_other`, not
+    * `in_sync`.
     */
   def diff(other: ChunkStore): DataFrame =
-    catalog.select(col("blob_hash"), col("total_len").as("len_here"))
+    liveCatalog.select(col("blob_hash"), col("total_len").as("len_here"))
       .join(
-        other.catalog.select(col("blob_hash"), col("total_len").as("len_other")),
+        other.liveCatalog.select(col("blob_hash"), col("total_len").as("len_other")),
         Seq("blob_hash"),
         "full_outer",
       )
@@ -733,7 +736,7 @@ final class ChunkStore private (
         col("len_other"),
       )
 
-  /** Replicate every blob this store has and `target` lacks, by
+  /** Replicate every *live* blob this store has and `target` lacks, by
     * content address: the missing catalog rows, their manifest rows
     * (keys travel with them, so convergent-encrypted parts stay
     * decryptable), and only the chunk payloads the target does not
@@ -742,11 +745,20 @@ final class ChunkStore private (
     * honors the target's capacity gate and write lock; follows the
     * chunks → manifest → catalog visibility order so a failed copy
     * leaves no readable half-blob. Returns the number of blobs copied.
+    *
+    * Replication is additive and respects deletes on both ends: the
+    * source side is [[liveCatalog]] (a blob tombstoned here — even
+    * before [[gc]] reclaims it — must not resurrect as a readable
+    * blob in the replica), while the anti-join keys on the target's
+    * *raw* catalog (a blob the target itself tombstoned still owns
+    * its catalog row until gc, so it is not re-shipped and the
+    * target's delete stays deleted). Deletes are not pushed to blobs
+    * the target already holds — this is a copy, not a delete-sync.
     */
   def replicateTo(target: ChunkStore): Long = {
     if (target.readonly) throw new StoreReadOnlyException(target.path)
     target.withWriteLock {
-      val missing = catalog
+      val missing = liveCatalog
         .join(target.catalog.select("blob_hash"), Seq("blob_hash"), "left_anti")
         .cache()
       try {

@@ -19,9 +19,13 @@ import org.apache.spark.sql.types._
   * `(85 * mass div 100) div degree` in int64 — floor division in both
   * engines, summed exactly (integer sums are order-independent, double
   * sums are not), so a DuckDB oracle replays the identical iteration
-  * and the final masses hash-match bit-for-bit. No dangling-node term:
-  * the bipartite edges are emitted in both directions, so every node
-  * has out-degree ≥ 1.
+  * and the final masses hash-match bit-for-bit. The node universe is
+  * the src set of `edges`; each round left-joins the aggregated
+  * in-mass back onto it, so a zero-in-degree node keeps its teleport
+  * mass (an inner groupBy(dst) would drop it — and its future
+  * out-contributions — after round 1). No dangling-node term: mass
+  * received by a dst-only sink leaves the system, as in the named
+  * bipartite query every node has out-degree ≥ 1 anyway.
   *
   * Scale notes: per iteration = one shuffle join + one partial agg; at
   * web scale you would lower `scale` to 10^9 (hub mass must stay under
@@ -38,8 +42,9 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, "src").cache() // loop invariant: read every iteration
+    val nodes = deg.select(col("src").as("node_id")).localCheckpoint()
     val teleport = scale * 15 / 100
-    var mass = deg.select(col("src").as("node_id"), lit(scale).as("mass"))
+    var mass = nodes.select(col("node_id"), lit(scale).as("mass"))
     // localCheckpoint (eager) per iteration cuts the join lineage —
     // without it Catalyst re-analyzes an O(iterations)-deep plan each
     // round and a failure would recompute the whole chain; this is the
@@ -47,11 +52,16 @@ object Graph {
     // a real cluster). The final checkpointed mass no longer depends on
     // `ed`, so releasing the edge cache cannot invalidate the result.
     for (_ <- 1 to iterations) {
-      mass = ed.join(mass, col("src") === col("node_id"))
+      // left-join onto the full node set: a node with zero in-degree
+      // this round still holds its teleport mass (an inner groupBy(dst)
+      // would silently drop it — and all its future out-contributions)
+      val inMass = ed.join(mass, col("src") === col("node_id"))
         .select(col("dst"), expr("((85 * mass) div 100) div deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
-        .select(col("dst").as("node_id"), (lit(teleport) + col("in_mass")).as("mass"))
+        .select(col("dst").as("node_id"), col("in_mass"))
+      mass = nodes.join(inMass, Seq("node_id"), "left")
+        .select(col("node_id"), (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("mass"))
         .localCheckpoint()
     }
     ed.unpersist()
@@ -81,9 +91,12 @@ object Graph {
   val qPagerankSql: String = {
     def iter(prev: String, cur: String): String =
       s"""$cur AS (
-         |  SELECT ed.dst AS node_id,
-         |    CAST(150000000000 + SUM((85 * m.mass // 100) // ed.deg) AS BIGINT) AS mass
-         |  FROM ed JOIN $prev m ON m.node_id = ed.src GROUP BY ed.dst
+         |  SELECT d.src AS node_id,
+         |    CAST(150000000000 + COALESCE(agg.in_mass, 0) AS BIGINT) AS mass
+         |  FROM d LEFT JOIN (
+         |    SELECT ed.dst, SUM((85 * m.mass // 100) // ed.deg) AS in_mass
+         |    FROM ed JOIN $prev m ON m.node_id = ed.src GROUP BY ed.dst
+         |  ) agg ON agg.dst = d.src
          |)""".stripMargin
     s"""WITH pairs AS (
        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s

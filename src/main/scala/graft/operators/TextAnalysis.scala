@@ -62,7 +62,7 @@ object TextAnalysis {
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |  CAST(list_sum(list_transform(string_split(text, ' '), w -> (len(w) + 3) // 4)) AS BIGINT) AS n_bpe_tokens,
-      |  CAST(len(text) AS BIGINT) AS n_bytes
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -93,7 +93,7 @@ object TextAnalysis {
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
       |  $stop AS n_stop,
-      |  CAST(len(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+      |  CAST(strlen(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS uniq_ratio,
       |  CAST($stop AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
       |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
@@ -166,7 +166,7 @@ object TextAnalysis {
   val textFingerprintSql: String =
     """SELECT doc_id,
       |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_md5,
-      |  CAST(len(text) AS BIGINT) AS n_bytes
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -314,7 +314,7 @@ object TextAnalysis {
   val textCorpusStatsSql: String =
     """SELECT source, lang, count(*) AS n_docs,
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-      |  CAST(sum(len(text)) AS BIGINT) AS total_bytes,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
       |  CAST(sum(CAST(round(((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
       |      * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)) * 1000000) AS BIGINT)) AS DOUBLE)
       |      / (count(*) * 1000000.0) AS mean_quality
@@ -595,8 +595,8 @@ object TextAnalysis {
     """SELECT doc_id,
       |  trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g')) AS clean,
       |  trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g')) != text AS changed,
-      |  CAST(len(text) AS BIGINT) AS n_bytes_raw,
-      |  CAST(len(trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_bytes_clean
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes_raw,
+      |  CAST(strlen(trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_bytes_clean
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

@@ -51,6 +51,28 @@ object Ingest {
     else w.parquet(path)
   }
 
+  /** Fixed per-session scratch root: one dir per Spark application
+    * (keyed by appId so concurrent sessions don't collide), deleted
+    * recursively by a JVM shutdown hook. A fresh createTempDirectory
+    * per invocation would accumulate a full table copy in /tmp on
+    * every bench/verify run and never reclaim it.
+    */
+  private def scratchDir(spark: SparkSession): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-scratch-${spark.sparkContext.applicationId}")
+    if (hooked.add(root.toString)) {
+      java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(root.toFile)
+      }))
+    }
+    root.toString
+  }
+  private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** named query: ORC sink+source round-trip — `documents` is written
     * to ORC and read back; the projection must equal reading the
     * parquet original (which is exactly what the DuckDB oracle does).
@@ -58,7 +80,7 @@ object Ingest {
     * ORC ships in Spark, so the round-trip costs one write+scan.
     */
   def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/documents.orc"
+    val tmp = scratchDir(spark) + "/documents.orc"
     writeAuto(graft.GraftSession.table(spark, dir, "documents"), tmp)
     readAuto(spark, tmp)
       .select(
@@ -71,7 +93,7 @@ object Ingest {
   }
 
   val qOrcRoundtripSql: String =
-    """SELECT doc_id, source, md5(text) AS text_md5, CAST(len(text) AS BIGINT) AS n_bytes
+    """SELECT doc_id, source, md5(text) AS text_md5, CAST(strlen(text) AS BIGINT) AS n_bytes
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

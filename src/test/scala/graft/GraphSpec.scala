@@ -41,6 +41,26 @@ class GraphSpec extends AnyFunSuite {
     assert(m(1L) > 3 * m(2L), "hub receives all spoke mass each round")
   }
 
+  test("pageRank: zero-in-degree nodes keep teleport mass through every iteration") {
+    // 1→2, 2→3, 3→2: node 1 has out-degree 1 but NO incoming edge.
+    // It must stay in the mass vector at exactly teleport (1.5e11)
+    // and keep feeding node 2 each round (0.85 * 1.5e11 on round 2+).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val m = Graph.pageRank(edges, iters).as[(Long, Long)].collect().toMap
+      assert(m.keySet == Set(1L, 2L, 3L), s"node universe must be the src set, got ${m.keySet}")
+      assert(m(1L) == 150000000000L, "a source-only node holds teleport-only mass")
+    }
+    // hand-computed round 3 (node 1 settles at teleport and feeds
+    // floor(85*1.5e11/100) = 1.275e11 into node 2 every round):
+    val m3 = Graph.pageRank(edges, 3).as[(Long, Long)].collect().toMap
+    assert(m3 == Map(
+      1L -> 150000000000L,
+      2L -> 1741625000000L, // 1.5e11 + 1.275e11 + floor(.85*1.7225e12)
+      3L -> 1108375000000L, // 1.5e11 + floor(.85*1.1275e12)
+    ), s"got $m3")
+  }
+
   test("q_pagerank: covers both node types, masses positive, deterministic across runs") {
     val a = Graph.qPagerank(spark, sf).collect()
     val types = a.map(_.getAs[String]("node_type")).toSet

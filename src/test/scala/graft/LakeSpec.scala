@@ -363,6 +363,38 @@ class LakeSpec extends AnyFunSuite {
     assert(b.chunks.count() == chunksBefore)
   }
 
+  test("replicateTo and diff respect tombstones: deletes do not resurrect") {
+    val a = ChunkStore.init(spark, tmp())
+    a.putBlobs(blobDf(1L -> tiny, 2L -> mid, 3L -> big))
+    val delHash = a.catalog.filter(col("total_len") === mid.length).select("blob_hash").as[String].head()
+    assert(a.deleteBlobs(Seq(delHash)) == 1)
+
+    // fresh-target replicate ships only the live blobs
+    val b = ChunkStore.init(spark, tmp())
+    assert(a.replicateTo(b) == 2, "tombstoned blob must not replicate")
+    assert(!b.containsBlob(delHash), "deleted blob resurrected in replica")
+    assert(a.diff(b).filter(col("status") =!= "in_sync").count() == 0)
+
+    // target that already holds the blob live: diff reports only_other
+    // (live views), and replicate does not push the delete
+    val c = ChunkStore.init(spark, tmp())
+    c.putBlobs(blobDf(2L -> mid))
+    assert(a.diff(c).filter(col("blob_hash") === delHash)
+      .select("status").as[String].head() == "only_other")
+    a.replicateTo(c)
+    assert(c.containsBlob(delHash), "replicate is additive, not a delete-sync")
+
+    // target that tombstoned the blob itself: replicate must not
+    // resurrect it there (anti-join keys on the raw target catalog)
+    val d = ChunkStore.init(spark, tmp())
+    d.putBlobs(blobDf(2L -> mid))
+    d.deleteBlobs(Seq(delHash))
+    val a2 = ChunkStore.init(spark, tmp())
+    a2.putBlobs(blobDf(2L -> mid))
+    assert(a2.replicateTo(d) == 0)
+    assert(!d.containsBlob(delHash), "target's own delete must stay deleted")
+  }
+
   test("replicateTo honors the target capacity gate and readonly flag") {
     val a = ChunkStore.init(spark, tmp())
     a.putBlobs(blobDf(1L -> big))
