@@ -44,6 +44,12 @@ object ArrayExprs {
   /** Space-joined word n-grams of an array<string> column. */
   def wordNgrams(words: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(words), n))
+
+  /** Per-table LSH sign buckets of a quantized array<long> vector
+    * against a constant plane tensor (see [[PlaneSignBuckets]]).
+    */
+  def planeSignBuckets(qv: Column, planes: Array[Array[Long]], bitsPerTable: Int): Column =
+    ColumnBridge.column(PlaneSignBuckets(ColumnBridge.expression(qv), planes, bitsPerTable))
 }
 
 /** Space-joined n-grams of a word array; a document shorter than n
@@ -328,6 +334,82 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** All LSH table buckets of one quantized vector in a single pass:
+  * `buckets(t) = Σ_b (qv · planes(t*bitsPerTable + b) >= 0 ? 1<<b : 0)`.
+  *
+  * Exists as a kernel because the unrolled-column formulation (one
+  * sign-test column per (table, bit) with the 64 plane coords inlined
+  * as literals) generates thousands of lines of per-plane code —
+  * Janino compilation alone costs seconds on a cold plan, repeated
+  * whenever codegen-cache pressure evicts it (the full bench suite
+  * compiles hundreds of stages). Here the tensor is one reference
+  * object and the generated code is two nested loops, a few dozen
+  * lines regardless of table count.
+  *
+  * A vector whose length differs from the planes' yields bucket 0 in
+  * every table — identical to the column form, where the null dot of
+  * ragged arrays fails the `>= 0` test for every bit.
+  */
+case class PlaneSignBuckets(child: Expression, planes: Array[Array[Long]], bitsPerTable: Int)
+    extends UnaryExpression {
+  private val numTables = planes.length / bitsPerTable
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val qv = in.asInstanceOf[ArrayData]
+    val n = qv.numElements()
+    val out = new Array[Int](numTables)
+    if (n == planes(0).length) {
+      var t = 0
+      while (t < numTables) {
+        var acc = 0
+        var b = 0
+        while (b < bitsPerTable) {
+          val p = planes(t * bitsPerTable + b)
+          var s = 0L
+          var i = 0
+          while (i < n) { s += qv.getLong(i) * p(i); i += 1 }
+          if (s >= 0) acc |= 1 << b
+          b += 1
+        }
+        out(t) = acc
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "long[][]")
+    nullSafeCodeGen(ctx, ev, qv => {
+      // freshName'd locals — see WinnowFingerprints.doGenCode.
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val acc = ctx.freshName("acc")
+      val b = ctx.freshName("b"); val p = ctx.freshName("p")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+         |int $n = $qv.numElements();
+         |int[] $out = new int[$numTables];
+         |if ($n == $planesRef[0].length) {
+         |  for (int $t = 0; $t < $numTables; $t++) {
+         |    int $acc = 0;
+         |    for (int $b = 0; $b < $bitsPerTable; $b++) {
+         |      long[] $p = $planesRef[$t * $bitsPerTable + $b];
+         |      long $s = 0L;
+         |      for (int $i = 0; $i < $n; $i++) { $s += $qv.getLong($i) * $p[$i]; }
+         |      if ($s >= 0) $acc |= 1 << $b;
+         |    }
+         |    $out[$t] = $acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

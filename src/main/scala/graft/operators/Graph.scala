@@ -42,7 +42,13 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, "src").cache() // loop invariant: read every iteration
-    val nodes = deg.select(col("src").as("node_id")).localCheckpoint()
+    // node universe from the CACHED edge relation, not from a second
+    // `deg` plan: deriving it upstream would compute the (possibly
+    // expensive) edge list twice — once for this checkpoint, once for
+    // the ed cache fill. The eager localCheckpoint doubles as ed's
+    // cache warmer, and dropDuplicates keeps the hash(node_id)
+    // partitioning the per-round left join then reuses exchange-free.
+    val nodes = ed.select(col("src").as("node_id")).dropDuplicates("node_id").localCheckpoint()
     val teleport = scale * 15 / 100
     var mass = nodes.select(col("node_id"), lit(scale).as("mass"))
     // localCheckpoint (eager) per iteration cuts the join lineage —

@@ -149,12 +149,15 @@ object VectorOps {
   private val qplanes: Seq[Seq[Array[Long]]] =
     planes.map(_.map(_.map(x => math.floor(x * 10000 + 0.5).toLong)))
 
-  private def qsignBit(qv: Column, p: Array[Long]): Column =
-    when(qdot(qv, array(p.map(lit(_)): _*)) >= 0, 1).otherwise(0)
-
-  /** integer-exact bucket id of quantized vector `qv` in table `t`. */
-  private def qbucketIn(qv: Column, t: Int): Column =
-    qplanes(t).zipWithIndex.map { case (p, bit) => qsignBit(qv, p) * (1 << bit) }.reduce(_ + _)
+  /** all-table bucket ids of quantized vector `qv` — one compact
+    * kernel call ([[graft.functions.PlaneSignBuckets]]): the unrolled
+    * per-(table, bit) sign-test columns inlined 2048 plane literals
+    * into the generated code, and Janino-compiling that was a
+    * multi-second fixed cost on every cold plan.
+    */
+  private def qbuckets(qv: Column): Column =
+    graft.functions.ArrayExprs.planeSignBuckets(
+      qv, qplanes.flatten.toArray, BitsPerTable)
 
   /** (id, qv, norm) → one row per (id, table) with the vector's LSH
     * bucket — integer sign tests on the quantized planes (codegen'd
@@ -162,11 +165,7 @@ object VectorOps {
     * differences across engines).
     */
   private def withQBuckets(d: DataFrame): DataFrame =
-    d.select(
-      col("id"), col("qv"), col("norm"),
-      explode(array((0 until NumTables).map(t =>
-        struct(lit(t).as("tbl"), qbucketIn(col("qv"), t).as("bucket"))): _*)).as("b"),
-    ).select(col("id"), col("qv"), col("norm"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    d.select(col("id"), col("qv"), col("norm"), posexplode(qbuckets(col("qv"))).as(Seq("tbl", "bucket")))
 
   /** §2.3 #26 — embedding near-dup: each vector's nearest LSH-bucketed
     * candidate + a duplicate flag at cosine ≥ 0.5.
