@@ -95,6 +95,11 @@ object BenchBaseline {
     "text_tokens" -> 0.295,
     "text_vocab" -> 0.308,
     "text_winnow_pairs" -> 1.097,
+    "profile_table" -> 1.23,
+    "q7_volume" -> 1.32,
+    "q8_share" -> 1.41,
+    "text_chunks" -> 0.41,
+    "text_bpe_encode" -> 3.78,
     "q_funnel" -> 0.449,
     "q_orc_roundtrip" -> 0.356,
     "q_pagerank" -> 4.6,

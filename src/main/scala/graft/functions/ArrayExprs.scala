@@ -50,6 +50,12 @@ object ArrayExprs {
     */
   def planeSignBuckets(qv: Column, planes: Array[Array[Long]], bitsPerTable: Int): Column =
     ColumnBridge.column(PlaneSignBuckets(ColumnBridge.expression(qv), planes, bitsPerTable))
+
+  /** BPE token count of a string word under a constant merge list
+    * (see [[BpeEncodeCount]]).
+    */
+  def bpeEncodeCount(word: Column, lefts: Array[String], rights: Array[String]): Column =
+    ColumnBridge.column(BpeEncodeCount(ColumnBridge.expression(word), lefts, rights))
 }
 
 /** Space-joined n-grams of a word array; a document shorter than n
@@ -412,6 +418,52 @@ case class PlaneSignBuckets(child: Expression, planes: Array[Array[Long]], bitsP
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** BPE token count of one word under a constant merge list: the
+  * merges apply in training order, each as a greedy left-to-right
+  * non-overlapping pass — exactly the scan `Bpe.applyMerge` folds at
+  * training time and `Bpe.encodeWord` replays in the spec.
+  *
+  * The merge list is a reference object and the whole encode is one
+  * virtual call from generated code ([[CodegenContext.addReferenceObj]]),
+  * so the distinct-word projection stays inside whole-stage codegen
+  * without inlining a per-merge expression chain (16 nested
+  * interpreted folds was the alternative).
+  */
+case class BpeEncodeCount(child: Expression, lefts: Array[String], rights: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val merged: Array[String] =
+    lefts.zip(rights).map { case (l, r) => l + r }
+
+  def tokenCount(wordAny: Any): Long = {
+    var cur = wordAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.split("")
+    var i = 0
+    while (i < lefts.length) {
+      val l = lefts(i); val r = rights(i); val m = merged(i)
+      val out = new Array[String](cur.length)
+      var n = 0
+      var j = 0
+      while (j < cur.length) {
+        if (j + 1 < cur.length && cur(j) == l && cur(j + 1) == r) { out(n) = m; n += 1; j += 2 }
+        else { out(n) = cur(j); n += 1; j += 1 }
+      }
+      cur = java.util.Arrays.copyOf(out, n)
+      i += 1
+    }
+    cur.length.toLong
+  }
+
+  override def nullSafeEval(in: Any): Any = tokenCount(in)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", this, classOf[BpeEncodeCount].getName)
+    nullSafeCodeGen(ctx, ev, w => s"${ev.value} = $ref.tokenCount($w);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -115,8 +115,77 @@ object Bpe {
     bpeTrain(wf, 16).orderBy("merge_idx")
   }
 
+  /** Plain-Scala reference encoder: apply merges IN TRAINING ORDER,
+    * each a greedy left-to-right non-overlapping pass (the same scan
+    * [[applyMerge]] folds, and what SentencePiece/GPT-2 BPE do at
+    * apply time). Shared by the codegen expression and the spec.
+    */
+  private[graft] def encodeWord(word: String, lefts: Array[String], rights: Array[String]): Seq[String] = {
+    var syms: List[String] = word.split("").toList
+    var i = 0
+    while (i < lefts.length) {
+      val l = lefts(i); val r = rights(i); val m = l + r
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var rest = syms
+      while (rest.nonEmpty) {
+        rest match {
+          case a :: b :: tail if a == l && b == r => out += m; rest = tail
+          case a :: tail => out += a; rest = tail
+          case Nil => ()
+        }
+      }
+      syms = out.toList
+      i += 1
+    }
+    syms
+  }
+
+  /** §2.5 #33n — apply a trained merge list to the corpus (the encode
+    * side of BPE): per-document subword token counts.
+    *
+    * Scale shape: the encoder runs once per DISTINCT word — cost is
+    * proportional to the vocabulary, not the corpus — and the per-word
+    * token counts join back onto the (doc_id, word) occurrence
+    * relation with an ordinary shuffle join (small enough to broadcast
+    * at these SFs; AQE makes that call). The merge list itself is a
+    * driver-side constant baked into one expression
+    * ([[graft.functions.BpeEncodeCount]]) so the distinct-word pass
+    * stays inside whole-stage codegen.
+    */
+  def bpeEncode(spark: SparkSession, dir: String, numMerges: Int = 16): DataFrame = {
+    import spark.implicits._
+    val wf = table(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val merges = bpeTrain(wf, numMerges)
+      .orderBy("merge_idx")
+      .select(col("left"), col("right"))
+      .as[(String, String)]
+      .collect()
+    val lefts = merges.map(_._1)
+    val rights = merges.map(_._2)
+    val occurrences = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val wordTokens = occurrences.select(col("word")).distinct()
+      .withColumn("n_tok", graft.functions.ArrayExprs.bpeEncodeCount(col("word"), lefts, rights))
+    occurrences.join(wordTokens, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_tokens"),
+      )
+      .withColumn("tokens_per_word", col("n_bpe_tokens").cast(DoubleType) / col("n_words"))
+      .orderBy("doc_id")
+  }
+
+  private def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe" -> (textBpe _),
+    "text_bpe_encode" -> (textBpeEncode _),
   )
 
   val oracles: Map[String, String] = Map.empty // declared rows-only + ScalaTest replay

@@ -806,7 +806,177 @@ object Relational {
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** §2.2 #21n — bidirectional two-nation trade volume by year, TPC-H
+    * Q7 shape: the big fact join (lineitem⋈orders) shuffles on
+    * orderkey once; customer/supplier/nation are broadcast dims, so
+    * the nation-pair filter prunes map-side before the fact shuffle's
+    * output is aggregated. Decimal-exact revenue (§6 parity rules).
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = table(spark, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = table(spark, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val c = table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val o = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_11") ||
+          (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_19")
+      )
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(dbl(sum(decP(col("l_extendedprice")) * (one - decR(col("l_discount"))))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7VolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_11')
+      |    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_19'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** §2.2 #21o — national market share by year, TPC-H Q8 shape: the
+    * share is a quotient of two decimal-exact sums (conditional
+    * numerator over the same rows), divided once as doubles — the
+    * one-division form is bit-identical across engines where a
+    * per-row double ratio sum would not be.
+    */
+  def q8Share(spark: SparkSession, dir: String): DataFrame = {
+    val nCust = table(spark, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val r = table(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val nSupp = table(spark, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val p = table(spark, dir, "part").filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val s = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val c = table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val o = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = table(spark, dir, "lineitem")
+    val vol = decP(col("l_extendedprice")) * (one - decR(col("l_discount")))
+    val natVol = when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast(DecimalType(3, 2)))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        dbl(sum(natVol)).as("nation_volume"),
+        dbl(sum(vol)).as("total_volume"),
+        (dbl(sum(natVol)) / dbl(sum(vol))).as("mkt_share"),
+      )
+      .orderBy("o_year")
+  }
+
+  val q8ShareSql: String =
+    """WITH v AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol,
+      |    CASE WHEN n2.n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |      ELSE CAST(0 AS DECIMAL(3,2)) END AS nat_vol
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      |)
+      |SELECT o_year,
+      |  CAST(sum(nat_vol) AS DOUBLE) AS nation_volume,
+      |  CAST(sum(vol) AS DOUBLE) AS total_volume,
+      |  CAST(sum(nat_vol) AS DOUBLE) / CAST(sum(vol) AS DOUBLE) AS mkt_share
+      |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** §2.2 #21p — per-column data profiling (count / nulls / exact NDV
+    * / typed min-max), the scan-side quality report a lake runs before
+    * accepting a drop. One union branch per column, each a
+    * column-PRUNED scan + partial aggregate: the single-aggregate
+    * multi-countDistinct alternative plans an Expand that replicates
+    * every full-width row once per distinct aggregate (measured 7×
+    * slower at sf0.1, and strictly worse at 100 TB where the wide scan
+    * dominates). Numeric and string extremes live in typed columns
+    * (casting a double extreme through a string would be
+    * engine-repr-dependent); dates are ISO-formatted.
+    */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    def base(c: String) = l.select(col(c)).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).as("mn"),
+      max(col(c)).as("mx"),
+    )
+    def num(c: String) = base(c).select(
+      lit(c).as("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+      dbl(col("mn")).as("min_d"), dbl(col("mx")).as("max_d"),
+      lit(null).cast(StringType).as("min_s"), lit(null).cast(StringType).as("max_s"),
+    )
+    def str(c: String) = base(c).select(
+      lit(c).as("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+      lit(null).cast(DoubleType).as("min_d"), lit(null).cast(DoubleType).as("max_d"),
+      col("mn").as("min_s"), col("mx").as("max_s"),
+    )
+    def dt(c: String) = base(c).select(
+      lit(c).as("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+      lit(null).cast(DoubleType).as("min_d"), lit(null).cast(DoubleType).as("max_d"),
+      date_format(col("mn"), "yyyy-MM-dd").as("min_s"), date_format(col("mx"), "yyyy-MM-dd").as("max_s"),
+    )
+    Seq(num("l_quantity"), num("l_extendedprice"), num("l_discount"),
+      str("l_returnflag"), str("l_linestatus"), dt("l_shipdate"))
+      .reduce(_.unionAll(_))
+      .orderBy("column_name")
+  }
+
+  val profileTableSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d,
+         |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', count(*),
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |  count(DISTINCT $c),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min($c), max($c)
+         |FROM lineitem""".stripMargin
+    def dt(c: String) =
+      s"""SELECT '$c', count(*),
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |  count(DISTINCT $c),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  strftime(min($c), '%Y-%m-%d'), strftime(max($c), '%Y-%m-%d')
+         |FROM lineitem""".stripMargin
+    Seq(num("l_quantity"), num("l_extendedprice"), num("l_discount"),
+      str("l_returnflag"), str("l_linestatus"), dt("l_shipdate"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume" -> (q7Volume _),
+    "q8_share" -> (q8Share _),
+    "profile_table" -> (profileTable _),
     "q_upsert" -> (qUpsert _),
     "q_funnel" -> (qFunnel _),
     "q_json" -> (qJson _),
@@ -835,6 +1005,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q7_volume" -> q7VolumeSql,
+    "q8_share" -> q8ShareSql,
+    "profile_table" -> profileTableSql,
     "q_json" -> qJsonSql,
     "q_leadlag" -> qLeadlagSql,
     "q_grouping_sets" -> qGroupingSetsSql,

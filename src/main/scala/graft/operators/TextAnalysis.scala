@@ -600,7 +600,48 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.5 #33m — sliding-window document chunking: fixed token windows
+    * (64 tokens, stride 48 → 16-token overlap), the context-length
+    * split a training pipeline runs before packing. Pure map-side
+    * (sequence + explode + slice — no shuffle, no UDF): a 100 TB
+    * corpus chunks at scan throughput, and the ~1.33× row growth is
+    * the output's intrinsic size, not an intermediate blow-up.
+    */
+  def textChunks(spark: SparkSession, dir: String): DataFrame = {
+    val windowTokens = 64
+    val stride = 48
+    docs(spark, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .select(
+        col("doc_id"),
+        col("ws"),
+        posexplode(sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)), lit(stride))).as(Seq("chunk_idx", "start")),
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast(LongType).as("chunk_idx"),
+        size(slice(col("ws"), col("start") + 1, lit(windowTokens))).cast(LongType).as("n_tokens"),
+        concat_ws(" ", slice(col("ws"), col("start") + 1, lit(windowTokens))).as("chunk_text"),
+      )
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val textChunksSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), starts AS (
+      |  SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 1, 0) + 1, 48)) AS start
+      |  FROM w
+      |)
+      |SELECT doc_id,
+      |  CAST(start // 48 AS BIGINT) AS chunk_idx,
+      |  CAST(len(list_slice(ws, start + 1, start + 64)) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(ws, start + 1, start + 64), ' ') AS chunk_text
+      |FROM starts
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunks" -> (textChunks _),
     "text_normalize" -> (textNormalize _),
     "text_corpus_stats" -> (textCorpusStats _),
     "text_tokens" -> (textTokens _),
@@ -617,6 +658,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_chunks" -> textChunksSql,
     "text_normalize" -> textNormalizeSql,
     "text_corpus_stats" -> textCorpusStatsSql,
     "text_tokens" -> textTokensSql,

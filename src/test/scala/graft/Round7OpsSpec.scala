@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{Bpe, Relational, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round7OpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---------------------------------------------------------- text_chunks
+
+  test("text_chunks: window/stride arithmetic — counts, overlap, reassembly") {
+    val chunks = TextAnalysis.textChunks(spark, sf).collect()
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet, "every document must chunk")
+    for ((docId, ws) <- docs) {
+      val cs = byDoc(docId).sortBy(_.getAs[Long]("chunk_idx"))
+      val expectedChunks = math.max(1, math.ceil(ws.length / 48.0).toInt)
+      assert(cs.length == expectedChunks, s"doc $docId: ${cs.length} chunks for ${ws.length} tokens")
+      cs.zipWithIndex.foreach { case (c, i) =>
+        val expect = ws.slice(i * 48, i * 48 + 64)
+        assert(c.getAs[Long]("n_tokens") == expect.length)
+        assert(c.getAs[String]("chunk_text") == expect.mkString(" "))
+      }
+      // stride < window → consecutive chunks overlap by 16 tokens
+      if (cs.length > 1 && ws.length >= 64)
+        assert(cs(0).getAs[String]("chunk_text").split(" ").takeRight(16).toSeq ==
+          cs(1).getAs[String]("chunk_text").split(" ").take(16).toSeq)
+    }
+  }
+
+  // ------------------------------------------------------ text_bpe_encode
+
+  test("bpe encode kernel equals the plain-Scala merge replay on planted words") {
+    val merges = Seq(("a", "b"), ("ab", "c"), ("d", "d"))
+    val lefts = merges.map(_._1).toArray
+    val rights = merges.map(_._2).toArray
+    val words = Seq("abc", "abab", "dddd", "abcabc", "xyz", "a", "ddabcdd")
+    val got = words.toDF("word")
+      .select(graft.functions.ArrayExprs.bpeEncodeCount(col("word"), lefts, rights).as("n"))
+      .as[Long].collect()
+    val want = words.map(w => Bpe.encodeWord(w, lefts, rights).length.toLong)
+    assert(got.toSeq == want, s"words=$words got=${got.toSeq} want=$want")
+    // hand-checked: abc -> [abc]; abab -> [ab, ab]; dddd -> [dd, dd];
+    // ddabcdd -> [dd, abc, dd]
+    assert(want == Seq(1L, 2L, 2L, 2L, 3L, 1L, 3L))
+  }
+
+  test("text_bpe_encode equals a full plain-Scala corpus replay at sf0.001") {
+    val numMerges = 8
+    // train on the same corpus the query trains on
+    val corpus = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)].collect()
+    val wordFreq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    corpus.foreach { case (_, t) => t.split(" ").filter(_.nonEmpty).foreach(w => wordFreq(w) += 1) }
+    // exact replay of bpeTrain's argmax loop (same tie-break)
+    var syms: Map[String, (List[String], Long)] =
+      wordFreq.map { case (w, f) => w -> (w.split("").toList, f) }.toMap
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (_ <- 0 until numMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      syms.values.foreach { case (ss, f) =>
+        ss.zip(ss.drop(1)).foreach(p => counts(p) += f)
+      }
+      if (counts.nonEmpty) {
+        val (l, r) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += ((l, r))
+        syms = syms.map { case (w, (ss, f)) =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var rest = ss
+          while (rest.nonEmpty) rest match {
+            case a :: b :: tail if a == l && b == r => out += (l + r); rest = tail
+            case a :: tail => out += a; rest = tail
+            case Nil => ()
+          }
+          w -> ((out.toList, f))
+        }
+      }
+    }
+    val expected = corpus.map { case (docId, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val nTok = ws.map(w => syms(w)._1.length.toLong).sum
+      (docId, ws.length.toLong, nTok)
+    }.sortBy(_._1)
+    val got = Bpe.bpeEncode(spark, sf, numMerges)
+      .select("doc_id", "n_words", "n_bpe_tokens").as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected.toSeq)
+  }
+
+  test("text_bpe_encode invariants: merges only shrink, bounds hold") {
+    val df = Bpe.bpeEncode(spark, sf).collect()
+    df.foreach { r =>
+      val words = r.getAs[Long]("n_words")
+      val toks = r.getAs[Long]("n_bpe_tokens")
+      assert(toks >= words, "a word is at least one token")
+      assert(r.getAs[Double]("tokens_per_word") == toks.toDouble / words)
+    }
+  }
+
+  // -------------------------------------------------------- profile_table
+
+  test("profile_table: stats agree with direct computation") {
+    val p = Relational.profileTable(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(p.keySet == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus", "l_shipdate"))
+    val l = GraftSession.table(spark, sf, "lineitem")
+    val n = l.count()
+    p.values.foreach(r => assert(r.getAs[Long]("n_rows") == n))
+    assert(p("l_quantity").getAs[Double]("min_d") == l.agg(min("l_quantity")).head.getDouble(0))
+    assert(p("l_quantity").getAs[Long]("n_distinct") ==
+      l.select("l_quantity").distinct().count())
+    assert(p("l_returnflag").getAs[String]("max_s") ==
+      l.agg(max("l_returnflag")).head.getString(0))
+    assert(p("l_shipdate").getAs[String]("min_s").matches("\\d{4}-\\d{2}-\\d{2}"))
+  }
+
+  // ------------------------------------------------------------ q7 / q8
+
+  test("q7_volume: both directions present at sf0.01, revenue positive, grouped exactly") {
+    val rows = Relational.q7Volume(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_19", "NATION_11"), ("NATION_11", "NATION_19"))))
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+  }
+
+  test("q8_share: share in [0,1] and consistent with its numerator/denominator") {
+    val rows = Relational.q8Share(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      val natV = r.getAs[Double]("nation_volume")
+      val totV = r.getAs[Double]("total_volume")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(math.abs(share - natV / totV) < 1e-15)
+      assert(totV > 0)
+    }
+  }
+}
