@@ -156,6 +156,63 @@ object EventsStream {
       .select(col("user_id"), col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  final case class TypeHit(win_start: Long, event_type: String, ts: Timestamp)
+  final case class TopKState(counts: Map[String, Long])
+  final case class TopKOut(day: Timestamp, rank: Long, event_type: String, n_events: Long)
+
+  /** §2.7 #45 — streaming windowed top-k: the k most frequent event
+    * types per tumbling day window, emitted ONCE per window when the
+    * watermark closes it (EventTimeTimeout). Ranking needs the whole
+    * window's counts, so a chained agg + window-function plan is
+    * unsupported in append mode; instead the per-(window) running
+    * counts ride in flatMapGroupsWithState state — bounded by
+    * distinct event types per window, not by events — and the final
+    * sort happens on that tiny map at emission. Same (count desc, type
+    * asc) tie-break as the batch `q_topk_group` family, so stream ≡
+    * batch is testable exactly.
+    */
+  def windowTopK(events: DataFrame, k: Int, watermarkDelay: String = "1 hour"): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    val dayMs = 24L * 3600 * 1000
+
+    val hits = events
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        (floor(unix_millis(col("ts")) / dayMs) * dayMs).as("win_start"),
+        col("event_type"),
+        col("ts"),
+      )
+      .as[TypeHit]
+
+    def fn(winStart: Long, it: Iterator[TypeHit], state: GroupState[TopKState]): Iterator[TopKOut] = {
+      if (state.hasTimedOut) {
+        val counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+        state.remove()
+        return counts.toSeq
+          .sortBy { case (t, c) => (-c, t) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((t, c), i) => TopKOut(new Timestamp(winStart), i + 1L, t, c) }
+          .iterator
+      }
+      val merged = it.foldLeft(state.getOption.map(_.counts).getOrElse(Map.empty)) { (m, h) =>
+        m.updated(h.event_type, m.getOrElse(h.event_type, 0L) + 1L)
+      }
+      state.update(TopKState(merged))
+      // emit when the watermark passes the window end. The max guard:
+      // a late-but-within-delay event can arrive after the watermark
+      // already passed this window's end (its state re-created after
+      // emission) — a bare past timestamp would throw; one tick past
+      // the watermark re-times-out on the next batch instead.
+      state.setTimeoutTimestamp(math.max(winStart + dayMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    hits
+      .groupByKey(_.win_start)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   final case class BandHit(band_idx: Int, band_key: Long, doc_id: Long, ts: Timestamp)
   final case class BandOwner(ownerId: Long)
   final case class CandPair(doc_a: Long, doc_b: Long, band_idx: Int)

@@ -45,6 +45,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k equals the batch per-day top-k with the same tie-break") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val input = stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val k = 3
+
+    val q = EventsStream
+      .windowTopK(input, k)
+      .writeStream.format("memory").queryName("topk_out").outputMode("append").start()
+    try {
+      stream.addData(events.as[(Long, Timestamp, Long, String, Double)].collect().toSeq)
+      q.processAllAvailable()
+      // advance the watermark far past every window so each times out
+      stream.addData(Seq((0L, Timestamp.valueOf("2030-01-01 00:00:00"), 0L, "sentinel", 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("topk_out")
+        .filter(col("event_type") =!= "sentinel")
+        .select("day", "rank", "event_type", "n_events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("day").orderBy(col("n_events").desc, col("event_type"))
+      val want = events
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("day", "rank", "event_type", "n_events")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"stream=${got.count()} batch=${want.count()}")
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch q_sessionize on closed sessions") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Event]
