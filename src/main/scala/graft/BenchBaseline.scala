@@ -95,6 +95,10 @@ object BenchBaseline {
     "text_tokens" -> 0.295,
     "text_vocab" -> 0.308,
     "text_winnow_pairs" -> 1.097,
+    "ann_pq" -> 1.59,
+    "q10_returns" -> 1.10,
+    "q13_custdist" -> 1.01,
+    "q_rolling" -> 1.03,
     "profile_table" -> 1.23,
     "q7_volume" -> 1.32,
     "q8_share" -> 1.41,

@@ -56,6 +56,24 @@ object ArrayExprs {
     */
   def bpeEncodeCount(word: Column, lefts: Array[String], rights: Array[String]): Column =
     ColumnBridge.column(BpeEncodeCount(ColumnBridge.expression(word), lefts, rights))
+
+  /** PQ codes of a quantized vector under a constant codebook tensor
+    * (see [[PqEncode]]).
+    */
+  def pqEncode(qv: Column, codebooks: Array[Array[Long]], numSub: Int, ksub: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(qv), codebooks, numSub, ksub))
+
+  /** Per-query ADC lookup table against the same codebook tensor
+    * (see [[PqLut]]).
+    */
+  def pqLut(qv: Column, codebooks: Array[Array[Long]], numSub: Int, ksub: Int): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(qv), codebooks, numSub, ksub))
+
+  /** ADC score: sum of LUT entries selected by a code array
+    * (see [[PqAdcScore]]).
+    */
+  def pqAdcScore(codes: Column, lut: Column, ksub: Int): Column =
+    ColumnBridge.column(PqAdcScore(ColumnBridge.expression(codes), ColumnBridge.expression(lut), ksub))
 }
 
 /** Space-joined n-grams of a word array; a document shorter than n
@@ -467,6 +485,135 @@ case class BpeEncodeCount(child: Expression, lefts: Array[String], rights: Array
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Product-quantization encode (Jégou'11): the input vector splits
+  * into `numSub` contiguous subvectors; each maps to the index of its
+  * nearest (exact integer squared-L2) codebook centroid. `codebooks`
+  * is the flattened tensor codebooks(j*ksub + c) = centroid c of
+  * subspace j, each of length dim/numSub. A vector whose length is
+  * not numSub × subDim yields all-zero codes (degenerate input, same
+  * convention as [[PlaneSignBuckets]]).
+  *
+  * Integer-exact: both vectors and centroids live on the ×10000
+  * quantization grid, so squared distances are exact int64 (coords
+  * ≤ ~2·10^4 → per-dim squared diff ≤ 1.6·10^9, summed over ≤ 64
+  * dims — far under 2^63) and the argmin (ties → lowest index) is
+  * deterministic on every platform.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Long]], numSub: Int, ksub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private val subDim = codebooks(0).length
+
+  override def nullSafeEval(in: Any): Any = {
+    val qv = in.asInstanceOf[ArrayData]
+    val out = new Array[Int](numSub)
+    if (qv.numElements() == numSub * subDim) {
+      var j = 0
+      while (j < numSub) {
+        var bestC = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < ksub) {
+          val cent = codebooks(j * ksub + c)
+          var d = 0L
+          var i = 0
+          while (i < subDim) {
+            val diff = qv.getLong(j * subDim + i) - cent(i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        out(j) = bestC
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqe", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, qv =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($qv);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query ADC lookup table: lut(j*ksub + c) = dot(query subvector
+  * j, codebook centroid c of subspace j) — exact int64 dots on the
+  * quantization grid. Computed once per query row; scoring a data
+  * vector is then `numSub` array reads ([[PqAdcScore]]) instead of a
+  * dim-length dot.
+  */
+case class PqLut(child: Expression, codebooks: Array[Array[Long]], numSub: Int, ksub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private val subDim = codebooks(0).length
+
+  override def nullSafeEval(in: Any): Any = {
+    val qv = in.asInstanceOf[ArrayData]
+    val out = new Array[Long](numSub * ksub)
+    if (qv.numElements() == numSub * subDim) {
+      var j = 0
+      while (j < numSub) {
+        var c = 0
+        while (c < ksub) {
+          val cent = codebooks(j * ksub + c)
+          var s = 0L
+          var i = 0
+          while (i < subDim) { s += qv.getLong(j * subDim + i) * cent(i); i += 1 }
+          out(j * ksub + c) = s
+          c += 1
+        }
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pql", this, classOf[PqLut].getName)
+    nullSafeCodeGen(ctx, ev, qv =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($qv);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC score: Σ_j lut(j*ksub + codes(j)) — the asymmetric-distance
+  * approximation of dot(query, data) from PQ codes. The tight loop is
+  * generated inline: per (query, vector) pair this is `numSub` array
+  * reads and adds, the whole point of PQ's compressed scan.
+  */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int) extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    var s = 0L
+    var j = 0
+    val m = codes.numElements()
+    while (j < m) { s += lut.getLong(j * ksub + codes.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val s = ctx.freshName("s"); val j = ctx.freshName("j"); val m = ctx.freshName("m")
+      s"""
+         |long $s = 0L;
+         |int $m = $codes.numElements();
+         |for (int $j = 0; $j < $m; $j++) { $s += $lut.getLong($j * $ksub + $codes.getInt($j)); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 /** Charikar'02 SimHash over 62 bits: bit i of the result is set iff

@@ -973,7 +973,107 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** §2.2 #21q — returned-item revenue by customer, TPC-H Q10 shape:
+    * one fact shuffle (filtered lineitem⋈orders), customer/nation
+    * broadcast, decimal-exact revenue, deterministic top-20.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dbl(sum(decP(col("l_extendedprice")) * (one - decR(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** §2.2 #21r — customer order-count distribution, TPC-H Q13 shape:
+    * a LEFT join (customers with zero orders must survive into the
+    * c_count=0 bucket) followed by a second aggregation over the
+    * first's output — the double-grouping histogram plan.
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(col("c_custkey"))
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustdistSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** §2.2 #21s — time-RANGE rolling window frames: per-user rolling
+    * 1-hour event count and value sum at every event. RANGE frames
+    * (not ROWS) — the frame is defined by the timestamp interval, so
+    * ties and irregular spacing are handled exactly; integer-µs frame
+    * bounds and floor-int sums keep it hash-exact cross-engine. One
+    * shuffle on user_id; the sort inside each partition is the window
+    * operator's own.
+    */
+  def qRolling(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    table(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value")).cast(LongType).as("v"),
+      )
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("v")).over(w).as("sum_1h"),
+      )
+      .orderBy("event_id")
+  }
+
+  val qRollingSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  count(*) OVER w AS n_1h,
+      |  CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returns" -> (q10Returns _),
+    "q13_custdist" -> (q13Custdist _),
+    "q_rolling" -> (qRolling _),
     "q7_volume" -> (q7Volume _),
     "q8_share" -> (q8Share _),
     "profile_table" -> (profileTable _),
@@ -1005,6 +1105,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q10_returns" -> q10ReturnsSql,
+    "q13_custdist" -> q13CustdistSql,
+    "q_rolling" -> qRollingSql,
     "q7_volume" -> q7VolumeSql,
     "q8_share" -> q8ShareSql,
     "profile_table" -> profileTableSql,

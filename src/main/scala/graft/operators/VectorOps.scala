@@ -582,6 +582,158 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- PQ ANN
+
+  /** §2.4 #29d — product-quantization codebooks (Jégou'11): the
+    * 64-dim grid vectors split into `numSub` subspaces; each gets a
+    * `ksub`-centroid Euclidean codebook. Training collects only a
+    * DETERMINISTIC BOUNDED SAMPLE to the driver (hash-ordered
+    * TakeOrdered — a per-partition heap, not a global sort): PQ
+    * codebooks are trained on a fixed-size sample at ANY corpus scale
+    * (the standard practice of every production ANN stack), so the
+    * driver load is O(sampleMax), never O(n).
+    *
+    * Returns the flattened tensor codebooks(j*ksub + c), re-quantized
+    * to the ×10000 grid — shared by encode, LUT, and the spec.
+    */
+  def pqCodebooks(
+      data: DataFrame,
+      numSub: Int,
+      ksub: Int,
+      sampleMax: Int = 100000,
+  ): Array[Array[Long]] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val sample = prep(data)
+      .orderBy(pmod(hash(col("id")), lit(1 << 30)), col("id"))
+      .limit(sampleMax)
+      .select(col("qv")).as[Seq[Long]].collect().map(_.toArray)
+    require(sample.nonEmpty, "pqCodebooks: empty input")
+    val dim = sample(0).length
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val subDim = dim / numSub
+    (0 until numSub).flatMap { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      localEuclideanKMeans(sub, ksub, iters = 15, seed = 13 + j).toSeq
+    }.toArray
+  }
+
+  /** Driver-side Euclidean k-means++ + Lloyd for the PQ subquantizers
+    * (subvectors are NOT unit-norm, so the spherical variant above
+    * would be the wrong geometry). Deterministic: fixed seed, stable
+    * point order, lowest-index tie-break.
+    */
+  private def localEuclideanKMeans(
+      pts: Array[Array[Long]],
+      k: Int,
+      iters: Int,
+      seed: Int,
+  ): Array[Array[Long]] = {
+    val n = pts.length
+    if (n <= k) return pts ++ Array.fill(k - n)(pts.head.map(_ => 0L)) take k
+    val dim = pts(0).length
+    val dpts = pts.map(_.map(_.toDouble))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](dpts(rnd.nextInt(n)))
+    while (centers.size < k) {
+      val dists = dpts.map(p => centers.iterator.map(c => d2(p, c)).min)
+      val tot = dists.sum
+      if (tot <= 0) centers += dpts(rnd.nextInt(n))
+      else {
+        var t = rnd.nextDouble() * tot
+        var i = 0
+        while (i < n - 1 && t > dists(i)) { t -= dists(i); i += 1 }
+        centers += dpts(i)
+      }
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Long](k)
+      dpts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) { val d = d2(p, centers(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        cnt(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      centers.indices.foreach { c =>
+        if (cnt(c) > 0) centers(c) = sums(c).map(_ / cnt(c))
+      }
+    }
+    centers.map(_.map(x => math.floor(x + 0.5).toLong)).toArray
+  }
+
+  /** §2.4 #29d — PQ-compressed ANN: a two-stage scan, asymmetric
+    * distance (ADC) then exact re-rank — the standard production PQ
+    * pipeline. Stage 1 touches every vector but reads only its codes
+    * + true norm (64×8 B → ~24 B a vector — the memory-bandwidth
+    * scale path): the query side precomputes its LUT once and scoring
+    * a pair is `numSub` table reads instead of a 64-long dot. Stage 2
+    * re-ranks the `shortlistFactor`·k ADC survivors with exact
+    * cosines — only the shortlist's full vectors are ever touched, so
+    * the expensive pass is O(queries·shortlist), not O(queries·n).
+    * Approx cosine uses TRUE data norms (norms don't compress;
+    * storing them exactly is standard cosine-PQ). The query batch is
+    * broadcast (bounded by API contract, like [[annBruteforce]]); the
+    * codes relation streams map-side — no shuffle until the per-query
+    * top-k windows.
+    */
+  def annPq(
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numSub: Int = 16,
+      ksub: Int = 16,
+      shortlistFactor: Int = 8,
+  ): DataFrame = {
+    val cb = pqCodebooks(data, numSub, ksub)
+    val enc = graft.functions.ArrayExprs.pqEncode(col("qv"), cb, numSub, ksub)
+    val lut = graft.functions.ArrayExprs.pqLut(col("qv"), cb, numSub, ksub)
+    val d = prep(data)
+    val codes = d.select(col("id").as("neighbor_id"), enc.as("codes"), col("norm").as("nb"))
+    val q = prep(queries)
+      .select(col("id").as("query_id"), col("qv").as("qa"), lut.as("lut"), col("norm").as("na"))
+    // stage 1 — compressed ADC scan: approximate cosine from codes
+    // only, shortlist of `shortlistFactor`·k per query. This is the
+    // pass that touches every vector, and it reads ~numSub+8 bytes a
+    // vector instead of 8·dim.
+    val adc = broadcast(q.drop("qa"))
+      .join(codes, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (graft.functions.ArrayExprs.pqAdcScore(col("codes"), col("lut"), ksub).cast(DoubleType) /
+          (col("na") * col("nb"))).as("adc_cosine"),
+      )
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    val shortlist = adc
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlistFactor * k)
+      .select("query_id", "neighbor_id")
+    // stage 2 — exact re-rank of the shortlist (standard ADC+re-rank):
+    // only shortlistFactor·k·|queries| full vectors are ever touched
+    val scored = shortlist
+      .join(d.select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb")), "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qa"), col("na"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** named query: first 20 vectors vs the whole table, k=5, 16×16
+    * codebooks, 8k shortlist. Engine-specific quantizer → rows-only +
+    * recall/error ScalaTests.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    annPq(e, e.filter(col("id") < 20), 5)
+  }
+
   /** named query: first 20 vectors, top-3 within the query's own
     * `label` partition.
     */
@@ -721,6 +873,7 @@ object VectorOps {
     "ann_lsh" -> (annLsh(_: SparkSession, _: String)),
     "ann_ivf" -> (annIvf(_: SparkSession, _: String)),
     "ann_filtered" -> (annFiltered(_: SparkSession, _: String)),
+    "ann_pq" -> (annPq(_: SparkSession, _: String)),
     "dedup_semantic" -> (dedupSemantic _),
   )
 

@@ -117,7 +117,10 @@ class PlanSpec extends AnyFunSuite {
     // corpus size N / avgdl — surfaced only once this audit stopped
     // fail-fasting). Everywhere else a BNLJ means an all-pairs
     // scale-killer slipped in (round-1 dedup_embedding lesson).
-    val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "dedup_semantic", "text_tfidf", "text_bm25")
+    // ann_pq joins a broadcast BOUNDED query batch (20 rows by API
+    // contract) against the compressed code relation — the same shape
+    // as ann_bruteforce.
+    val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "ann_pq", "dedup_semantic", "text_tfidf", "text_bm25")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
