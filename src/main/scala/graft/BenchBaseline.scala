@@ -103,6 +103,7 @@ object BenchBaseline {
     "q7_volume" -> 1.32,
     "q8_share" -> 1.41,
     "text_chunks" -> 0.41,
+    "text_surprisal" -> 1.61,
     "text_bpe_encode" -> 3.78,
     "q_funnel" -> 0.449,
     "q_orc_roundtrip" -> 0.356,

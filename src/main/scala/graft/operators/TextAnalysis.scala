@@ -640,7 +640,66 @@ object TextAnalysis {
       |FROM starts
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** §2.5 #33o — unigram-LM surprisal scoring: mean per-token
+    * −ln p(term) under the corpus's own unigram MLE — the classic
+    * cheap fluency/rarity signal (high mean = rare vocabulary,
+    * low = stopword soup), and the degenerate (n=1) case of the
+    * perplexity filters LLM pipelines run with real LMs.
+    *
+    * Cross-engine exactness: a per-doc SUM of raw double logs would
+    * depend on shuffle order. Instead each TERM's surprisal is
+    * quantized once to integer micro-nats (floor(−ln p · 10⁶) — one
+    * ln per distinct term, p a ratio of exact counts), docs sum those
+    * int64s (order-free), and the mean divides two exact integers at
+    * the end. Scale shape: tf is one map-side-combined shuffle, the
+    * 1-row corpus total is a bounded broadcast (the text_tfidf
+    * precedent), and the per-term table joins back to the token
+    * relation on the shuffle key.
+    */
+  def textSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(col("doc_id"), explode(words).as("term"))
+    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val srp = tf.join(broadcast(total), lit(true))
+      .select(
+        col("term"),
+        floor(-log(col("tf").cast(DoubleType) / col("total").cast(DoubleType)) * 1000000.0)
+          .cast(LongType).as("srp_micro"),
+      )
+    tok.join(srp, "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("srp_micro")).as("srp_micro_sum"),
+      )
+      .withColumn(
+        "mean_surprisal",
+        col("srp_micro_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType) / 1000000.0,
+      )
+      .orderBy("doc_id")
+  }
+
+  val textSurprisalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT term, count(*) AS tf FROM tok GROUP BY term
+      |), tot AS (
+      |  SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf
+      |), s AS (
+      |  SELECT term,
+      |    CAST(floor(-ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS srp_micro
+      |  FROM tf, tot
+      |)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(srp_micro) AS BIGINT) AS srp_micro_sum,
+      |  CAST(sum(srp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_surprisal
+      |FROM tok JOIN s USING (term)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_surprisal" -> (textSurprisal _),
     "text_chunks" -> (textChunks _),
     "text_normalize" -> (textNormalize _),
     "text_corpus_stats" -> (textCorpusStats _),
@@ -658,6 +717,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_surprisal" -> textSurprisalSql,
     "text_chunks" -> textChunksSql,
     "text_normalize" -> textNormalizeSql,
     "text_corpus_stats" -> textCorpusStatsSql,

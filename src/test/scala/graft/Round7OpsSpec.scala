@@ -101,6 +101,30 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------ text_surprisal
+
+  test("text_surprisal equals an exact plain-Scala unigram replay") {
+    val corpus = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val tf = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    corpus.foreach { case (_, t) => t.split(" ", -1).foreach(w => tf(w) += 1) }
+    val total = tf.values.sum.toDouble
+    val srp = tf.map { case (w, f) =>
+      w -> math.floor(-math.log(f.toDouble / total) * 1000000.0).toLong
+    }
+    val expected = corpus.map { case (docId, t) =>
+      val ws = t.split(" ", -1)
+      val s = ws.map(srp).sum
+      (docId, ws.length.toLong, s, s.toDouble / ws.length / 1000000.0)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.textSurprisal(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    // semantics: rare vocabulary scores above stopword-heavy docs
+    val means = got.map(_._4)
+    assert(means.forall(m => m > 0 && m.isFinite))
+  }
+
   // -------------------------------------------------------- profile_table
 
   test("profile_table: stats agree with direct computation") {
