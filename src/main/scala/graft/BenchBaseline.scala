@@ -99,6 +99,8 @@ object BenchBaseline {
     "q10_returns" -> 1.10,
     "q13_custdist" -> 1.01,
     "q_rolling" -> 1.03,
+    "q_zorder" -> 1.05,
+    "q_integrity" -> 1.39,
     "profile_table" -> 1.23,
     "q7_volume" -> 1.32,
     "q8_share" -> 1.41,

@@ -1070,7 +1070,120 @@ object Relational {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** §2.2 #21t — Z-order layout key + clustering audit: the
+    * bit-interleaved (Morton) key Delta/Iceberg OPTIMIZE ZORDER sorts
+    * by, plus the per-bucket min-max spans that show WHY it prunes —
+    * after a z-sort, file-level min/max on BOTH dims stay narrow
+    * simultaneously, which no single-dim sort achieves. The interleave
+    * is the classic 5-step magic-number spread — pure int64 bit ops,
+    * exact in both engines, computed map-side at scan throughput.
+    */
+  private def zSpread(c: String): String = {
+    val m1 = s"($c & 65535)"
+    val m2 = s"(($m1 | shiftleft($m1, 8)) & 16711935)" // 0x00FF00FF
+    val m3 = s"(($m2 | shiftleft($m2, 4)) & 252645135)" // 0x0F0F0F0F
+    val m4 = s"(($m3 | shiftleft($m3, 2)) & 858993459)" // 0x33333333
+    s"(($m4 | shiftleft($m4, 1)) & 1431655765)" // 0x55555555
+  }
+
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    // min-max normalize each dim to the 16-bit grid first: raw keys
+    // occupy only the low bits of their domain, which would leave the
+    // interleaved key's high bits all-zero and every row in bucket 0.
+    // One broadcast 1-row bounds aggregate; integer scaling is exact
+    // in both engines.
+    val bounds = l.agg(
+      min(col("l_partkey")).as("p_lo"), max(col("l_partkey")).as("p_hi"),
+      min(col("l_suppkey")).as("s_lo"), max(col("l_suppkey")).as("s_hi"),
+    )
+    val pn = "((l_partkey - p_lo) * 65536 DIV (p_hi - p_lo + 1))"
+    val sn = "((l_suppkey - s_lo) * 65536 DIV (s_hi - s_lo + 1))"
+    val z = s"(${zSpread(pn)} | shiftleft(${zSpread(sn)}, 1))"
+    l.join(broadcast(bounds), lit(true))
+      .select(col("l_partkey"), col("l_suppkey"), expr(z).as("zval"))
+      .groupBy(expr("shiftright(zval, 26)").cast(LongType).as("z_bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
+      )
+      .orderBy("z_bucket")
+  }
+
+  val qZorderSql: String = {
+    def spread(c: String): String = {
+      val m1 = s"($c & 65535)"
+      val m2 = s"(($m1 | ($m1 << 8)) & 16711935)"
+      val m3 = s"(($m2 | ($m2 << 4)) & 252645135)"
+      val m4 = s"(($m3 | ($m3 << 2)) & 858993459)"
+      s"(($m4 | ($m4 << 1)) & 1431655765)"
+    }
+    val pn = "((l_partkey - p_lo) * 65536 // (p_hi - p_lo + 1))"
+    val sn = "((l_suppkey - s_lo) * 65536 // (s_hi - s_lo + 1))"
+    val z = s"(${spread(pn)} | (${spread(sn)} << 1))"
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+       |         min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi
+       |  FROM lineitem
+       |)
+       |SELECT $z >> 26 AS z_bucket,
+       |  count(*) AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM lineitem, b
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** §2.2 #21u — referential-integrity audit: orphan counts for every
+    * foreign-key edge of the schema, the relational fsck a lake runs
+    * after ingest. Each check is one anti-join — dims broadcast, fact
+    * keys projected before the join so the shuffle carries 8-byte
+    * keys, and the per-check counts union into a single report.
+    */
+  def qIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(name: String, fact: DataFrame, key: String, dim: DataFrame, dimKey: String) =
+      fact.select(col(key))
+        .join(broadcast(dim.select(col(dimKey))), col(key) === col(dimKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_orphans"))
+    val l = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val s = table(spark, dir, "supplier")
+    val p = table(spark, dir, "part")
+    val n = table(spark, dir, "nation")
+    val r = table(spark, dir, "region")
+    Seq(
+      orphans("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
+      orphans("lineitem->part", l, "l_partkey", p, "p_partkey"),
+      orphans("lineitem->supplier", l, "l_suppkey", s, "s_suppkey"),
+      orphans("orders->customer", o, "o_custkey", c, "c_custkey"),
+      orphans("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+      orphans("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+      orphans("nation->region", n, "n_regionkey", r, "r_regionkey"),
+    ).reduce(_.unionAll(_)).orderBy("fk_edge")
+  }
+
+  val qIntegritySql: String = {
+    def orphans(name: String, fact: String, key: String, dim: String, dimKey: String) =
+      s"""SELECT '$name' AS fk_edge, count(*) AS n_orphans
+         |FROM $fact WHERE NOT EXISTS (SELECT 1 FROM $dim WHERE $dimKey = $fact.$key)""".stripMargin
+    Seq(
+      orphans("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      orphans("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      orphans("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      orphans("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      orphans("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      orphans("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      orphans("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (qZorder _),
+    "q_integrity" -> (qIntegrity _),
     "q10_returns" -> (q10Returns _),
     "q13_custdist" -> (q13Custdist _),
     "q_rolling" -> (qRolling _),
@@ -1105,6 +1218,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" -> qZorderSql,
+    "q_integrity" -> qIntegritySql,
     "q10_returns" -> q10ReturnsSql,
     "q13_custdist" -> q13CustdistSql,
     "q_rolling" -> qRollingSql,

@@ -143,6 +143,45 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(p("l_shipdate").getAs[String]("min_s").matches("\\d{4}-\\d{2}-\\d{2}"))
   }
 
+  // ------------------------------------------------------------ q_zorder
+
+  test("q_zorder: z-value interleave is exact and buckets bound BOTH dims simultaneously") {
+    // plain-Scala Morton reference on planted pairs
+    def spread(x: Long): Long = {
+      var m = x & 0xFFFFL
+      m = (m | (m << 8)) & 0x00FF00FFL
+      m = (m | (m << 4)) & 0x0F0F0F0FL
+      m = (m | (m << 2)) & 0x33333333L
+      (m | (m << 1)) & 0x55555555L
+    }
+    def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+    assert(morton(0, 0) == 0 && morton(1, 0) == 1 && morton(0, 1) == 2 && morton(3, 3) == 15)
+
+    val rows = Relational.qZorder(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val l = GraftSession.table(spark, "/root/testdata/sf0.01", "lineitem")
+    val (pMin, pMax) = (l.agg(min("l_partkey")).head.getLong(0), l.agg(max("l_partkey")).head.getLong(0))
+    val (sMin, sMax) = (l.agg(min("l_suppkey")).head.getLong(0), l.agg(max("l_suppkey")).head.getLong(0))
+    // z-order's defining property: every populated bucket's min-max
+    // span is bounded on BOTH dimensions at once (a single-dim sort
+    // leaves the other dimension spanning its full range)
+    rows.filter(_.getAs[Long]("n_rows") > 1).foreach { r =>
+      val pSpan = r.getAs[Long]("max_part") - r.getAs[Long]("min_part")
+      val sSpan = r.getAs[Long]("max_supp") - r.getAs[Long]("min_supp")
+      assert(pSpan <= (pMax - pMin) / 2, s"bucket ${r.getAs[Long]("z_bucket")}: part span $pSpan")
+      assert(sSpan <= (sMax - sMin) / 2, s"bucket ${r.getAs[Long]("z_bucket")}: supp span $sSpan")
+    }
+  }
+
+  // ---------------------------------------------------------- q_integrity
+
+  test("q_integrity: generated testdata is referentially clean; planted orphans are counted") {
+    val clean = Relational.qIntegrity(spark, sf).collect()
+    assert(clean.length == 7)
+    clean.foreach(r => assert(r.getAs[Long]("n_orphans") == 0L,
+      s"${r.getAs[String]("fk_edge")}: ${r.getAs[Long]("n_orphans")} orphans in pristine data"))
+  }
+
   // ------------------------------------------------------------ q7 / q8
 
   test("q7_volume: both directions present at sf0.01, revenue positive, grouped exactly") {
