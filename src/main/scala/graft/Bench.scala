@@ -74,7 +74,15 @@ object Bench {
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c if c < ' ' => " "; case c => c.toString } + "\""
-    def num(v: Double): String = "%.3f".format(v) // 3 decimals keeps the one-line JSON short
+    // The driver captures only the last ~2.2 KB of output; with ~90
+    // queries the one-line JSON must stay under ~2 KB or the head gets
+    // truncated and the driver records `parsed: null`. Two decimals
+    // with trailing zeros trimmed ("0.43", "1.2") is well inside
+    // measurement noise (min-of-two on a shared box) and saves ~200 B.
+    def num(v: Double): String = {
+      val s = "%.2f".format(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val errs = errs0.toSeq.sortBy(_._1).map { case (k, e) => "\"" + k + "\":" + jstr(e) }.mkString("{", ",", "}")
     val total = times.values.sum

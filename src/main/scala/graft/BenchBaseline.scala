@@ -114,6 +114,16 @@ object BenchBaseline {
     "sample_importance" -> 0.227,
     "text_bpe" -> 2.48,
     "text_normalize" -> 0.274,
+    // r7 late additions: first honest sf0.1 measurement (idle box,
+    // min of two cold runs)
+    "q18_large" -> 0.60,
+    "q14_promo" -> 0.44,
+    "q15_top_supplier" -> 0.39,
+    "q_median" -> 0.63,
+    "q_histogram" -> 0.29,
+    "q_skewjoin" -> 1.60,
+    "q_bfs" -> 4.0,
+    "emb_centroids" -> 0.20,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

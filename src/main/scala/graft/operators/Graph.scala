@@ -126,11 +126,93 @@ object Graph {
        |ORDER BY node_id""".stripMargin
   }
 
+  /** `rounds` of frontier-free BFS (min-distance propagation) from a
+    * seed set over a directed edge list: each round unions the current
+    * distance vector with every edge-relaxed candidate (dist[src]+1)
+    * and keeps the per-node min — the Pregel/Bellman-Ford shape as two
+    * relational primitives (shuffle join on src + partial-agg min per
+    * dst). Reached nodes only; integer distances are exact in any
+    * engine. localCheckpoint per round cuts the O(rounds) lineage
+    * (the pageRank lesson); on a real cluster this is `checkpoint`.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val ed = edges.select(col("src"), col("dst")).cache()
+    var dist = seeds.select(col("node_id"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = ed.join(dist, col("src") === col("node_id"))
+        .select(col("dst").as("node_id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node_id"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    ed.unpersist()
+    dist.orderBy("node_id")
+  }
+
+  /** named query: 4-round BFS over the customer↔supplier trade graph
+    * from the three lowest-numbered customer nodes — the distance
+    * layers every reachability/impact analysis starts from.
+    */
+  def qBfs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val seeds = edges.select(col("src").as("node_id"))
+      .filter(col("node_id").isin(2L, 4L, 6L))
+      .dropDuplicates("node_id")
+    bfs(edges, seeds, 4)
+      .select(
+        col("node_id"),
+        when(col("node_id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        col("dist"),
+      )
+      .orderBy("node_id")
+  }
+
+  val qBfsSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT node_id, min(dist) AS dist FROM (
+         |    SELECT node_id, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node_id, m.dist + 1 AS dist
+         |    FROM e JOIN $prev m ON m.node_id = e.src
+         |  ) GROUP BY node_id
+         |)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |), e AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs
+       |), d0 AS (
+       |  SELECT DISTINCT src AS node_id, CAST(0 AS BIGINT) AS dist
+       |  FROM e WHERE src IN (2, 4, 6)
+       |),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")},
+       |${round("d3", "d4")}
+       |SELECT node_id,
+       |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  dist
+       |FROM d4
+       |ORDER BY node_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
+    "q_bfs" -> (qBfs _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
+    "q_bfs" -> qBfsSql,
   )
 }

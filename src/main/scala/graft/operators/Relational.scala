@@ -1181,7 +1181,244 @@ object Relational {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
   }
 
+  /** §2.2 #21v — large-volume orders, TPC-H Q18 shape: aggregate the
+    * fact ONCE on its own key (one shuffle, map-side partials), filter
+    * to the rare heavy orders, then BROADCAST the survivors into
+    * orders and customer — at 100 TB the >200-qty set is a vanishing
+    * fraction of orders, so nothing else shuffles. l_quantity is an
+    * integral-valued double: summed raw, exact in fp in any order.
+    */
+  def q18Large(spark: SparkSession, dir: String): DataFrame = {
+    val qty = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    o.join(broadcast(qty), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"),
+      )
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM orders
+      |JOIN (
+      |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |) t ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE total_qty > 200
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** §2.2 #21w — promo revenue share by month, TPC-H Q14 shape: the
+    * conditional-numerator pattern — both sums decimal-exact in one
+    * grouped pass over the filtered fact (part broadcast), divided
+    * ONCE as doubles at the end (the q8_share rule: a single division
+    * of two exact operands is one IEEE op, bit-identical in both
+    * engines; dividing per-row would compound rounding).
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+    val p = table(spark, dir, "part")
+    val rev = decP(col("l_extendedprice")) * (one - decR(col("l_discount")))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(month(col("l_shipdate")).cast(LongType).as("month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2)))).as("_promo"),
+        sum(rev).as("_total"),
+      )
+      .select(
+        col("month"),
+        dbl(col("_promo")).as("promo_revenue"),
+        dbl(col("_total")).as("total_revenue"),
+        (lit(100.0) * dbl(col("_promo")) / dbl(col("_total"))).as("promo_share"),
+      )
+      .orderBy("month")
+  }
+
+  val q14PromoSql: String =
+    """SELECT month,
+      |  CAST(promo AS DOUBLE) AS promo_revenue,
+      |  CAST(total AS DOUBLE) AS total_revenue,
+      |  100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_share
+      |FROM (
+      |  SELECT CAST(month(l_shipdate) AS BIGINT) AS month,
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1
+      |)
+      |ORDER BY month""".stripMargin
+
+  /** §2.2 #21x — top supplier(s) by quarterly revenue, TPC-H Q15
+    * shape: the revenue view aggregates once on l_suppkey, the global
+    * max is a 1-row aggregate broadcast back as an equi-join on the
+    * DECIMAL revenue (exact equality — the double round-trip could
+    * miss ties), and supplier is broadcast. The classic view+scalar
+    * -subquery query, decorrelated by hand into two broadcast joins.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(decP(col("l_extendedprice")) * (one - decR(col("l_discount")))).as("_rev"))
+    val maxRev = rev.agg(max(col("_rev")).as("_max_rev"))
+    rev.join(broadcast(maxRev), col("_rev") === col("_max_rev"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), dbl(col("_rev")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS r
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE r = (SELECT max(r) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** §2.2 #21y — grouped EXACT percentiles (p25/p50/p75) by
+    * sort-based selection: rank inside each group, pick the value at
+    * position ceil(p·n). One shuffle on the group key; the per-group
+    * sort is the window operator's own sort-based aggregation — the
+    * scalable exact-quantile plan (approx_percentile is the sketch
+    * analog, q_sketches). Values floored to int64 so the selected
+    * element is hash-exact cross-engine; ties don't matter because
+    * position-k of a sorted multiset is tie-order-invariant.
+    */
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_type"), floor(col("value")).cast(LongType).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val wc = Window.partitionBy(col("event_type"))
+    e.select(
+        col("event_type"), col("v"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(wc).as("n"),
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 3) div 4"), col("v"))).as("p25"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("p50"),
+        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("v"))).as("p75"),
+      )
+      .orderBy("event_type")
+  }
+
+  val qMedianSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(floor(value) AS BIGINT)) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type, max(n) AS n,
+      |  max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS p25,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50,
+      |  max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS p75
+      |FROM ranked
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** §2.2 #21z — equi-width numeric histogram with in-query bounds:
+    * a 1-row min/max aggregate broadcast into the scan (the q_zorder
+    * shape), then integer bucket arithmetic and one grouped count/sum
+    * — two scan-bound passes, map-side partials, no wide shuffle.
+    * Prices go to integer cents via floor(x·100+0.5) (pure IEEE, both
+    * engines) so bucket edges and sums are exact.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"))
+    val bounds = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    o.join(broadcast(bounds), lit(true))
+      .groupBy(expr("((cents - lo) * 20) div (hi - lo + 1)").cast(LongType).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+      )
+      .orderBy("bucket")
+  }
+
+  val qHistogramSql: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |), b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+      |SELECT ((cents - lo) * 20) // (hi - lo + 1) AS bucket,
+      |  count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  min(cents) AS min_cents,
+      |  max(cents) AS max_cents
+      |FROM c, b
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** §2.2 #21aa — the skew utilities as an oracled query: revenue per
+    * order priority via [[Skew.saltedJoin]] (lineitem salted, orders
+    * replicated `salts`×) into [[Skew.saltedAggregate]] (priority is a
+    * 5-value hot key — the exact shape where a plain groupBy lands
+    * each priority on one task no matter how many partitions exist).
+    * The oracle is the UNSALTED join+group — proving the rewrite is
+    * semantics-preserving is the point. Revenue is summed as integer
+    * cents (salted partials must re-merge exactly; decimal partials
+    * would too, but int64 keeps the merge codegen-primitive).
+    */
+  def qSkewjoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey").as("o_orderkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)).as("price_cents"),
+      )
+    val o = table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val joined = Skew.saltedJoin(li, o, "o_orderkey", salts = 8)
+    Skew.saltedAggregate(
+        joined,
+        Seq("o_orderpriority"),
+        Map(
+          "n_items" -> count(lit(1)),
+          "revenue_cents" -> sum(col("price_cents")),
+        ),
+        salts = 8,
+      )
+      .select(col("o_orderpriority"), col("n_items"), col("revenue_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qSkewjoinSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_large" -> (q18Large _),
+    "q14_promo" -> (q14Promo _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q_median" -> (qMedian _),
+    "q_histogram" -> (qHistogram _),
+    "q_skewjoin" -> (qSkewjoin _),
     "q_zorder" -> (qZorder _),
     "q_integrity" -> (qIntegrity _),
     "q10_returns" -> (q10Returns _),
@@ -1218,6 +1455,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q18_large" -> q18LargeSql,
+    "q14_promo" -> q14PromoSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q_median" -> qMedianSql,
+    "q_histogram" -> qHistogramSql,
+    "q_skewjoin" -> qSkewjoinSql,
     "q_zorder" -> qZorderSql,
     "q_integrity" -> qIntegritySql,
     "q10_returns" -> q10ReturnsSql,

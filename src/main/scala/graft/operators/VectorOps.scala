@@ -866,7 +866,44 @@ object VectorOps {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     semDedup(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")), 16, 0.5)
 
+  /** §2.4 #29e — per-label mean-pooled centroid embeddings in long
+    * form (label, pos, n, centroid_q): posexplode the ×10000-quantized
+    * vector, one grouped integer sum per (label, dimension) — the
+    * class-prototype / cluster-profile primitive (and the aggregation
+    * step of any distributed k-means). Map-side partials shrink the
+    * shuffle to |labels|·dims rows no matter the input size; the
+    * centroid is floor(sum/n) via one exact double division (sums stay
+    * far below 2^53), hash-exact cross-engine.
+    */
+  def embCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(qvec))
+      .groupBy(col("label"), col("pos").cast(LongType).as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col")).as("_sum_q"))
+      .select(
+        col("label"), col("pos"), col("n"),
+        floor(col("_sum_q").cast(DoubleType) / col("n")).cast(LongType).as("centroid_q"),
+      )
+      .orderBy("label", "pos")
+
+  /** DuckDB zips parallel unnests in one SELECT: element + its
+    * 0-based position from range(len) — the posexplode analog.
+    */
+  val embCentroidsSql: String =
+    """WITH exploded AS (
+      |  SELECT label,
+      |    unnest(range(len(embedding))) AS pos,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv
+      |  FROM embeddings
+      |)
+      |SELECT label, pos, count(*) AS n,
+      |  CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_q
+      |FROM exploded
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_centroids" -> (embCentroids _),
     "ann_bruteforce" -> (annBruteforce(_: SparkSession, _: String)),
     "emb_quantize" -> (embQuantize _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -878,6 +915,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_centroids" -> embCentroidsSql,
     "ann_bruteforce" -> annBruteforceSql,
     "emb_quantize" -> embQuantizeSql,
     "dedup_embedding" -> dedupEmbeddingSql,

@@ -81,6 +81,31 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(keptFrac - meanP) < 0.15, s"kept=$keptFrac vs meanP=$meanP")
   }
 
+  test("bfs: hand-graph distances take the min over paths; radius bounded by rounds") {
+    // chain 1→2→3→4→5 plus shortcut 1→4: node 4 is dist 1 (shortcut
+    // beats the 3-hop chain), node 5 is dist 2 via the shortcut
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node_id")
+    val d3 = Graph.bfs(edges, seeds, 3).as[(Long, Long)].collect().toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    // one round reaches only the direct neighbors
+    val d1 = Graph.bfs(edges, seeds, 1).as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("q_bfs: seeds at dist 0, layers alternate node types on the bipartite graph") {
+    val rows = Graph.qBfs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dist = rows.map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("dist")).toMap
+    assert(dist.filter(_._2 == 0L).keySet.subsetOf(Set(2L, 4L, 6L)))
+    rows.foreach { r =>
+      val (id, tpe, d) = (r.getAs[Long]("node_id"), r.getAs[String]("node_type"), r.getAs[Long]("dist"))
+      assert(d >= 0L && d <= 4L)
+      // customer↔supplier edges only: even distance ⇔ customer node
+      assert((d % 2 == 0) == (tpe == "customer"), s"node $id type $tpe at dist $d")
+    }
+  }
+
   test("orc roundtrip preserves the documents projection byte-for-byte") {
     val orc = sources.Ingest.qOrcRoundtrip(spark, sf)
       .as[(Long, String, String, Long)].collect().toSeq

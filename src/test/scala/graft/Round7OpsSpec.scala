@@ -204,4 +204,105 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(totV > 0)
     }
   }
+
+  // ------------------------------------------------------------ q_median
+
+  test("q_median: p25/p50/p75 equal plain-Scala sorted-multiset selection") {
+    val got = Relational.qMedian(spark, sf).collect()
+    val vals = GraftSession.table(spark, sf, "events")
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    assert(got.length == vals.size)
+    got.foreach { r =>
+      val vs = vals(r.getAs[String]("event_type"))
+      val n = vs.length.toLong
+      def pick(rank: Long): Long = vs((rank - 1).toInt)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("p25") == pick((n + 3) / 4))
+      assert(r.getAs[Long]("p50") == pick((n + 1) / 2))
+      assert(r.getAs[Long]("p75") == pick((3 * n + 3) / 4))
+    }
+  }
+
+  // --------------------------------------------------------- q_histogram
+
+  test("q_histogram: buckets partition the domain in order and totals reconcile") {
+    val rows = Relational.qHistogram(spark, sf).collect().sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b < 20L)
+      assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("max_cents"))
+    }
+    val cents = GraftSession.table(spark, sf, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as[Long].collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == cents.length)
+    assert(rows.map(_.getAs[Long]("sum_cents")).sum == cents.sum)
+    // equi-width bucketing is monotone in cents: ranges must not overlap
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("max_cents") < b.getAs[Long]("min_cents"))
+      case _ => ()
+    }
+  }
+
+  // ---------------------------------------------------------- q_skewjoin
+
+  test("q_skewjoin: salted join+aggregate equals the plain join+group") {
+    val got = Relational.qSkewjoin(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> (r.getAs[Long]("n_items"), r.getAs[Long]("revenue_cents"))).toMap
+    val li = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val o = GraftSession.table(spark, sf, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, "o_orderkey").groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    assert(got == plain)
+  }
+
+  // ------------------------------------------------------- emb_centroids
+
+  test("emb_centroids: equals plain-Scala mean pooling per label") {
+    val got = operators.VectorOps.embCentroids(spark, sf).collect()
+    val data = GraftSession.table(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).as[(Int, Seq[Float])].collect()
+    val byLabel = data.groupBy(_._1)
+    val dims = data.head._2.length
+    assert(got.length == byLabel.size * dims)
+    got.foreach { r =>
+      val vecs = byLabel(r.getAs[Int]("label")).map(_._2)
+      val pos = r.getAs[Long]("pos").toInt
+      val qs = vecs.map(v => math.floor(v(pos).toDouble * 10000 + 0.5).toLong)
+      assert(r.getAs[Long]("n") == qs.length.toLong)
+      assert(r.getAs[Long]("centroid_q") == math.floor(qs.sum.toDouble / qs.length).toLong)
+    }
+  }
+
+  // ------------------------------------------------- q18 / q14 / q15
+
+  test("q18_large: only heavy orders, deterministic descending order") {
+    val rows = Relational.q18Large(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getAs[Double]("total_qty") > 200))
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q14_promo: share consistent with its exact operands, all months present") {
+    val rows = Relational.q14Promo(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("month")).toSet == (1L to 12L).toSet)
+    rows.foreach { r =>
+      val (p, t, s) = (r.getAs[Double]("promo_revenue"), r.getAs[Double]("total_revenue"), r.getAs[Double]("promo_share"))
+      assert(p >= 0 && p <= t)
+      assert(s == 100.0 * p / t, "share must be THE single division of its operands")
+    }
+  }
+
+  test("q15_top_supplier: winners all carry the max revenue over the window") {
+    val rows = Relational.q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1, "every returned supplier ties at the max")
+  }
 }
