@@ -86,6 +86,8 @@ object Bench {
     val qs = times.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val errs = errs0.toSeq.sortBy(_._1).map { case (k, e) => "\"" + k + "\":" + jstr(e) }.mkString("{", ",", "}")
     val total = times.values.sum
+    // empty maps are omitted from the line entirely (same ~2.2 KB
+    // tail-capture budget as the 2-decimal trim above)
     // self-check against the committed BASELINE.md floors (sf0.1 only —
     // the floors were measured there): any query >2× its floor is a
     // regression the next round must explain or fix
@@ -95,7 +97,9 @@ object Bench {
           .map { case (n, v, f) => "\"" + n + "\":{\"sec\":" + num(v) + ",\"floor\":" + f + "}" }
           .mkString("{", ",", "}")
       else "{}"
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
+    val errsField = if (errs0.nonEmpty) s""","errors":$errs""" else ""
+    val regsField = if (regs != "{}") s""","regressions":$regs""" else ""
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$errsField$regsField,"sf":"$sfDir"}""")
     spark.stop()
     if (errs0.nonEmpty) sys.exit(1)
   }

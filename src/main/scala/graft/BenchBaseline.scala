@@ -41,7 +41,12 @@ object BenchBaseline {
     "dedup_minhash_lsh" -> 0.9,
     "dedup_ngram_exact" -> 2.0,
     "dedup_semantic" -> 1.5,
-    "dedup_simhash" -> 0.329,
+    // re-frozen late r7: the 0.329 r5 floor predates the cache-lifecycle
+    // fix (dedup_simhash was on the r4 leaked-cache list, so its r5
+    // number measured a warm-cache second run no honest cold run can
+    // hit — the same artifact as the seven re-frozen dedup floors);
+    // best honest-cold observed on the r7 plan is 0.53
+    "dedup_simhash" -> 0.53,
     "dedup_spans" -> 0.525,
     "dedup_survivors" -> 1.2,
     "emb_quantize" -> 0.379,
@@ -124,6 +129,8 @@ object BenchBaseline {
     "q_skewjoin" -> 1.60,
     "q_bfs" -> 4.0,
     "emb_centroids" -> 0.20,
+    "q_bucket_join" -> 0.69,
+    "text_bigram" -> 0.83,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -698,7 +698,72 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.5 #33p — bigram-LM surprisal: mean −ln p(w_i | w_{i−1}) over
+    * each document's observed bigrams (MLE conditional — every scored
+    * bigram was observed, so no smoothing mass is needed). Bigrams are
+    * built MAP-SIDE by zipping the token array with its own tail
+    * (`arrays_zip(slice, slice)`) — no positional self-join, no
+    * per-doc shuffle; the only wide ops are the Zipf-bounded bigram
+    * count (its context count is a second partial agg of the same
+    * relation) and the score join-back keyed on the bigram pair.
+    * Per-bigram scores are quantized to integer micro-nats (the
+    * [[textSurprisal]] trick) so doc sums are order-free and
+    * hash-exact cross-engine.
+    */
+  def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val n = size(ws)
+    val big = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(arrays_zip(slice(ws, lit(1), n - 1).as("w1"), slice(ws, lit(2), n - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val srp = c2.join(c1, "w1")
+      .select(
+        col("w1"), col("w2"),
+        floor(-log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)) * 1000000.0)
+          .cast(LongType).as("srp_micro"),
+      )
+    big.join(srp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("srp_micro")).as("srp_micro_sum"),
+      )
+      .withColumn(
+        "mean_surprisal",
+        col("srp_micro_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType) / 1000000.0,
+      )
+      .orderBy("doc_id")
+  }
+
+  val textBigramSurprisalSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), big AS (
+      |  SELECT doc_id,
+      |    unnest(w[1:len(w)-1]) AS w1,
+      |    unnest(w[2:len(w)]) AS w2
+      |  FROM ws
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+      |), c1 AS (
+      |  SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+      |), s AS (
+      |  SELECT w1, w2,
+      |    CAST(floor(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS srp_micro
+      |  FROM c2 JOIN c1 USING (w1)
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(srp_micro) AS BIGINT) AS srp_micro_sum,
+      |  CAST(sum(srp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_surprisal
+      |FROM big JOIN s USING (w1, w2)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram" -> (textBigramSurprisal _),
     "text_surprisal" -> (textSurprisal _),
     "text_chunks" -> (textChunks _),
     "text_normalize" -> (textNormalize _),
@@ -717,6 +782,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bigram" -> textBigramSurprisalSql,
     "text_surprisal" -> textSurprisalSql,
     "text_chunks" -> textChunksSql,
     "text_normalize" -> textNormalizeSql,

@@ -97,11 +97,64 @@ object Ingest {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Write `df` as a bucketed+sorted parquet table under the session
+    * scratch dir (external location → reclaimed by the scratch
+    * shutdown hook; table NAME lives only in this session's in-memory
+    * catalog, so concurrent JVMs can't collide). Re-registration is
+    * keyed on (name, source dir): the bench warms at sf0.001 then
+    * times sf0.1, and a bare tableExists guard would serve the warm-up
+    * scale forever.
+    */
+  def bucketedCopy(
+      spark: SparkSession, dir: String, name: String,
+      df: DataFrame, key: String, buckets: Int,
+  ): DataFrame = {
+    val t = s"graft_bucketed_${name}_${Integer.toHexString(dir.hashCode)}"
+    if (!spark.catalog.tableExists(t)) {
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", s"${scratchDir(spark)}/$t")
+        .saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
+  /** §2.2 #21ab — co-located (bucketed) join: both fact tables are
+    * laid out bucketed+sorted on the join key, so the join itself
+    * plans ZERO exchanges — each task reads bucket i of both sides
+    * and merges. THE layout lever for a 100 TB lakehouse: the shuffle
+    * is paid once at write time and amortized over every subsequent
+    * join (here 16 buckets; at cluster scale you'd size buckets to
+    * ~1 GB each). The oracle is the plain join+group — co-location
+    * must not change a single row.
+    */
+  def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.GraftSession.table(spark, dir, _: String)
+    val o = bucketedCopy(spark, dir, "orders",
+      t("orders").select(col("o_orderkey"), col("o_orderstatus")), "o_orderkey", 16)
+    val l = bucketedCopy(spark, dir, "lineitem",
+      t("lineitem").select(col("l_orderkey"),
+        floor(col("l_quantity")).cast("long").as("qty")), "l_orderkey", 16)
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qBucketJoinSql: String =
+    """SELECT o_orderstatus, count(*) AS n_items,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_bucket_join" -> (qBucketJoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_orc_roundtrip" -> qOrcRoundtripSql,
+    "q_bucket_join" -> qBucketJoinSql,
   )
 }

@@ -299,6 +299,55 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed copies join with ZERO exchanges when the join is shuffle-bound") {
+    // broadcast off: at test SF Catalyst would broadcast the small side
+    // and hide the property under test — at 100 TB both sides are big
+    // and THIS plan (co-located merge, no exchange) is the one that runs
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = sources.Ingest.bucketedCopy(spark, sf, "orders_t",
+        GraftSession.table(spark, sf, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+        "o_orderkey", 8)
+      val l = sources.Ingest.bucketedCopy(spark, sf, "lineitem_t",
+        GraftSession.table(spark, sf, "lineitem").select(col("l_orderkey")),
+        "l_orderkey", 8)
+      val j = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      val n = j.count()
+      j.collect() // finalize the adaptive plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"co-located join must not shuffle or broadcast:\n$plan")
+      val expected = GraftSession.table(spark, sf, "orders")
+        .join(GraftSession.table(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .count()
+      assert(n == expected, "bucketing must not change the join result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("text_bigram equals an exact plain-Scala bigram-LM replay") {
+    val got = operators.TextAnalysis.textBigramSurprisal(spark, sf).collect()
+    val docTexts = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val bigrams = docTexts.flatMap { case (id, t) =>
+      val w = t.split(" ", -1) // -1: keep trailing empties, like Spark's split
+      w.dropRight(1).zip(w.tail).map(b => (id, b))
+    }
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.length).toMap
+    val c1 = bigrams.groupBy(_._2._1).view.mapValues(_.length).toMap
+    def srp(b: (String, String)): Long =
+      math.floor(-math.log(c2(b).toDouble / c1(b._1).toDouble) * 1000000.0).toLong
+    val byDoc = bigrams.groupBy(_._1)
+    assert(got.length == byDoc.size)
+    got.foreach { r =>
+      val bs = byDoc(r.getAs[Long]("doc_id")).map(_._2)
+      assert(r.getAs[Long]("n_bigrams") == bs.length.toLong)
+      assert(r.getAs[Long]("srp_micro_sum") == bs.map(srp).sum)
+      // a repeated bigram is never MORE surprising than a singleton
+      // context would make it: every score is finite and non-negative
+      assert(r.getAs[Long]("srp_micro_sum") >= 0L)
+    }
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
