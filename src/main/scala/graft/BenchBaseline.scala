@@ -131,6 +131,7 @@ object BenchBaseline {
     "emb_centroids" -> 0.20,
     "q_bucket_join" -> 0.69,
     "text_bigram" -> 0.83,
+    "q_corrstats" -> 1.13,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

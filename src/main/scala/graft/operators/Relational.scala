@@ -1412,7 +1412,75 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** §2.2 #21ac — exact distributed correlation + regression slope via
+    * integer moment sums: per-order (item count x, price cents y)
+    * pairs, then per-priority n/Σx/Σy/Σxy/Σx²/Σy². Per-row products
+    * fit int64; the SUMS would overflow it at 100 TB (Σy² ≈ rows·2.5e15),
+    * so sums go DECIMAL(38,0) — exact and order-free in both engines,
+    * and still map-side-combinable partial aggregates (the classic
+    * scalable-stats pattern: ship moments, not rows). corr and beta
+    * are then one closed-form double expression over exact operands —
+    * bit-identical cross-engine because the operand values and the
+    * operation tree are identical.
+    */
+  def qCorrstats(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val per = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .agg(count(lit(1)).as("x"))
+      .select(
+        col("o_orderpriority"), col("x"),
+        floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("y"),
+      )
+    val m = per.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"),
+      )
+    val n = col("n_orders").cast(DoubleType)
+    def d(c: String): Column = col(c).cast(DoubleType)
+    val cov = n * d("sxy") - d("sx") * d("sy")
+    val vx = n * d("sxx") - d("sx") * d("sx")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    m.select(
+        col("o_orderpriority"), col("n_orders"),
+        (cov / sqrt(vx * vy)).as("corr_items_price"),
+        (cov / vx).as("beta_items_price"),
+      )
+      .orderBy("o_orderpriority")
+  }
+
+  val qCorrstatsSql: String =
+    """WITH per AS (
+      |  SELECT o_orderpriority, count(*) AS x,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY o_orderkey, o_orderpriority, o_totalprice
+      |), m AS (
+      |  SELECT o_orderpriority, count(*) AS n_orders,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      |  FROM per GROUP BY o_orderpriority
+      |)
+      |SELECT o_orderpriority, n_orders,
+      |  (CAST(n_orders AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n_orders AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_items_price,
+      |  (CAST(n_orders AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta_items_price
+      |FROM m
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corrstats" -> (qCorrstats _),
     "q18_large" -> (q18Large _),
     "q14_promo" -> (q14Promo _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -1455,6 +1523,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_corrstats" -> qCorrstatsSql,
     "q18_large" -> q18LargeSql,
     "q14_promo" -> q14PromoSql,
     "q15_top_supplier" -> q15TopSupplierSql,

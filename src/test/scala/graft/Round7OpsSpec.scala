@@ -348,6 +348,38 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_corrstats: corr/beta equal a plain-Scala moment computation; corr in [-1,1]") {
+    val got = Relational.qCorrstats(spark, sf).collect()
+    val per = GraftSession.table(spark, sf, "orders")
+      .join(GraftSession.table(spark, sf, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("o_orderpriority"), col("x"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("y"))
+      .as[(String, Long, Long)].collect()
+    val byP = per.groupBy(_._1)
+    assert(got.length == byP.size)
+    got.foreach { r =>
+      val rows = byP(r.getAs[String]("o_orderpriority"))
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum.toDouble
+      val sy = rows.map(_._3).sum.toDouble
+      val sxy = rows.map(t => t._2 * t._3).sum.toDouble
+      val sxx = rows.map(t => t._2 * t._2).sum.toDouble
+      val syy = rows.map(t => BigInt(t._3) * BigInt(t._3)).sum.toDouble
+      val cov = n * sxy - sx * sy
+      val corr = r.getAs[Double]("corr_items_price")
+      val beta = r.getAs[Double]("beta_items_price")
+      assert(corr >= -1.0 && corr <= 1.0)
+      // replay in double after exact integer moments: agreement to fp
+      // tolerance (the DuckDB oracle checks bit-exactness; this checks
+      // the math)
+      assert(math.abs(corr - cov / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) < 1e-12)
+      assert(math.abs(beta - cov / (n * sxx - sx * sx)) < 1e-12)
+      assert(r.getAs[Long]("n_orders") == rows.length.toLong)
+    }
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
