@@ -132,6 +132,7 @@ object BenchBaseline {
     "q_bucket_join" -> 0.69,
     "text_bigram" -> 0.83,
     "q_corrstats" -> 1.13,
+    "sample_negatives" -> 0.41,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -576,7 +576,49 @@ object Pipeline {
       |)
       |ORDER BY source, doc_id""".stripMargin
 
+  /** §2.3 #26k — deterministic negative sampling for contrastive
+    * training pairs: k=3 negatives per anchor, each drawn md5-uniformly
+    * from the OTHER documents via modular shift on the dense id domain
+    * — partner = (id + 1 + (h mod (n−1))) mod n is never the anchor,
+    * uniform over the remaining n−1 ids (up to the negligible 2³²
+    * mod-bias), retry-free, and engine-stable. One 1-row count
+    * broadcast + one equi-join back for the partner payload — no
+    * global row-numbering step (ids are dense here by construction; a
+    * sparse corpus would build the dense mapping once, zipWithIndex-
+    * shaped, and reuse it across epochs).
+    */
+  def sampleNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3L
+    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    val nRow = d.agg(count(lit(1)).as("n"))
+    val anchors = d.join(broadcast(nRow), lit(true))
+      .select(col("doc_id"), col("source"), col("n"),
+        explode(sequence(lit(1L), lit(k))).as("j"))
+      .withColumn("h32",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("j"))), 1, 8), 16, 10).cast(LongType))
+      .withColumn("neg_id", pmod(col("doc_id") + 1L + pmod(col("h32"), col("n") - 1L), col("n")))
+    val negs = docs(spark, dir).select(col("doc_id").as("neg_id"), col("source").as("neg_source"))
+    anchors.join(negs, "neg_id")
+      .select(col("doc_id"), col("j"), col("neg_id"),
+        (col("source") =!= col("neg_source")).as("cross_source"))
+      .orderBy("doc_id", "j")
+  }
+
+  val sampleNegativesSql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |js AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS j),
+      |a AS (
+      |  SELECT doc_id, source, n, j,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT AS h32
+      |  FROM documents, nn, js
+      |)
+      |SELECT a.doc_id, a.j, (a.doc_id + 1 + (a.h32 % (a.n - 1))) % a.n AS neg_id,
+      |  (a.source != d2.source) AS cross_source
+      |FROM a JOIN documents d2 ON d2.doc_id = (a.doc_id + 1 + (a.h32 % (a.n - 1))) % a.n
+      |ORDER BY a.doc_id, a.j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_negatives" -> (sampleNegatives _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
     "decontaminate" -> (decontaminate _),
@@ -593,6 +635,7 @@ object Pipeline {
     "dedup_survivors" -> dedupSurvivorsSql,
     "decontaminate" -> decontaminateSql,
     "sample_mix" -> sampleMixSql,
+    "sample_negatives" -> sampleNegativesSql,
     "sample_importance" -> sampleImportanceSql,
     "pack_sequences" -> packSequencesSql,
     "text_filter" -> textFilterSql,

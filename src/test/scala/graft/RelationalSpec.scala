@@ -122,10 +122,11 @@ class PlanSpec extends AnyFunSuite {
     // as ann_bruteforce.
     // text_surprisal cross-joins a broadcast 1-ROW corpus total into
     // the per-term table — the text_tfidf/text_bm25 shape.
-    // q_histogram cross-joins a broadcast 1-ROW min/max bounds
-    // aggregate into the scan — the q_zorder shape.
+    // q_histogram and sample_negatives cross-join a broadcast 1-ROW
+    // bounds/count aggregate into the scan — the q_zorder shape.
     val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "ann_pq", "dedup_semantic",
-      "text_tfidf", "text_bm25", "text_surprisal", "q_zorder", "q_histogram")
+      "text_tfidf", "text_bm25", "text_surprisal", "q_zorder", "q_histogram",
+      "sample_negatives")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

@@ -380,6 +380,21 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_negatives: k per anchor, never self, in-domain, deterministic, spread out") {
+    val rows = operators.Pipeline.sampleNegatives(spark, sf).collect()
+    val n = GraftSession.table(spark, sf, "documents").count()
+    assert(rows.length == 3 * n)
+    rows.foreach { r =>
+      val (a, g) = (r.getAs[Long]("doc_id"), r.getAs[Long]("neg_id"))
+      assert(g != a, "an anchor must never be its own negative")
+      assert(g >= 0 && g < n)
+    }
+    val again = operators.Pipeline.sampleNegatives(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq, "md5 draws are deterministic")
+    // uniform-ish: a constant-shift sampler would collapse the spread
+    assert(rows.map(_.getAs[Long]("neg_id")).distinct.length > n / 2)
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
