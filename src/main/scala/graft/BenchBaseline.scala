@@ -133,6 +133,11 @@ object BenchBaseline {
     "text_bigram" -> 0.83,
     "q_corrstats" -> 1.13,
     "sample_negatives" -> 0.41,
+    "q12_priority" -> 1.11,
+    "q17_small_qty" -> 1.04,
+    "q19_disjunctive" -> 0.91,
+    "q21_waiting" -> 1.15,
+    "q22_idle" -> 0.58,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

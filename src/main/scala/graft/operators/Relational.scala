@@ -1479,7 +1479,245 @@ object Relational {
       |FROM m
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** §2.2 #21zc — TPC-H Q12 shape (shipping-delay priority mix): one
+    * big-big equi-join (lineitem⋈orders on orderkey) feeding a
+    * conditional two-count grouped aggregate. The reference groups by
+    * ship mode; this schema has none, so the group is the shipping
+    * delay in 30-day buckets — floor(datediff/30.0), a single IEEE
+    * division + floor so negative delays bucket identically in both
+    * engines (integer `div` truncates toward zero in Spark but floors
+    * in DuckDB — the double floor sidesteps that divergence).
+    * Partial aggregation shrinks the join output map-side; at 100 TB
+    * the join shuffles both facts on orderkey once and nothing else.
+    */
+  def q12Priority(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    val o = table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        floor(datediff(col("l_shipdate"), col("o_orderdate")) / lit(30.0)).cast(LongType).as("delay_bucket"),
+        high.as("is_high"),
+      )
+      .groupBy(col("delay_bucket"))
+      .agg(
+        sum(when(col("is_high"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("is_high"), 0L).otherwise(1L)).as("low_line_count"),
+      )
+      .orderBy("delay_bucket")
+  }
+
+  val q12PrioritySql: String =
+    """SELECT
+      |  CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) / 30.0) AS BIGINT) AS delay_bucket,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY delay_bucket""".stripMargin
+
+  /** §2.2 #21zd — TPC-H Q17 shape (small-quantity revenue): the
+    * correlated per-part average subquery, decorrelated into one
+    * groupBy(l_partkey) pass whose output joins back to lineitem on
+    * the SAME key — co-partitioned, so AQE plans one shuffle of the
+    * fact, reused by both the aggregate and the join. The predicate
+    * qty < 0.2·avg(qty) is rewritten integer-exact as
+    * 5·qty·cnt < sum_qty (l_quantity is integral), eliminating the
+    * float threshold entirely; part is broadcast. Revenue is summed
+    * as DECIMAL and divided by 7.0 once at the end.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val pa = l.groupBy(col("l_partkey")).agg(
+      sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+      count(lit(1)).as("cnt"),
+    )
+    val p = table(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    l.join(pa, "l_partkey")
+      .filter(col("l_quantity").cast(LongType) * 5L * col("cnt") < col("sum_qty"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (dbl(sum(decP(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"),
+      )
+      .orderBy("p_brand")
+  }
+
+  val q17SmallQtySql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt
+      |  FROM lineitem GROUP BY l_partkey
+      |)
+      |SELECT p_brand, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem
+      |JOIN pa USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** §2.2 #21ze — TPC-H Q19 shape (disjunctive predicate join):
+    * three OR'd (brand, size-range, quantity-range) conjunct groups
+    * over lineitem⋈part. The classic optimization is applied by
+    * hand: the disjunction's union bounds — p_brand IN (9 brands),
+    * p_size ≤ 40, l_quantity BETWEEN 1 AND 40 — are added as
+    * redundant conjuncts so they push into both parquet scans
+    * (PushedFilters) and shrink the broadcast side to the matched
+    * brands, while the full OR evaluates post-join. At 100 TB the
+    * fact scan prunes on quantity before any join work.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val fam1 = Seq("Brand#11", "Brand#12", "Brand#13")
+    val fam2 = Seq("Brand#21", "Brand#22", "Brand#23")
+    val fam3 = Seq("Brand#31", "Brand#32", "Brand#34")
+    val l = table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 40)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val p = table(spark, dir, "part")
+      .filter(col("p_brand").isin((fam1 ++ fam2 ++ fam3): _*) && col("p_size") >= 1 && col("p_size") <= 40)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val clause =
+      (col("p_brand").isin(fam1: _*) && col("p_size") <= 20 && col("l_quantity").between(1, 15)) ||
+      (col("p_brand").isin(fam2: _*) && col("p_size") <= 30 && col("l_quantity").between(10, 25)) ||
+      (col("p_brand").isin(fam3: _*) && col("p_size") <= 40 && col("l_quantity").between(20, 40))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(clause)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        dbl(sum(decP(col("l_extendedprice")) * (one - decR(col("l_discount"))))).as("revenue"),
+      )
+      .orderBy("p_brand")
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT p_brand, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand IN ('Brand#11','Brand#12','Brand#13') AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand IN ('Brand#21','Brand#22','Brand#23') AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand IN ('Brand#31','Brand#32','Brand#34') AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 40)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** §2.2 #21zf — TPC-H Q21 shape (suppliers who kept orders
+    * waiting): the double-correlated EXISTS / NOT-EXISTS over the
+    * same fact table, decorrelated into ONE per-order aggregate —
+    * n_supp = distinct suppliers, n_late_supp = distinct late
+    * suppliers — joined back to the late lines. A late supplier in a
+    * multi-supplier finished order where n_late_supp = 1 is
+    * necessarily the only late one, which is exactly the
+    * EXISTS(other supplier) ∧ NOT EXISTS(other late supplier)
+    * condition. "Late" is shipped >90 days after order date (this
+    * schema has no commit/receipt dates). The whole query is ONE
+    * linear pipeline — no join-back, no Expand-based countDistinct:
+    * the per-(order,supplier) aggregate rolls up to a per-order row
+    * carrying (n_supp, n_late_supp, max(case when late then suppkey))
+    * — when n_late_supp = 1 that max IS the lone late supplier — and
+    * the winners aggregate by that supplier directly. One fact scan,
+    * three shrinking shuffles (orderkey+suppkey, orderkey, suppkey);
+    * supplier broadcast at the end.
+    */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val perSupp = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, 1L).otherwise(0L).as("is_late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("is_late")).as("supp_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey")).agg(
+      count(lit(1)).as("n_supp"),
+      sum(col("supp_late")).as("n_late_supp"),
+      max(when(col("supp_late") === 1L, col("l_suppkey"))).as("late_sk"),
+    )
+    val s = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+    perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("late_sk"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), col("late_sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21WaitingSql: String =
+    """WITH flagged AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 AS is_late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |),
+      |per_order AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+      |  FROM flagged GROUP BY l_orderkey
+      |),
+      |late_lines AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM flagged WHERE is_late
+      |)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late_lines
+      |JOIN per_order USING (l_orderkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE n_supp >= 2 AND n_late_supp = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  /** §2.2 #21zg — TPC-H Q22 shape (idle wealthy customers): a
+    * 1-row scalar aggregate (average positive balance, DECIMAL sum +
+    * one double division) broadcast-crossed into the customer scan
+    * (the q_zorder bounded-broadcast shape), an anti join against a
+    * FILTERED orders subquery, and a per-nation rollup. The
+    * reference's "no orders in 7 years" / phone-prefix group become
+    * "never placed an order above 350 000" / the nation dimension
+    * (every synthetic customer has orders, so the plain anti join is
+    * degenerate); the price filter pushes into the orders scan
+    * before the anti join shuffles.
+    */
+  def q22Idle(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val avgRow = c.filter(col("c_acctbal") > 0)
+      .agg((dbl(sum(decP(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+    val o = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 350000).select(col("o_custkey"))
+    val n = table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    c.join(broadcast(avgRow), lit(true))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        dbl(sum(decP(col("c_acctbal")))).as("totacctbal"),
+      )
+      .orderBy("n_name")
+  }
+
+  val q22IdleSql: String =
+    """WITH pos AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0
+      |)
+      |SELECT n_name, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer CROSS JOIN pos
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_priority" -> (q12Priority _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q21_waiting" -> (q21Waiting _),
+    "q22_idle" -> (q22Idle _),
     "q_corrstats" -> (qCorrstats _),
     "q18_large" -> (q18Large _),
     "q14_promo" -> (q14Promo _),
@@ -1523,6 +1761,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q12_priority" -> q12PrioritySql,
+    "q17_small_qty" -> q17SmallQtySql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
+    "q21_waiting" -> q21WaitingSql,
+    "q22_idle" -> q22IdleSql,
     "q_corrstats" -> qCorrstatsSql,
     "q18_large" -> q18LargeSql,
     "q14_promo" -> q14PromoSql,

@@ -124,9 +124,11 @@ class PlanSpec extends AnyFunSuite {
     // the per-term table — the text_tfidf/text_bm25 shape.
     // q_histogram and sample_negatives cross-join a broadcast 1-ROW
     // bounds/count aggregate into the scan — the q_zorder shape.
+    // q22_idle broadcast-crosses a 1-ROW average-balance aggregate
+    // into the customer scan — the q_zorder shape again.
     val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "ann_pq", "dedup_semantic",
       "text_tfidf", "text_bm25", "text_surprisal", "q_zorder", "q_histogram",
-      "sample_negatives")
+      "sample_negatives", "q22_idle")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

@@ -395,6 +395,115 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("neg_id")).distinct.length > n / 2)
   }
 
+  test("q12_priority: bucket counts partition the join and match a plain-Scala replay") {
+    val rows = Relational.q12Priority(spark, sf).collect()
+    val o = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string"), col("o_orderpriority"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val l = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").cast("string"))
+      .as[(Long, String)].collect()
+    val expect = l.map { case (ok, ship) =>
+      val (od, prio) = o(ok)
+      val days = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(od), java.time.LocalDate.parse(ship))
+      (math.floor(days / 30.0).toLong, prio == "1-URGENT" || prio == "2-HIGH")
+    }.groupBy(_._1).map { case (b, xs) => b -> (xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    assert(rows.map(_.getAs[Long]("delay_bucket")).toSeq ==
+      rows.map(_.getAs[Long]("delay_bucket")).sorted.toSeq)
+    assert(rows.map(r => r.getAs[Long]("delay_bucket") ->
+      (r.getAs[Long]("high_line_count"), r.getAs[Long]("low_line_count"))).toMap == expect)
+  }
+
+  test("q17_small_qty: integer-exact threshold equals the 0.2*avg brute force") {
+    val rows = Relational.q17SmallQty(spark, sf).collect()
+    val l = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .as[(Long, Double, Double)].collect()
+    val brand = GraftSession.table(spark, sf, "part")
+      .select(col("p_partkey"), col("p_brand")).as[(Long, String)].collect().toMap
+    val byPart = l.groupBy(_._1)
+    val kept = l.filter { case (pk, q, _) =>
+      val grp = byPart(pk); q < 0.2 * grp.map(_._2).sum / grp.length
+    }
+    val expect = kept.groupBy(t => brand(t._1)).map { case (b, xs) =>
+      b -> (xs.length.toLong, xs.map(t => BigDecimal(t._3).setScale(2)).sum.toDouble / 7.0)
+    }
+    assert(rows.map(r => r.getAs[String]("p_brand") ->
+      (r.getAs[Long]("n_lines"), r.getAs[Double]("avg_yearly"))).toMap == expect)
+  }
+
+  test("q19_disjunctive: revenue equals the OR-clause brute force") {
+    val rows = Relational.q19Disjunctive(spark, sf).collect()
+    val part = GraftSession.table(spark, sf, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val l = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Double, Double, Double)].collect()
+    val kept = l.filter { case (pk, q, _, _) =>
+      val (b, s) = part(pk)
+      (Set("Brand#11", "Brand#12", "Brand#13")(b) && s >= 1 && s <= 20 && q >= 1 && q <= 15) ||
+      (Set("Brand#21", "Brand#22", "Brand#23")(b) && s >= 1 && s <= 30 && q >= 10 && q <= 25) ||
+      (Set("Brand#31", "Brand#32", "Brand#34")(b) && s >= 1 && s <= 40 && q >= 20 && q <= 40)
+    }
+    val expect = kept.groupBy(t => part(t._1)._1).map { case (b, xs) =>
+      b -> (xs.length.toLong,
+        xs.map(t => BigDecimal(t._3).setScale(2) * (BigDecimal(1) - BigDecimal(t._4).setScale(2))).sum.toDouble)
+    }
+    assert(rows.map(r => r.getAs[String]("p_brand") ->
+      (r.getAs[Long]("n_lines"), r.getAs[Double]("revenue"))).toMap == expect)
+  }
+
+  test("q21_waiting: only-late-supplier-in-multi-supplier-order counts match brute force") {
+    val rows = Relational.q21Waiting(spark, sf).collect()
+    val o = GraftSession.table(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val l = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate").cast("date").cast("string"))
+      .as[(Long, Long, String)].collect().filter(t => o.contains(t._1))
+    val flagged = l.map { case (ok, sk, ship) =>
+      val days = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(o(ok)), java.time.LocalDate.parse(ship))
+      (ok, sk, days > 90)
+    }
+    val byOrder = flagged.groupBy(_._1)
+    val waits = flagged.filter(_._3).map(t => (t._1, t._2)).distinct.filter { case (ok, _) =>
+      val grp = byOrder(ok)
+      grp.map(_._2).distinct.length >= 2 && grp.filter(_._3).map(_._2).distinct.length == 1
+    }
+    val sName = GraftSession.table(spark, sf, "supplier")
+      .select(col("s_suppkey"), col("s_name")).as[(Long, String)].collect().toMap
+    val expect = waits.groupBy(w => sName(w._2)).map { case (n, xs) => n -> xs.length.toLong }
+    assert(rows.map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait")).toMap == expect)
+    // ordered by numwait desc then name
+    val pairs = rows.map(r => (r.getAs[Long]("numwait"), r.getAs[String]("s_name")))
+    assert(pairs.toSeq == pairs.sortBy(p => (-p._1, p._2)).toSeq)
+  }
+
+  test("q22_idle: above-average never-ordered customers match brute force") {
+    val rows = Relational.q22Idle(spark, sf).collect()
+    val c = GraftSession.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .as[(Long, Long, Double)].collect()
+    val ordered = GraftSession.table(spark, sf, "orders")
+      .filter(col("o_totalprice") > 350000)
+      .select(col("o_custkey")).as[Long].collect().toSet
+    val pos = c.filter(_._3 > 0)
+    val avgBal = pos.map(t => BigDecimal(t._3).setScale(2)).sum.toDouble / pos.length
+    val nName = GraftSession.table(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_name")).as[(Long, String)].collect().toMap
+    val kept = c.filter(t => t._3 > avgBal && !ordered.contains(t._1))
+    val expect = kept.groupBy(t => nName(t._2)).map { case (n, xs) =>
+      n -> (xs.length.toLong, xs.map(t => BigDecimal(t._3).setScale(2)).sum.toDouble)
+    }
+    assert(rows.nonEmpty)
+    assert(rows.map(r => r.getAs[String]("n_name") ->
+      (r.getAs[Long]("numcust"), r.getAs[Double]("totacctbal"))).toMap == expect)
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
