@@ -138,6 +138,9 @@ object BenchBaseline {
     "q19_disjunctive" -> 0.91,
     "q21_waiting" -> 1.15,
     "q22_idle" -> 0.58,
+    "q_gapfill" -> 1.01,
+    "q_retention" -> 0.66,
+    "sample_weighted" -> 0.36,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

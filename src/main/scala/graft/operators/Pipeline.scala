@@ -617,7 +617,47 @@ object Pipeline {
       |FROM a JOIN documents d2 ON d2.doc_id = (a.doc_id + 1 + (a.h32 % (a.n - 1))) % a.n
       |ORDER BY a.doc_id, a.j""".stripMargin
 
+  /** §2.3 #26l — deterministic weighted sampling without replacement
+    * by PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007): each
+    * doc gets priority h/w where h is md5-uniform and w = n_chars+1,
+    * and the k smallest priorities per source win — inclusion
+    * probability ≈ proportional to weight, with near-optimal
+    * subset-sum variance. Unlike Efraimidis–Spirakis (u^(1/w)) there
+    * is NO transcendental: the priority is one IEEE division of two
+    * exact integers, so Spark and DuckDB agree bit-for-bit and the
+    * boundary between kept and dropped can never flip cross-engine.
+    * One shuffle on source; the per-source window sort is the only
+    * per-group cost (a bounded top-k Aggregator is the swap-in if a
+    * single source ever dominates a 100 TB corpus).
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val d = docs(spark, dir).select(
+      col("doc_id"), col("source"), (col("n_chars") + 1L).as("w"))
+    val pri = d.withColumn("h32",
+        conv(substring(md5(concat(col("doc_id").cast(StringType), lit(":priority"))), 1, 8), 16, 10).cast(LongType))
+      .withColumn("priority", col("h32").cast(DoubleType) / col("w"))
+    val win = Window.partitionBy(col("source")).orderBy(col("priority"), col("doc_id"))
+    pri.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("w"), col("priority"))
+      .orderBy("source", "priority", "doc_id")
+  }
+
+  val sampleWeightedSql: String =
+    """WITH pri AS (
+      |  SELECT doc_id, source, n_chars + 1 AS w,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':priority'), 1, 8))::BIGINT AS DOUBLE) / (n_chars + 1) AS priority
+      |  FROM documents
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn FROM pri
+      |)
+      |SELECT doc_id, source, w, priority FROM ranked WHERE rn <= 10
+      |ORDER BY source, priority, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> (sampleWeighted _),
     "sample_negatives" -> (sampleNegatives _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
@@ -636,6 +676,7 @@ object Pipeline {
     "decontaminate" -> decontaminateSql,
     "sample_mix" -> sampleMixSql,
     "sample_negatives" -> sampleNegativesSql,
+    "sample_weighted" -> sampleWeightedSql,
     "sample_importance" -> sampleImportanceSql,
     "pack_sequences" -> packSequencesSql,
     "text_filter" -> textFilterSql,

@@ -1712,7 +1712,100 @@ object Relational {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000)
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** §2.2 #21ai — time-series gap filling + forward fill: per user,
+    * a dense daily grid (sequence + explode over the user's own
+    * [min, max] day span) left-joins the per-day aggregate, and a
+    * running `last(ignoreNulls)` window carries the latest non-null
+    * daily total across gap days. Everything keys on user_id: the
+    * daily aggregate, the span aggregate, the grid join, and the
+    * fill window share one partitioning, so at 100 TB there is one
+    * fact-sized shuffle and per-user-bounded window state. The fill
+    * copies values (no arithmetic), so the DECIMAL-exact daily
+    * totals stay bit-identical cross-engine.
+    */
+  def qGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), dbl(sum(decP(col("value")))).as("daily_total"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("daily_total"), ignoreNulls = true).over(fill).as("filled_total"),
+      )
+      .orderBy("user_id", "day")
+  }
+
+  val qGapfillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS daily_total
+      |  FROM events GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)
+      |)
+      |SELECT g.user_id, g.day, coalesce(n_events, 0) AS n_events,
+      |  last_value(daily_total IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+      |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+      |ORDER BY g.user_id, g.day""".stripMargin
+
+  /** §2.2 #21aj — cohort retention analysis: users cohorted by their
+    * FIRST purchase day, activity bucketed by whole weeks since that
+    * first day, distinct (user, cohort, offset) counted per cell —
+    * the standard product-analytics retention triangle. The first-
+    * event aggregate joins back on user_id (co-partitioned with its
+    * own groupBy), and the distinct + count pair shuffles only
+    * (user, cohort, offset) triples. Offsets are non-negative so
+    * integer `div 7` agrees between Spark (truncate) and DuckDB
+    * (floor).
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ev.join(firsts, "user_id")
+      .select(
+        col("user_id"),
+        datediff(col("first_day"), lit("2024-01-01").cast(DateType)).cast(LongType).as("cohort_day"),
+        (datediff(col("day"), col("first_day")).cast(LongType) / lit(7L)).cast(LongType).as("offset_week"),
+      )
+      .distinct()
+      .groupBy(col("cohort_day"), col("offset_week"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_week")
+  }
+
+  val qRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events WHERE event_type = 'purchase'
+      |),
+      |firsts AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT e.user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01', first_day) AS BIGINT) AS cohort_day,
+      |    CAST(date_diff('day', first_day, day) // 7 AS BIGINT) AS offset_week
+      |  FROM ev e JOIN firsts USING (user_id)
+      |)
+      |SELECT cohort_day, offset_week, count(*) AS n_users
+      |FROM active GROUP BY 1, 2
+      |ORDER BY cohort_day, offset_week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gapfill" -> (qGapfill _),
+    "q_retention" -> (qRetention _),
     "q12_priority" -> (q12Priority _),
     "q17_small_qty" -> (q17SmallQty _),
     "q19_disjunctive" -> (q19Disjunctive _),
@@ -1761,6 +1854,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gapfill" -> qGapfillSql,
+    "q_retention" -> qRetentionSql,
     "q12_priority" -> q12PrioritySql,
     "q17_small_qty" -> q17SmallQtySql,
     "q19_disjunctive" -> q19DisjunctiveSql,

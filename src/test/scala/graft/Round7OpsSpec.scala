@@ -504,6 +504,72 @@ class Round7OpsSpec extends AnyFunSuite {
       (r.getAs[Long]("numcust"), r.getAs[Double]("totacctbal"))).toMap == expect)
   }
 
+  test("q_gapfill: dense grid, zero-count gap days, forward-filled totals") {
+    val rows = Relational.qGapfill(spark, sf).collect()
+    val daily = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"), col("value"))
+      .as[(Long, String, Double)].collect()
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, xs) => k -> (xs.length.toLong, xs.map(t => BigDecimal(t._3).setScale(2)).sum.toDouble) }
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    for ((u, rs) <- byUser) {
+      val days = rs.map(_.getAs[java.sql.Date]("day").toLocalDate).sortBy(_.toEpochDay)
+      // the grid is dense: consecutive days with no holes
+      assert(days.zip(days.tail).forall { case (a, b) => b.toEpochDay == a.toEpochDay + 1 })
+      var lastTotal: Option[Double] = None
+      for (r <- rs.sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)) {
+        val key = (u, r.getAs[java.sql.Date]("day").toString)
+        daily.get(key) match {
+          case Some((n, tot)) =>
+            assert(r.getAs[Long]("n_events") == n)
+            lastTotal = Some(tot)
+          case None =>
+            assert(r.getAs[Long]("n_events") == 0L, s"gap day with events: $key")
+        }
+        assert(Option(r.getAs[Double]("filled_total")) == lastTotal.orElse(Option(r.getAs[Double]("filled_total"))))
+        if (lastTotal.isDefined) assert(r.getAs[Double]("filled_total") == lastTotal.get)
+      }
+    }
+    assert(rows.length == daily.size + rows.count(_.getAs[Long]("n_events") == 0L))
+  }
+
+  test("q_retention: cohort cells match the brute-force distinct replay") {
+    val rows = Relational.qRetention(spark, sf).collect()
+    val ev = GraftSession.table(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .as[(Long, String)].collect()
+    val origin = java.time.LocalDate.parse("2024-01-01")
+    val firsts = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val cells = ev.map { case (u, d) =>
+      val fd = java.time.LocalDate.parse(firsts(u))
+      (u, java.time.temporal.ChronoUnit.DAYS.between(origin, fd),
+        java.time.temporal.ChronoUnit.DAYS.between(fd, java.time.LocalDate.parse(d)) / 7)
+    }.distinct.groupBy(t => (t._2, t._3)).map { case (k, xs) => k -> xs.size.toLong }
+    assert(rows.map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("offset_week")) ->
+      r.getAs[Long]("n_users")).toMap == cells)
+  }
+
+  test("sample_weighted: k smallest h/w priorities per source, exact replay") {
+    val rows = operators.Pipeline.sampleWeighted(spark, sf).collect()
+    val d = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = d.map { case (id, src, nc) =>
+      val hex = md.digest(s"$id:priority".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(8), 16)
+      (id, src, nc + 1L, h.toDouble / (nc + 1L))
+    }.groupBy(_._2).toSeq.flatMap { case (_, xs) => xs.sortBy(t => (t._4, t._1)).take(10).toSeq }.toSet
+    assert(rows.length == expect.size)
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+      r.getAs[Long]("w"), r.getAs[Double]("priority"))).toSet == expect)
+    // weighted: kept docs should skew longer than the corpus average
+    val avgAll = d.map(_._3).sum.toDouble / d.length
+    val avgKept = rows.map(_.getAs[Long]("w")).sum.toDouble / rows.length
+    assert(avgKept > avgAll * 0.9, s"kept avg $avgKept vs corpus $avgAll")
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
