@@ -141,6 +141,8 @@ object BenchBaseline {
     "q_gapfill" -> 1.01,
     "q_retention" -> 0.66,
     "sample_weighted" -> 0.36,
+    "q_scd2" -> 1.43,
+    "ann_classify" -> 1.06,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -1803,7 +1803,53 @@ object Relational {
       |FROM active GROUP BY 1, 2
       |ORDER BY cohort_day, offset_week""".stripMargin
 
+  /** §2.2 #21ak — SCD type-2 history build (the versioned sibling of
+    * the SCD-1 MERGE in [[qUpsert]]): the base dimension row opens at
+    * a sentinel epoch, every order is an attribute change effective at
+    * its o_orderdate, and ONE window pass per customer assigns
+    * validity intervals — valid_to = lead(valid_from), version_seq =
+    * row_number, is_current = no successor. Ties on the same
+    * effective date are totally ordered by the monotone orderkey, so
+    * the interval chain is deterministic. One shuffle on the
+    * dimension key; window state is bounded by versions-per-key.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "customer").select(
+      col("c_custkey"), col("c_acctbal").as("acctbal"),
+      ts("1990-01-01").as("valid_from"), lit(-1L).as("ver"))
+    val changes = table(spark, dir, "orders").select(
+      col("o_custkey").as("c_custkey"), col("o_totalprice").as("acctbal"),
+      col("o_orderdate").as("valid_from"), col("o_orderkey").as("ver"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("valid_from"), col("ver"))
+    base.unionByName(changes)
+      .select(
+        col("c_custkey"),
+        row_number().over(w).cast(LongType).as("version_seq"),
+        col("acctbal"), col("valid_from"),
+        lead(col("valid_from"), 1).over(w).as("valid_to"),
+        lead(col("valid_from"), 1).over(w).isNull.as("is_current"),
+      )
+      .orderBy("c_custkey", "version_seq")
+  }
+
+  val qScd2Sql: String =
+    """WITH u AS (
+      |  SELECT c_custkey, c_acctbal AS acctbal, TIMESTAMP '1990-01-01' AS valid_from, CAST(-1 AS BIGINT) AS ver
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice, o_orderdate, o_orderkey FROM orders
+      |)
+      |SELECT c_custkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS version_seq,
+      |  acctbal, valid_from,
+      |  lead(valid_from, 1) OVER w AS valid_to,
+      |  lead(valid_from, 1) OVER w IS NULL AS is_current
+      |FROM u
+      |WINDOW w AS (PARTITION BY c_custkey ORDER BY valid_from, ver)
+      |ORDER BY c_custkey, version_seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (qScd2 _),
     "q_gapfill" -> (qGapfill _),
     "q_retention" -> (qRetention _),
     "q12_priority" -> (q12Priority _),
@@ -1854,6 +1900,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" -> qScd2Sql,
     "q_gapfill" -> qGapfillSql,
     "q_retention" -> qRetentionSql,
     "q12_priority" -> q12PrioritySql,

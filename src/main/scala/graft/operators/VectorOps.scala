@@ -902,7 +902,69 @@ object VectorOps {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  /** §2.4 #29f — kNN-join classification: every held-out vector
+    * (vec_id ≡ 0 mod 25) is labeled by the MAJORITY label of its k=5
+    * exact-cosine nearest labeled neighbors, ties broken by smaller
+    * label — the standard kNN eval / weak-labeling primitive. Reuses
+    * the [[annBruteforce]] kernel (broadcast query batch, int64-exact
+    * dot products), joins neighbor labels back (equi-join on the
+    * candidate side), and votes with an integer count + deterministic
+    * window pick, so the whole prediction is bit-exact cross-engine.
+    */
+  def annClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val held = e.filter(col("vec_id") % 25 === 0)
+    val labeled = e.filter(col("vec_id") % 25 =!= 0)
+    val nn = annBruteforce(
+      labeled.select(col("vec_id").as("id"), col("embedding")),
+      held.select(col("vec_id").as("id"), col("embedding")), 5)
+    val votes = nn
+      .join(labeled.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")), "neighbor_id")
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(held.select(col("vec_id").as("query_id"), col("label").as("true_label"))), "query_id")
+      .select(
+        col("query_id"), col("true_label"),
+        col("n_label").cast(LongType).as("pred_label"), col("votes"),
+        (col("n_label") === col("true_label")).as("correct"),
+      )
+      .orderBy("query_id")
+  }
+
+  val annClassifySql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS n_label,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+      |         * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS DOUBLE))) AS cosine
+      |  FROM q a JOIN q b ON b.vec_id % 25 != 0
+      |  WHERE a.vec_id % 25 = 0
+      |), nn AS (
+      |  SELECT query_id, neighbor_id, n_label FROM (
+      |    SELECT query_id, neighbor_id, n_label,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM p
+      |  ) WHERE rank <= 5
+      |), votes AS (
+      |  SELECT query_id, n_label, count(*) AS votes FROM nn GROUP BY 1, 2
+      |), pick AS (
+      |  SELECT query_id, n_label, votes FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label) AS rn FROM votes
+      |  ) WHERE rn = 1
+      |)
+      |SELECT p.query_id, q.label AS true_label, CAST(p.n_label AS BIGINT) AS pred_label, p.votes,
+      |  p.n_label = q.label AS correct
+      |FROM pick p JOIN q ON p.query_id = q.vec_id
+      |ORDER BY p.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_classify" -> (annClassify _),
     "emb_centroids" -> (embCentroids _),
     "ann_bruteforce" -> (annBruteforce(_: SparkSession, _: String)),
     "emb_quantize" -> (embQuantize _),
@@ -915,6 +977,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann_classify" -> annClassifySql,
     "emb_centroids" -> embCentroidsSql,
     "ann_bruteforce" -> annBruteforceSql,
     "emb_quantize" -> embQuantizeSql,

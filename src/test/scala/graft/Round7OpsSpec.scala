@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Relational, TextAnalysis}
+import graft.operators.{Bpe, Relational, TextAnalysis, VectorOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -568,6 +568,57 @@ class Round7OpsSpec extends AnyFunSuite {
     val avgAll = d.map(_._3).sum.toDouble / d.length
     val avgKept = rows.map(_.getAs[Long]("w")).sum.toDouble / rows.length
     assert(avgKept > avgAll * 0.9, s"kept avg $avgKept vs corpus $avgAll")
+  }
+
+  test("q_scd2: interval chains are contiguous, versioned, and single-current per key") {
+    val rows = Relational.qScd2(spark, sf).collect()
+    val orderCounts = GraftSession.table(spark, sf, "orders")
+      .groupBy(col("o_custkey")).count().as[(Long, Long)].collect().toMap
+    val byKey = rows.groupBy(_.getAs[Long]("c_custkey"))
+    for ((ck, rs) <- byKey) {
+      val sorted = rs.sortBy(_.getAs[Long]("version_seq"))
+      // base row + one version per order
+      assert(sorted.length == 1 + orderCounts.getOrElse(ck, 0L).toInt)
+      assert(sorted.map(_.getAs[Long]("version_seq")).toSeq == (1L to sorted.length).toSeq)
+      // contiguous: each valid_to equals the successor's valid_from; only the last is open
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[java.sql.Timestamp]("valid_to") == b.getAs[java.sql.Timestamp]("valid_from"))
+        assert(!a.getAs[Boolean]("is_current"))
+      }
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      assert(sorted.last.getAs[java.sql.Timestamp]("valid_to") == null)
+    }
+    assert(byKey.keySet == GraftSession.table(spark, sf, "customer")
+      .select(col("c_custkey")).as[Long].collect().toSet)
+  }
+
+  test("ann_classify: majority vote of exact-cosine 5-NN matches a plain-Scala replay") {
+    val rows = VectorOps.annClassify(spark, sf).collect()
+    val all = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+      .map { case (id, v, l) => (id, v.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong).toArray, l) }
+    val held = all.filter(_._1 % 25 == 0)
+    val labeled = all.filter(_._1 % 25 != 0)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val expect = held.map { case (qid, qv, tl) =>
+      val nn = labeled.map { case (nid, nv, nl) => (nid, nl, cos(qv, nv)) }
+        .sortBy(t => (-t._3, t._1)).take(5)
+      val (predLabel, votes) = nn.groupBy(_._2).map { case (l, xs) => (l, xs.length) }
+        .toSeq.sortBy(t => (-t._2, t._1)).head
+      qid -> (tl, predLabel.toLong, votes.toLong)
+    }.toMap
+    assert(rows.length == expect.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (tl, pl, v) = expect(r.getAs[Long]("query_id"))
+      assert(r.getAs[Int]("true_label") == tl)
+      assert(r.getAs[Long]("pred_label") == pl)
+      assert(r.getAs[Long]("votes") == v)
+      assert(r.getAs[Boolean]("correct") == (pl == tl))
+    }
   }
 
   test("q15_top_supplier: winners all carry the max revenue over the window") {
