@@ -206,13 +206,76 @@ object Graph {
        |ORDER BY node_id""".stripMargin
   }
 
+  /** §2.8 #48 — per-node triangle counting on the nation trade graph
+    * (nation A — nation B when some customer in A bought from some
+    * supplier in B; undirected, self-loops dropped, each edge
+    * oriented min<max and deduped). Triangles enumerate via the
+    * standard two-join oriented pattern — e(a,b) ⋈ e(b,c) ⋈ e(a,c)
+    * with a<b<c, so each triangle matches exactly once — then
+    * explode to per-corner counts. The expensive part at scale is
+    * the fact join that derives the edge list; the triangle joins
+    * run on the deduped edge relation, which is orders of magnitude
+    * smaller. (On a skew-heavy general graph the refinement is
+    * degree-ordering instead of id-ordering; id order is exact and
+    * deterministic here.)
+    */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(
+        least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"),
+      )
+      .distinct()
+    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+    val e2 = edges.select(col("u").as("b2"), col("v").as("c2"))
+    val e3 = edges.select(col("u").as("a3"), col("v").as("c3"))
+    val tri = e1
+      .join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+      .select(col("a"), col("b"), col("c2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("nationkey"))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("nationkey")
+  }
+
+  val qTrianglesSql: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT
+      |    least(c_nationkey, s_nationkey) AS u,
+      |    greatest(c_nationkey, s_nationkey) AS v
+      |  FROM orders
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey != s_nationkey
+      |), tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM edges e1
+      |  JOIN edges e2 ON e2.u = e1.v
+      |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), corners AS (
+      |  SELECT unnest([a, b, c]) AS nationkey FROM tri
+      |)
+      |SELECT nationkey, count(*) AS n_triangles
+      |FROM corners GROUP BY nationkey
+      |ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_bfs" -> (qBfs _),
+    "q_triangles" -> (qTriangles _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_bfs" -> qBfsSql,
+    "q_triangles" -> qTrianglesSql,
   )
 }

@@ -1848,7 +1848,37 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_custkey ORDER BY valid_from, ver)
       |ORDER BY c_custkey, version_seq""".stripMargin
 
+  /** §2.2 #21al — market-basket co-purchase pairs ("customers who
+    * bought X also bought Y"): the fact self-joins on its own
+    * orderkey — both sides are the SAME distinct projection, so the
+    * shuffle is paid once and reused — and p1 < p2 orients each pair
+    * once. Pair blowup is bounded by lines-per-order choose 2 (~21
+    * for TPC-H-shaped orders), so the join output stays linear in the
+    * fact; the pair aggregate shuffles only surviving pairs and
+    * top-100 is a TakeOrdered, not a full sort.
+    */
+  def qCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = l.select(col("l_orderkey").as("b_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, col("l_orderkey") === col("b_orderkey") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  val qCopurchaseSql: String =
+    """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+      |FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, p1, p2
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_copurchase" -> (qCopurchase _),
     "q_scd2" -> (qScd2 _),
     "q_gapfill" -> (qGapfill _),
     "q_retention" -> (qRetention _),
@@ -1900,6 +1930,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_copurchase" -> qCopurchaseSql,
     "q_scd2" -> qScd2Sql,
     "q_gapfill" -> qGapfillSql,
     "q_retention" -> qRetentionSql,

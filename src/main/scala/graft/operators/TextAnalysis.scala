@@ -762,7 +762,63 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.5 #33q — PMI collocation extraction: the top-50 bigram
+    * collocations by pointwise mutual information, PMI =
+    * ln(c_xy·N / (c_x·c_y)) over corpus bigram counts with min
+    * support 5. All four counts are exact int64 (products stay far
+    * under 2⁶³ and convert to double losslessly), so the PMI is ONE
+    * division + ONE ln, quantized to integer micro-nats exactly like
+    * [[textSurprisal]] — the cross-engine-exact log idiom. The
+    * bigram build is the map-side zip-with-tail from
+    * [[textBigramSurprisal]]; the corpus total is a 1-row broadcast.
+    * Top-50 is a TakeOrdered, not a full sort.
+    */
+  def textPmi(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val n = size(ws)
+    val big = docs(spark, dir)
+      .select(explode(arrays_zip(slice(ws, lit(1), n - 1).as("w1"), slice(ws, lit(2), n - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cl = big.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
+    val cr = big.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
+    val nRow = big.agg(count(lit(1)).as("n_total"))
+    c2.filter(col("c2") >= 5)
+      .join(cl, "w1")
+      .join(cr, "w2")
+      .join(broadcast(nRow), lit(true))
+      .select(
+        col("w1"), col("w2"), col("c2"),
+        floor(log((col("c2") * col("n_total")).cast(DoubleType) / (col("cl") * col("cr")).cast(DoubleType)) * 1000000.0)
+          .cast(LongType).as("pmi_micro"),
+      )
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  val textPmiSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), big AS (
+      |  SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM ws
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+      |), cl AS (
+      |  SELECT w1, count(*) AS cl FROM big GROUP BY w1
+      |), cr AS (
+      |  SELECT w2, count(*) AS cr FROM big GROUP BY w2
+      |), nn AS (
+      |  SELECT count(*) AS n_total FROM big
+      |)
+      |SELECT w1, w2, c2,
+      |  CAST(floor(ln(CAST(c2 * n_total AS DOUBLE) / CAST(cl * cr AS DOUBLE)) * 1000000.0) AS BIGINT) AS pmi_micro
+      |FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nn
+      |WHERE c2 >= 5
+      |ORDER BY pmi_micro DESC, w1, w2
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi" -> (textPmi _),
     "text_bigram" -> (textBigramSurprisal _),
     "text_surprisal" -> (textSurprisal _),
     "text_chunks" -> (textChunks _),
@@ -783,6 +839,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_bigram" -> textBigramSurprisalSql,
+    "text_pmi" -> textPmiSql,
     "text_surprisal" -> textSurprisalSql,
     "text_chunks" -> textChunksSql,
     "text_normalize" -> textNormalizeSql,

@@ -621,6 +621,58 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_pmi: micro-nat PMI equals the plain-Scala replay") {
+    val rows = TextAnalysis.textPmi(spark, sf).collect()
+    val bigrams = GraftSession.table(spark, sf, "documents")
+      .select(col("text")).as[String].collect()
+      .flatMap { t => val w = t.split(" ", -1); w.zip(w.tail) }
+    val c2 = bigrams.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val cl = bigrams.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val cr = bigrams.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val n = bigrams.length.toLong
+    val expect = c2.filter(_._2 >= 5).map { case ((w1, w2), c) =>
+      (w1, w2, c, math.floor(math.log((c * n).toDouble / (cl(w1) * cr(w2)).toDouble) * 1000000.0).toLong)
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2)).take(50)
+    assert(rows.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+      r.getAs[Long]("c2"), r.getAs[Long]("pmi_micro"))).toSeq == expect)
+  }
+
+  test("q_copurchase: oriented pair counts match the brute-force basket scan") {
+    val rows = Relational.qCopurchase(spark, sf).collect()
+    val baskets = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).as[(Long, Long)].collect()
+      .distinct.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val counts = baskets.flatMap(ps => for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val expect = counts.toSeq.sortBy(t => (-t._2, t._1._1, t._1._2)).take(100)
+      .map { case ((p1, p2), c) => (p1, p2, c) }
+    assert(rows.map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"), r.getAs[Long]("n_orders"))).toSeq == expect)
+  }
+
+  test("q_triangles: per-corner counts match the brute-force enumeration") {
+    val rows = operators.Graph.qTriangles(spark, sf).collect()
+    val cn = GraftSession.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).as[(Long, Int)].collect().toMap
+    val sn = GraftSession.table(spark, sf, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).as[(Long, Int)].collect().toMap
+    val ok2ck = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).as[(Long, Long)].collect().toMap
+    val edges = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).as[(Long, Long)].collect()
+      .map { case (ok, sk) => (cn(ok2ck(ok)), sn(sk)) }
+      .filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && edges((a, b))
+      c <- nodes if b < c && edges((b, c)) && edges((a, c))
+    } yield (a, b, c)
+    val expect = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    assert(rows.map(r => r.getAs[Int]("nationkey") -> r.getAs[Long]("n_triangles")).toMap == expect)
+    assert(rows.nonEmpty)
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
