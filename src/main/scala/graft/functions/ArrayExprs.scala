@@ -74,6 +74,18 @@ object ArrayExprs {
     */
   def pqAdcScore(codes: Column, lut: Column, ksub: Int): Column =
     ColumnBridge.column(PqAdcScore(ColumnBridge.expression(codes), ColumnBridge.expression(lut), ksub))
+
+  /** Bloom-filter membership probe of a long key column
+    * (see [[BloomMightContainLong]]).
+    */
+  def bloomMightContain(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(key), bloom))
+
+  /** 62-bit block-parity perceptual hash of a binary column
+    * (see [[BlockParityHash]]).
+    */
+  def blockParityHash(payload: Column): Column =
+    ColumnBridge.column(BlockParityHash(ColumnBridge.expression(payload)))
 }
 
 /** Space-joined n-grams of a word array; a document shorter than n
@@ -662,6 +674,69 @@ case class SimHash62(child: Expression) extends UnaryExpression {
          |${ev.value} = $out;
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Bloom-filter membership probe of a LongType key against a constant
+  * driver-built sketch (`DataFrameStatFunctions.bloomFilter`, a
+  * treeAggregate — the explicit form of Spark's own runtime-filter
+  * InjectRuntimeFilter lever). The sketch rides the plan as one
+  * reference object and the probe is a single virtual call from
+  * generated code, so the big-side scan filter stays inside
+  * whole-stage codegen. False positives pass (they are removed by the
+  * exact verify join downstream); false negatives cannot occur.
+  */
+case class BloomMightContainLong(
+    child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter,
+) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(in: Any): Any = bloom.mightContainLong(in.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(
+      "bloom", bloom, classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, k => s"${ev.value} = $ref.mightContainLong($k);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 62-bit block-parity perceptual hash of a binary payload: the bytes
+  * split into 62 contiguous blocks (byte j belongs to block
+  * j*62/n — the same integer-floor mapping the oracle replays) and
+  * bit b is the parity of block b's byte sum. Localized byte edits
+  * flip only the touched blocks' bits, so near-identical payloads
+  * land within small hamming distance, while unrelated payloads
+  * differ on ~31 of 62 bits — the block-mean-hash structure of real
+  * perceptual hashes with a deterministic, oracle-replayable stub
+  * "feature" (the byte sum; a real pHash swaps in DCT coefficients).
+  * Payloads shorter than 62 bytes hash block-per-byte (empty blocks
+  * contribute parity 0); an empty payload hashes to 0.
+  */
+case class BlockParityHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  def hashBytes(b: Array[Byte]): Long = {
+    val n = b.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](62)
+    var j = 0
+    while (j < n) { sums((j.toLong * 62 / n).toInt) += (b(j) & 0xff).toLong; j += 1 }
+    var out = 0L
+    var i = 0
+    while (i < 62) { if ((sums(i) & 1L) == 1L) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override def nullSafeEval(in: Any): Any = hashBytes(in.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bph", this, classOf[BlockParityHash].getName)
+    nullSafeCodeGen(ctx, ev, b => s"${ev.value} = $ref.hashBytes($b);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

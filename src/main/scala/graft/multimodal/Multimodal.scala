@@ -224,7 +224,129 @@ object Multimodal {
       |GROUP BY sha256(payload)
       |ORDER BY payload_sha""".stripMargin
 
+  /** §2.6 #34c — perceptual hash of every payload: 62-bit block-parity
+    * hash (see `graft.functions.BlockParityHash` — the block-mean-hash
+    * structure of a real pHash with a deterministic byte-sum stub
+    * feature), computed map-side by one codegen kernel, zero shuffle.
+    * Fully oracle-checkable: the hash is a pure byte function the SQL
+    * replays with the same j·62/n block mapping.
+    */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"),
+        col("kind"),
+        graft.functions.ArrayExprs.blockParityHash(col("payload")).as("phash"),
+      )
+      .orderBy("doc_id")
+
+  val multimodalPhashSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, len(text) AS n,
+      |    unnest(range(0, len(text))) AS j, text
+      |  FROM documents
+      |), sums AS (
+      |  SELECT doc_id, CAST(j * 62 // n AS INT) AS blk,
+      |    sum(ord(substring(text, CAST(j + 1 AS INT), 1))) AS s
+      |  FROM b GROUP BY doc_id, CAST(j * 62 // n AS INT)
+      |), bits AS (
+      |  SELECT doc_id, sum(CAST(s % 2 AS BIGINT) << blk) AS phash FROM sums GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 3 = 0 THEN 'img' WHEN d.doc_id % 3 = 1 THEN 'aud' ELSE 'vid' END AS kind,
+      |  CAST(coalesce(bits.phash, 0) AS BIGINT) AS phash
+      |FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** The phash pair corpus: every payload plus a deterministic
+    * "re-encoded copy" of every 7th one (doc_id+100000, one byte at
+    * position len/3 bit-flipped — the same-length byte noise a real
+    * re-encode produces, spliced so the SQL oracle replays it
+    * exactly). Same-length noise is the case perceptual hashing
+    * exists for; the corpus' own near-dups are length-changing edits,
+    * which shift every downstream block and land at hamming ≥ 14 —
+    * correctly OUTSIDE a positional block hash's match radius.
+    */
+  def phashCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val flipped = concat(
+      substring(col("text"), lit(1), (length(col("text")) / 3).cast(IntegerType)),
+      expr("char(ascii(substring(text, CAST(length(text) / 3 AS INT) + 1, 1)) ^ 1)"),
+      expr("substring(text, CAST(length(text) / 3 AS INT) + 2)"),
+    )
+    d.select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 0 && length(col("text")) >= 3)
+          .select((col("doc_id") + 100000).as("doc_id"), flipped.cast(BinaryType).as("payload")))
+  }
+
+  /** §2.6 #34d — perceptual near-dup pairs over [[phashCorpus]]:
+    * payloads within hamming distance 3 of each other's phash.
+    * Candidates come from the 4-way segment pigeonhole (3 differing
+    * bits cannot touch all 4 disjoint segments, so every true pair
+    * shares at least one exact segment — a lossless blocking; the
+    * join shuffles (segment, value) keys, never the O(n²) pair
+    * space). The oracle is the brute-force all-pairs hamming scan,
+    * so passing proves the blocking lossless.
+    */
+  def multimodalPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = phashCorpus(spark, dir).select(
+      col("doc_id"),
+      graft.functions.ArrayExprs.blockParityHash(col("payload")).as("phash"),
+    )
+    val segs = hashed.select(
+      col("doc_id"),
+      col("phash"),
+      explode(
+        array((0 until 4).map(j =>
+          struct(lit(j).as("seg_idx"), pmod(shiftright(col("phash"), j * 16), lit(65536L)).as("seg_val"))): _*)
+      ).as("seg"),
+    ).select(col("doc_id"), col("phash"), col("seg.seg_idx").as("seg_idx"), col("seg.seg_val").as("seg_val"))
+    segs
+      .select(col("doc_id").as("doc_a"), col("phash").as("ph_a"), col("seg_idx"), col("seg_val"))
+      .join(
+        segs.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"), col("seg_idx"), col("seg_val")),
+        Seq("seg_idx", "seg_val"),
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val multimodalPhashPairsSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    substring(text, 1, CAST(len(text) // 3 AS INT))
+      |      || chr(xor(ord(substring(text, CAST(len(text) // 3 AS INT) + 1, 1)), 1))
+      |      || substring(text, CAST(len(text) // 3 AS INT) + 2) AS text
+      |  FROM documents WHERE doc_id % 7 = 0 AND len(text) >= 3
+      |), b AS (
+      |  SELECT doc_id, len(text) AS n,
+      |    unnest(range(0, len(text))) AS j, text
+      |  FROM corpus
+      |), sums AS (
+      |  SELECT doc_id, CAST(j * 62 // n AS INT) AS blk,
+      |    sum(ord(substring(text, CAST(j + 1 AS INT), 1))) AS s
+      |  FROM b GROUP BY doc_id, CAST(j * 62 // n AS INT)
+      |), bits AS (
+      |  SELECT doc_id, sum(CAST(s % 2 AS BIGINT) << blk) AS phash FROM sums GROUP BY doc_id
+      |), h AS (
+      |  SELECT c.doc_id, CAST(coalesce(bits.phash, 0) AS BIGINT) AS phash
+      |  FROM corpus c LEFT JOIN bits ON c.doc_id = bits.doc_id
+      |)
+      |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+      |WHERE bit_count(xor(a.phash, b2.phash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash" -> (multimodalPhash _),
+    "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -232,6 +354,8 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "multimodal_phash" -> multimodalPhashSql,
+    "multimodal_phash_pairs" -> multimodalPhashPairsSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_dedup" -> multimodalDedupSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -1877,8 +1877,113 @@ object Relational {
       |ORDER BY n_orders DESC, p1, p2
       |LIMIT 100""".stripMargin
 
+  /** §2.2 #21am — per-segment customer-spend deciles: lifetime spend
+    * per customer, ntile(10) WITHIN each market segment, then
+    * per-(segment, decile) population stats — the spend-distribution /
+    * customer-tiering report. The window partitions by segment (NOT a
+    * global order — a global ntile would funnel every row through one
+    * partition; per-segment keeps the sort partition-parallel, and at
+    * 100 TB segments are further splittable by pre-aggregating the
+    * spend rollup, which is the only fact-sized shuffle here). Spend
+    * ties break on custkey so the decile boundary is deterministic;
+    * sums stay DECIMAL until the final double cast.
+    */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val spend = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(decP(col("o_totalprice"))).as("spend"))
+      .join(table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("spend").desc, col("c_custkey"))
+    spend
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dbl(sum(col("spend"))).as("sum_spend"),
+        dbl(min(col("spend"))).as("min_spend"),
+        dbl(max(col("spend"))).as("max_spend"),
+      )
+      .orderBy("c_mktsegment", "decile")
+  }
+
+  val qNtileSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |), tiered AS (
+      |  SELECT c_mktsegment, spend,
+      |    ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey) AS decile
+      |  FROM spend JOIN customer ON o_custkey = c_custkey
+      |)
+      |SELECT c_mktsegment, decile,
+      |  count(*) AS n_customers,
+      |  CAST(sum(spend) AS DOUBLE) AS sum_spend,
+      |  CAST(min(spend) AS DOUBLE) AS min_spend,
+      |  CAST(max(spend) AS DOUBLE) AS max_spend
+      |FROM tiered
+      |GROUP BY c_mktsegment, decile
+      |ORDER BY c_mktsegment, decile""".stripMargin
+
+  /** Bloom-pruned semi join: build a bloom sketch over `small`'s keys
+    * (distributed treeAggregate via `stat.bloomFilter`; the sketch —
+    * ~1.2 MB at fpp 1% per million keys — returns to the driver and
+    * rides the probe plan as a codegen reference object), pre-filter
+    * `big` map-side with the probe, then exact-verify survivors with
+    * the real semi join. Semantically identical to `big SEMI JOIN
+    * small` for ANY fpp (false positives die in the verify join,
+    * false negatives cannot occur), but the big side entering the
+    * shuffle shrinks from |big| to |matches| + fpp·|big| — the
+    * explicit form of Spark's InjectRuntimeFilter lever, available to
+    * callers on plans where the optimizer's size heuristics decline.
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
+      fpp: Double = 0.01): DataFrame = {
+    val keys = small.select(col(smallKey)).distinct()
+    val expected = math.max(1000L, keys.count())
+    val bloom = keys.stat.bloomFilter(smallKey, expected, fpp)
+    big
+      .filter(graft.functions.ArrayExprs.bloomMightContain(col(bigKey), bloom))
+      .join(keys, col(bigKey) === col(smallKey), "left_semi")
+  }
+
+  /** §2.2 #21an — the named bloom-prune query: revenue of lineitems
+    * whose order is URGENT-priority from one order-date quarter
+    * (~1.6% of orders). The oracle is the PLAIN semi join — passing
+    * proves the bloom path is lossless end to end.
+    */
+  def qBloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val sel = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= ts("1995-01-01") && col("o_orderdate") < ts("1995-04-01"))
+    val pruned = bloomSemiJoin(table(spark, dir, "lineitem"), "l_orderkey", sel, "o_orderkey")
+    pruned
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dbl(sum(decP(col("l_extendedprice")) * (one - decR(col("l_discount"))))).as("revenue"),
+      )
+      .orderBy("l_returnflag")
+  }
+
+  val qBloomPruneSql: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01'
+      |)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_copurchase" -> (qCopurchase _),
+    "q_ntile" -> (qNtile _),
+    "q_bloom_prune" -> (qBloomPrune _),
     "q_scd2" -> (qScd2 _),
     "q_gapfill" -> (qGapfill _),
     "q_retention" -> (qRetention _),
@@ -1931,6 +2036,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_copurchase" -> qCopurchaseSql,
+    "q_ntile" -> qNtileSql,
+    "q_bloom_prune" -> qBloomPruneSql,
     "q_scd2" -> qScd2Sql,
     "q_gapfill" -> qGapfillSql,
     "q_retention" -> qRetentionSql,

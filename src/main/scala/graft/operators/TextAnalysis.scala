@@ -817,8 +817,136 @@ object TextAnalysis {
       |ORDER BY pmi_micro DESC, w1, w2
       |LIMIT 50""".stripMargin
 
+  /** §2.5 #33r — per-document word-distribution Shannon entropy, the
+    * lexical-diversity quality signal (low entropy = repetitive /
+    * boilerplate text). H = (1/n)·Σ c_i·ln(n/c_i) over the doc's term
+    * counts. Each term's ln(n/c) is quantized to integer micro-nats
+    * BEFORE the per-doc sum, so the sum is int64 and order-free (the
+    * [[textSurprisal]] idiom); the final floor(sum/n) is one exact
+    * IEEE division (sum ≤ n·ln(n)·10⁶ ≪ 2⁵³). Two shuffles, both
+    * doc-keyed: (doc,term) counts, then the per-doc rollup — term
+    * counting combines map-side, so the shuffle is distinct terms per
+    * doc, not tokens.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+    val counts = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    counts
+      .join(totals, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("n")).as("n_words"),
+        first(col("n_distinct")).as("n_distinct"),
+        sum(col("c") * floor(log(col("n").cast(DoubleType) / col("c").cast(DoubleType)) * 1000000.0).cast(LongType))
+          .as("sum_micro"),
+      )
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct"),
+        floor(col("sum_micro").cast(DoubleType) / col("n_words").cast(DoubleType)).cast(LongType)
+          .as("entropy_micro"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val textEntropySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), counts AS (
+      |  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+      |), totals AS (
+      |  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM counts GROUP BY doc_id
+      |), summed AS (
+      |  SELECT counts.doc_id,
+      |    CAST(max(n) AS BIGINT) AS n_words,
+      |    CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+      |    sum(c * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS sum_micro
+      |  FROM counts JOIN totals ON counts.doc_id = totals.doc_id
+      |  GROUP BY counts.doc_id
+      |)
+      |SELECT doc_id, n_words, n_distinct,
+      |  CAST(floor(CAST(sum_micro AS DOUBLE) / CAST(n_words AS DOUBLE)) AS BIGINT) AS entropy_micro
+      |FROM summed
+      |ORDER BY doc_id""".stripMargin
+
+  /** Misra-Gries counter budget for [[textHeavyHitters]]. A term with
+    * partition frequency > n_p/(k+1) always survives that partition's
+    * summary, so (pigeonhole over partitions) any term with GLOBAL
+    * frequency > N/(k+1) survives in at least one partition — the
+    * candidate union is a guaranteed superset of every term at the
+    * query's threshold max(5, N/1000) since both branches exceed
+    * N/2001 for all N.
+    */
+  val HeavyHitterCounters = 2000
+
+  /** One partition's Misra-Gries pass: ≤ k counters; a non-resident
+    * arrival with a full table decrements every counter (the arrival
+    * itself also discarded — each decrement round removes k+1 mass, so
+    * rounds ≤ n_p/(k+1), which is both the undercount bound and the
+    * amortized-O(n) argument).
+    */
+  def misraGries(it: Iterator[String], k: Int): Iterator[(String, Long)] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { w =>
+      if (counts.contains(w)) counts(w) += 1
+      else if (counts.size < k) counts(w) = 1
+      else {
+        // snapshot the keys: value writes during live iteration over a
+        // mutable map are not contract-safe
+        counts.keys.toArray.foreach { key =>
+          val c = counts(key) - 1
+          if (c == 0) counts.remove(key) else counts(key) = c
+        }
+      }
+    }
+    counts.iterator
+  }
+
+  /** §2.5 #33s — frequent-term extraction at threshold max(5, N/1000)
+    * by sketch-then-verify: pass 1 is a ZERO-SHUFFLE per-partition
+    * Misra-Gries summary (≤ 32·k rows collected — bounded independent
+    * of corpus size) whose union is a guaranteed candidate superset;
+    * pass 2 recounts ONLY candidate occurrences (broadcast isin
+    * filter before the groupBy), so the exact pass shuffles
+    * |candidate tokens| ≪ N. At 100 TB the full-vocabulary shuffle
+    * never happens — that is the entire point vs the naive plan the
+    * oracle runs. Output is exact (recount + threshold), so the
+    * partition-dependent candidate set never shows.
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir).select(explode(words).as("w"))
+    val candidates = toks.as[String]
+      .mapPartitions(it => misraGries(it, HeavyHitterCounters))
+      .map(_._1).distinct().collect().toSeq
+    val nRow = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .filter(col("w").isin(candidates: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .join(broadcast(nRow), lit(true))
+      .filter(col("c") >= greatest(lit(5L), floor(col("n_total").cast(DoubleType) / 1000.0).cast(LongType)))
+      .select(col("w"), col("c"))
+      .orderBy(col("c").desc, col("w"))
+  }
+
+  val textHeavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |), nn AS (
+      |  SELECT count(*) AS n_total FROM toks
+      |), c AS (
+      |  SELECT w, count(*) AS c FROM toks GROUP BY w
+      |)
+      |SELECT w, c FROM c CROSS JOIN nn
+      |WHERE c >= greatest(5, CAST(floor(CAST(n_total AS DOUBLE) / 1000.0) AS BIGINT))
+      |ORDER BY c DESC, w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pmi" -> (textPmi _),
+    "text_entropy" -> (textEntropy _),
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "text_bigram" -> (textBigramSurprisal _),
     "text_surprisal" -> (textSurprisal _),
     "text_chunks" -> (textChunks _),
@@ -840,6 +968,8 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_bigram" -> textBigramSurprisalSql,
     "text_pmi" -> textPmiSql,
+    "text_entropy" -> textEntropySql,
+    "text_heavy_hitters" -> textHeavyHittersSql,
     "text_surprisal" -> textSurprisalSql,
     "text_chunks" -> textChunksSql,
     "text_normalize" -> textNormalizeSql,

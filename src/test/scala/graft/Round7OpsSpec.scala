@@ -673,6 +673,132 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("text_entropy: micro-nat entropy equals the plain-Scala replay") {
+    val rows = TextAnalysis.textEntropy(spark, sf).collect()
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val counts = ws.groupBy(identity).map { case (_, xs) => xs.length.toLong }
+      val n = ws.length.toLong
+      val sumMicro = counts.map(c => c * math.floor(math.log(n.toDouble / c.toDouble) * 1000000.0).toLong).sum
+      (id, n, counts.size.toLong, math.floor(sumMicro.toDouble / n.toDouble).toLong)
+    }.sortBy(_._1).toSeq
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+      r.getAs[Long]("n_distinct"), r.getAs[Long]("entropy_micro"))).toSeq == expect)
+    // repeated text must carry less entropy than diverse text overall
+    assert(rows.exists(_.getAs[Long]("entropy_micro") > 0))
+  }
+
+  test("q_ntile: deciles partition each segment evenly and monotonically") {
+    val rows = Relational.qNtile(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    val custSeg = GraftSession.table(spark, sf, "orders")
+      .select(col("o_custkey")).distinct()
+      .join(GraftSession.table(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Long]("n")).toMap
+    bySeg.foreach { case (seg, ds) =>
+      val sorted = ds.sortBy(_.getAs[Int]("decile"))
+      assert(sorted.map(_.getAs[Long]("n_customers")).sum == custSeg(seg))
+      // ntile sizes differ by at most one, larger buckets first
+      val sizes = sorted.map(_.getAs[Long]("n_customers"))
+      assert(sizes.max - sizes.min <= 1)
+      assert(sizes.sorted.reverse.toSeq == sizes.toSeq)
+      // descending spend order: decile d's min >= decile d+1's max
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Double]("min_spend") >= lo.getAs[Double]("max_spend"))
+        case _ =>
+      }
+    }
+  }
+
+  test("q_bloom_prune: bloom path equals the plain semi join, and the probe prunes") {
+    val lineitem = GraftSession.table(spark, sf, "lineitem")
+    val sel = GraftSession.table(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val plain = lineitem
+      .join(sel.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_items"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_items")).toMap
+    val got = Relational.qBloomPrune(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_items")).toMap
+    assert(got == plain)
+
+    // the probe alone (before the verify join) must pass every true
+    // match and prune the vast majority of the fact
+    val keys = sel.select(col("o_orderkey")).distinct()
+    val bloom = keys.stat.bloomFilter("o_orderkey", math.max(1000L, keys.count()), 0.01)
+    val total = lineitem.count()
+    val trueMatches = lineitem
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val passed = lineitem
+      .filter(graft.functions.ArrayExprs.bloomMightContain(col("l_orderkey"), bloom))
+      .count()
+    assert(passed >= trueMatches, "bloom may never produce a false negative")
+    assert(passed < total / 5, s"probe should prune hard: $passed of $total passed")
+  }
+
+  test("text_heavy_hitters: sketch-then-verify equals the exact count, and MG is a superset") {
+    val rows = TextAnalysis.textHeavyHitters(spark, sf).collect()
+    val toks = GraftSession.table(spark, sf, "documents")
+      .select(col("text")).as[String].collect().flatMap(_.split(" ", -1))
+    val n = toks.length.toLong
+    val s = math.max(5L, math.floor(n.toDouble / 1000.0).toLong)
+    val exact = toks.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      .filter(_._2 >= s).toSeq.sortBy(t => (-t._2, t._1))
+    assert(rows.map(r => (r.getAs[String]("w"), r.getAs[Long]("c"))).toSeq == exact)
+
+    // MG guarantee on a skewed stream: any term with freq > n/(k+1)
+    // survives the summary regardless of arrival order
+    val stream = Array.fill(400)("hot") ++ (1 to 300).map(i => s"cold$i")
+    val shuffled = new scala.util.Random(7).shuffle(stream.toSeq)
+    val mg = TextAnalysis.misraGries(shuffled.iterator, 10).toMap
+    assert(mg.contains("hot"), "a term above n/(k+1) must survive Misra-Gries")
+    assert(mg.size <= 10)
+  }
+
+  test("phash kernel equals the plain-Scala block-parity replay, and edits stay close") {
+    val texts = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def replay(b: Array[Byte]): Long = {
+      if (b.isEmpty) return 0L
+      val sums = new Array[Long](62)
+      b.indices.foreach(j => sums((j.toLong * 62 / b.length).toInt) += (b(j) & 0xff).toLong)
+      sums.zipWithIndex.collect { case (sv, i) if (sv & 1L) == 1L => 1L << i }.sum
+    }
+    val got = graft.multimodal.Multimodal.multimodalPhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    texts.foreach { case (id, t) => assert(got(id) == replay(t.getBytes("UTF-8")), s"doc $id") }
+
+    // a single byte edit flips at most 1 block parity → hamming ≤ 1;
+    // pigeonhole blocking at ≤ 3 must therefore catch single-edit dups
+    val base = texts.head._2.getBytes("UTF-8")
+    val edited = base.clone(); edited(base.length / 2) = (edited(base.length / 2) ^ 1).toByte
+    assert(java.lang.Long.bitCount(replay(base) ^ replay(edited)) <= 1)
+  }
+
+  test("multimodal_phash_pairs: pigeonhole blocking equals the brute-force hamming scan") {
+    val hashes = graft.multimodal.Multimodal.phashCorpus(spark, sf)
+      .select(col("doc_id"), graft.functions.ArrayExprs.blockParityHash(col("payload")).as("phash"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash"))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h.toLong)).sortBy(t => (t._1, t._2)).toSeq
+    val got = graft.multimodal.Multimodal.multimodalPhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming"))).toSeq
+    assert(got == brute)
+    // every planted re-encode must be caught next to its original
+    val planted = hashes.map(_._1).filter(_ >= 100000).map(id => (id - 100000, id))
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    planted.foreach { p => assert(gotPairs.contains(p), s"planted pair $p missed") }
+    assert(planted.nonEmpty)
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
