@@ -267,15 +267,105 @@ object Graph {
       |FROM corners GROUP BY nationkey
       |ORDER BY nationkey""".stripMargin
 
+  /** Distributed connected components by min-label propagation with
+    * POINTER JUMPING over an undirected edge list (`u`, `v`, one row
+    * per direction). Each round does (a) the neighbor-min transfer —
+    * the O(diameter) relational Pregel step — and (b) a label-chain
+    * halving (join labels against themselves on lbl=node), which
+    * compresses L→L'→L'' chains to L→'' and brings convergence to
+    * O(log diameter) rounds: the reason this survives a path-shaped
+    * 100 TB graph where plain propagation would need O(n) rounds.
+    * Convergence is detected by sum(lbl) (labels only decrease, so
+    * the sum is a strictly decreasing potential — one cheap agg per
+    * round, no join against the previous labels). Fixpoint labels are
+    * exactly each component's min node id (labels are always same-
+    * component node ids; at a symmetric-edge fixpoint they are
+    * constant per component and the min node's own label bounds them
+    * below). localCheckpoint per round cuts the O(rounds) lineage —
+    * the q_bfs idiom.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    var lab = e.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("lbl"))
+      .select(col("u").as("node"), col("lbl")).localCheckpoint()
+    // DECIMAL(38,0) potential: an int64 sum could overflow on a
+    // billion-node graph (labels up to 2^31 × n rows)
+    def labelSum(d: DataFrame): BigDecimal =
+      BigDecimal(d.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head().getDecimal(0))
+    var prevSum = labelSum(lab)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val nbrMin = e.join(lab, e("v") === lab("node"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+        .select(col("u").as("node"), col("nbr_lbl"))
+      val stepped = lab.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      val parents = stepped.select(col("node").as("p_node"), col("lbl").as("p_lbl"))
+      val jumped = stepped.join(parents, stepped("lbl") === parents("p_node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s = labelSum(jumped)
+      converged = s == prevSum
+      prevSum = s
+      lab = jumped
+    }
+    lab
+  }
+
+  /** §2.8 #49 — connected components of the co-purchase graph (parts
+    * linked when ≥ 2 distinct orders contain both — the q_copurchase
+    * relation at min support 2, a sparse multi-component graph).
+    * Per-node (node, component) labels; the oracle replays true
+    * reachability with a recursive CTE, so passing proves the
+    * propagation+jumping fixpoint IS the exact component structure.
+    */
+  def qComponents(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("pu"))
+    val b = l.select(col("l_orderkey").as("b_orderkey"), col("l_partkey").as("pv"))
+    val e0 = a.join(b, col("l_orderkey") === col("b_orderkey") && col("pu") < col("pv"))
+      .groupBy(col("pu"), col("pv")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("pu"), col("pv"))
+    val e = e0.select(col("pu").as("u"), col("pv").as("v"))
+      .unionByName(e0.select(col("pv").as("u"), col("pu").as("v")))
+    connectedComponents(e)
+      .select(col("node"), col("lbl").as("component"))
+      .orderBy("node")
+  }
+
+  val qComponentsSql: String =
+    """WITH RECURSIVE l AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), e0 AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), e AS (
+      |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+      |), reach(node, lbl) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+      |  UNION
+      |  SELECT e.u, reach.lbl FROM e JOIN reach ON e.v = reach.node
+      |)
+      |SELECT node, min(lbl) AS component
+      |FROM reach GROUP BY node
+      |ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_bfs" -> (qBfs _),
     "q_triangles" -> (qTriangles _),
+    "q_components" -> (qComponents _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_bfs" -> qBfsSql,
     "q_triangles" -> qTrianglesSql,
+    "q_components" -> qComponentsSql,
   )
 }

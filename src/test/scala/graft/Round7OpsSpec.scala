@@ -799,6 +799,37 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(planted.nonEmpty)
   }
 
+  test("connectedComponents: hand graph, path chain, and union-find corpus replay") {
+    // hand graph: component {1,2,3}, a 6-node path 10-…-15 (exercises
+    // pointer jumping), an isolated edge {20,21}
+    val handEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (13L, 14L), (14L, 15L), (20L, 21L))
+    val e = handEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("u", "v")
+    val got = operators.Graph.connectedComponents(e).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+      13L -> 10L, 14L -> 10L, 15L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == expect)
+
+    // corpus: q_components equals a plain union-find over the same edges
+    val l = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).as[(Long, Long)].collect().distinct
+    val pairs = l.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length) yield (parts(i), parts(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keysIterator.toSeq
+    // (keysIterator, NOT .collect{...=>k}: collect on a Map with a
+    // tuple-valued PF rebuilds a Map and silently collapses pairs
+    // sharing a first element)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (u, v) => val (ru, rv) = (find(u), find(v)); if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv) }
+    val expectCorpus = parent.keys.map(n => n -> find(n)).toMap
+    val gotCorpus = operators.Graph.qComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(gotCorpus == expectCorpus)
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
