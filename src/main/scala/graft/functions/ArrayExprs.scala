@@ -86,6 +86,12 @@ object ArrayExprs {
     */
   def blockParityHash(payload: Column): Column =
     ColumnBridge.column(BlockParityHash(ColumnBridge.expression(payload)))
+
+  /** Centered projections of a quantized vector onto constant
+    * component vectors (see [[CenteredProject]]).
+    */
+  def centeredProject(qv: Column, mu: Array[Double], ws: Array[Array[Double]]): Column =
+    ColumnBridge.column(CenteredProject(ColumnBridge.expression(qv), mu, ws))
 }
 
 /** Space-joined n-grams of a word array; a document shorter than n
@@ -736,6 +742,46 @@ case class BlockParityHash(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bph", this, classOf[BlockParityHash].getName)
     nullSafeCodeGen(ctx, ev, b => s"${ev.value} = $ref.hashBytes($b);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Centered projection of a ×10⁴-quantized vector onto `ws.length`
+  * constant component vectors: out(t) = Σ_i (qv_i/10⁴ − mu_i)·ws(t)(i),
+  * summed left-to-right in doubles — the fixed evaluation order that
+  * makes the result bit-reproducible and exactly replayable by the
+  * spec's plain-Scala loop. A vector whose length differs from mu's
+  * yields an all-zero projection (degenerate input, the
+  * [[PlaneSignBuckets]] convention).
+  */
+case class CenteredProject(child: Expression, mu: Array[Double], ws: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def project(in: Any): GenericArrayData = {
+    val qv = in.asInstanceOf[ArrayData]
+    val n = qv.numElements()
+    val out = new Array[Double](ws.length)
+    if (n == mu.length) {
+      var t = 0
+      while (t < ws.length) {
+        val w = ws(t)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += (qv.getLong(i) / 10000.0 - mu(i)) * w(i); i += 1 }
+        out(t) = s
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(in: Any): Any = project(in)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cproj", this, classOf[CenteredProject].getName)
+    nullSafeCodeGen(ctx, ev, qv => s"${ev.value} = $ref.project($qv);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

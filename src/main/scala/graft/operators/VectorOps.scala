@@ -963,7 +963,122 @@ object VectorOps {
       |FROM pick p JOIN q ON p.query_id = q.vec_id
       |ORDER BY p.query_id""".stripMargin
 
+  // ------------------------------------------------------------- PCA
+
+  /** Exact-covariance PCA: returns (mu, components, eigenvalues) for
+    * the top-`k` principal components of `(id, embedding)`.
+    *
+    * The covariance moments are EXACT int64 sums on the ×10⁴ grid,
+    * accumulated per partition (one d + d(d+1)/2 long array per
+    * partition — the d² DataFrame explode would shuffle d²·n rows,
+    * this collects 32 fixed-size rows) and merged on the driver; on
+    * that exact matrix a deterministic sequential power iteration
+    * (fixed all-ones init, 200 rounds, Gram-Schmidt deflation,
+    * sign-fixed) yields bit-reproducible components — every float op
+    * after the exact sums happens once on the driver in a fixed
+    * order. Overflow: |q| ≤ 2·10⁵ per coord (|x| ≤ 20) keeps
+    * Σ q_i·q_j under 2⁶³ to ~2·10⁸ rows per job; shard larger
+    * corpora and merge the exact partials.
+    */
+  def pcaComponents(df: DataFrame, k: Int): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val p = prep(df).select(col("qv"))
+    val partials = p.rdd.mapPartitions { it =>
+      var n = 0L
+      var sums: Array[Long] = null
+      var prods: Array[Long] = null
+      it.foreach { row =>
+        val qv = row.getSeq[Long](0)
+        val d = qv.length
+        if (sums == null) { sums = new Array[Long](d); prods = new Array[Long](d * (d + 1) / 2) }
+        var i = 0
+        var o = 0
+        while (i < d) {
+          val qi = qv(i)
+          sums(i) += qi
+          var j = i
+          while (j < d) { prods(o) += qi * qv(j); j += 1; o += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      if (sums == null) Iterator.empty else Iterator((n, sums, prods))
+    }.collect()
+    require(partials.nonEmpty, "pcaComponents on an empty frame")
+    val d = partials.head._2.length
+    val n = partials.map(_._1).sum
+    val sums = new Array[Long](d)
+    val prods = new Array[Long](d * (d + 1) / 2)
+    partials.foreach { case (_, s, pr) =>
+      var i = 0
+      while (i < d) { sums(i) += s(i); i += 1 }
+      i = 0
+      while (i < prods.length) { prods(i) += pr(i); i += 1 }
+    }
+    val mu = sums.map(_ / 10000.0 / n)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    var o = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val e = prods(o) / 1e8 / n - mu(i) * mu(j)
+        cov(i)(j) = e; cov(j)(i) = e
+        j += 1; o += 1
+      }
+      i += 1
+    }
+    val comps = Array.ofDim[Double](k, d)
+    val eigs = new Array[Double](k)
+    for (t <- 0 until k) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 1 to 200) {
+        val av = Array.tabulate(d)(r => { var s = 0.0; var c = 0; while (c < d) { s += cov(r)(c) * v(c); c += 1 }; s })
+        // deflate: remove already-found components
+        for (u <- 0 until t) {
+          var dp = 0.0
+          var c = 0
+          while (c < d) { dp += av(c) * comps(u)(c); c += 1 }
+          c = 0
+          while (c < d) { av(c) -= dp * comps(u)(c); c += 1 }
+        }
+        val nrm = math.sqrt(av.map(x => x * x).sum)
+        v = if (nrm == 0.0) v else av.map(_ / nrm)
+      }
+      // sign fix: first coordinate with |x| > 1e-12 made positive
+      val lead = v.indexWhere(x => math.abs(x) > 1e-12)
+      if (lead >= 0 && v(lead) < 0) v = v.map(-_)
+      comps(t) = v
+      var ev = 0.0
+      for (r <- 0 until d; c <- 0 until d) ev += v(r) * cov(r)(c) * v(c)
+      eigs(t) = ev
+    }
+    (mu, comps, eigs)
+  }
+
+  /** §2.4 #29h — PCA projection of every embedding onto the top-2
+    * exact-covariance principal components, micro-quantized for a
+    * stable output surface. Rows-only by design (no SQL eigensolver);
+    * the spec replays the identical arithmetic bit-for-bit and pins
+    * variance ordering + component orthogonality.
+    */
+  def embPca(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    val (mu, ws, _) = pcaComponents(e, 2)
+    prep(e)
+      .select(
+        col("id").as("vec_id"),
+        graft.functions.ArrayExprs.centeredProject(col("qv"), mu, ws).as("pcs"),
+      )
+      .select(
+        col("vec_id"),
+        floor(col("pcs").getItem(0) * 1000000.0 + 0.5).cast(LongType).as("pc1_micro"),
+        floor(col("pcs").getItem(1) * 1000000.0 + 0.5).cast(LongType).as("pc2_micro"),
+      )
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca" -> (embPca _),
     "ann_classify" -> (annClassify _),
     "emb_centroids" -> (embCentroids _),
     "ann_bruteforce" -> (annBruteforce(_: SparkSession, _: String)),

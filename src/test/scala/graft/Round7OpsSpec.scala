@@ -830,6 +830,51 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(gotCorpus == expectCorpus)
   }
 
+  test("emb_pca: exact replay, orthonormal components, variance ordering") {
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val (mu, ws, eigs) = VectorOps.pcaComponents(e, 2)
+    // orthonormal, variance-ordered, non-negative spectrum
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    assert(math.abs(dot(ws(0), ws(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(ws(1), ws(1)) - 1.0) < 1e-9)
+    assert(math.abs(dot(ws(0), ws(1))) < 1e-9)
+    assert(eigs(0) >= eigs(1) && eigs(1) >= 0.0)
+
+    // exact replay of the projection arithmetic (same quantization,
+    // same left-to-right order)
+    val raw = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val expect = raw.map { case (id, xs) =>
+      val qv = xs.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+      val pcs = ws.map { w =>
+        var s = 0.0
+        qv.indices.foreach(i => s += (qv(i) / 10000.0 - mu(i)) * w(i))
+        s
+      }
+      (id, math.floor(pcs(0) * 1000000.0 + 0.5).toLong, math.floor(pcs(1) * 1000000.0 + 0.5).toLong)
+    }.sortBy(_._1).toSeq
+    val got = VectorOps.embPca(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pc1_micro"), r.getAs[Long]("pc2_micro"))).toSeq
+    assert(got == expect)
+
+    // projected variance matches the reported eigenvalue (vᵀCv)
+    val projs = expect.map(_._2 / 1e6)
+    val m = projs.sum / projs.length
+    val v1 = projs.map(p => (p - m) * (p - m)).sum / projs.length
+    assert(math.abs(v1 - eigs(0)) < 1e-3 * math.max(1.0, eigs(0)))
+
+    // planted dominant axis is recovered
+    val axis = Array(2.0, 1.0) ++ Array.fill(62)(0.0)
+    val nrm = math.sqrt(dot(axis, axis))
+    val planted = (0 until 200).map { t =>
+      val a = (t - 100) / 50.0
+      (t.toLong, axis.map(x => (a * x / nrm).toFloat).toSeq)
+    }.toDF("id", "embedding")
+    val (_, wsP, _) = VectorOps.pcaComponents(planted, 1)
+    assert(math.abs(dot(wsP(0), axis.map(_ / nrm))) > 0.999)
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
