@@ -213,6 +213,67 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class HHHit(win_start: Long, user_id: Long, ts: Timestamp)
+  final case class HHState(counts: Map[Long, Long])
+  final case class HHOut(day: Timestamp, user_id: Long, c_lower: Long)
+
+  /** §2.7 #46 — streaming heavy-hitter users per day window with
+    * BOUNDED state: a Misra-Gries summary of ≤ `k` counters rides in
+    * state instead of the full per-user count map, so state stays O(k)
+    * even on a key domain with unbounded cardinality (users), where
+    * [[windowTopK]]'s exact map would grow without limit. Emitted once
+    * on watermark close ([[windowTopK]]'s timeout shape). The MG
+    * guarantee survives arbitrary micro-batch splits: any user with
+    * > n_win/(k+1) events in the window is present at emission and
+    * every reported count is an undercount by ≤ n_win/(k+1) — the
+    * spec pins exactly these invariants against the batch exact
+    * counts, not value equality, because an MG summary is
+    * arrival-order-dependent by construction (the batch analog
+    * recovers exactness with a verify recount pass —
+    * `text_heavy_hitters`; its streaming twin would be this operator
+    * feeding a downstream batch recount).
+    */
+  def windowHeavyHitters(events: DataFrame, k: Int = 64,
+      watermarkDelay: String = "1 hour"): Dataset[HHOut] = {
+    import events.sparkSession.implicits._
+    val dayMs = 24L * 3600 * 1000
+
+    val hits = events
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        (floor(unix_millis(col("ts")) / dayMs) * dayMs).as("win_start"),
+        col("user_id"),
+        col("ts"),
+      )
+      .as[HHHit]
+
+    def mgAdd(m: Map[Long, Long], key: Long): Map[Long, Long] =
+      if (m.contains(key)) m.updated(key, m(key) + 1L)
+      else if (m.size < k) m.updated(key, 1L)
+      else m.flatMap { case (ku, c) => if (c == 1L) None else Some(ku -> (c - 1L)) }
+
+    def fn(winStart: Long, it: Iterator[HHHit], state: GroupState[HHState]): Iterator[HHOut] = {
+      if (state.hasTimedOut) {
+        val counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+        state.remove()
+        return counts.toSeq
+          .sortBy { case (u, c) => (-c, u) }
+          .map { case (u, c) => HHOut(new Timestamp(winStart), u, c) }
+          .iterator
+      }
+      val merged = it.foldLeft(state.getOption.map(_.counts).getOrElse(Map.empty)) {
+        (m, h) => mgAdd(m, h.user_id)
+      }
+      state.update(HHState(merged))
+      state.setTimeoutTimestamp(math.max(winStart + dayMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    hits
+      .groupByKey(_.win_start)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   final case class BandHit(band_idx: Int, band_key: Long, doc_id: Long, ts: Timestamp)
   final case class BandOwner(ownerId: Long)
   final case class CandPair(doc_a: Long, doc_b: Long, band_idx: Int)

@@ -77,6 +77,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: MG invariants hold against batch exact counts") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val input = stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val k = 8
+
+    val q = EventsStream
+      .windowHeavyHitters(input, k)
+      .writeStream.format("memory").queryName("hh_out").outputMode("append").start()
+    try {
+      // split mid-stream: the MG summary must merge across micro-batches
+      val evs = events.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+        .sortBy(e => (e._2.getTime, e._3))
+      val (b1, b2) = evs.splitAt(evs.size / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      stream.addData(Seq((0L, Timestamp.valueOf("2030-01-01 00:00:00"), 0L, "sentinel", 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("hh_out")
+        .filter(col("day") < lit(Timestamp.valueOf("2029-01-01 00:00:00")))
+        .collect()
+        .map(r => (r.getAs[Timestamp]("day").getTime, r.getAs[Long]("user_id")) -> r.getAs[Long]("c_lower"))
+        .toMap
+      val exact = events
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getAs[Timestamp]("day").getTime, r.getAs[Long]("user_id")) -> r.getAs[Long]("c"))
+        .toMap
+      val dayTotals = exact.groupBy(_._1._1).map { case (d, m) => d -> m.values.sum }
+
+      // 1. guaranteed superset: user above n_win/(k+1) must be present
+      val mustHave = exact.filter { case ((d, _), c) => c > dayTotals(d).toDouble / (k + 1) }
+      assert(mustHave.nonEmpty, "test data must exercise the guarantee")
+      mustHave.foreach { case (key, _) => assert(got.contains(key), s"guaranteed heavy hitter $key missing") }
+      // 2. counts are undercounts within the MG error bound
+      got.foreach { case (key, lower) =>
+        val truth = exact.getOrElse(key, 0L)
+        assert(lower <= truth, s"$key reported $lower above truth $truth")
+        assert(truth - lower <= dayTotals(key._1) / (k + 1) + 1, s"$key error bound violated")
+      }
+      // 3. bounded state: at most k survivors per day
+      got.keys.groupBy(_._1).values.foreach(g => assert(g.size <= k))
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch q_sessionize on closed sessions") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Event]
