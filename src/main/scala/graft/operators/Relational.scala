@@ -1980,10 +1980,88 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** §2.2 #21ao — join-key skew diagnosis: the report a planner (or
+    * an engineer choosing between a plain and a salted join — see
+    * [[Skew]]) reads before shuffling 100 TB on a key. One count
+    * aggregate with map-side combine, a 1-row global rollup broadcast
+    * back, top-10 via TakeOrdered. `skew_micro` = max/avg key
+    * multiplicity ×10⁶ (one double product + division — IEEE-exact
+    * cross-engine); `share_ppm` = the key's fraction of all rows.
+    */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(
+      sum(col("c")).as("n_total"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_c"),
+    )
+    counts
+      .join(broadcast(tot), lit(true))
+      .select(
+        col("l_suppkey"),
+        col("c"),
+        floor(col("c").cast(DoubleType) * 1000000.0 / col("n_total").cast(DoubleType)).cast(LongType).as("share_ppm"),
+        col("n_keys"),
+        floor(col("max_c").cast(DoubleType) * col("n_keys").cast(DoubleType) / col("n_total").cast(DoubleType) * 1000000.0).cast(LongType).as("skew_micro"),
+      )
+      .orderBy(col("c").desc, col("l_suppkey"))
+      .limit(10)
+  }
+
+  val qSkewReportSql: String =
+    """WITH counts AS (
+      |  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY l_suppkey
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_keys, max(c) AS max_c FROM counts
+      |)
+      |SELECT l_suppkey, c,
+      |  CAST(floor(CAST(c AS DOUBLE) * 1000000.0 / CAST(n_total AS DOUBLE)) AS BIGINT) AS share_ppm,
+      |  n_keys,
+      |  CAST(floor(CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_total AS DOUBLE) * 1000000.0) AS BIGINT) AS skew_micro
+      |FROM counts CROSS JOIN tot
+      |ORDER BY c DESC, l_suppkey
+      |LIMIT 10""".stripMargin
+
+  /** §2.2 #21ap — ordered path aggregation: each customer's order
+    * history as a priority "journey string" in (date, orderkey) order
+    * — the funnel-path / clickstream-journey primitive. The ordering
+    * is NOT a window: collect_list + array_sort on a (date, orderkey,
+    * step) struct sorts inside each group's aggregation buffer, so
+    * the plan is ONE custkey shuffle with partial aggregation — no
+    * sort exchange, no window pass. Struct field order makes the
+    * lexicographic sort the total (date, orderkey) order, and the
+    * monotone orderkey tiebreak makes the path deterministic.
+    */
+  def qOrderpath(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        concat_ws(">",
+          transform(
+            array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey"), substring(col("o_orderpriority"), 1, 1).as("step")))),
+            s => s.getField("step"),
+          ),
+        ).as("path"),
+      )
+      .orderBy("o_custkey")
+  }
+
+  val qOrderpathSql: String =
+    """SELECT o_custkey,
+      |  count(*) AS n_orders,
+      |  string_agg(substring(o_orderpriority, 1, 1), '>' ORDER BY o_orderdate, o_orderkey) AS path
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_copurchase" -> (qCopurchase _),
     "q_ntile" -> (qNtile _),
     "q_bloom_prune" -> (qBloomPrune _),
+    "q_skew_report" -> (qSkewReport _),
+    "q_orderpath" -> (qOrderpath _),
     "q_scd2" -> (qScd2 _),
     "q_gapfill" -> (qGapfill _),
     "q_retention" -> (qRetention _),
@@ -2038,6 +2116,8 @@ object Relational {
     "q_copurchase" -> qCopurchaseSql,
     "q_ntile" -> qNtileSql,
     "q_bloom_prune" -> qBloomPruneSql,
+    "q_skew_report" -> qSkewReportSql,
+    "q_orderpath" -> qOrderpathSql,
     "q_scd2" -> qScd2Sql,
     "q_gapfill" -> qGapfillSql,
     "q_retention" -> qRetentionSql,

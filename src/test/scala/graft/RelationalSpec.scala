@@ -128,7 +128,8 @@ class PlanSpec extends AnyFunSuite {
     // into the customer scan — the q_zorder shape again.
     val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "ann_pq", "dedup_semantic",
       "text_tfidf", "text_bm25", "text_surprisal", "q_zorder", "q_histogram",
-      "sample_negatives", "q22_idle", "ann_classify", "text_pmi", "text_heavy_hitters")
+      "sample_negatives", "q22_idle", "ann_classify", "text_pmi", "text_heavy_hitters",
+      "q_skew_report")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

@@ -875,6 +875,36 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(math.abs(dot(wsP(0), axis.map(_ / nrm))) > 0.999)
   }
 
+  test("q_skew_report: top keys and ratios equal the plain-Scala replay") {
+    val rows = Relational.qSkewReport(spark, sf).collect()
+    val keys = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_suppkey")).as[Long].collect()
+    val counts = keys.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val nTotal = keys.length.toLong
+    val nKeys = counts.size.toLong
+    val maxC = counts.values.max
+    val expect = counts.toSeq.sortBy(t => (-t._2, t._1)).take(10).map { case (k, c) =>
+      (k, c, math.floor(c.toDouble * 1000000.0 / nTotal.toDouble).toLong, nKeys,
+        math.floor(maxC.toDouble * nKeys.toDouble / nTotal.toDouble * 1000000.0).toLong)
+    }
+    assert(rows.map(r => (r.getAs[Long]("l_suppkey"), r.getAs[Long]("c"),
+      r.getAs[Long]("share_ppm"), r.getAs[Long]("n_keys"), r.getAs[Long]("skew_micro"))).toSeq == expect)
+  }
+
+  test("q_orderpath: journey strings equal the ordered plain-Scala replay") {
+    val rows = Relational.qOrderpath(spark, sf).collect()
+    val orders = GraftSession.table(spark, sf, "orders")
+      .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1))
+      .as[(Long, Long, Long, String)].collect()
+    val expect = orders.groupBy(_._1).map { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._2, o._3))
+      (ck, os.length.toLong, sorted.map(_._4).mkString(">"))
+    }.toSeq.sortBy(_._1)
+    assert(rows.map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("n_orders"),
+      r.getAs[String]("path"))).toSeq == expect)
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
