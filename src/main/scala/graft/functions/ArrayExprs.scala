@@ -92,6 +92,12 @@ object ArrayExprs {
     */
   def centeredProject(qv: Column, mu: Array[Double], ws: Array[Array[Double]]): Column =
     ColumnBridge.column(CenteredProject(ColumnBridge.expression(qv), mu, ws))
+
+  /** Content-defined chunk lengths of a binary column by gear-hash
+    * cut-points (see [[GearCdcChunks]]).
+    */
+  def gearCdcChunks(payload: Column, minSize: Int, maskBits: Int, maxSize: Int): Column =
+    ColumnBridge.column(GearCdcChunks(ColumnBridge.expression(payload), minSize, maskBits, maxSize))
 }
 
 /** Space-joined n-grams of a word array; a document shorter than n
@@ -785,4 +791,64 @@ case class CenteredProject(child: Expression, mu: Array[Double], ws: Array[Array
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Content-defined chunk lengths of a binary payload by gear-hash
+  * cut-points (the FastCDC family): h = (h<<1) + GEAR(byte); a
+  * boundary falls where (h & mask) == 0 once the chunk has reached
+  * `minSize`, or unconditionally at `maxSize`. Because the rolling
+  * state is a pure function of the recent byte window (the shift ages
+  * bytes out of the top), an insertion re-synchronizes within one
+  * chunk — downstream boundaries (and so chunk content addresses)
+  * are unchanged, which is exactly what fixed-size splitting cannot
+  * do and the reason dedup storage chunks this way. The GEAR table is
+  * splitmix64 of the byte value — deterministic everywhere. The hash
+  * state resets at each cut, so every boundary decision is exactly
+  * replayable by the spec's plain-Scala scan.
+  */
+case class GearCdcChunks(child: Expression, minSize: Int, maskBits: Int, maxSize: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient lazy val gear: Array[Long] = GearCdcChunks.gearTable
+  private val mask: Long = (1L << maskBits) - 1
+
+  def chunkLengths(in: Any): GenericArrayData = {
+    val b = in.asInstanceOf[Array[Byte]]
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var h = 0L
+    var len = 0
+    var i = 0
+    while (i < b.length) {
+      h = (h << 1) + gear(b(i) & 0xff)
+      len += 1
+      if ((len >= minSize && (h & mask) == 0L) || len >= maxSize) {
+        out += len
+        h = 0L
+        len = 0
+      }
+      i += 1
+    }
+    if (len > 0) out += len
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(in: Any): Any = chunkLengths(in)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdc", this, classOf[GearCdcChunks].getName)
+    nullSafeCodeGen(ctx, ev, b => s"${ev.value} = $ref.chunkLengths($b);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object GearCdcChunks {
+  /** splitmix64(i) for i = 0..255 — the standard public-domain mixer. */
+  lazy val gearTable: Array[Long] = Array.tabulate(256) { i =>
+    var z = i.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 }

@@ -193,7 +193,42 @@ object LakeOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.1 #2b — CONTENT-DEFINED chunk split (gear-hash cut-points,
+    * the FastCDC family; min 32 / avg ~96 / max 256 bytes to sit on
+    * the same ladder as the fixed splitter): boundaries depend on
+    * local content, not absolute offsets, so an insertion re-syncs
+    * within one chunk and every downstream chunk keeps its content
+    * address — the dedup property fixed-size splitting cannot give
+    * (reference splits fixed at store/mod.rs:392-457; CDC is the
+    * storage-dedup upgrade of that ladder). The gear scan is a
+    * codegen kernel emitting chunk lengths map-side; offsets are one
+    * doc-keyed running-sum window; hashes are sha2 over binary
+    * slices. Rows-only by design (a rolling-hash scan is not one SQL
+    * statement); the spec replays the scan exactly and pins coverage
+    * + the insertion-resync property.
+    */
+  def lakeCdcSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = col("text").cast(BinaryType)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("part_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    docs(spark, dir)
+      .select(col("doc_id"), payload.as("payload"),
+        graft.functions.ArrayExprs.gearCdcChunks(payload, 32, 6, 256).as("lens"))
+      .select(col("doc_id"), col("payload"), posexplode(col("lens")).as(Seq("part_idx", "part_len")))
+      .withColumn("off", coalesce(sum(col("part_len")).over(w), lit(0)).cast(LongType))
+      .select(
+        col("doc_id"),
+        col("part_idx").cast(LongType).as("part_idx"),
+        col("off"),
+        col("part_len").cast(LongType).as("part_len"),
+        sha2(expr("substring(payload, cast(off + 1 as int), part_len)"), 256).as("chunk_hash"),
+      )
+      .orderBy("doc_id", "part_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_cdc_split" -> (lakeCdcSplit _),
     "lake_put_blob" -> (lakePutBlob _),
     "lake_chunk_split" -> (lakeChunkSplit _),
     "lake_dedup_stats" -> (lakeDedupStats _),

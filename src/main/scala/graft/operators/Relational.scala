@@ -2056,12 +2056,51 @@ object Relational {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** §2.2 #21aq — incremental view maintenance by algebraic merge: a
+    * per-customer (n_orders, spend) aggregate maintained under an
+    * arriving delta batch WITHOUT recomputing the base — merge the
+    * base aggregate with the delta's own aggregate via a full outer
+    * join and coalesce-add (count and DECIMAL sum are algebraic:
+    * merge(a,b) = a+b). At 100 TB the base aggregate is a standing
+    * table and only the delta (tiny) aggregates + broadcasts into the
+    * merge — the maintenance cost is ∝ |delta|, not |base|. The
+    * oracle recomputes from scratch over the union: passing proves
+    * merge ≡ recompute.
+    */
+  def qIvmMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    def aggOf(d: DataFrame) = d.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(decP(col("o_totalprice"))).as("s"))
+    val base = aggOf(o.filter(col("o_orderkey") % 10 =!= 0))
+      .select(col("o_custkey"), col("n").as("n_base"), col("s").as("s_base"))
+    val delta = aggOf(o.filter(col("o_orderkey") % 10 === 0))
+      .select(col("o_custkey"), col("n").as("n_delta"), col("s").as("s_delta"))
+    base
+      .join(delta, Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L))).as("n_orders"),
+        dbl(coalesce(col("s_base"), lit(0).cast(DecimalType(12, 2))) +
+          coalesce(col("s_delta"), lit(0).cast(DecimalType(12, 2)))).as("spend"),
+      )
+      .orderBy("o_custkey")
+  }
+
+  val qIvmMergeSql: String =
+    """SELECT o_custkey,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_copurchase" -> (qCopurchase _),
     "q_ntile" -> (qNtile _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_skew_report" -> (qSkewReport _),
     "q_orderpath" -> (qOrderpath _),
+    "q_ivm_merge" -> (qIvmMerge _),
     "q_scd2" -> (qScd2 _),
     "q_gapfill" -> (qGapfill _),
     "q_retention" -> (qRetention _),
@@ -2118,6 +2157,7 @@ object Relational {
     "q_bloom_prune" -> qBloomPruneSql,
     "q_skew_report" -> qSkewReportSql,
     "q_orderpath" -> qOrderpathSql,
+    "q_ivm_merge" -> qIvmMergeSql,
     "q_scd2" -> qScd2Sql,
     "q_gapfill" -> qGapfillSql,
     "q_retention" -> qRetentionSql,

@@ -905,6 +905,63 @@ class Round7OpsSpec extends AnyFunSuite {
       r.getAs[String]("path"))).toSeq == expect)
   }
 
+  test("q_ivm_merge: algebraic merge equals full recompute") {
+    val rows = Relational.qIvmMerge(spark, sf).collect()
+    val full = GraftSession.table(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("spend"))
+      .orderBy("o_custkey").collect()
+    assert(rows.map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("n_orders"), r.getAs[Double]("spend"))).toSeq ==
+      full.map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("n_orders"), r.getAs[Double]("spend"))).toSeq)
+  }
+
+  test("lake_cdc_split: gear replay, coverage bounds, insertion re-sync") {
+    import graft.functions.GearCdcChunks
+    def gearChunks(b: Array[Byte]): Seq[Int] = {
+      val gear = GearCdcChunks.gearTable
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var h = 0L; var len = 0
+      b.foreach { byte =>
+        h = (h << 1) + gear(byte & 0xff); len += 1
+        if ((len >= 32 && (h & 63L) == 0L) || len >= 256) { out += len; h = 0L; len = 0 }
+      }
+      if (len > 0) out += len
+      out.toSeq
+    }
+    val texts = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val rows = operators.LakeOps.lakeCdcSplit(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    texts.filter(_._2.nonEmpty).foreach { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      val expectLens = gearChunks(b)
+      val cs = byDoc(id).sortBy(_.getAs[Long]("part_idx"))
+      assert(cs.map(_.getAs[Long]("part_len").toInt).toSeq == expectLens, s"doc $id")
+      assert(expectLens.sum == b.length)
+      // every non-final chunk respects [min, max]; the final only max
+      expectLens.dropRight(1).foreach(l => assert(l >= 32 && l <= 256))
+      assert(expectLens.last <= 256)
+      // offsets are the running sum
+      assert(cs.map(_.getAs[Long]("off")).toSeq == expectLens.scanLeft(0L)(_ + _).dropRight(1).toSeq)
+    }
+
+    // content-defined boundaries re-sync after an insertion: most of
+    // the shifted tail keeps its chunk content (fixed-size would lose
+    // every downstream chunk)
+    val big = texts.values.maxBy(_.length).getBytes("UTF-8")
+    assert(big.length > 400, "need a long doc for the resync property")
+    val edited = big.take(100) ++ "INSERTED".getBytes("UTF-8") ++ big.drop(100)
+    def contents(b: Array[Byte]): Seq[String] = {
+      val lens = gearChunks(b)
+      lens.scanLeft(0)(_ + _).zip(lens).map { case (off, l) => new String(b.slice(off, off + l), "UTF-8") }
+    }
+    val orig = contents(big)
+    val after = contents(edited)
+    val shared = after.toSet.intersect(orig.toSet).size
+    assert(shared >= orig.size / 2, s"only $shared of ${orig.size} chunks survived the insertion")
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
