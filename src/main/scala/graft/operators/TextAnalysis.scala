@@ -943,10 +943,46 @@ object TextAnalysis {
       |WHERE c >= greatest(5, CAST(floor(CAST(n_total AS DOUBLE) / 1000.0) AS BIGINT))
       |ORDER BY c DESC, w""".stripMargin
 
+  /** §2.5 #33t — per-source percentile calibration of the quality
+    * score: raw scores are not comparable across sources (a "0.7" from
+    * a clean corpus and a noisy one mean different things), so the
+    * production keep-threshold applies to the WITHIN-SOURCE percentile
+    * rank. percent_rank over a (score, doc_id) total order — tie-free,
+    * so it equals (row_number−1)/(n−1), one exact IEEE division both
+    * engines compute identically; micro-quantized output. One window
+    * pass partitioned by source — partition-parallel at any scale (a
+    * global percentile would single-partition; per-source is the
+    * point).
+    */
+  def textQualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(words).cast(LongType)
+    val nUniq = size(array_distinct(words)).cast(LongType)
+    val score = (nUniq.cast(DoubleType) / nTokens) * least(lit(1.0), nTokens.cast(DoubleType) / 50.0)
+    val w = Window.partitionBy(col("source")).orderBy(col("quality_score"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), score.as("quality_score"))
+      .withColumn("pct_micro",
+        floor(percent_rank().over(w) * 1000000.0 + 0.5).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val textQualityCalibratedSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
+      |      * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) AS quality_score
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, quality_score,
+      |  CAST(floor(percent_rank() OVER (PARTITION BY source ORDER BY quality_score, doc_id) * 1000000.0 + 0.5) AS BIGINT) AS pct_micro
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pmi" -> (textPmi _),
     "text_entropy" -> (textEntropy _),
     "text_heavy_hitters" -> (textHeavyHitters _),
+    "text_quality_calibrated" -> (textQualityCalibrated _),
     "text_bigram" -> (textBigramSurprisal _),
     "text_surprisal" -> (textSurprisal _),
     "text_chunks" -> (textChunks _),
@@ -970,6 +1006,7 @@ object TextAnalysis {
     "text_pmi" -> textPmiSql,
     "text_entropy" -> textEntropySql,
     "text_heavy_hitters" -> textHeavyHittersSql,
+    "text_quality_calibrated" -> textQualityCalibratedSql,
     "text_surprisal" -> textSurprisalSql,
     "text_chunks" -> textChunksSql,
     "text_normalize" -> textNormalizeSql,

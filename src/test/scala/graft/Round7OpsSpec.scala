@@ -962,6 +962,23 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(shared >= orig.size / 2, s"only $shared of ${orig.size} chunks survived the insertion")
   }
 
+  test("text_quality_calibrated: percentiles equal the per-source rank replay") {
+    val rows = TextAnalysis.textQualityCalibrated(spark, sf).collect()
+    val scored = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Double]("quality_score")))
+    val expect = scored.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._1))
+      val n = sorted.length
+      sorted.zipWithIndex.map { case (d, i) =>
+        d._1 -> (if (n == 1) 0L else math.floor(i.toDouble / (n - 1) * 1000000.0 + 0.5).toLong)
+      }.toSeq
+    }
+    val got = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pct_micro")).toMap
+    expect.foreach { case (id, p) => assert(got(id) == p, s"doc $id") }
+    // calibration property: every source's top-scored doc sits at 100%
+    assert(rows.groupBy(_.getAs[String]("source")).values
+      .forall(_.map(_.getAs[Long]("pct_micro")).max == 1000000L))
+  }
+
   test("q15_top_supplier: winners all carry the max revenue over the window") {
     val rows = Relational.q15TopSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
