@@ -230,4 +230,34 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(nPlanted == nGroups * (perGroup / 50 - 1))
   }
+
+  test("gear CDC chunking: coverage and size bounds on random payloads") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 4096)
+      bytes <- Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bytes
+    val cdc = graft.functions.GearCdcChunks(null, 32, 6, 256)
+    sample(gen, 200, seed = 41L).foreach { b =>
+      val lens = cdc.chunkLengths(b).toIntArray()
+      assert(lens.sum == b.length, "chunks must cover the payload exactly")
+      lens.dropRight(1).foreach(l => assert(l >= 32 && l <= 256, s"interior chunk $l out of bounds"))
+      if (lens.nonEmpty) assert(lens.last >= 1 && lens.last <= 256)
+      // determinism
+      assert(cdc.chunkLengths(b).toIntArray().toSeq == lens.toSeq)
+    }
+  }
+
+  test("block-parity phash: single byte flip moves at most one bit") {
+    val gen = for {
+      n <- Gen.chooseNum(62, 2048)
+      bytes <- Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      pos <- Gen.chooseNum(0, n - 1)
+    } yield (bytes, pos)
+    val ph = graft.functions.BlockParityHash(null)
+    sample(gen, 200, seed = 42L).foreach { case (b, pos) =>
+      val flipped = b.clone(); flipped(pos) = (flipped(pos) ^ 1).toByte
+      val h = java.lang.Long.bitCount(ph.hashBytes(b) ^ ph.hashBytes(flipped))
+      assert(h <= 1, s"single-byte flip moved $h bits")
+    }
+  }
 }

@@ -83,6 +83,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q_bloom_prune probes map-side before the verify join") {
+    val plan = operators.Relational.qBloomPrune(spark, sf).queryExecution.executedPlan.toString
+    // the probe must be a Filter on the fact scan side (map-side,
+    // pre-shuffle), not evaluated after the join
+    val probeAt = plan.indexOf("bloommightcontainlong")
+    val joinAt = plan.indexOf("Join")
+    assert(probeAt >= 0, s"bloom probe missing from the plan:\n$plan")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "probe should sit below (print after) the verify join, on the scan side")
+  }
+
   test("no accidental cartesian products in the pair-space operators") {
     Seq(
       operators.Dedup.dedupMinhashLsh(spark, sf),
