@@ -232,6 +232,12 @@ object Graph {
         greatest(col("c_nationkey"), col("s_nationkey")).as("v"),
       )
       .distinct()
+      // materialize the (tiny) deduped edge relation once: the three
+      // triangle-join legs would otherwise each recompute the fact
+      // join that derives it — 17 exchanges → 3× the fact scan at
+      // scale (measured in the plan audit; ReuseExchange does not
+      // unify the legs because each sits under a different join key)
+      .localCheckpoint()
     val e1 = edges.select(col("u").as("a"), col("v").as("b"))
     val e2 = edges.select(col("u").as("b2"), col("v").as("c2"))
     val e3 = edges.select(col("u").as("a3"), col("v").as("c3"))

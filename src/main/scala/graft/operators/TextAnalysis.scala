@@ -832,14 +832,17 @@ object TextAnalysis {
     val toks = docs(spark, dir)
       .select(col("doc_id"), explode(words).as("w"))
     val counts = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    // per-doc total via a doc-partitioned window (not a separate agg +
+    // self-join): the window's doc_id exchange is the SAME partitioning
+    // the final groupBy needs, so it plans one exchange instead of
+    // three (measured in the plan audit)
+    val wDoc = Window.partitionBy(col("doc_id"))
     counts
-      .join(totals, "doc_id")
+      .withColumn("n", sum(col("c")).over(wDoc))
       .groupBy(col("doc_id"))
       .agg(
         first(col("n")).as("n_words"),
-        first(col("n_distinct")).as("n_distinct"),
+        count(lit(1)).as("n_distinct"),
         sum(col("c") * floor(log(col("n").cast(DoubleType) / col("c").cast(DoubleType)) * 1000000.0).cast(LongType))
           .as("sum_micro"),
       )
