@@ -74,32 +74,60 @@ object Bench {
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c if c < ' ' => " "; case c => c.toString } + "\""
-    // The driver captures only the last ~2.2 KB of output; with ~90
-    // queries the one-line JSON must stay under ~2 KB or the head gets
-    // truncated and the driver records `parsed: null`. Two decimals
-    // with trailing zeros trimmed ("0.43", "1.2") is well inside
-    // measurement noise (min-of-two on a shared box) and saves ~200 B.
     def num(v: Double): String = {
       val s = "%.2f".format(v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val errs = errs0.toSeq.sortBy(_._1).map { case (k, e) => "\"" + k + "\":" + jstr(e) }.mkString("{", ",", "}")
     val total = times.values.sum
-    // empty maps are omitted from the line entirely (same ~2.2 KB
-    // tail-capture budget as the 2-decimal trim above)
     // self-check against the committed BASELINE.md floors (sf0.1 only —
     // the floors were measured there): any query >2× its floor is a
     // regression the next round must explain or fix
-    val regs =
-      if (sfDir.endsWith("sf0.1"))
-        BenchBaseline.regressions(times.toSeq)
-          .map { case (n, v, f) => "\"" + n + "\":{\"sec\":" + num(v) + ",\"floor\":" + f + "}" }
-          .mkString("{", ",", "}")
-      else "{}"
+    val regressions =
+      if (sfDir.endsWith("sf0.1")) BenchBaseline.regressions(times.toSeq) else Seq.empty
+    def entry(k: String, v: Double) = "\"" + k + "\":" + num(v)
+    val errs = errs0.toSeq.sortBy(_._1).map { case (k, e) => "\"" + k + "\":" + jstr(e) }.mkString("{", ",", "}")
+    val regsFull = regressions
+      .map { case (n, v, f) => "\"" + n + "\":{\"sec\":" + num(v) + ",\"floor\":" + f + "}" }
+      .mkString("{", ",", "}")
+    // Full per-query detail goes to bench_full.json in the working
+    // directory (the repo root under the driver's sbt invocation, so
+    // the round-end auto-commit preserves it for the judge). The
+    // printed line is a capture-budget-constrained digest.
+    val fullJson =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${times.size},""" +
+        s""""queries":${times.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")},""" +
+        s""""errors":$errs,"regressions":$regsFull,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => () }
+    // The driver captures only the last 2000 bytes of output (measured
+    // from BENCH_r06, where a 2.3 KB line lost its head and parsed as
+    // null). Reserve ~80 bytes for sbt's trailing "[success] Total
+    // time" line; if the full line exceeds the budget, drop per-query
+    // entries CHEAPEST-FIRST until it fits — the expensive queries are
+    // the performance signal, and the dropped ones are in
+    // bench_full.json. "qn" carries the true benched count and "full"
+    // points at the detail file. Regressions in the line are capped at
+    // the 5 worst by ratio for the same reason.
+    val MaxLine = 1850
+    val worstRegs = regressions.sortBy { case (_, v, f) => -(v / f) }.take(5)
+    val regsLine = worstRegs
+      .map { case (n, v, f) => "\"" + n + "\":{\"sec\":" + num(v) + ",\"floor\":" + f + "}" }
+      .mkString("{", ",", "}")
     val errsField = if (errs0.nonEmpty) s""","errors":$errs""" else ""
-    val regsField = if (regs != "{}") s""","regressions":$regs""" else ""
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$errsField$regsField,"sf":"$sfDir"}""")
+    val regsField =
+      if (regressions.nonEmpty) s""","reg_n":${regressions.size},"regressions":$regsLine"""
+      else ""
+    val sfShort = sfDir.split('/').last
+    def line(qs: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","qn":${times.size},""" +
+        s""""full":"bench_full.json","queries":${qs.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")}""" +
+        s"""$errsField$regsField,"sf":"$sfShort"}"""
+    val byCost = times.toSeq.sortBy(-_._2)
+    var keep = byCost.length
+    while (keep > 1 && line(byCost.take(keep).sortBy(_._1)).length > MaxLine) keep -= 1
+    println(line(byCost.take(keep).sortBy(_._1)))
     spark.stop()
     if (errs0.nonEmpty) sys.exit(1)
   }
