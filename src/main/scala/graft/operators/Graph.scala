@@ -361,11 +361,113 @@ object Graph {
       |FROM reach GROUP BY node
       |ORDER BY node""".stripMargin
 
+  /** `rounds` of HITS (Kleinberg '99) over a directed bipartite edge
+    * list: authority(d) = Σ hub(s) over in-edges, hub(s) = Σ auth(d)
+    * over out-edges, renormalized each half-step. Same two relational
+    * primitives as [[pageRank]] (shuffle join on the propagating side
+    * + partial-agg sum), and the same cross-engine determinism trick:
+    * scores live on a ×`scale` integer grid and the per-half-step
+    * renormalization is `score * scale div max(score)` — floor
+    * division on int64, so a DuckDB oracle replays the identical
+    * iteration bit-for-bit. (Classic HITS L2-normalizes; any
+    * positive rescaling preserves the power iteration's direction,
+    * and max-normalization keeps every intermediate on the integer
+    * grid. The max itself is a scalar agg collected per half-step —
+    * the bounded-driver-fast-path idiom of [[connectedComponents]]'s
+    * potential check, two cheap jobs per round.)
+    *
+    * Overflow headroom: raw sums are ≤ max-degree × scale; at 10^6
+    * scale that clears int64 up to degree ~9×10^12. At a 100 TB edge
+    * list drop `scale` to 10^4 (same knob as pageRank's).
+    */
+  def hits(edges: DataFrame, rounds: Int, scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val srcs = e.select(col("src")).dropDuplicates("src").localCheckpoint()
+    def maxOf(d: DataFrame, c: String): Long =
+      d.agg(max(col(c))).head().getLong(0)
+    var hub = srcs.select(col("src"), lit(scale).as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val aRaw = e.join(hub, "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
+      val aMax = maxOf(aRaw, "a_raw")
+      auth = aRaw
+        .select(col("dst"), expr(s"(a_raw * $scale) div $aMax").as("auth"))
+        .localCheckpoint()
+      val hRaw = e.join(auth, "dst")
+        .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
+      val hMax = maxOf(hRaw, "h_raw")
+      hub = hRaw
+        .select(col("src"), expr(s"(h_raw * $scale) div $hMax").as("hub"))
+        .localCheckpoint()
+    }
+    hub.select(col("src").as("node_id"), lit("hub").as("score_kind"), col("hub").as("score"))
+      .unionByName(auth.select(col("dst").as("node_id"), lit("authority").as("score_kind"), col("auth").as("score")))
+      .orderBy("node_id")
+  }
+
+  /** §2.8 #50 — HITS over the directed customer→supplier trade graph
+    * (who-buys-from-whom): customers score as hubs (breadth of
+    * sourcing), suppliers as authorities (breadth of demand), 3
+    * rounds. Same node numbering as [[qPagerank]].
+    */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    hits(edges, 3) // hits() dedupes the edge list itself
+      .select(
+        col("node_id"),
+        when(col("node_id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        col("score_kind"),
+        col("score"),
+      )
+      .orderBy("node_id")
+  }
+
+  val qHitsSql: String = {
+    def round(hPrev: String, a: String, h: String): String =
+      s"""${a}_raw AS (
+         |  SELECT e.dst, SUM(m.hub) AS a_raw
+         |  FROM e JOIN $hPrev m ON m.src = e.src GROUP BY e.dst
+         |), $a AS (
+         |  SELECT dst, CAST(a_raw * 1000000 // (SELECT max(a_raw) FROM ${a}_raw) AS BIGINT) AS auth
+         |  FROM ${a}_raw
+         |), ${h}_raw AS (
+         |  SELECT e.src, SUM(m.auth) AS h_raw
+         |  FROM e JOIN $a m ON m.dst = e.dst GROUP BY e.src
+         |), $h AS (
+         |  SELECT src, CAST(h_raw * 1000000 // (SELECT max(h_raw) FROM ${h}_raw) AS BIGINT) AS hub
+         |  FROM ${h}_raw
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |), h0 AS (
+       |  SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS hub FROM e
+       |),
+       |${round("h0", "a1", "h1")},
+       |${round("h1", "a2", "h2")},
+       |${round("h2", "a3", "h3")},
+       |u AS (
+       |  SELECT src AS node_id, 'hub' AS score_kind, hub AS score FROM h3
+       |  UNION ALL
+       |  SELECT dst AS node_id, 'authority' AS score_kind, auth AS score FROM a3
+       |)
+       |SELECT node_id,
+       |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  score_kind, score
+       |FROM u
+       |ORDER BY node_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_bfs" -> (qBfs _),
     "q_triangles" -> (qTriangles _),
     "q_components" -> (qComponents _),
+    "q_hits" -> (qHits _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -373,5 +475,6 @@ object Graph {
     "q_bfs" -> qBfsSql,
     "q_triangles" -> qTrianglesSql,
     "q_components" -> qComponentsSql,
+    "q_hits" -> qHitsSql,
   )
 }

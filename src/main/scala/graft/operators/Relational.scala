@@ -806,6 +806,65 @@ object Relational {
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** §2.2 #21s — last-touch attribution: each purchase is credited to
+    * the same user's most recent PRECEDING non-purchase touchpoint
+    * (view/click/signup/error), 'none' when there is no touch within
+    * 7 days — the marketing-analytics revenue-attribution primitive,
+    * distinct from [[qFunnel]] (which takes first events per stage,
+    * not the last touch before each conversion).
+    *
+    * Scale shape: one window pass partitioned by user (`last(...,
+    * ignoreNulls)` over a ROWS frame — a running carry, no self-join
+    * against the touch stream) followed by a tiny channel rollup.
+    * Cross-engine exactness: ordering is (µs, event_id) — total and
+    * identical in both engines — and revenue sums as integer cents
+    * (`floor(value*100)`: both engines run the same IEEE double ops,
+    * then sum exactly).
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(
+        col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("cents"),
+      )
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", struct(col("us"), col("event_type")))
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000L
+    e.withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("lt").isNull || col("us") - col("lt.us") > sevenDaysUs, "none")
+          .otherwise(col("lt.event_type")).as("attr_channel"),
+        col("cents"),
+      )
+      .groupBy(col("attr_channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("total_cents"))
+      .orderBy("attr_channel")
+  }
+
+  val qAttributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), t AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |                    THEN struct_pack(us := us, event_type := event_type) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      |  FROM e
+      |), p AS (
+      |  SELECT CASE WHEN lt IS NULL OR us - lt.us > 604800000000 THEN 'none'
+      |              ELSE lt.event_type END AS attr_channel,
+      |    cents
+      |  FROM t WHERE event_type = 'purchase'
+      |)
+      |SELECT attr_channel, count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM p GROUP BY attr_channel
+      |ORDER BY attr_channel""".stripMargin
+
   /** §2.2 #21n — bidirectional two-nation trade volume by year, TPC-H
     * Q7 shape: the big fact join (lineitem⋈orders) shuffles on
     * orderkey once; customer/supplier/nation are broadcast dims, so
@@ -2126,6 +2185,7 @@ object Relational {
     "profile_table" -> (profileTable _),
     "q_upsert" -> (qUpsert _),
     "q_funnel" -> (qFunnel _),
+    "q_attribution" -> (qAttribution _),
     "q_json" -> (qJson _),
     "q_leadlag" -> (qLeadlag _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -2188,6 +2248,7 @@ object Relational {
     "q_corr_scalar" -> qCorrScalarSql,
     "q_upsert" -> qUpsertSql,
     "q_funnel" -> qFunnelSql,
+    "q_attribution" -> qAttributionSql,
     "q_setops" -> qSetopsSql,
     "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,

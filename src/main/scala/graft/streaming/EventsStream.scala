@@ -110,6 +110,50 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class Change(key: Long, seq: Long, op: String, value: Double)
+  final case class CdcState(seq: Long, value: Double, deleted: Boolean)
+  final case class CdcOut(key: Long, seq: Long, value: Double, deleted: Boolean)
+
+  /** §2.7 #47 — streaming CDC apply: maintain the latest-wins snapshot
+    * of a keyed change feed (upserts + deletes carrying a monotone
+    * per-key sequence) as the changes stream in — MERGE INTO as a
+    * continuously-maintained state, the streaming twin of the batch
+    * [[graft.operators.Relational.qUpsert]].
+    *
+    * Order independence is the load-bearing property: a change applies
+    * only when its `seq` beats the state's, and within a micro-batch
+    * only the max-seq change matters — so replays, out-of-order
+    * delivery, and arbitrary micro-batch splits all converge to the
+    * same snapshot (the same reason the batch twin is a row_number
+    * window, not a fold). Deletes are retained as tombstoned state
+    * (`deleted = true`), not dropped: a later upsert with a higher seq
+    * revives the key, and downstream sinks need the tombstone row to
+    * propagate the delete — the lake's tombstone lesson. State is
+    * O(live keys), the floor for any snapshot maintainer; emission is
+    * Update-mode (one row per key touched in the batch).
+    */
+  def cdcApply(changes: Dataset[Change]): Dataset[CdcOut] = {
+    import changes.sparkSession.implicits._
+
+    def fn(key: Long, it: Iterator[Change], state: GroupState[CdcState]): CdcOut = {
+      // ties on seq break deterministically (delete < upsert, then
+      // value) so a replayed batch can never flip the outcome
+      val ord = Ordering.by[Change, (Long, String, Double)](c => (c.seq, c.op, c.value))
+      val best = it.reduceLeft((a, b) => if (ord.gt(b, a)) b else a)
+      val prev = state.getOption
+      val next =
+        if (prev.forall(_.seq < best.seq))
+          CdcState(best.seq, best.value, deleted = best.op == "delete")
+        else prev.get
+      state.update(next)
+      CdcOut(key, next.seq, next.value, next.deleted)
+    }
+
+    changes
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** §2.7 #42 — stream-static enrichment: arriving events joined to a
     * slowly-changing dimension, then window-aggregated per dimension
     * attribute. The static side is broadcast (no stream-side shuffle

@@ -106,6 +106,44 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: one round on a hand-computed bipartite graph") {
+    // c1→{s11,s12}, c2→{s11}. h0 = 1e6 each.
+    // a_raw: s11 = 2e6, s12 = 1e6; max 2e6 → auth s11 = 1e6, s12 = 5e5.
+    // h_raw: c1 = 1.5e6, c2 = 1e6; max 1.5e6 → hub c1 = 1e6,
+    // c2 = 1e12 div 1.5e6 = 666666 (floor).
+    val edges = Seq((1L, 11L), (1L, 12L), (2L, 11L)).toDF("src", "dst")
+    val got = Graph.hits(edges, 1)
+      .as[(Long, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (1L, "hub") -> 1000000L,
+      (2L, "hub") -> 666666L,
+      (11L, "authority") -> 1000000L,
+      (12L, "authority") -> 500000L,
+    ))
+  }
+
+  test("hits: duplicate edges collapse and scores stay on the (0, scale] grid") {
+    val edges = Seq((1L, 11L), (1L, 11L), (1L, 12L), (2L, 11L)).toDF("src", "dst")
+    val dup = Graph.hits(edges, 2).as[(Long, String, Long)].collect().toSet
+    val single = Graph.hits(edges.distinct(), 2).as[(Long, String, Long)].collect().toSet
+    assert(dup == single, "edge multiplicity must not affect scores")
+    dup.foreach { case (_, _, s) => assert(s > 0L && s <= 1000000L) }
+    assert(dup.count(_._3 == 1000000L) >= 2, "each side's max renormalizes to scale")
+  }
+
+  test("q_hits: hubs are customers, authorities suppliers, deterministic across runs") {
+    val a = Graph.qHits(spark, sf).collect()
+    val b = Graph.qHits(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "integer HITS must be run-deterministic")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (tpe, kind, s) =
+        (r.getAs[String]("node_type"), r.getAs[String]("score_kind"), r.getAs[Long]("score"))
+      assert((tpe == "customer") == (kind == "hub"))
+      assert(s > 0L && s <= 1000000L)
+    }
+  }
+
   test("orc roundtrip preserves the documents projection byte-for-byte") {
     val orc = sources.Ingest.qOrcRoundtrip(spark, sf)
       .as[(Long, String, String, Long)].collect().toSeq

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.EventsStream
 import graft.streaming.EventsStream.{Event, SessionOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -335,6 +336,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         s"stream=${got.count()} batch=${want.count()}")
       assert(got.filter(col("segment").isNotNull).count() > 0, "some events must enrich")
+    } finally q.stop()
+  }
+
+  test("streaming CDC apply converges to the batch latest-wins snapshot across splits and replays") {
+    implicit val sc = spark.sqlContext
+    import EventsStream.{CdcOut, Change}
+    val stream = MemoryStream[Change]
+
+    val q = EventsStream.cdcApply(stream.toDS())
+      .writeStream.format("memory").queryName("cdc_out").outputMode("update").start()
+    try {
+      // change feed derived from events: key = user bucket, seq =
+      // event_id (unique, time-ordered), every 11th change a delete
+      val changes = events
+        .select(
+          (col("user_id") % 50).as("key"),
+          col("event_id").as("seq"),
+          when(col("event_id") % 11 === 0, "delete").otherwise("upsert").as("op"),
+          col("value"),
+        )
+        .as[Change].collect().toSeq
+      // out-of-order delivery: batches sliced by a hash, not by seq,
+      // and the middle batch is replayed verbatim
+      val b = changes.groupBy(c => (c.seq * 2654435761L % 3 + 3) % 3)
+      stream.addData(b(0L)); q.processAllAvailable()
+      stream.addData(b(1L)); q.processAllAvailable()
+      stream.addData(b(1L)); q.processAllAvailable() // replay
+      stream.addData(b(2L)); q.processAllAvailable()
+
+      // the snapshot is each key's LAST emission = its max-seq state
+      val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+      val got = spark.table("cdc_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .as[CdcOut].collect().toSeq.sortBy(_.key)
+      val want = changes.groupBy(_.key).map { case (k, cs) =>
+        val top = cs.maxBy(c => (c.seq, c.op, c.value))
+        CdcOut(k, top.seq, top.value, top.op == "delete")
+      }.toSeq.sortBy(_.key)
+      assert(got == want)
+      assert(got.exists(_.deleted) && got.exists(!_.deleted),
+        "snapshot must carry both live rows and tombstones")
     } finally q.stop()
   }
 
