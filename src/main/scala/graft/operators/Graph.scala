@@ -79,10 +79,15 @@ object Graph {
     * at node 2k, suppliers at 2k+1), 5 iterations.
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the deduped pair list: it feeds both union branches
+    // AND pageRank's degree/edge/node derivations — un-checkpointed,
+    // the orders⋈lineitem fact join re-executes once per consumer
+    // (measured 4× at sf0.1; the qTriangles lesson)
     val pairs = table(spark, dir, "orders")
       .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+      .localCheckpoint()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
     pageRank(edges, 5)
@@ -156,10 +161,13 @@ object Graph {
     * layers every reachability/impact analysis starts from.
     */
   def qBfs(spark: SparkSession, dir: String): DataFrame = {
+    // same shared-subplan checkpoint as qPagerank: pairs feeds both
+    // union branches plus the seed derivation
     val pairs = table(spark, dir, "orders")
       .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+      .localCheckpoint()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
     val seeds = edges.select(col("src").as("node_id"))
@@ -332,10 +340,13 @@ object Graph {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = l.select(col("l_orderkey"), col("l_partkey").as("pu"))
     val b = l.select(col("l_orderkey").as("b_orderkey"), col("l_partkey").as("pv"))
+    // checkpoint before the two-direction union: the support-count
+    // self-join is the expensive part and would otherwise run twice
     val e0 = a.join(b, col("l_orderkey") === col("b_orderkey") && col("pu") < col("pv"))
       .groupBy(col("pu"), col("pv")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("pu"), col("pv"))
+      .localCheckpoint()
     val e = e0.select(col("pu").as("u"), col("pv").as("v"))
       .unionByName(e0.select(col("pv").as("u"), col("pu").as("v")))
     connectedComponents(e)
