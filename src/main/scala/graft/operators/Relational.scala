@@ -1907,6 +1907,113 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_custkey ORDER BY valid_from, ver)
       |ORDER BY c_custkey, version_seq""".stripMargin
 
+  /** §2.2 #21as — point-in-time SCD2 lookup: resolve each event
+    * against the account-balance version (the [[qScd2]] history)
+    * valid AT the event's timestamp — the temporal-join primitive
+    * behind "what did the dimension say when this fact happened".
+    *
+    * Not a range join: versions and probes UNION into one stream per
+    * key, totally ordered by (µs, tag, ver) with versions sorting
+    * before probes at equal timestamps (a probe exactly at
+    * `valid_from` takes the NEW version — the [valid_from, valid_to)
+    * boundary rule), and one `last(ignoreNulls)` ROWS-frame window
+    * carries the in-effect version onto each probe. One shuffle on
+    * the key, O(n log n) in the partition, no interval blowup —
+    * the same plan shape that keeps [[qAsof]] linear, and the reason
+    * this survives dimension histories with millions of versions per
+    * key where a valid_from <= t < valid_to range join would
+    * quadratically explode the hot keys.
+    */
+  def qScd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val versions = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal").as("acctbal"),
+        ts("1990-01-01").as("vf"), lit(-1L).as("ver"))
+      .unionByName(table(spark, dir, "orders").select(
+        col("o_custkey").as("c_custkey"), col("o_totalprice").as("acctbal"),
+        col("o_orderdate").as("vf"), col("o_orderkey").as("ver")))
+      .select(col("c_custkey"), unix_micros(col("vf")).as("us"), lit(0L).as("tag"),
+        col("ver"), col("acctbal"), lit(null).cast(LongType).as("event_id"))
+    val probes = table(spark, dir, "events")
+      .select(col("user_id").as("c_custkey"), unix_micros(col("ts")).as("us"),
+        lit(1L).as("tag"), lit(Long.MaxValue).as("ver"),
+        lit(null).cast(DoubleType).as("acctbal"), col("event_id"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("us"), col("tag"), col("ver"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(probes)
+      .withColumn("eff",
+        last(when(col("tag") === 0, struct(col("ver"), col("acctbal"))), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        col("event_id"), col("c_custkey"), col("us").as("event_us"),
+        col("eff.ver").as("version_ver"), col("eff.acctbal").as("acctbal_at"),
+      )
+      .orderBy("event_id")
+  }
+
+  val qScd2LookupSql: String =
+    """WITH versions AS (
+      |  SELECT c_custkey, epoch_us(TIMESTAMP '1990-01-01') AS us, CAST(0 AS BIGINT) AS tag,
+      |    CAST(-1 AS BIGINT) AS ver, c_acctbal AS acctbal, CAST(NULL AS BIGINT) AS event_id
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT o_custkey, epoch_us(o_orderdate), 0, o_orderkey, o_totalprice, NULL FROM orders
+      |), probes AS (
+      |  SELECT user_id AS c_custkey, epoch_us(ts) AS us, CAST(1 AS BIGINT) AS tag,
+      |    CAST(9223372036854775807 AS BIGINT) AS ver, CAST(NULL AS DOUBLE) AS acctbal, event_id
+      |  FROM events
+      |), u AS (
+      |  SELECT * FROM versions UNION ALL SELECT * FROM probes
+      |), t AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN tag = 0 THEN struct_pack(ver := ver, acctbal := acctbal) END IGNORE NULLS)
+      |      OVER (PARTITION BY c_custkey ORDER BY us, tag, ver
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff
+      |  FROM u
+      |)
+      |SELECT event_id, c_custkey, us AS event_us, eff.ver AS version_ver, eff.acctbal AS acctbal_at
+      |FROM t WHERE tag = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** §2.2 #21at — integer-exact anomaly flags on the daily event
+    * series: per (event_type, day) counts, flagged when the squared
+    * deviation from the type's mean exceeds (2σ)² — the z-score test
+    * with the float algebra cleared out: |x − S/n| > 2·σ rewrites to
+    * (n·x − S)² > 4·(n·S2 − S²) over integer count moments, so the
+    * flag is a pure int64 comparison, bit-identical in any engine
+    * (the q_corrstats / q17 trick applied to outlier detection). Per-
+    * type moments come from a window aggregate over the (tiny) daily
+    * rollup — the fact-sized shuffle is the rollup itself, map-side
+    * combined.
+    */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    val n = count(lit(1)).over(w)
+    val s = sum(col("n_events")).over(w)
+    val s2 = sum(col("n_events") * col("n_events")).over(w)
+    daily
+      .withColumn("dev", n * col("n_events") - s)
+      .withColumn("is_anomaly", col("dev") * col("dev") > lit(4L) * (n * s2 - s * s))
+      .drop("dev")
+      .orderBy("event_type", "day")
+  }
+
+  val qAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, day, n_events,
+      |  (count(*) OVER w * n_events - sum(n_events) OVER w)
+      |    * (count(*) OVER w * n_events - sum(n_events) OVER w)
+      |  > 4 * (count(*) OVER w * sum(n_events * n_events) OVER w
+      |         - sum(n_events) OVER w * sum(n_events) OVER w) AS is_anomaly
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   /** §2.2 #21al — market-basket co-purchase pairs ("customers who
     * bought X also bought Y"): the fact self-joins on its own
     * orderkey — both sides are the SAME distinct projection, so the
@@ -2186,6 +2293,8 @@ object Relational {
     "q_upsert" -> (qUpsert _),
     "q_funnel" -> (qFunnel _),
     "q_attribution" -> (qAttribution _),
+    "q_scd2_lookup" -> (qScd2Lookup _),
+    "q_anomaly" -> (qAnomaly _),
     "q_json" -> (qJson _),
     "q_leadlag" -> (qLeadlag _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -2249,6 +2358,8 @@ object Relational {
     "q_upsert" -> qUpsertSql,
     "q_funnel" -> qFunnelSql,
     "q_attribution" -> qAttributionSql,
+    "q_scd2_lookup" -> qScd2LookupSql,
+    "q_anomaly" -> qAnomalySql,
     "q_setops" -> qSetopsSql,
     "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,
