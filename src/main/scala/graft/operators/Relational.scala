@@ -2014,6 +2014,78 @@ object Relational {
       |WINDOW w AS (PARTITION BY event_type)
       |ORDER BY event_type, day""".stripMargin
 
+  /** §2.2 #21au — A/B experiment significance report: users split
+    * into variants by a deterministic hash, per-metric conversion
+    * counts, and a two-proportion z-test at 2σ with the float algebra
+    * cleared to integers — z² > 4 rewrites to
+    * (c_a·n_b − c_b·n_a)² · N  >  4 · (c_a+c_b) · (N − c_a − c_b) · n_a · n_b
+    * (N = n_a + n_b), so significance is a pure int64 comparison,
+    * bit-identical cross-engine (the q_anomaly rewrite applied to the
+    * two-sample test). Conversion = the user fired the metric's event
+    * type ≥ 14 times (an engagement bar near the per-user mean, so
+    * both converting and non-converting users exist per metric — an
+    * at-least-once bar saturates on this corpus and zeroes the test);
+    * the per-(user, metric) count is the only fact-sized shuffle.
+    * int64 holds to ~10^6 users per variant; beyond that the moments
+    * go DECIMAL(38,0) — same knob as q_corrstats.
+    */
+  def qAbtest(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), (col("user_id") % 2).as("variant"))
+    val arms = e.select(col("user_id"), col("variant")).distinct()
+      .groupBy(col("variant")).agg(count(lit(1)).as("n"))
+    val conv = e.groupBy(col("event_type"), col("variant"), col("user_id"))
+      .agg(count(lit(1)).as("n_fired"))
+      .filter(col("n_fired") >= 14)
+      .groupBy(col("event_type"), col("variant")).agg(count(lit(1)).as("c"))
+    val a = conv.filter(col("variant") === 0).select(col("event_type"), col("c").as("c_a"))
+    val b = conv.filter(col("variant") === 1).select(col("event_type"), col("c").as("c_b"))
+    val nA = arms.filter(col("variant") === 0).select(col("n").as("n_a"))
+    val nB = arms.filter(col("variant") === 1).select(col("n").as("n_b"))
+    val joined = a.join(b, Seq("event_type"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
+    val bigN = col("n_a") + col("n_b")
+    val diff = col("c_a") * col("n_b") - col("c_b") * col("n_a")
+    val conv2 = col("c_a") + col("c_b")
+    joined
+      .select(
+        col("event_type"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        (diff * diff * bigN > lit(4L) * conv2 * (bigN - conv2) * col("n_a") * col("n_b"))
+          .as("significant"),
+      )
+      .orderBy("event_type")
+  }
+
+  val qAbtestSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, user_id % 2 AS variant FROM events
+      |), arms AS (
+      |  SELECT variant, count(*) AS n FROM (SELECT DISTINCT user_id, variant FROM e) GROUP BY variant
+      |), conv AS (
+      |  SELECT event_type, variant, count(*) AS c
+      |  FROM (
+      |    SELECT event_type, variant, user_id FROM e
+      |    GROUP BY 1, 2, 3 HAVING count(*) >= 14
+      |  ) GROUP BY 1, 2
+      |), j AS (
+      |  SELECT event_type, COALESCE(a.c, 0) AS c_a, COALESCE(b.c, 0) AS c_b
+      |  FROM (SELECT event_type, c FROM conv WHERE variant = 0) a
+      |  FULL OUTER JOIN (SELECT event_type, c FROM conv WHERE variant = 1) b USING (event_type)
+      |)
+      |SELECT event_type,
+      |  (SELECT n FROM arms WHERE variant = 0) AS n_a, c_a,
+      |  (SELECT n FROM arms WHERE variant = 1) AS n_b, c_b,
+      |  (c_a * (SELECT n FROM arms WHERE variant = 1) - c_b * (SELECT n FROM arms WHERE variant = 0))
+      |    * (c_a * (SELECT n FROM arms WHERE variant = 1) - c_b * (SELECT n FROM arms WHERE variant = 0))
+      |    * ((SELECT n FROM arms WHERE variant = 0) + (SELECT n FROM arms WHERE variant = 1))
+      |  > 4 * (c_a + c_b)
+      |      * ((SELECT n FROM arms WHERE variant = 0) + (SELECT n FROM arms WHERE variant = 1) - c_a - c_b)
+      |      * (SELECT n FROM arms WHERE variant = 0) * (SELECT n FROM arms WHERE variant = 1)
+      |    AS significant
+      |FROM j
+      |ORDER BY event_type""".stripMargin
+
   /** §2.2 #21al — market-basket co-purchase pairs ("customers who
     * bought X also bought Y"): the fact self-joins on its own
     * orderkey — both sides are the SAME distinct projection, so the
@@ -2295,6 +2367,7 @@ object Relational {
     "q_attribution" -> (qAttribution _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "q_anomaly" -> (qAnomaly _),
+    "q_abtest" -> (qAbtest _),
     "q_json" -> (qJson _),
     "q_leadlag" -> (qLeadlag _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -2360,6 +2433,7 @@ object Relational {
     "q_attribution" -> qAttributionSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "q_anomaly" -> qAnomalySql,
+    "q_abtest" -> qAbtestSql,
     "q_setops" -> qSetopsSql,
     "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,
