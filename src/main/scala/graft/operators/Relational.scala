@@ -381,6 +381,38 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  /** §2.2 #21b2 — HOPPING (sliding) window aggregation: 1-day windows
+    * advancing every 6 hours, so each event lands in windows/hop = 4
+    * overlapping windows — the smoothing/trend twin of the tumbling
+    * [[qEventsWindow]]. Spark's `window(ts, "1 day", "6 hours")`
+    * assigns the 4 memberships map-side (a bounded explode, no join);
+    * the oracle replays the same epoch-aligned floor-division window
+    * starts via an unnest over the 4 hop offsets. Counts and
+    * floor-integer sums only — exact in both engines.
+    */
+  def qHopping(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast(LongType)).as("sum_floor_value"),
+      )
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_floor_value"))
+      .orderBy("window_start", "event_type")
+
+  val qHoppingSql: String =
+    """WITH assigned AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 21600000000 - i.i) * 21600000000) AS window_start,
+      |    event_type, value
+      |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) i
+      |)
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+      |FROM assigned
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   /** §2.2 #18b — full cube over order status × priority. */
   def qCube(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -2368,6 +2400,7 @@ object Relational {
     "q_scd2_lookup" -> (qScd2Lookup _),
     "q_anomaly" -> (qAnomaly _),
     "q_abtest" -> (qAbtest _),
+    "q_hopping" -> (qHopping _),
     "q_json" -> (qJson _),
     "q_leadlag" -> (qLeadlag _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -2434,6 +2467,7 @@ object Relational {
     "q_scd2_lookup" -> qScd2LookupSql,
     "q_anomaly" -> qAnomalySql,
     "q_abtest" -> qAbtestSql,
+    "q_hopping" -> qHoppingSql,
     "q_setops" -> qSetopsSql,
     "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,

@@ -59,6 +59,38 @@ object EventsStream {
       }
       .start()
 
+  /** §2.7 #36b — watermarked HOPPING window aggregation: 1-day
+    * windows every 6 hours (each event in 4 overlapping windows,
+    * assigned map-side), append-emitted as the watermark closes each
+    * window — the streaming twin of the batch `q_hopping`. State is
+    * windows/hop × live windows, still O(1) per key per day.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("sum_floor_value"),
+      )
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_floor_value"))
+
+  /** §2.7 #37b — native session windows: Spark's built-in
+    * `session_window` (30-minute gap) under a watermark — the
+    * declarative sibling of the explicit-state [[sessionize]] (which
+    * exists for semantics session_window can't express: custom
+    * tie-breaks, mid-session emission, session-scoped enrichment).
+    * Sessions emit on watermark close; the spec pins equality with
+    * the batch q_sessionize boundaries.
+    */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("win.start").as("session_start"), col("n_events"))
+
   /** §2.7 #38 — streaming exact dedup: drop events whose (user_id,
     * event_id) was already seen, with the dedup state bounded by the
     * watermark (the streaming form of content-addressed idempotent

@@ -339,6 +339,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping windows equal the batch q_hopping 4-fold assignment") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val input = stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+
+    val q = EventsStream.hoppingCounts(input)
+      .writeStream.format("memory").queryName("hop_out").outputMode("append").start()
+    try {
+      val data = events.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+      val (b1, b2) = data.splitAt(data.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      stream.addData(Seq((0L, Timestamp.valueOf("2030-01-01 00:00:00"), 0L, "sentinel", 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("hop_out").filter(col("event_type") =!= "sentinel")
+      val want = events
+        .groupBy(window(col("ts"), "1 day", "6 hours").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(floor(col("value")).cast("long")).as("sum_floor_value"))
+        .select(col("win.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_floor_value"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"stream=${got.count()} batch=${want.count()}")
+      // each event in exactly windows/hop = 4 windows
+      assert(got.agg(sum(col("n_events"))).head.getLong(0) == 4L * events.count())
+    } finally q.stop()
+  }
+
+  test("native session_window stream equals the batch gap-sessionization boundaries") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val input = stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+
+    val q = EventsStream.sessionWindowCounts(input)
+      .writeStream.format("memory").queryName("sw_out").outputMode("append").start()
+    try {
+      val data = events.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+      val (b1, b2) = data.splitAt(data.length / 3)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      // sentinel user -1: a real user 0 exists in the corpus
+      stream.addData(Seq((-1L, Timestamp.valueOf("2030-01-01 00:00:00"), 0L, "sentinel", 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("sw_out").filter(col("user_id") =!= -1L)
+      // batch twin of the 30-minute gap rule (the q_sessionize shape)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val want = events
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("n_events"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"stream=${got.count()} batch=${want.count()}")
+    } finally q.stop()
+  }
+
   test("streaming CDC apply converges to the batch latest-wins snapshot across splits and replays") {
     implicit val sc = spark.sqlContext
     import EventsStream.{CdcOut, Change}
