@@ -153,6 +153,11 @@ object BenchBaseline {
     "sample_weighted" -> 0.36,
     "q_scd2" -> 1.43,
     "ann_classify" -> 1.06,
+    // r7 additions on the regenerated (µs-timestamp) testdata: first
+    // honest sf0.1 measurement (idle box, min of two cold runs)
+    "q_markov" -> 0.43,
+    "q_item_sim" -> 1.87,
+    "text_inverted" -> 1.25,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -26,6 +26,12 @@ object GraftSession {
     // isAdjustedToUTC=true and read tz-aware → naive-vs-aware value
     // mismatches in any downstream comparison
     "spark.sql.parquet.outputTimestampType" -> "INT96",
+    // the testdata timestamps are TIMESTAMP(isAdjustedToUTC=false, µs),
+    // which Spark 4 infers as TIMESTAMP_NTZ by default — a type
+    // unix_micros/window() reject. Reading them as LTZ keeps the stored
+    // micros AS epoch micros (session tz is UTC), exactly the naive
+    // semantics DuckDB's epoch_us(ts) applies on its side.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
   )
 
   def build(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
@@ -66,12 +72,18 @@ object GraftSession {
 
   /** Reads one of the standard test tables from an sf directory.
     *
-    * events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
-    * default; we read nanos as long and truncate to µs timestamps
-    * (matching DuckDB's `CAST(ts AS TIMESTAMP)` truncation).
+    * Timestamp normalization, robust to either testdata vintage: a
+    * TIMESTAMP(NANOS) column (pre-r7 data) is read as long and
+    * truncated to µs timestamps (matching DuckDB's `CAST(ts AS
+    * TIMESTAMP)` truncation); a TIMESTAMP(µs, isAdjustedToUTC=false)
+    * column (current data) is read as LTZ — stored micros become
+    * epoch micros, matching DuckDB's naive `epoch_us(ts)`.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set here too (not just tunedConf) so sessions we merely inherit
+    // read µs-NTZ parquet the same way — see tunedConf for rationale
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>

@@ -2034,7 +2034,9 @@ object Relational {
 
   val qAnomalySql: String =
     """WITH daily AS (
-      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
+      |  -- CAST: DuckDB's date_trunc('day') yields DATE; Spark's yields
+      |  -- TIMESTAMP — align the types or the compare fails on kind
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events
       |  FROM events GROUP BY 1, 2
       |)
       |SELECT event_type, day, n_events,
@@ -2364,7 +2366,111 @@ object Relational {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** §2.2 #21aw — event-transition (first-order Markov) report: for
+    * every (from_type → to_type) pair of CONSECUTIVE events within a
+    * user's stream, the transition count and its probability given
+    * from_type — the behavioral-analytics "what happens next" matrix
+    * that feeds next-action prediction and anomaly baselines.
+    *
+    * Scale shape: one window pass partitioned by user_id (`lead`,
+    * frame bounded to the next row — per-user streams are short, so
+    * the window never concentrates) and two small aggregations over
+    * the ~|event_types|² transition space. Cross-engine exactness:
+    * ordering is (µs, event_id) — total and identical in both
+    * engines — and the probability is floor-quantized to ppm in int64
+    * (`(n * 1_000_000) div from_total`), so no float ever enters.
+    */
+  def qMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pairs = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("from_total"))
+    pairs
+      .join(totals, "from_type") // broadcast: |event_types| rows
+      .select(
+        col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000L) div from_total").as("prob_ppm"),
+      )
+      .orderBy("from_type", "to_type")
+  }
+
+  val qMarkovSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+      |), p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      |  FROM e
+      |), c AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+      |FROM c
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** §2.2 #21ax — item-item cosine similarity over the co-purchase
+    * matrix ("customers who bought X also bought Y, normalized"):
+    * cosine(i,j) = |orders with both| / √(|orders with i|·|orders
+    * with j|), the item-based collaborative-filtering primitive that
+    * upgrades raw co-purchase counts ([[qCopurchase]]) into a
+    * popularity-corrected score.
+    *
+    * Scale shape: the pair space comes from the same
+    * distinct-(order, part) self-join as [[qCopurchase]] (both sides
+    * one shared shuffle; output bounded by lines-per-order², linear
+    * in the fact), per-item order counts join in by part key, and
+    * top-100 is a TakeOrdered. Cross-engine exactness: counts are
+    * exact int64; `1_000_000·n_ij` is an exact integer product, and
+    * √ + ÷ are both IEEE exactly-rounded on the same inputs, so the
+    * doubles agree bit-for-bit before the floor quantization — no
+    * accumulated float error anywhere (the counts themselves stay
+    * < 2^26, so n_i·n_j is exact in double).
+    */
+  def qItemSim(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemN = l.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = l.select(col("l_orderkey").as("b_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, col("l_orderkey") === col("b_orderkey") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 3)
+      .join(itemN.select(col("l_partkey").as("p1"), col("n_item").as("n1")), "p1")
+      .join(itemN.select(col("l_partkey").as("p2"), col("n_item").as("n2")), "p2")
+      .select(
+        col("p1"), col("p2"), col("n_both"), col("n1"), col("n2"),
+        floor(lit(1000000L) * col("n_both") / sqrt(col("n1") * col("n2")))
+          .cast(LongType).as("cosine_ppm"),
+      )
+      .orderBy(col("cosine_ppm").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  val qItemSimSql: String =
+    """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |i AS (SELECT l_partkey, count(*) AS n_item FROM l GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_both
+      |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 3
+      |)
+      |SELECT p1, p2, CAST(n_both AS BIGINT) AS n_both,
+      |  CAST(i1.n_item AS BIGINT) AS n1, CAST(i2.n_item AS BIGINT) AS n2,
+      |  CAST(floor(1000000 * n_both / sqrt(CAST(i1.n_item AS DOUBLE) * i2.n_item)) AS BIGINT) AS cosine_ppm
+      |FROM pairs JOIN i i1 ON i1.l_partkey = p1 JOIN i i2 ON i2.l_partkey = p2
+      |ORDER BY cosine_ppm DESC, p1, p2
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov" -> (qMarkov _),
+    "q_item_sim" -> (qItemSim _),
     "q_copurchase" -> (qCopurchase _),
     "q_ntile" -> (qNtile _),
     "q_bloom_prune" -> (qBloomPrune _),
@@ -2427,6 +2533,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_markov" -> qMarkovSql,
+    "q_item_sim" -> qItemSimSql,
     "q_copurchase" -> qCopurchaseSql,
     "q_ntile" -> qNtileSql,
     "q_bloom_prune" -> qBloomPruneSql,

@@ -981,7 +981,55 @@ object TextAnalysis {
       |FROM scored
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.5 #33u — inverted-index build: one row per vocabulary word
+    * with document frequency, total term frequency, and the full
+    * sorted posting list (verified through its md5 so the checked
+    * output stays narrow while still pinning every posting byte; the
+    * list itself ships in `posting_len`-char form to the sink in a
+    * real deployment). The search-engine / retrieval-index primitive
+    * BM25 consumes.
+    *
+    * Scale shape: tokenize map-side, ONE shuffle on word for the
+    * combined (df, tf, postings) aggregation — `collect_set` is a
+    * partial-aggregating hash set, so per-word lists merge map-side
+    * and only distinct doc ids travel. Posting lists are the output,
+    * so their size is irreducible; at 100 TB the df ≥ 20 floor is the
+    * knob that drops the singleton long-tail (most of the vocabulary,
+    * negligible index value). Sorting happens per-word AFTER the
+    * aggregate (bounded by the posting length, not the corpus).
+    */
+  def textInverted(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total"),
+        sort_array(collect_set(col("doc_id"))).as("posting"),
+      )
+      .filter(col("df") >= 20)
+      .select(
+        col("word"), col("df"), col("tf_total"),
+        md5(concat_ws(",", transform(col("posting"), _.cast(StringType)))).as("posting_md5"),
+        size(col("posting")).cast(LongType).as("posting_len"),
+      )
+      .orderBy("word")
+
+  val textInvertedSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), f AS (SELECT word, doc_id FROM w WHERE len(word) > 0)
+      |SELECT word,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+      |  CAST(count(*) AS BIGINT) AS tf_total,
+      |  md5(list_aggregate(list_sort(list(DISTINCT doc_id)), 'string_agg', ',')) AS posting_md5,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS posting_len
+      |FROM f GROUP BY word HAVING count(DISTINCT doc_id) >= 20
+      |ORDER BY word""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted" -> (textInverted _),
     "text_pmi" -> (textPmi _),
     "text_entropy" -> (textEntropy _),
     "text_heavy_hitters" -> (textHeavyHitters _),
@@ -1005,6 +1053,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_inverted" -> textInvertedSql,
     "text_bigram" -> textBigramSurprisalSql,
     "text_pmi" -> textPmiSql,
     "text_entropy" -> textEntropySql,

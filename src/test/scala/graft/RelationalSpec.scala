@@ -137,10 +137,13 @@ class PlanSpec extends AnyFunSuite {
     // bounds/count aggregate into the scan — the q_zorder shape.
     // q22_idle broadcast-crosses a 1-ROW average-balance aggregate
     // into the customer scan — the q_zorder shape again.
+    // q_abtest cross-joins TWO broadcast 1-ROW arm-size aggregates
+    // (n_a, n_b) into the per-event-type conversion table — the same
+    // bounded 1-row-broadcast shape.
     val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "ann_pq", "dedup_semantic",
       "text_tfidf", "text_bm25", "text_surprisal", "q_zorder", "q_histogram",
       "sample_negatives", "q22_idle", "ann_classify", "text_pmi", "text_heavy_hitters",
-      "q_skew_report")
+      "q_skew_report", "q_abtest")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
