@@ -292,7 +292,12 @@ object Pipeline {
     * projection, so it runs unchanged on a streaming DataFrame (pinned
     * stream ≡ batch in StreamingSpec).
     */
-  def textFilterOn(df: DataFrame): DataFrame = {
+  /** [[textFilterOn]]'s metric/verdict columns APPENDED to the input
+    * (still a stateless map-side projection) — the form composition
+    * wants: [[pipelineE2e]] filters on `keep` and carries `text`
+    * onward without a join back.
+    */
+  def textFilterCols(df: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val nWords = size(ws).cast(LongType)
     val meanLen = octet_length(col("text")).cast(DoubleType) / nWords
@@ -306,16 +311,21 @@ object Pipeline {
       when(uniqRatio < 0.32, lit("low_diversity")),
       when(rep3 > 0.01, lit("repetitive")),
     )
-    df.select(
-        col("doc_id"),
-        nWords.as("n_words"),
-        meanLen.as("mean_word_len"),
-        uniqRatio.as("uniq_ratio"),
-        rep3.as("rep3_ratio"),
-        concat_ws(",", filter(reasonArr, r => r.isNotNull)).as("reasons"),
-      )
+    df.withColumns(Map(
+        "n_words" -> nWords,
+        "mean_word_len" -> meanLen,
+        "uniq_ratio" -> uniqRatio,
+        "rep3_ratio" -> rep3,
+        "reasons" -> concat_ws(",", filter(reasonArr, r => r.isNotNull)),
+      ))
       .withColumn("keep", col("reasons") === "")
   }
+
+  def textFilterOn(df: DataFrame): DataFrame =
+    textFilterCols(df).select(
+      col("doc_id"), col("n_words"), col("mean_word_len"),
+      col("uniq_ratio"), col("rep3_ratio"), col("reasons"), col("keep"),
+    )
 
   def textFilter(spark: SparkSession, dir: String): DataFrame =
     textFilterOn(docs(spark, dir)).orderBy("doc_id")
@@ -656,7 +666,136 @@ object Pipeline {
       |SELECT doc_id, source, w, priority FROM ranked WHERE rn <= 10
       |ORDER BY source, priority, doc_id""".stripMargin
 
+  /** §2.3 #26l — the full preprocessing pipeline as ONE declarative
+    * plan: heuristic quality filter → exact dedup (min-id survivor
+    * per content hash) → benchmark decontamination (eval docs
+    * themselves dropped) → stratified source sampling → shard
+    * assignment. Each stage is the already-oracled operator's exact
+    * logic; composing them in a single DataFrame expression is the
+    * point — Catalyst sees the whole pipeline, so the filter and the
+    * sample predicate both push toward the scan, the dedup and shard
+    * shuffles are the only wide stages (the decontamination join stays
+    * broadcast), and no intermediate ever materializes. This is the
+    * "run the whole corpus prep in one pass" query a 100 TB
+    * training-data build actually executes; the composed CTE oracle
+    * proves stage order and stage semantics survive the fusion.
+    */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    // 1 — heuristic quality filter: stateless, map-side
+    val filtered = textFilterCols(docs(spark, dir).select(col("doc_id"), col("source"), col("text")))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"), col("text"))
+    // 2 — exact dedup, min-doc_id survivor per md5 (hash shuffle #1);
+    // md5 doubles as the shard key downstream, hashed once
+    val wD = Window.partitionBy(col("content_hash"))
+    val deduped = filtered
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("keep_id", min(col("doc_id")).over(wD))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+    // 3 — decontamination: eval index (doc_id % 37 == 0, whole corpus)
+    // broadcast against the survivors' exploded grams; eval docs are
+    // dropped from the corpus (they ARE the benchmark). The dedup
+    // survivors feed BOTH the hit-count branch and the final keep —
+    // with different column pruning the two subtrees don't unify, so
+    // un-checkpointed the filter+dedup window would scan and shuffle
+    // the corpus twice (the qTriangles lesson; at 100 TB this
+    // materialization is the stage boundary a production pipeline
+    // writes anyway). Grams re-derive map-side per branch.
+    val surv = deduped.filter(col("doc_id") % 37 =!= 0).localCheckpoint()
+    val train = surv.withColumn("grams", wordGrams(DecontamN))
+    val evalIndex = docs(spark, dir).filter(col("doc_id") % 37 === 0)
+      .select(explode(wordGrams(DecontamN)).as("gram")).distinct()
+    val hits = train.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalIndex), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val clean = train.join(hits, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / size(col("grams")) <= 0.2)
+      .select(col("doc_id"), col("source"), col("content_hash"))
+    // 4 — stratified sample: the sampleMix md5-uniform, map-side
+    val sampled = clean
+      .withColumn("rate", (lit(1.0) + pmod(substring(col("source"), 4, 10).cast(IntegerType), lit(4))) / 4.0)
+      .withColumn("u32", conv(substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 8), 16, 10).cast(LongType))
+      .filter(col("u32") < (col("rate") * 4294967296.0).cast(LongType))
+    // 5 — shard assignment (shard shuffle #2; per-shard window only)
+    val wS = Window.partitionBy(col("shard_id")).orderBy(col("content_hash"), col("doc_id"))
+    sampled
+      .withColumn("shard_id", pmod(conv(substring(col("content_hash"), 1, 8), 16, 10).cast(LongType), lit(16L)))
+      .withColumn("pos_in_shard", row_number().over(wS).cast(LongType))
+      .select(
+        col("doc_id"), col("source"), col("rate"), col("content_hash"),
+        col("shard_id"), col("pos_in_shard"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val pipelineE2eSql: String = {
+    val terms5 = (0 until DecontamN).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH base AS (
+      |  SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3
+      |      THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+      |      ELSE [text] END AS g3
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, source, text FROM (
+      |    SELECT doc_id, source, text,
+      |      CAST(len(ws) AS BIGINT) AS n_words,
+      |      CAST(strlen(text) AS DOUBLE) / len(ws) AS mean_word_len,
+      |      CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+      |      1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS rep3_ratio
+      |    FROM base
+      |  ) WHERE NOT (n_words < 20 OR n_words > 5000 OR mean_word_len < 2.0
+      |               OR mean_word_len > 12.0 OR uniq_ratio < 0.32 OR rep3_ratio > 0.01)
+      |), d AS (
+      |  SELECT doc_id, source, text, content_hash FROM (
+      |    SELECT doc_id, source, text, md5(text) AS content_hash,
+      |      min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      |    FROM f
+      |  ) WHERE doc_id = keep_id
+      |), gw AS (
+      |  SELECT doc_id, source, text, content_hash, string_split(text, ' ') AS ws
+      |  FROM d WHERE doc_id % 37 <> 0
+      |), gr AS (
+      |  SELECT doc_id, source, content_hash,
+      |    CASE WHEN len(ws) >= $DecontamN
+      |      THEN list_distinct(list_transform(range(1, len(ws) - ${DecontamN - 2}), i -> $terms5))
+      |      ELSE [text] END AS grams
+      |  FROM gw
+      |), eval_g AS (
+      |  SELECT DISTINCT gram FROM (
+      |    SELECT unnest(CASE WHEN len(ws) >= $DecontamN
+      |      THEN list_distinct(list_transform(range(1, len(ws) - ${DecontamN - 2}), i -> $terms5))
+      |      ELSE [text] END) AS gram
+      |    FROM (SELECT text, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 37 = 0)
+      |  )
+      |), hits AS (
+      |  SELECT t.doc_id, count(*) AS n_hits
+      |  FROM (SELECT doc_id, unnest(grams) AS gram FROM gr) t JOIN eval_g e USING (gram)
+      |  GROUP BY t.doc_id
+      |), clean AS (
+      |  SELECT gr.doc_id, gr.source, gr.content_hash
+      |  FROM gr LEFT JOIN hits h ON h.doc_id = gr.doc_id
+      |  WHERE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(gr.grams) <= 0.2
+      |), sam AS (
+      |  SELECT doc_id, source, rate, content_hash,
+      |    ('0x' || substr(content_hash, 1, 8))::BIGINT % 16 AS shard_id
+      |  FROM (
+      |    SELECT doc_id, source, content_hash,
+      |      (1.0 + (CAST(substr(source, 4) AS INTEGER) % 4)) / 4.0 AS rate,
+      |      ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+      |    FROM clean
+      |  ) WHERE u32 < CAST(rate * 4294967296 AS BIGINT)
+      |)
+      |SELECT doc_id, source, rate, content_hash, shard_id,
+      |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY content_hash, doc_id) AS BIGINT) AS pos_in_shard
+      |FROM sam
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e" -> (pipelineE2e _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_negatives" -> (sampleNegatives _),
     "dedup_clusters" -> (dedupClusters _),
@@ -671,6 +810,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_e2e" -> pipelineE2eSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "decontaminate" -> decontaminateSql,

@@ -985,4 +985,79 @@ class Round7OpsSpec extends AnyFunSuite {
     val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
     assert(revs.length == 1, "every returned supplier ties at the max")
   }
+
+  // --------------------------------------------------------------- q_markov
+
+  test("q_markov equals a plain-Scala consecutive-pair replay") {
+    val rows = Relational.qMarkov(spark, sf).collect()
+    val events = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val expect = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).toList.sliding(2).collect { case List(f, t) => (f, t) }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTotals = expect.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(rows.map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))).toSet ==
+      expect.keySet, "transition pair space")
+    rows.foreach { r =>
+      val key = (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+      assert(r.getAs[Long]("n") == expect(key), s"count for $key")
+      assert(r.getAs[Long]("prob_ppm") == expect(key) * 1000000L / fromTotals(key._1), s"ppm for $key")
+    }
+    // probabilities per from_type sum to 1e6 minus only floor losses
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, rs) =>
+      val s = rs.map(_.getAs[Long]("prob_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length, s"ppm mass for $f: $s")
+    }
+  }
+
+  // ------------------------------------------------------------- q_item_sim
+
+  test("q_item_sim equals the brute-force co-purchase cosine") {
+    val rows = Relational.qItemSim(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val l = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = l.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val itemN = l.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = byOrder.values.toSeq
+      .flatMap(ps => ps.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = pairN.collect { case ((p1, p2), n) if n >= 3 =>
+      ((p1, p2), (n, math.floor(1000000.0 * n / math.sqrt((itemN(p1) * itemN(p2)).toDouble)).toLong))
+    }.toMap
+    // returned top-100 must be the lexicographic head of the full ranking
+    val fullRank = expect.toSeq
+      .map { case ((p1, p2), (n, c)) => (c, p1, p2, n) }
+      .sortBy { case (c, p1, p2, _) => (-c, p1, p2) }
+    rows.zip(fullRank.take(rows.length)).foreach { case (r, (c, p1, p2, n)) =>
+      assert(r.getAs[Long]("p1") == p1 && r.getAs[Long]("p2") == p2, "ranking order")
+      assert(r.getAs[Long]("n_both") == n && r.getAs[Long]("cosine_ppm") == c, s"pair ($p1,$p2)")
+      assert(r.getAs[Long]("n1") == itemN(p1) && r.getAs[Long]("n2") == itemN(p2))
+    }
+  }
+
+  // ---------------------------------------------------------- text_inverted
+
+  test("text_inverted postings md5-match a plain-Scala index build") {
+    val rows = TextAnalysis.textInverted(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val index = docs.flatMap { case (id, t) => t.split(" ", -1).filter(_.nonEmpty).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = index.filter(_._2.distinct.length >= 20)
+    assert(rows.map(_.getAs[String]("word")).toSet == expected.keySet, "vocabulary at df floor")
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      val ids = index(w)
+      val posting = ids.distinct.sorted
+      assert(r.getAs[Long]("df") == posting.length && r.getAs[Long]("posting_len") == posting.length)
+      assert(r.getAs[Long]("tf_total") == ids.length, s"tf for '$w'")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(posting.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("posting_md5") == md5, s"posting bytes for '$w'")
+    }
+  }
 }
