@@ -98,6 +98,16 @@ object ArrayExprs {
     */
   def gearCdcChunks(payload: Column, minSize: Int, maskBits: Int, maxSize: Int): Column =
     ColumnBridge.column(GearCdcChunks(ColumnBridge.expression(payload), minSize, maskBits, maxSize))
+
+  /** Count of array<string> elements present in a constant reference
+    * set (see [[RefSetHitCount]]).
+    */
+  def refSetHitCount(arr: Column, ref: Iterable[String]): Column = {
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.max(16, ref.size * 2))
+    ref.foreach(s => set.add(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    ColumnBridge.column(RefSetHitCount(ColumnBridge.expression(arr), set))
+  }
 }
 
 /** Space-joined n-grams of a word array; a document shorter than n
@@ -158,6 +168,57 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
          |  $out[$i] = org.apache.spark.unsafe.types.UTF8String.concatWs($sepRef, $parts);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Count of elements of an array<string> column that appear in a
+  * constant reference set (UTF8String hash set via addReferenceObj).
+  *
+  * Exists as a kernel because it makes membership testing against a
+  * SMALL reference corpus (a benchmark's n-gram index — MBs at any
+  * data scale) a stateless map-side expression: no explode, no join,
+  * no per-doc re-aggregation. That statelessness is what lets the
+  * decontamination stage run inside a STREAMING pipeline (a
+  * stream-static gram join would need a per-doc stateful count-back);
+  * in batch plans it also keeps the projection inside whole-stage
+  * codegen. Semantically identical to
+  * `size(array_intersect(arr, ref))` only when `arr` is distinct —
+  * this counts every occurrence, matching the exploded-join hit
+  * count the batch decontaminate operator produces over distinct
+  * grams.
+  */
+case class RefSetHitCount(
+    child: Expression,
+    ref: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String],
+) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(in: Any): Any = {
+    val a = in.asInstanceOf[ArrayData]
+    var c = 0
+    var i = 0
+    while (i < a.numElements()) {
+      if (ref.contains(a.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("refSet", ref, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      s"""
+         |int $c = 0;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if ($refName.contains($arr.getUTF8String($i))) $c++;
+         |}
+         |${ev.value} = $c;
        """.stripMargin
     })
   }

@@ -103,6 +103,55 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_id")
 
+  /** §2.7 #44 — the preprocessing pipeline as a STREAM: quality
+    * filter → exact content dedup → decontamination → stratified
+    * sample over an arriving (doc_id, ts, source, text) document
+    * stream, emitting the same per-doc verdict columns as the batch
+    * flagship [[graft.operators.Pipeline.pipelineE2e]] (minus
+    * sharding, which is an export-time global window and stays a
+    * batch step).
+    *
+    * Every stage except dedup is STATELESS by construction, which is
+    * what makes the composition stream-safe: the filter and sample are
+    * map-side column math, and decontamination tests grams against a
+    * constant broadcast set inside a codegen expression
+    * ([[graft.functions.ArrayExprs.refSetHitCount]] — benchmarks are
+    * MBs at any corpus scale, so the set rides in the plan instead of
+    * a stream-static join that would need a stateful per-doc count
+    * back). Dedup is `dropDuplicatesWithinWatermark` on the content
+    * hash — first arrival survives, late duplicates age out of state
+    * with the watermark, the same bounded-state contract as
+    * [[dedupEvents]]. StreamingSpec pins the whole composition
+    * stream ≡ batch against `pipeline_e2e` itself.
+    */
+  def docPipeline(
+      docs: DataFrame,
+      evalGrams: Iterable[String],
+      watermarkDelay: String = "1 hour",
+  ): DataFrame = {
+    val filtered = graft.operators.Pipeline.textFilterCols(docs)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("ts"), col("source"), col("text"))
+    val deduped = filtered
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+    val grams = array_distinct(
+      graft.functions.ArrayExprs.wordNgrams(split(col("text"), " "), 5))
+    val clean = deduped
+      .filter(col("doc_id") % 37 =!= 0) // eval docs ARE the benchmark
+      .withColumn("grams", grams)
+      .withColumn("n_hits", graft.functions.ArrayExprs.refSetHitCount(col("grams"), evalGrams.toSeq))
+      .filter(col("n_hits").cast("double") / size(col("grams")) <= 0.2)
+    clean
+      .withColumn("rate",
+        (lit(1.0) + pmod(substring(col("source"), 4, 10).cast("int"), lit(4))) / 4.0)
+      .withColumn("u32",
+        conv(substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 8), 16, 10).cast("long"))
+      .filter(col("u32") < (col("rate") * 4294967296.0).cast("long"))
+      .select(col("doc_id"), col("source"), col("rate"), col("content_hash"))
+  }
+
   /** §2.7 #37 — gap-based sessionization with explicit state
     * (flatMapGroupsWithState). A session closes when a later event for
     * the same user arrives more than `gap` after it; closed sessions

@@ -68,4 +68,20 @@ class ArrayExprsSpec extends AnyFunSuite {
     assert(d(0) == 0x3L, s"majority of {0,3,3} sets bits 0,1: got ${d(0)}")
     assert(d(2) == (1L << 62) - 1, "all-ones hashes set all 62 bits")
   }
+
+  test("RefSetHitCount equals size(array_intersect) on distinct arrays and counts repeats") {
+    val ref = Set("b", "c", "zz")
+    val rows = Seq(
+      Seq("a", "b", "c"),   // distinct: 2 hits
+      Seq("b", "b", "c"),   // repeats counted: 3 hits (intersect would say 2)
+      Seq("x", "y"),        // none
+      Seq.empty[String],
+    ).toDF("arr")
+    val got = rows.select(ArrayExprs.refSetHitCount(col("arr"), ref).as("n")).as[Int].collect()
+    assert(got.toSeq == Seq(2, 3, 0, 0))
+    val viaIntersect = rows
+      .select(size(array_intersect(col("arr"), typedLit(ref.toSeq))).as("n")).as[Int].collect()
+    assert(got(0) == viaIntersect(0) && got(2) == viaIntersect(2) && got(3) == viaIntersect(3),
+      "on distinct arrays the kernel must agree with array_intersect")
+  }
 }

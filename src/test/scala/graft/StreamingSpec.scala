@@ -442,6 +442,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming doc pipeline equals batch pipeline_e2e (filter+dedup+decontam+sample)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, String)]
+    val input = stream.toDF().toDF("doc_id", "ts", "source", "text")
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val evalGrams = GraftSession.table(spark, sf, "documents")
+      .filter(col("doc_id") % 37 === 0)
+      .select(explode(array_distinct(
+        graft.functions.ArrayExprs.wordNgrams(split(col("text"), " "), 5))).as("g"))
+      .as[String].collect().toSet
+    val q = EventsStream.docPipeline(input, evalGrams)
+      .writeStream.format("memory").queryName("docpipe_out").outputMode("append").start()
+    try {
+      // batch dedup keeps the MIN doc_id per content hash; the stream
+      // keeps the FIRST ARRIVAL. The sf0.001 corpus has no exact text
+      // duplicates, so feed it in two halves (identical verdicts to
+      // batch), then PLANT cross-batch duplicates of kept docs in a
+      // third batch — each planted id is chosen so it would survive
+      // the %37 and sampling gates, so its absence from the output
+      // can only be the dedup state dropping it.
+      val base = 1723500000000L
+      def u32(source: String, id: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$source:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.substring(0, 8), 16)
+      }
+      def rateOf(source: String): Double = (1.0 + source.drop(3).toInt % 4) / 4.0
+      def wouldSurvive(source: String, id: Long): Boolean =
+        id % 37 != 0 && u32(source, id) < (rateOf(source) * 4294967296.0).toLong
+      val want = operators.Pipeline.pipelineE2e(spark, sf)
+        .select("doc_id", "source", "rate", "content_hash").orderBy("doc_id").collect().toSeq
+      val (b1, b2) = docs.map { case (id, s, t) => (id, new Timestamp(base + id * 1000), s, t) }
+        .splitAt(docs.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      // duplicate END-TO-END SURVIVORS specifically: their hashes are
+      // provably in the dedup state, so only dedup can drop the clones
+      val keptIds = want.map(_.getAs[Long]("doc_id")).toSet
+      val planted = docs.filter(d => keptIds(d._1)).take(20).map { case (_, s, t) =>
+        val id = Iterator.iterate(1000001L)(_ + 1).find(wouldSurvive(s, _)).get
+        (id, new Timestamp(base + 600000L + id), s, t)
+      }
+      assert(planted.nonEmpty)
+      stream.addData(planted); q.processAllAvailable()
+      val got = spark.table("docpipe_out")
+        .select("doc_id", "source", "rate", "content_hash").orderBy("doc_id").collect().toSeq
+      assert(got.nonEmpty)
+      assert(!got.exists(_.getAs[Long]("doc_id") >= 1000000L),
+        "planted cross-batch duplicates must be dropped by the dedup state")
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("multimodal features roundtrip through the batched decoder") {
     val feats = multimodal.Multimodal.multimodalFeatures(spark, sf).collect()
     assert(feats.length == 500)
