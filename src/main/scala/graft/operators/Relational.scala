@@ -2468,7 +2468,105 @@ object Relational {
       |ORDER BY cosine_ppm DESC, p1, p2
       |LIMIT 100""".stripMargin
 
+  /** §2.2 #21ay — Pareto / cumulative-revenue-share report: customers
+    * ranked by lifetime spend within their market segment, each
+    * carrying its cumulative share of segment revenue (ppm) and a
+    * flag for membership in the head that makes up 80% of revenue —
+    * the "which customers matter" tiering behind every
+    * revenue-concentration dashboard.
+    *
+    * Scale shape: the only fact-sized shuffle is the per-customer
+    * spend rollup; the running sum partitions by segment (parallel,
+    * never global). Cross-engine exactness: spend is an exact DECIMAL
+    * sum converted to integer cents, the running sum and total are
+    * int64, the share is ppm floor division, and the 80% flag
+    * compares the EXCLUSIVE integer prefix — no float anywhere.
+    * Headroom: the ×10^6 products clear int64 up to ~9×10^12 cents
+    * per segment; past that the sums go DECIMAL(38,0) — the q_abtest
+    * knob.
+    */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val spend = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(decP(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+      .join(table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val wRun = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("c_mktsegment"))
+    spend
+      .withColumn("cum_cents", sum(col("cents")).over(wRun))
+      .withColumn("seg_cents", sum(col("cents")).over(wTot))
+      .select(
+        col("c_mktsegment"), col("o_custkey").as("custkey"), col("cents"),
+        expr("(cum_cents * 1000000L) div seg_cents").as("cum_share_ppm"),
+        // in the 80% head iff revenue BEFORE this customer is < 80%
+        (((col("cum_cents") - col("cents")) * 1000000L) < col("seg_cents") * 800000L).as("in_top80"),
+      )
+      .orderBy("c_mktsegment", "cum_share_ppm", "custkey")
+  }
+
+  val qParetoSql: String =
+    """WITH spend AS (
+      |  SELECT c_mktsegment, o_custkey AS custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT c_mktsegment, custkey, cents,
+      |    sum(cents) OVER (PARTITION BY c_mktsegment
+      |                     ORDER BY cents DESC, custkey
+      |                     ROWS UNBOUNDED PRECEDING) AS cum_cents,
+      |    sum(cents) OVER (PARTITION BY c_mktsegment) AS seg_cents
+      |  FROM spend
+      |)
+      |SELECT c_mktsegment, custkey, cents,
+      |  CAST((cum_cents * 1000000) // seg_cents AS BIGINT) AS cum_share_ppm,
+      |  ((cum_cents - cents) * 1000000) < seg_cents * 800000 AS in_top80
+      |FROM r
+      |ORDER BY c_mktsegment, cum_share_ppm, custkey""".stripMargin
+
+  /** §2.2 #21az — modal value per group (most frequent order priority
+    * per market segment, deterministic tie-break on the priority
+    * string): the categorical summary statistic GROUP BY can't express
+    * directly. Two keyed aggregations (fact-sized then
+    * segments×priorities-sized) and a per-segment rank over the tiny
+    * rollup — nothing wide beyond the first shuffle at any scale.
+    */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "orders")
+      .join(table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"), col("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qModeSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment, o_orderpriority, count(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT c_mktsegment, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+      |                               ORDER BY n DESC, o_orderpriority) AS rk
+      |  FROM c
+      |)
+      |WHERE rk = 1
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pareto" -> (qPareto _),
+    "q_mode" -> (qMode _),
     "q_markov" -> (qMarkov _),
     "q_item_sim" -> (qItemSim _),
     "q_copurchase" -> (qCopurchase _),
@@ -2533,6 +2631,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pareto" -> qParetoSql,
+    "q_mode" -> qModeSql,
     "q_markov" -> qMarkovSql,
     "q_item_sim" -> qItemSimSql,
     "q_copurchase" -> qCopurchaseSql,
