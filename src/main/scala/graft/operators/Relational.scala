@@ -2564,7 +2564,66 @@ object Relational {
       |WHERE rk = 1
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** §2.2 #21ba — RFM (recency / frequency / monetary) customer
+    * segmentation: days since last order against a fixed anchor,
+    * order count, integer-cents spend, each scored into quintiles
+    * WITHIN the customer's market segment (partition-parallel — a
+    * global ntile would funnel every row through one partition, the
+    * q_ntile lesson; a global variant pre-aggregates the rollup
+    * first), composed into the classic 3-digit RFM code.
+    *
+    * Cross-engine exactness: recency is integer µs floor-divided to
+    * days, spend is exact DECIMAL→cents, and every ntile orders by a
+    * tie-free (metric, custkey) key — ntile's ceil/floor bucket split
+    * is SQL-standard and identical in both engines.
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val agg = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("f"),
+        (sum(decP(col("o_totalprice"))) * 100).cast(LongType).as("cents"),
+      )
+      .join(table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("recency_days",
+        expr("(unix_micros(timestamp'2001-08-02 00:00:00') - unix_micros(last_order)) div 86400000000"))
+    val seg = Window.partitionBy(col("c_mktsegment"))
+    val rQ = ntile(5).over(seg.orderBy(col("recency_days"), col("o_custkey")))
+    val fQ = ntile(5).over(seg.orderBy(col("f").desc, col("o_custkey")))
+    val mQ = ntile(5).over(seg.orderBy(col("cents").desc, col("o_custkey")))
+    agg
+      .select(
+        col("o_custkey").as("custkey"), col("c_mktsegment"),
+        col("recency_days"), col("f"), col("cents"),
+        rQ.cast(LongType).as("r_q"), fQ.cast(LongType).as("f_q"), mQ.cast(LongType).as("m_q"),
+      )
+      .withColumn("rfm_code", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .orderBy("custkey")
+  }
+
+  val qRfmSql: String =
+    """WITH agg AS (
+      |  SELECT o_custkey AS custkey, c_mktsegment,
+      |    CAST((epoch_us(TIMESTAMP '2001-08-02') - epoch_us(max(o_orderdate))) // 86400000000 AS BIGINT) AS recency_days,
+      |    count(*) AS f,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY o_custkey, c_mktsegment
+      |), t AS (
+      |  SELECT custkey, c_mktsegment, recency_days, CAST(f AS BIGINT) AS f, cents,
+      |    CAST(ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY recency_days, custkey) AS BIGINT) AS r_q,
+      |    CAST(ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY f DESC, custkey) AS BIGINT) AS f_q,
+      |    CAST(ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY cents DESC, custkey) AS BIGINT) AS m_q
+      |  FROM agg
+      |)
+      |SELECT *, r_q * 100 + f_q * 10 + m_q AS rfm_code
+      |FROM t
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (qRfm _),
     "q_pareto" -> (qPareto _),
     "q_mode" -> (qMode _),
     "q_markov" -> (qMarkov _),
@@ -2631,6 +2690,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rfm" -> qRfmSql,
     "q_pareto" -> qParetoSql,
     "q_mode" -> qModeSql,
     "q_markov" -> qMarkovSql,
