@@ -2622,7 +2622,43 @@ object Relational {
       |FROM t
       |ORDER BY custkey""".stripMargin
 
+  /** §2.2 #21bb — seasonality heatmap: event volume and integer value
+    * mass per (day-of-week, hour-of-day) cell — the weekly-rhythm
+    * decomposition behind load forecasting and anomaly baselines.
+    * Calendar math is PURE int64 epoch arithmetic (`day = us div
+    * 86400e6`, `dow = (day + 3) mod 7` with 0 = Monday since
+    * 1970-01-01 was a Thursday, `hour = (us div 3600e6) mod 24`) —
+    * engine calendar functions disagree on week conventions
+    * (Spark's dayofweek starts Sunday=1, DuckDB's dayofweek
+    * Sunday=0), integer division does not. One map-side projection +
+    * one 168-cell aggregation; trivially parallel at any scale.
+    */
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(
+        unix_micros(col("ts")).as("us"),
+        floor(col("value")).cast(LongType).as("v"),
+      )
+      .select(
+        expr("((us div 86400000000) + 3) % 7").as("dow"),
+        expr("(us div 3600000000) % 24").as("hour"),
+        col("v"),
+      )
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_v"))
+      .orderBy("dow", "hour")
+
+  val qSeasonalitySql: String =
+    """SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+      |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY dow, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> (qSeasonality _),
     "q_rfm" -> (qRfm _),
     "q_pareto" -> (qPareto _),
     "q_mode" -> (qMode _),
@@ -2690,6 +2726,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_seasonality" -> qSeasonalitySql,
     "q_rfm" -> qRfmSql,
     "q_pareto" -> qParetoSql,
     "q_mode" -> qModeSql,
