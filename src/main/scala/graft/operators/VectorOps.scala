@@ -1077,7 +1077,71 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** §2.4 #29h — embedding outlier detection: every vector's exact
+    * integer squared distance to its label's mean-pooled centroid
+    * ([[embCentroids]] broadcast back onto the exploded dimensions),
+    * flagged at 2σ of the label's distance distribution — the
+    * mislabel / corrupted-embedding audit a curation pipeline runs
+    * before training on weak labels.
+    *
+    * Scale shape: explode is map-side, the centroid join is broadcast
+    * (|labels|·dims rows), per-vector distance is one keyed partial
+    * agg, and the σ-flag needs only per-label moment sums over the
+    * per-VECTOR distance table (corpus-row-count sized, not
+    * dims-exploded). Cross-engine exactness: distances are exact
+    * int64 on the ×10^4 grid; the 2σ test is the q_anomaly
+    * float-cleared comparison (n·d − S)² > 4·(n·S2 − S²) computed in
+    * DECIMAL(38,0) (Spark) ≡ HUGEINT (DuckDB) — d² alone overflows
+    * int64, exact 128-bit on both sides.
+    */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cent = embCentroids(spark, dir)
+      .select(col("label"), col("pos"), col("centroid_q"))
+    val dist = emb(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(qvec))
+      .join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("dd", (col("col") - col("centroid_q")) * (col("col") - col("centroid_q")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("dd")).as("dist2_q"))
+    val dec = col("dist2_q").cast(DecimalType(38, 0))
+    val w = Window.partitionBy(col("label"))
+    val n = count(lit(1)).over(w).cast(DecimalType(38, 0))
+    val s = sum(dec).over(w)
+    val s2 = sum(dec * col("dist2_q")).over(w)
+    dist
+      .withColumn("dev", n * dec - s)
+      .withColumn("is_outlier", col("dev") * col("dev") > lit(4) * (n * s2 - s * s))
+      .select(col("vec_id"), col("label"), col("dist2_q"), col("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  val embOutliersSql: String =
+    """WITH exploded AS (
+      |  SELECT vec_id, label,
+      |    unnest(range(len(embedding))) AS pos,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT label, pos, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+      |  FROM exploded GROUP BY label, pos
+      |), d AS (
+      |  SELECT vec_id, e.label, CAST(sum((qv - cq) * (qv - cq)) AS BIGINT) AS dist2_q
+      |  FROM exploded e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      |  GROUP BY vec_id, e.label
+      |), m AS (
+      |  SELECT vec_id, label, dist2_q,
+      |    CAST(count(*) OVER w AS HUGEINT) AS n,
+      |    sum(CAST(dist2_q AS HUGEINT)) OVER w AS s,
+      |    sum(CAST(dist2_q AS HUGEINT) * dist2_q) OVER w AS s2
+      |  FROM d WINDOW w AS (PARTITION BY label)
+      |)
+      |SELECT vec_id, label, dist2_q,
+      |  (n * dist2_q - s) * (n * dist2_q - s) > 4 * (n * s2 - s * s) AS is_outlier
+      |FROM m
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> (embOutliers _),
     "emb_pca" -> (embPca _),
     "ann_classify" -> (annClassify _),
     "emb_centroids" -> (embCentroids _),
@@ -1092,6 +1156,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_outliers" -> embOutliersSql,
     "ann_classify" -> annClassifySql,
     "emb_centroids" -> embCentroidsSql,
     "ann_bruteforce" -> annBruteforceSql,
