@@ -95,6 +95,9 @@ object BenchBaseline {
     "q_sketches" -> 0.665,
     "q_topk_group" -> 0.426,
     "q_window" -> 0.479,
+    "q_vwap" -> 0.57,
+    "q_changepoint" -> 0.24,
+    "text_domain_cap" -> 0.2,
     "sample_mix" -> 0.152,
     "shard_assign" -> 0.187,
     "text_bm25" -> 0.451,

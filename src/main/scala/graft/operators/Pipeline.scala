@@ -794,7 +794,62 @@ object Pipeline {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ per-source cap
+
+  /** How many documents a single source may contribute (C4 /
+    * RefinedWeb-style per-domain quota: without one, a handful of
+    * boilerplate-heavy domains dominate the training mix).
+    */
+  val DomainCapK = 16
+
+  /** §2.3 #26n — per-source document cap: keep at most [[DomainCapK]]
+    * docs per source, chosen by a deterministic md5 draw (not arrival
+    * order, which is nondeterministic under distributed scan; not
+    * doc_id order, which would bias toward old documents).
+    *
+    * Scale path: the obvious `row_number() OVER (PARTITION BY source)
+    * <= K` sorts EVERY source's full document set — and source
+    * cardinality is tiny relative to the corpus, so at 100 TB each
+    * window partition is billions of rows through one task. This
+    * instead runs the k-bounded [[graft.functions.TopKAggregator]]:
+    * partial aggregation keeps ≤K entries per (map partition, source),
+    * the shuffle carries at most K·P rows, and no full sort of the
+    * corpus ever happens. Sort key is the md5 48-bit prefix — exact in
+    * a Double, so the buffer's ordering replays bit-for-bit — negated
+    * because the aggregator keeps the LARGEST keys and the draw keeps
+    * the smallest hashes.
+    */
+  def textDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hk = conv(substring(md5(col("doc_id").cast(StringType)), 1, 12), 16, 10)
+      .cast(LongType)
+    val entries = docs(spark, dir)
+      .select((-hk).cast(DoubleType).as("sort"), col("doc_id").as("payload"), col("source"))
+      .as[(Double, Long, String)]
+    entries
+      .groupByKey(_._3)
+      .mapValues(t => graft.functions.TopKAggregator.Entry(t._1, t._2))
+      .agg(graft.functions.TopKAggregator.topK(DomainCapK).toColumn)
+      .flatMap { case (src, kept) =>
+        // finish() orders by (sort desc, payload asc) = (hash asc, doc_id asc)
+        kept.zipWithIndex.map { case (e, i) => (src, (i + 1).toLong, e.payload) }
+      }
+      .toDF("source", "rank", "doc_id")
+      .orderBy("source", "rank")
+  }
+
+  val textDomainCapSql: String =
+    s"""SELECT source, CAST(rn AS BIGINT) AS rank, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id) AS rn
+      |  FROM documents
+      |)
+      |WHERE rn <= $DomainCapK
+      |ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_domain_cap" -> (textDomainCap _),
     "pipeline_e2e" -> (pipelineE2e _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_negatives" -> (sampleNegatives _),
@@ -810,6 +865,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_domain_cap" -> textDomainCapSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_survivors" -> dedupSurvivorsSql,

@@ -2657,7 +2657,107 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY dow, hour""".stripMargin
 
+  /** §2.2 #21bd — volume-weighted average unit price per (brand,
+    * 30-day bucket): the VWAP shape behind price monitoring /
+    * fairness audits. Unit price is sum(extendedprice)/sum(quantity),
+    * computed entirely in integers — per-row DECIMAL→cents, int64
+    * sums, one floor division at the end — so it is order-free and
+    * bit-exact cross-engine. Time buckets are pure epoch-µs integer
+    * division (the q_seasonality lesson: engine calendar functions
+    * disagree; integer division doesn't).
+    *
+    * Scale: the fact-side agg combines map-side down to
+    * (partkey-join-key grain → brand × bucket ≈ thousands of rows);
+    * part joins on the co-partitioned key and AQE picks broadcast
+    * while part is small. Nothing here holds more than a group row.
+    */
+  def qVwap(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(
+        col("l_partkey"),
+        expr("unix_micros(l_shipdate) div 2592000000000").as("bucket30"),
+        (decP(col("l_extendedprice")) * 100).cast(LongType).as("cents"),
+        col("l_quantity").cast(LongType).as("qty"),
+      )
+      .join(table(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("bucket30"))
+      .agg(sum(col("qty")).as("qty_sum"), sum(col("cents")).as("cents_sum"))
+      .withColumn("vwap_cents", expr("cents_sum div qty_sum"))
+      .orderBy("p_brand", "bucket30")
+
+  val qVwapSql: String =
+    """SELECT p_brand, epoch_us(l_shipdate) // 2592000000000 AS bucket30,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    // sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vwap_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2
+      |ORDER BY p_brand, bucket30""".stripMargin
+
+  /** §2.2 #21be — CUSUM changepoint detection per event type: the day
+    * where the cumulative deviation of daily event counts from the
+    * type's mean peaks — the classic single-changepoint locator for
+    * "when did traffic shift?". With D observed days and total T,
+    * cusum_d = Σ_{i≤d}(c_i·D − T) = D·cum_d − r_d·T stays in exact
+    * int64 (counts ≤ events, D ≤ days), so the argmax is bit-exact
+    * cross-engine; ties break on the earlier day.
+    *
+    * Scale: one map-side-combined shuffle collapses events to
+    * (type, day) grain — after that the series is |types|·|days|
+    * rows, and every window partitions by type, so the heavy data
+    * passes exactly one aggregation and the windows run on the tiny
+    * rollup, partition-parallel.
+    */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("cum", sum(col("c")).over(wSeq))
+      .withColumn("r", row_number().over(Window.partitionBy(col("event_type")).orderBy(col("day"))).cast(LongType))
+      .withColumn("n_days", count(lit(1)).over(wTot))
+      .withColumn("total", sum(col("c")).over(wTot))
+      .withColumn("cusum", col("cum") * col("n_days") - col("r") * col("total"))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+    scored
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"), col("cusum"),
+        col("n_days"), col("total").as("total_events"))
+      .orderBy("event_type")
+  }
+
+  val qChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT event_type, day,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n_days,
+      |    sum(c) OVER (PARTITION BY event_type) AS total
+      |  FROM daily
+      |), z AS (
+      |  SELECT event_type, day, CAST(cum * n_days - r * total AS BIGINT) AS cusum,
+      |    CAST(n_days AS BIGINT) AS n_days, CAST(total AS BIGINT) AS total,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY abs(cum * n_days - r * total) DESC, day) AS rk
+      |  FROM s
+      |)
+      |SELECT event_type, day AS cp_day, cusum, n_days, total AS total_events
+      |FROM z WHERE rk = 1
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vwap" -> (qVwap _),
+    "q_changepoint" -> (qChangepoint _),
     "q_seasonality" -> (qSeasonality _),
     "q_rfm" -> (qRfm _),
     "q_pareto" -> (qPareto _),
@@ -2726,6 +2826,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vwap" -> qVwapSql,
+    "q_changepoint" -> qChangepointSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_rfm" -> qRfmSql,
     "q_pareto" -> qParetoSql,

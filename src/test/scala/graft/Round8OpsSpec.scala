@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Pipeline, Relational}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round8OpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // -------------------------------------------------------------- q_vwap
+
+  test("q_vwap equals a plain-Scala integer replay at sf0.001") {
+    val rows = GraftSession.table(spark, sf, "lineitem")
+      .join(GraftSession.table(spark, sf, "part"), col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand"),
+        expr("unix_micros(l_shipdate) div 2592000000000").as("bucket30"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"),
+      )
+      .as[(String, Long, Long, Long)].collect()
+    val want = rows.groupBy(r => (r._1, r._2)).map { case ((brand, b30), rs) =>
+      val qty = rs.map(_._4).sum
+      val cents = rs.map(_._3).sum
+      (brand, b30) -> ((qty, cents, Math.floorDiv(cents, qty)))
+    }
+    val got = Relational.qVwap(spark, sf).collect().map { r =>
+      (r.getAs[String]("p_brand"), r.getAs[Long]("bucket30")) ->
+        ((r.getAs[Long]("qty_sum"), r.getAs[Long]("cents_sum"), r.getAs[Long]("vwap_cents")))
+    }.toMap
+    assert(got == want)
+    // the floor-division invariant the cents answer must satisfy
+    got.values.foreach { case (qty, cents, vwap) =>
+      assert(vwap * qty <= cents && cents < (vwap + 1) * qty)
+    }
+  }
+
+  // ------------------------------------------------------- q_changepoint
+
+  test("q_changepoint equals a plain-Scala CUSUM replay at sf0.001") {
+    val daily = GraftSession.table(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.length.toLong) }.toSeq
+    val want = daily.groupBy(_._1).map { case (t, xs) =>
+      val series = xs.sortBy(_._2)
+      val nDays = series.length.toLong
+      val total = series.map(_._3).sum
+      var cum = 0L
+      val cusums = series.zipWithIndex.map { case ((_, day, c), i) =>
+        cum += c
+        (day, cum * nDays - (i + 1).toLong * total)
+      }
+      val (cpDay, cusum) = cusums.minBy { case (day, s) => (-Math.abs(s), day) }
+      t -> ((cpDay, cusum, nDays, total))
+    }
+    val got = Relational.qChangepoint(spark, sf).collect().map { r =>
+      r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("cp_day"), r.getAs[Long]("cusum"),
+          r.getAs[Long]("n_days"), r.getAs[Long]("total_events")))
+    }.toMap
+    assert(got == want)
+    // CUSUM telescopes to zero at the last day, so a peak of 0 means a
+    // perfectly flat series — on real event data the peak must move
+    assert(got.values.exists(_._2 != 0L))
+  }
+
+  // ------------------------------------------------------ text_domain_cap
+
+  test("text_domain_cap: bounded-aggregator result equals the window formulation") {
+    val got = Pipeline.textDomainCap(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    // reference: the full-sort window formulation the aggregator replaces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"), col("doc_id"))
+    val want = GraftSession.table(spark, sf, "documents")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Pipeline.DomainCapK)
+      .select(col("source"), col("rank"), col("doc_id"))
+      .as[(String, Long, Long)].collect()
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+  }
+
+  test("text_domain_cap: cap respected, ranks contiguous, deterministic") {
+    val rows = Pipeline.textDomainCap(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    val bySrc = rows.groupBy(_._1)
+    val nDocs = GraftSession.table(spark, sf, "documents")
+      .groupBy(col("source")).count().as[(String, Long)].collect().toMap
+    for ((src, xs) <- bySrc) {
+      assert(xs.length <= Pipeline.DomainCapK)
+      assert(xs.length == math.min(Pipeline.DomainCapK, nDocs(src)).toInt,
+        s"$src kept ${xs.length} of ${nDocs(src)}")
+      assert(xs.map(_._2).sorted.toSeq == (1L to xs.length.toLong), s"$src ranks not contiguous")
+      assert(xs.map(_._3).distinct.length == xs.length, s"$src duplicated doc_ids")
+    }
+    val again = Pipeline.textDomainCap(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(rows.toSeq == again.toSeq, "nondeterministic result")
+  }
+}
