@@ -98,6 +98,8 @@ object BenchBaseline {
     "q_vwap" -> 0.57,
     "q_changepoint" -> 0.24,
     "text_domain_cap" -> 0.2,
+    "q_concurrency" -> 1.38,
+    "dedup_containment" -> 3.98,
     "sample_mix" -> 0.152,
     "shard_assign" -> 0.187,
     "text_bm25" -> 0.451,

@@ -280,6 +280,79 @@ object Dedup {
 
   val dedupNgramExactSql: String = dedupMinhashLshSql
 
+  // ---------------------------------------------------------------- containment
+
+  /** §2.3 #26o — asymmetric containment join: ordered pairs (a, b)
+    * with |G(a) ∩ G(b)| / |G(a)| ≥ 0.8 over distinct 3-gram shingles
+    * — the quote/subset detector Jaccard misses (a short doc embedded
+    * verbatim in a much longer one has low Jaccard but containment
+    * ≈ 1), the asymmetric-dedup primitive behind "drop docs that are
+    * mostly a substring of another".
+    *
+    * Candidates by the overlap prefix filter (Chaudhuri'06 / PPJoin
+    * family, containment form): to reach overlap ⌈τ·n_a⌉, doc a must
+    * share one of its (n_a − ⌈τ·n_a⌉ + 1) globally-rarest grams with
+    * b — so only a's rarest-first prefix joins the full posting list
+    * (the b side can't be prefix-pruned: containment is one-sided).
+    * Lossless by the pigeonhole, exactly like `dedup_ngram_exact`'s
+    * symmetric variant; same fp-exactness bound on hashed grams.
+    * Verification is the codegen two-pointer intersect; the final
+    * containment is ONE IEEE division (inter / n_a), bit-identical in
+    * DuckDB, and candidates ⊆ exact pairs keeps the oracle valid.
+    *
+    * Scale: gram signatures map-side, df counts one agg, prefix join
+    * shuffles 8-byte gram keys; the posting-list side is the scale
+    * knob — rarest-first prefixes keep common grams out of the join
+    * key set, so posting skew only enters through genuinely-shared
+    * rare grams (true near-dup mass).
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val t = VerifyThreshold
+    val d = docs(spark, dir)
+      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"), array_sort(array_distinct(transform(col("sh"), g => xxhash64(g)))).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .cache()
+    val posts = d.select(col("doc_id"), explode(col("hs")).as("g"))
+    val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefixes = posts
+      .join(dfreq, "g")
+      .join(d.select(col("doc_id"), col("n")), "doc_id")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("g"))
+      .join(posts.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val inter = graft.functions.ArrayExprs.sortedIntersectCount(col("ha"), col("hb"))
+    val out = cand
+      .join(d.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("containment", inter.cast(DoubleType) / col("na"))
+      .filter(col("containment") >= t)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+    materialized(out, Seq("doc_a", "doc_b"), d)
+  }
+
+  val dedupContainmentSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |      ELSE [text] END AS sh
+      |  FROM w
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+      |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- incremental
 
   /** §2.3 #24b — incremental corpus dedup: the production pattern where
@@ -507,6 +580,7 @@ object Dedup {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_exact" -> (dedupNgramExact _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_fuzzy" -> (dedupFuzzy _),
@@ -518,6 +592,7 @@ object Dedup {
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_exact" -> dedupNgramExactSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_fuzzy" -> dedupFuzzySql,
     "dedup_spans" -> dedupSpansSql,

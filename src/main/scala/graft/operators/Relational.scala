@@ -2755,9 +2755,106 @@ object Relational {
       |FROM z WHERE rk = 1
       |ORDER BY event_type""".stripMargin
 
+  /** §2.2 #21bf — peak session concurrency per day: how many user
+    * sessions (the q_sessionize 30-min gap rule) overlap at the
+    * busiest instant of each day — the capacity-planning number. The
+    * classic interval sweep, distributed: sessions split into per-day
+    * segments (explode over the days each spans, clipped to day
+    * bounds), each segment emits +1 at its start and −1 just after
+    * its closed end, deltas collapse to (day, µs) grain, and a
+    * per-day running sum's max — earliest µs on ties — is the peak.
+    * Everything is int64; the sweep is exact at µs resolution, and
+    * the function is piecewise-constant between boundaries so the
+    * boundary max IS the global max.
+    *
+    * Scale: sessionize windows are per-user (partition-parallel);
+    * the sweep's window partitions by day over boundary-grain rows
+    * (2 per session-day, collapsed by µs). For a day too hot for one
+    * partition, the running sum decomposes into the standard two-pass
+    * prefix sum (per-bucket partials + broadcast offsets) — same
+    * plan shape, noted here as the 1000×-day escape hatch.
+    */
+  def qConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    val dayUs = 86400000000L
+    val sessions = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || (col("us") - col("prev_us")) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val segs = sessions
+      .select(col("start_us"), col("end_us"),
+        explode(sequence(expr("start_us div 86400000000"), expr("end_us div 86400000000"))).as("day"))
+      .select(col("day"),
+        greatest(col("start_us"), col("day") * dayUs).as("seg_start"),
+        // closed interval [start, end]: the decrement lands at end+1
+        (least(col("end_us"), (col("day") + 1) * dayUs - 1) + 1).as("seg_end1"))
+    val deltas = segs.select(col("day"), col("seg_start").as("us"), lit(1L).as("delta"))
+      .unionByName(segs.select(col("day"), col("seg_end1").as("us"), lit(-1L).as("delta")))
+      .groupBy(col("day"), col("us")).agg(sum(col("delta")).as("d"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val best = Window.partitionBy(col("day")).orderBy(col("conc").desc, col("us"))
+    deltas
+      .withColumn("conc", sum(col("d")).over(wDay))
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("day"), col("conc").as("peak_concurrency"), col("us").as("at_us"))
+      .orderBy("day")
+  }
+
+  val qConcurrencySql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us
+      |  FROM (
+      |    SELECT user_id, us,
+      |      sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |    FROM g
+      |  ) GROUP BY user_id, session_id
+      |), segs AS (
+      |  SELECT day,
+      |    greatest(start_us, day * 86400000000) AS seg_start,
+      |    least(end_us, (day + 1) * 86400000000 - 1) + 1 AS seg_end1
+      |  FROM (
+      |    SELECT start_us, end_us,
+      |      unnest(generate_series(start_us // 86400000000, end_us // 86400000000)) AS day
+      |    FROM sess
+      |  )
+      |), deltas AS (
+      |  SELECT day, us, sum(delta) AS d FROM (
+      |    SELECT day, seg_start AS us, 1 AS delta FROM segs
+      |    UNION ALL
+      |    SELECT day, seg_end1 AS us, -1 AS delta FROM segs
+      |  ) GROUP BY day, us
+      |), run AS (
+      |  SELECT day, us,
+      |    CAST(sum(d) OVER (PARTITION BY day ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      |  FROM deltas
+      |)
+      |SELECT day, conc AS peak_concurrency, us AS at_us FROM (
+      |  SELECT day, us, conc,
+      |    row_number() OVER (PARTITION BY day ORDER BY conc DESC, us) AS rk
+      |  FROM run
+      |) WHERE rk = 1
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vwap" -> (qVwap _),
     "q_changepoint" -> (qChangepoint _),
+    "q_concurrency" -> (qConcurrency _),
     "q_seasonality" -> (qSeasonality _),
     "q_rfm" -> (qRfm _),
     "q_pareto" -> (qPareto _),
@@ -2828,6 +2925,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_vwap" -> qVwapSql,
     "q_changepoint" -> qChangepointSql,
+    "q_concurrency" -> qConcurrencySql,
     "q_seasonality" -> qSeasonalitySql,
     "q_rfm" -> qRfmSql,
     "q_pareto" -> qParetoSql,

@@ -66,6 +66,71 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 != 0L))
   }
 
+  // -------------------------------------------------------- q_concurrency
+
+  test("q_concurrency equals a plain-Scala interval-sweep replay at sf0.001") {
+    val events = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val gapUs = 1800L * 1000000L
+    val dayUs = 86400000000L
+    // sessions per user under the 30-min gap rule
+    val sessions = events.groupBy(_._1).values.flatMap { xs =>
+      val sorted = xs.sortBy(e => (e._2, e._3))
+      val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+      var start = sorted.head._2; var end = sorted.head._2
+      for ((_, us, _) <- sorted.tail) {
+        if (us - end > gapUs) { out += ((start, end)); start = us }
+        end = us
+      }
+      out += ((start, end)); out
+    }.toSeq
+    // day-clipped boundary sweep
+    val deltas = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    for ((s, e) <- sessions; day <- (s / dayUs) to (e / dayUs)) {
+      val segS = math.max(s, day * dayUs)
+      val segE1 = math.min(e, (day + 1) * dayUs - 1) + 1
+      deltas((day, segS)) += 1; deltas((day, segE1)) -= 1
+    }
+    val want = deltas.keys.map(_._1).toSeq.distinct.sorted.map { day =>
+      var run = 0L; var best = Long.MinValue; var bestUs = 0L
+      for ((us, d) <- deltas.toSeq.filter(_._1._1 == day).map(kv => (kv._1._2, kv._2)).sortBy(_._1)) {
+        run += d
+        if (run > best) { best = run; bestUs = us }
+      }
+      (day, best, bestUs)
+    }
+    val got = Relational.qConcurrency(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("peak_concurrency"), r.getAs[Long]("at_us")))
+    assert(got.toSeq == want)
+    assert(want.exists(_._2 > 1L), "peak concurrency never exceeded 1 — sweep untested")
+  }
+
+  // ----------------------------------------------------- dedup_containment
+
+  test("dedup_containment equals the brute-force all-pairs replay at sf0.001") {
+    val grams = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), operators.Dedup.shingles.as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => id -> sh.toSet }
+    val want = (for {
+      (a, ga) <- grams; (b, gb) <- grams if a != b
+      c = ga.intersect(gb).size.toDouble / ga.size if c >= 0.8
+    } yield (a, b, c)).sortBy(p => (p._1, p._2))
+    val got = operators.Dedup.dedupContainment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("containment")))
+    assert(got.toSeq == want.toSeq)
+    assert(want.nonEmpty, "no containment pairs at sf0.001 — threshold untested")
+    // asymmetry: containment must catch direction the symmetric jaccard
+    // rounds down — every jaccard>=0.8 pair appears in BOTH directions
+    val sym = want.map(p => (p._1, p._2)).toSet
+    val jac = (for {
+      (a, ga) <- grams; (b, gb) <- grams if a < b
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size if j >= 0.8
+    } yield (a, b)).toSeq
+    jac.foreach { case (a, b) => assert(sym((a, b)) && sym((b, a))) }
+  }
+
   // ------------------------------------------------------ text_domain_cap
 
   test("text_domain_cap: bounded-aggregator result equals the window formulation") {
