@@ -100,6 +100,8 @@ object BenchBaseline {
     "text_domain_cap" -> 0.2,
     "q_concurrency" -> 1.38,
     "dedup_containment" -> 3.98,
+    "text_rrf" -> 0.66,
+    "q_forecast" -> 0.31,
     "sample_mix" -> 0.152,
     "shard_assign" -> 0.187,
     "text_bm25" -> 0.451,

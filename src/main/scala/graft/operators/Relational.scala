@@ -2851,7 +2851,51 @@ object Relational {
       |) WHERE rk = 1
       |ORDER BY day""".stripMargin
 
+  /** §2.2 #21bg — seasonal-naive forecast backtest: predict each
+    * day's event count by the count 7 days earlier and report the
+    * per-type mean absolute error — the baseline every fancier
+    * forecaster must beat, and the standard data-drift tripwire. The
+    * week-lag pairing is a self-join of the daily rollup on
+    * (type, day−7) — NOT a 7-row window lag, which silently pairs
+    * wrong days when the series has gaps. All int64; MAE is reported
+    * in exact ppm (total·10⁶ floor-div n) to stay division-free.
+    *
+    * Scale: events collapse to (type, day) grain in one
+    * map-side-combined shuffle; everything after runs on the
+    * types×days rollup.
+    */
+  def qForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val prev = daily.select(col("event_type"), (col("day") + 7).as("day"), col("c").as("c_prev"))
+    daily
+      .join(prev, Seq("event_type", "day"))
+      .select(col("event_type"), abs(col("c") - col("c_prev")).as("err"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("err")).as("total_abs_err"))
+      .withColumn("mae_ppm", expr("total_abs_err * 1000000L div n_scored"))
+      .orderBy("event_type")
+  }
+
+  val qForecastSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), j AS (
+      |  SELECT a.event_type, abs(a.c - b.c) AS err
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day = b.day + 7
+      |)
+      |SELECT event_type, count(*) AS n_scored,
+      |  CAST(sum(err) AS BIGINT) AS total_abs_err,
+      |  CAST(sum(err) * 1000000 // count(*) AS BIGINT) AS mae_ppm
+      |FROM j GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast" -> (qForecast _),
     "q_vwap" -> (qVwap _),
     "q_changepoint" -> (qChangepoint _),
     "q_concurrency" -> (qConcurrency _),
@@ -2926,6 +2970,7 @@ object Relational {
     "q_vwap" -> qVwapSql,
     "q_changepoint" -> qChangepointSql,
     "q_concurrency" -> qConcurrencySql,
+    "q_forecast" -> qForecastSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_rfm" -> qRfmSql,
     "q_pareto" -> qParetoSql,

@@ -541,6 +541,93 @@ object TextAnalysis {
       |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- rrf
+
+  /** §2.5 #33v — hybrid retrieval by reciprocal-rank fusion
+    * (Cormack'09): the BM25 lexical ranking and an exact-cosine
+    * embedding ranking of the same corpus, fused as
+    * Σ ⌊10⁹/(60+rank)⌋ over the rankings a doc appears in (rank
+    * cutoff 100 each, missing rank contributes 0) — the standard
+    * retrieval pattern for curating supervised/eval data where
+    * neither lexical nor semantic recall alone suffices. The fusion
+    * score is integer micro-units of the canonical 1/(60+r), so the
+    * fused order is bit-exact cross-engine; ties break on doc_id.
+    *
+    * Scale: both input rankings are top-k outputs of operators that
+    * already scale (bm25: map-side score + bounded top-k; cosine:
+    * broadcast query + map-side dot). The fusion itself touches
+    * ≤2·cutoff rows — the global windows here run on that bounded
+    * set, never on the corpus.
+    */
+  def textRrf(spark: SparkSession, dir: String): DataFrame = {
+    val kCut = 100
+    val text = bm25(docs(spark, dir), col("text"), Seq("spark", "stream", "join"), kCut)
+      .select(col("doc_id"), col("score"))
+      .withColumn("r_text", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .drop("score")
+    val e = table(spark, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+    val vec = VectorOps.annBruteforce(e, e.filter(col("id") === 0), kCut)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("r_vec"))
+    text
+      .join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_text"), col("r_vec"),
+        (coalesce(expr("1000000000L div (60 + r_text)"), lit(0L)) +
+          coalesce(expr("1000000000L div (60 + r_vec)"), lit(0L))).as("rrf"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast(LongType))
+      .filter(col("rk") <= 20)
+      .orderBy("rk")
+  }
+
+  val textRrfSql: String = {
+    val terms = Seq("spark", "stream", "join")
+    val tfs = terms
+      .map(t => s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n  ")
+    val dfs = terms.map(t => s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    val contribs = terms.map { t =>
+      s"""((CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5))
+         |    * (CAST(tf_$t AS DOUBLE) * 2.2)
+         |    / (CAST(tf_$t AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))""".stripMargin
+    }.mkString("\n  + ")
+    s"""WITH base AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |  $tfs
+      |  FROM documents
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM base
+      |), t AS (
+      |  SELECT doc_id, r_text FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (ORDER BY $contribs DESC, doc_id) AS r_text
+      |    FROM base CROSS JOIN stats
+      |    WHERE tf_spark + tf_stream + tf_join > 0
+      |  ) WHERE r_text <= 100
+      |), q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), v AS (
+      |  SELECT doc_id, r_vec FROM (
+      |    SELECT b.vec_id AS doc_id,
+      |      row_number() OVER (ORDER BY
+      |        CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+      |             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS DOUBLE))) DESC,
+      |        b.vec_id) AS r_vec
+      |    FROM q a JOIN q b ON a.vec_id = 0 AND b.vec_id <> 0
+      |  ) WHERE r_vec <= 100
+      |), f AS (
+      |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+      |    CAST(t.r_text AS BIGINT) AS r_text, CAST(v.r_vec AS BIGINT) AS r_vec,
+      |    CAST(coalesce(1000000000 // (60 + t.r_text), 0)
+      |       + coalesce(1000000000 // (60 + v.r_vec), 0) AS BIGINT) AS rrf
+      |  FROM t FULL JOIN v ON t.doc_id = v.doc_id
+      |)
+      |SELECT doc_id, r_text, r_vec, rrf, rk FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk FROM f
+      |) WHERE rk <= 20
+      |ORDER BY rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- compression
 
   /** §2.5 #31g — compression-ratio quality signal: deflate size over
@@ -1049,6 +1136,7 @@ object TextAnalysis {
     "text_pii" -> (textPii _),
     "text_vocab" -> (textVocab _),
     "text_bm25" -> (textBm25 _),
+    "text_rrf" -> (textRrf _),
     "text_compress" -> (textCompress _),
   )
 
@@ -1072,5 +1160,6 @@ object TextAnalysis {
     "text_pii" -> textPiiSql,
     "text_vocab" -> textVocabSql,
     "text_bm25" -> textBm25Sql,
+    "text_rrf" -> textRrfSql,
   )
 }

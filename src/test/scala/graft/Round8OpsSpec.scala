@@ -131,6 +131,55 @@ class Round8OpsSpec extends AnyFunSuite {
     jac.foreach { case (a, b) => assert(sym((a, b)) && sym((b, a))) }
   }
 
+  // ------------------------------------------------------------ q_forecast
+
+  test("q_forecast equals a plain-Scala seasonal-naive replay at sf0.001") {
+    val daily = GraftSession.table(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).map { case ((t, d), xs) => ((t, d), xs.length.toLong) }
+    val want = daily.keys.map(_._1).toSeq.distinct.sorted.flatMap { t =>
+      val errs = daily.collect {
+        case ((`t`, d), c) if daily.contains((t, d - 7)) => Math.abs(c - daily((t, d - 7)))
+      }.toSeq
+      if (errs.isEmpty) None
+      else Some((t, errs.length.toLong, errs.sum, errs.sum * 1000000L / errs.length))
+    }
+    val got = Relational.qForecast(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_scored"),
+        r.getAs[Long]("total_abs_err"), r.getAs[Long]("mae_ppm")))
+    assert(got.toSeq == want)
+    assert(want.nonEmpty && want.exists(_._3 > 0L))
+  }
+
+  // ------------------------------------------------------------- text_rrf
+
+  test("text_rrf equals a plain-Scala fusion of its two component rankings") {
+    import graft.operators.{TextAnalysis, VectorOps}
+    val textRank = TextAnalysis.bm25(
+      GraftSession.table(spark, sf, "documents"), col("text"), Seq("spark", "stream", "join"), 100)
+      .select(col("doc_id")).as[Long].collect().zipWithIndex
+      .map { case (id, i) => id -> (i + 1).toLong }.toMap
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+    val vecRank = VectorOps.annBruteforce(e, e.filter(col("id") === 0), 100)
+      .select(col("neighbor_id"), col("rank")).as[(Long, Long)].collect().toMap
+    def unit(r: Option[Long]): Long = r.map(x => 1000000000L / (60L + x)).getOrElse(0L)
+    val fused = (textRank.keySet ++ vecRank.keySet).toSeq
+      .map(id => (id, textRank.get(id), vecRank.get(id),
+        unit(textRank.get(id)) + unit(vecRank.get(id))))
+      .sortBy { case (id, _, _, s) => (-s, id) }
+      .take(20).zipWithIndex
+      .map { case ((id, rt, rv, s), i) => (id, rt, rv, s, (i + 1).toLong) }
+    val got = TextAnalysis.textRrf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("r_text")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("r_vec")).map(_.toLong),
+        r.getAs[Long]("rrf"), r.getAs[Long]("rk")))
+    assert(got.toSeq == fused)
+    // fusion must actually mix: the top-20 should contain docs from both sides
+    assert(fused.exists(_._2.isDefined) && fused.exists(_._3.isDefined))
+  }
+
   // ------------------------------------------------------ text_domain_cap
 
   test("text_domain_cap: bounded-aggregator result equals the window formulation") {
