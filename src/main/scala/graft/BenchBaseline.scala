@@ -102,6 +102,9 @@ object BenchBaseline {
     "dedup_containment" -> 3.98,
     "text_rrf" -> 0.66,
     "q_forecast" -> 0.31,
+    "q_rolling_dau" -> 0.36,
+    "q_decay" -> 0.32,
+    "q_benford" -> 0.27,
     "sample_mix" -> 0.152,
     "shard_assign" -> 0.187,
     "text_bm25" -> 0.451,

@@ -2894,7 +2894,132 @@ object Relational {
       |FROM j GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** §2.2 #21bh — 7-day rolling distinct active users (rolling DAU/
+    * WAU): for each day, how many distinct users were active in
+    * [day−6, day]. COUNT(DISTINCT) over a sliding RANGE window isn't
+    * supported by either engine — and the naive per-day re-scan is
+    * quadratic in window length — so this uses the contribution
+    * explode: dedup to (user, active-day) grain, explode each into
+    * the ≤7 report-days it covers, dedup (user, report_day) — a user
+    * active twice in one window counts once — then count per day.
+    * All int64 day arithmetic; report days clipped to the observed
+    * range so edge windows are honest partial windows.
+    *
+    * Scale: two map-side-combined distinct-aggs and a 7× bounded
+    * explode of the (user, day) rollup — linear in activity, no
+    * quadratic re-scan, no global window.
+    */
+  def qRollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val active = table(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val bounds = active.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    active
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("day"), least(col("day") + 6, col("d1")))).as("report_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("report_day")
+  }
+
+  val qRollingDauSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), b AS (SELECT max(day) AS d1 FROM active)
+      |SELECT report_day, count(DISTINCT user_id) AS active_users
+      |FROM (
+      |  SELECT user_id, unnest(generate_series(day, least(day + 6, d1))) AS report_day
+      |  FROM active CROSS JOIN b
+      |)
+      |GROUP BY report_day
+      |ORDER BY report_day""".stripMargin
+
+  /** §2.2 #21bi — recency-decayed engagement score per user: each
+    * event contributes its integer value halved once per week of age,
+    * Σ ⌊v / 2^weeks⌋ — the exponential-decay scoring every ranking /
+    * churn model starts from, made order-free and bit-exact by using
+    * a power-of-two decay as an integer shift instead of a float
+    * exp(). The age anchor is the corpus max day (broadcast 1-row
+    * aggregate); contributions older than 40 weeks clamp to shift 40
+    * (⌊v⌋ < 2⁴⁰ cents ⇒ zero) so the shift never overflows.
+    *
+    * Scale: anchor agg + one map-side projection + one user-keyed
+    * agg; nothing wider than the final groupBy.
+    */
+  def qDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value")).cast(LongType).as("v"))
+    val anchor = ev.agg(max(col("day")).as("d1"))
+    ev.crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        expr("v div shiftleft(1L, cast(least((d1 - day) div 7, 40L) as int))").as("contrib"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("contrib")).as("decay_score"))
+      .orderBy("user_id")
+  }
+
+  val qDecaySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(floor(value) AS BIGINT) AS v
+      |  FROM events
+      |), a AS (SELECT max(day) AS d1 FROM ev)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(v // (1::BIGINT << least((d1 - day) // 7, 40))) AS BIGINT) AS decay_score
+      |FROM ev CROSS JOIN a
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** §2.2 #21bj — Benford first-digit audit over order totals: the
+    * classic fabricated-numbers screen. The leading digit is taken
+    * from the exact-cents integer's decimal string (no log10 float
+    * path), counted per digit with the observed share in ppm and the
+    * Benford expectation log10(1+1/d) pre-quantized to ppm as integer
+    * literals — so the whole report is integer-exact cross-engine.
+    * One map-side projection + a 9-row aggregation.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+    val expectedCol = expected.foldLeft(lit(0L)) { case (acc, (d, ppm)) =>
+      when(col("digit") === d, ppm).otherwise(acc)
+    }
+    val o = table(spark, dir, "orders")
+      .select((decP(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .select(substring(col("cents").cast(StringType), 1, 1).cast(LongType).as("digit"))
+    val n = o.agg(count(lit(1)).as("n_total"))
+    o.crossJoin(broadcast(n))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_orders"), max(col("n_total")).as("n_total"))
+      .select(col("digit"), col("n_orders"),
+        expr("n_orders * 1000000L div n_total").as("share_ppm"),
+        expectedCol.as("benford_ppm"))
+      .orderBy("digit")
+  }
+
+  val qBenfordSql: String = {
+    val cases = Seq(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+      .map { case (d, p) => s"WHEN digit = $d THEN $p" }.mkString(" ")
+    s"""WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders
+      |), n AS (SELECT count(*) AS n_total FROM c)
+      |SELECT digit, count(*) AS n_orders,
+      |  CAST(count(*) * 1000000 // max(n_total) AS BIGINT) AS share_ppm,
+      |  CAST(CASE $cases ELSE 0 END AS BIGINT) AS benford_ppm
+      |FROM c CROSS JOIN n
+      |GROUP BY digit
+      |ORDER BY digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decay" -> (qDecay _),
+    "q_benford" -> (qBenford _),
+    "q_rolling_dau" -> (qRollingDau _),
     "q_forecast" -> (qForecast _),
     "q_vwap" -> (qVwap _),
     "q_changepoint" -> (qChangepoint _),
@@ -2971,6 +3096,9 @@ object Relational {
     "q_changepoint" -> qChangepointSql,
     "q_concurrency" -> qConcurrencySql,
     "q_forecast" -> qForecastSql,
+    "q_rolling_dau" -> qRollingDauSql,
+    "q_decay" -> qDecaySql,
+    "q_benford" -> qBenfordSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_rfm" -> qRfmSql,
     "q_pareto" -> qParetoSql,

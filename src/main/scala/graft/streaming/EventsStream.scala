@@ -235,6 +235,51 @@ object EventsStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class CapEntry(hk: Long, doc_id: Long)
+  final case class CapState(keep: List[CapEntry], seen: Long)
+  final case class CapOut(source: String, n_seen: Long, kept: Seq[Long])
+
+  /** §2.3 #26n streaming twin — per-source document cap as a
+    * continuously-maintained quota view: each source's state holds the
+    * k smallest (md5-prefix, doc_id) draws seen so far — the SAME
+    * deterministic draw as batch [[graft.operators.Pipeline.textDomainCap]] —
+    * and every micro-batch with new docs for a source emits the
+    * source's current kept set (update mode, the cdcApply contract).
+    * k-smallest is an associative merge, so the view converges to the
+    * batch answer under ANY micro-batch split or arrival order; state
+    * is O(k) per source on an unbounded stream (no watermark needed —
+    * state never grows past k).
+    */
+  def domainCap(docs: DataFrame, k: Int): Dataset[CapOut] = {
+    import docs.sparkSession.implicits._
+    val in = docs
+      .select(
+        col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long").as("hk"),
+        col("doc_id"))
+      .as[(String, Long, Long)]
+
+    def fn(source: String, it: Iterator[(String, Long, Long)], state: GroupState[CapState]): CapOut = {
+      val prev = state.getOption.getOrElse(CapState(Nil, 0L))
+      var n = prev.seen
+      var keep = prev.keep
+      it.foreach { case (_, hk, id) =>
+        n += 1
+        // cheap reject against the floor before the k·log k insert
+        val full = keep.lengthCompare(k) >= 0
+        if (!full || {
+          val floor = keep.last
+          hk < floor.hk || (hk == floor.hk && id < floor.doc_id)
+        }) keep = (CapEntry(hk, id) :: keep).sortBy(e => (e.hk, e.doc_id)).take(k)
+      }
+      val next = CapState(keep, n)
+      state.update(next)
+      CapOut(source, n, keep.map(_.doc_id))
+    }
+
+    in.groupByKey(_._1).mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** §2.7 #42 — stream-static enrichment: arriving events joined to a
     * slowly-changing dimension, then window-aggregated per dimension
     * attribute. The static side is broadcast (no stream-side shuffle

@@ -140,10 +140,16 @@ class PlanSpec extends AnyFunSuite {
     // q_abtest cross-joins TWO broadcast 1-ROW arm-size aggregates
     // (n_a, n_b) into the per-event-type conversion table — the same
     // bounded 1-row-broadcast shape.
+    // q_rolling_dau cross-joins a broadcast 1-ROW day-bounds aggregate
+    // into the (user, day) rollup — the q_zorder shape.
+    // q_decay (1-row max-day anchor) and q_benford (1-row corpus
+    // count) are the same bounded 1-row-broadcast shape.
+    // text_rrf fuses two top-100 rankings; the BM25 side carries
+    // text_bm25's 1-row global-stats cross join.
     val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "ann_pq", "dedup_semantic",
       "text_tfidf", "text_bm25", "text_surprisal", "q_zorder", "q_histogram",
       "sample_negatives", "q22_idle", "ann_classify", "text_pmi", "text_heavy_hitters",
-      "q_skew_report", "q_abtest")
+      "q_skew_report", "q_abtest", "q_rolling_dau", "text_rrf", "q_decay", "q_benford")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

@@ -131,6 +131,64 @@ class Round8OpsSpec extends AnyFunSuite {
     jac.foreach { case (a, b) => assert(sym((a, b)) && sym((b, a))) }
   }
 
+  // --------------------------------------------------------------- q_decay
+
+  test("q_decay equals a plain-Scala shift-decay replay at sf0.001") {
+    val ev = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value")).cast("long").as("v"))
+      .as[(Long, Long, Long)].collect()
+    val d1 = ev.map(_._2).max
+    val want = ev.groupBy(_._1).map { case (u, xs) =>
+      val score = xs.map { case (_, d, v) =>
+        v / (1L << math.min((d1 - d) / 7, 40L).toInt)
+      }.sum
+      (u, xs.length.toLong, score)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.qDecay(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Long]("decay_score")))
+    assert(got.toSeq == want)
+    // decay must bite: total decayed mass strictly below the undecayed sum
+    assert(want.map(_._3).sum < ev.map(_._3).sum)
+  }
+
+  // ------------------------------------------------------------- q_benford
+
+  test("q_benford equals a plain-Scala first-digit replay at sf0.001") {
+    val cents = GraftSession.table(spark, sf, "orders")
+      .select((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .as[Long].collect()
+    val expected = Map(1L -> 301029L, 2L -> 176091L, 3L -> 124938L, 4L -> 96910L,
+      5L -> 79181L, 6L -> 66946L, 7L -> 57991L, 8L -> 51152L, 9L -> 45757L)
+    val byDigit = cents.groupBy(c => c.toString.head.asDigit.toLong)
+    val want = byDigit.toSeq.sortBy(_._1).map { case (d, xs) =>
+      (d, xs.length.toLong, xs.length.toLong * 1000000L / cents.length, expected(d))
+    }
+    val got = Relational.qBenford(spark, sf).collect()
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("share_ppm"), r.getAs[Long]("benford_ppm")))
+    assert(got.toSeq == want)
+    assert(want.map(_._3).sum <= 1000000L)
+  }
+
+  // --------------------------------------------------------- q_rolling_dau
+
+  test("q_rolling_dau equals a plain-Scala sliding-distinct replay at sf0.001") {
+    val active = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(Long, Long)].collect().toSet
+    val d1 = active.map(_._2).max
+    val want = active.toSeq.map(_._2).distinct.flatMap(d => d to math.min(d + 6, d1)).distinct.sorted.map { rd =>
+      (rd, active.collect { case (u, d) if d >= rd - 6 && d <= rd => u }.size.toLong)
+    }
+    val got = Relational.qRollingDau(spark, sf).collect()
+      .map(r => (r.getAs[Long]("report_day"), r.getAs[Long]("active_users")))
+    assert(got.toSeq == want)
+    // rolling count must dominate any single day's count
+    val daily = active.groupBy(_._2).map { case (d, xs) => d -> xs.size }
+    daily.foreach { case (d, n) => assert(want.toMap.apply(d) >= n) }
+  }
+
   // ------------------------------------------------------------ q_forecast
 
   test("q_forecast equals a plain-Scala seasonal-naive replay at sf0.001") {

@@ -497,6 +497,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming domain cap converges to the batch per-source kept set across splits") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val input = stream.toDF().toDF("doc_id", "source")
+
+    val q = EventsStream.domainCap(input, operators.Pipeline.DomainCapK)
+      .writeStream.format("memory").queryName("cap_out").outputMode("update").start()
+    try {
+      val docs = GraftSession.table(spark, sf, "documents")
+        .select(col("doc_id"), col("source")).as[(Long, String)].collect().toSeq
+      // arrival order decorrelated from doc_id: hash-sliced batches
+      val b = docs.groupBy(d => (d._1 * 2654435761L % 3 + 3) % 3)
+      stream.addData(b(0L)); q.processAllAvailable()
+      stream.addData(b(1L)); q.processAllAvailable()
+      stream.addData(b(2L)); q.processAllAvailable()
+
+      // last emission per source = its converged kept set
+      val w = Window.partitionBy(col("source")).orderBy(col("n_seen").desc)
+      val got = spark.table("cap_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("source"), col("kept"))
+        .as[(String, Seq[Long])].collect().toMap
+      val want = operators.Pipeline.textDomainCap(spark, sf).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+        .groupBy(_._1).map { case (s, xs) => s -> xs.sortBy(_._2).map(_._3).toSeq }
+      assert(got == want, "streaming kept sets diverge from batch textDomainCap")
+      // per-source doc counts must equal the corpus (nothing dropped from state accounting)
+      val seen = spark.table("cap_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("source"), col("n_seen")).as[(String, Long)].collect().toMap
+      val nDocs = docs.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+      assert(seen == nDocs)
+    } finally q.stop()
+  }
+
   test("multimodal features roundtrip through the batched decoder") {
     val feats = multimodal.Multimodal.multimodalFeatures(spark, sf).collect()
     assert(feats.length == 500)
