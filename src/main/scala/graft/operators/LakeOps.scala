@@ -227,7 +227,77 @@ object LakeOps {
       .orderBy("doc_id", "part_idx")
   }
 
+  /** §2.1 #9d — replication plan + post-state reconciliation as
+    * oracled algebra, the declarative twin of
+    * [[graft.lake.ChunkStore.replicateTo]]/`diff` (semantics pinned
+    * on real on-disk stores in LakeSpec; this query pins the same
+    * rules against DuckDB). Demo topology: store A holds blobs of
+    * docs with id%3≠0 (those whose min doc id is ≡0 mod 7 are
+    * tombstoned — deleted but not yet gc'd), store B holds id%2=0.
+    * Replication ships A's LIVE blobs that B's RAW catalog lacks
+    * (tombstoned blobs must not resurrect; B's own tombstone
+    * ownership keeps its deletes deleted — the r6 ADVICE rule), then
+    * the diff of A-live vs post-replication B classifies every blob.
+    * Blob grain is content-hash (duplicate texts collapse, bytes
+    * counted once), so `only_here` being structurally EMPTY after
+    * replication is the closure property the oracle re-derives.
+    *
+    * Scale: three hash-grain aggregations and anti/outer joins on the
+    * 16-byte content key — the same shuffle shapes as the real
+    * replicateTo, no row-level data movement in the report.
+    */
+  def lakeReplicate(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = docs(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"), octet_length(col("text")).cast(LongType).as("len"))
+    def catalog(pred: org.apache.spark.sql.Column): DataFrame =
+      blobs.filter(pred).groupBy(col("h"))
+        .agg(min(col("doc_id")).as("min_id"), max(col("len")).as("len"))
+    val catA = catalog(col("doc_id") % 3 =!= 0)
+    val tombA = catA.filter(col("min_id") % 7 === 0).select(col("h"), col("len"))
+    val liveA = catA.filter(col("min_id") % 7 =!= 0).select(col("h"), col("len"))
+    val catB = catalog(col("doc_id") % 2 === 0).select(col("h"), col("len"))
+    val shipped = liveA.join(catB.select("h"), Seq("h"), "left_anti")
+    val postB = catB.unionByName(shipped).groupBy(col("h")).agg(max(col("len")).as("len"))
+    val status = liveA.select(col("h"), col("len"), lit(1L).as("in_a"))
+      .join(postB.select(col("h"), lit(1L).as("in_b")), Seq("h"), "full_outer")
+      .select(col("h"),
+        when(col("in_a").isNotNull && col("in_b").isNotNull, "in_sync")
+          .when(col("in_b").isNull, "only_here").otherwise("only_other").as("status"))
+    val report = status.groupBy(col("status")).agg(count(lit(1)).as("n_blobs"))
+    val extras = shipped.agg(count(lit(1)).as("n_blobs")).select(lit("shipped").as("status"), col("n_blobs"))
+      .unionByName(tombA.join(catB.select("h"), Seq("h"), "left_anti")
+        .agg(count(lit(1)).as("n_blobs")).select(lit("suppressed_tombstone").as("status"), col("n_blobs")))
+    report.unionByName(extras).filter(col("n_blobs") > 0).orderBy("status")
+  }
+
+  val lakeReplicateSql: String =
+    """WITH blobs AS (
+      |  SELECT doc_id, md5(text) AS h, CAST(strlen(text) AS BIGINT) AS len FROM documents
+      |), catA AS (
+      |  SELECT h, min(doc_id) AS min_id FROM blobs WHERE doc_id % 3 <> 0 GROUP BY h
+      |), liveA AS (SELECT h FROM catA WHERE min_id % 7 <> 0),
+      |tombA AS (SELECT h FROM catA WHERE min_id % 7 = 0),
+      |catB AS (SELECT h FROM blobs WHERE doc_id % 2 = 0 GROUP BY h),
+      |shipped AS (SELECT h FROM liveA WHERE h NOT IN (SELECT h FROM catB)),
+      |postB AS (SELECT h FROM catB UNION SELECT h FROM shipped),
+      |st AS (
+      |  SELECT coalesce(a.h, b.h) AS h,
+      |    CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 'in_sync'
+      |         WHEN b.h IS NULL THEN 'only_here' ELSE 'only_other' END AS status
+      |  FROM liveA a FULL JOIN postB b ON a.h = b.h
+      |), rep AS (
+      |  SELECT status, count(*) AS n_blobs FROM st GROUP BY status
+      |  UNION ALL
+      |  SELECT 'shipped', count(*) FROM shipped
+      |  UNION ALL
+      |  SELECT 'suppressed_tombstone', count(*)
+      |  FROM tombA WHERE h NOT IN (SELECT h FROM catB)
+      |)
+      |SELECT status, CAST(n_blobs AS BIGINT) AS n_blobs FROM rep WHERE n_blobs > 0
+      |ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_replicate" -> (lakeReplicate _),
     "lake_cdc_split" -> (lakeCdcSplit _),
     "lake_put_blob" -> (lakePutBlob _),
     "lake_chunk_split" -> (lakeChunkSplit _),
@@ -238,6 +308,7 @@ object LakeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_replicate" -> lakeReplicateSql,
     "lake_put_blob" -> lakePutBlobSql,
     "lake_chunk_split" -> lakeChunkSplitSql,
     "lake_dedup_stats" -> lakeDedupStatsSql,

@@ -131,6 +131,34 @@ class Round8OpsSpec extends AnyFunSuite {
     jac.foreach { case (a, b) => assert(sym((a, b)) && sym((b, a))) }
   }
 
+  // --------------------------------------------------------- lake_replicate
+
+  test("lake_replicate report equals a plain-Scala replication replay at sf0.001") {
+    val blobs = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .as[(Long, String)].collect()
+    val catA = blobs.filter(_._1 % 3 != 0).groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    val liveA = catA.collect { case (h, m) if m % 7 != 0 => h }.toSet
+    val tombA = catA.collect { case (h, m) if m % 7 == 0 => h }.toSet
+    val catB = blobs.filter(_._1 % 2 == 0).map(_._2).toSet
+    val shipped = liveA.diff(catB)
+    val postB = catB.union(shipped)
+    val counts = Map(
+      "in_sync" -> liveA.intersect(postB).size.toLong,
+      "only_here" -> liveA.diff(postB).size.toLong,
+      "only_other" -> postB.diff(liveA).size.toLong,
+      "shipped" -> shipped.size.toLong,
+      "suppressed_tombstone" -> tombA.diff(catB).size.toLong,
+    ).filter(_._2 > 0)
+    val got = operators.LakeOps.lakeReplicate(spark, sf).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[Long]("n_blobs"))).toMap
+    assert(got == counts)
+    // replication closure: every live source blob is present in the target
+    assert(!got.contains("only_here"))
+    // tombstoned blobs that B never had must NOT have been shipped
+    assert(got.contains("suppressed_tombstone"))
+  }
+
   // --------------------------------------------------------------- q_decay
 
   test("q_decay equals a plain-Scala shift-decay replay at sf0.001") {
