@@ -148,13 +148,69 @@ object Ingest {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Events written once per (session, source dir) as a HIVE-style
+    * day-partitioned parquet layout (`.../day=N/...`) under the
+    * session scratch; the partitioned table every pruning consumer
+    * reads. Keyed like [[bucketedCopy]] so warm-up and timed scales
+    * don't serve each other's copy.
+    */
+  def partitionedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${scratchDir(spark)}/events_byday_${Integer.toHexString(dir.hashCode)}"
+    if (partitionedDone.add(path)) {
+      writeAuto(
+        graft.GraftSession.table(spark, dir, "events")
+          .withColumn("day", expr("unix_micros(ts) div 86400000000")),
+        path, partitionBy = Seq("day"))
+    }
+    spark.read.parquet(path)
+  }
+  private val partitionedDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** §2.2 #21ac — partition-pruned scan over a day-partitioned layout:
+    * events land partitioned by integer day (the standard lakehouse
+    * time-partitioning), and a 7-day filtered aggregation reads ONLY
+    * those directories — IngestSpec pins `PartitionFilters` in the
+    * scan and that the unpruned partitions never enter the plan. THE
+    * other half of the layout story next to `q_bucket_join`: bucketing
+    * kills the join shuffle, day-partitioning kills the time-range
+    * scan. The oracle aggregates the same 7 days from the unpartitioned
+    * original — layout must not change a single row.
+    */
+  def qPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val ev = partitionedEvents(spark, dir)
+    val d1 = graft.GraftSession.table(spark, dir, "events")
+      .agg(max(expr("unix_micros(ts) div 86400000000"))).head.getLong(0)
+    ev.filter(col("day") > d1 - 7)
+      // the inferred hive partition column is int-typed; the oracle's
+      // epoch arithmetic is bigint — align before grouping
+      .select(col("day").cast("long").as("day"), col("event_type"), col("value"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("sum_v"))
+      .orderBy("day", "event_type")
+  }
+
+  val qPartitionPruneSql: String =
+    """WITH b AS (
+      |  SELECT max(epoch_us(ts) // 86400000000) AS d1 FROM events
+      |)
+      |SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
+      |FROM events CROSS JOIN b
+      |WHERE epoch_us(ts) // 86400000000 > d1 - 7
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_bucket_join" -> (qBucketJoin _),
+    "q_partition_prune" -> (qPartitionPrune _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_bucket_join" -> qBucketJoinSql,
+    "q_partition_prune" -> qPartitionPruneSql,
   )
 }

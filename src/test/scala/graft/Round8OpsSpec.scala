@@ -131,6 +131,29 @@ class Round8OpsSpec extends AnyFunSuite {
     jac.foreach { case (a, b) => assert(sym((a, b)) && sym((b, a))) }
   }
 
+  // ------------------------------------------------------ q_partition_prune
+
+  test("q_partition_prune pushes the day filter to partition pruning and matches the unpartitioned answer") {
+    val df = sources.Ingest.qPartitionPrune(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*day[^\\]]*>".r.findFirstIn(plan).isDefined,
+      "day range filter must prune at the partition level:\n" + plan.linesIterator.take(12).mkString("\n"))
+    // pruning must not change a single row vs the unpartitioned original
+    val ev = GraftSession.table(spark, sf, "events")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"),
+        floor(col("value")).cast("long").as("v"))
+      .as[(Long, String, Long)].collect()
+    val d1 = ev.map(_._1).max
+    val want = ev.filter(_._1 > d1 - 7).groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((d, t), xs) => (d, t, xs.length.toLong, xs.map(_._3).sum) }
+      .sortBy(p => (p._1, p._2))
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("sum_v")))
+    assert(got.toSeq == want)
+    assert(want.map(_._1).distinct.size <= 7 && want.nonEmpty)
+  }
+
   // --------------------------------------------------------- lake_replicate
 
   test("lake_replicate report equals a plain-Scala replication replay at sf0.001") {
