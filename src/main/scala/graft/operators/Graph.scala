@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftSession.{materialized, table}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -473,7 +474,83 @@ object Graph {
        |ORDER BY node_id""".stripMargin
   }
 
+  /** `rounds` of SYNCHRONOUS label propagation (Raghavan '07, made
+    * deterministic): every node simultaneously adopts the most
+    * frequent label among its neighbors, ties broken by the smaller
+    * label — the async coin-flip variants of LPA are
+    * non-reproducible, and a data engine's community assignment must
+    * replay bit-for-bit. Each round is one shuffle join
+    * (edges×labels) + one count agg + one per-node argmax window over
+    * the (node, label) rollup; localCheckpoint cuts the per-round
+    * lineage exactly like [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    var lab = e.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbr = e.join(lab.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("u")).orderBy(col("cnt").desc, col("lbl"))
+      lab = nbr.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("u").as("node"), col("lbl")).localCheckpoint()
+    }
+    lab
+  }
+
+  /** §2.8 #51 — label-propagation communities over the co-purchase
+    * graph (3 synchronized rounds; same edge relation as
+    * `q_components`, but where components give reachability, LPA
+    * splits dense regions into communities). Deterministic by
+    * construction → the oracle unrolls the identical 3 rounds as
+    * CTEs.
+    */
+  def qCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("pu"))
+    val b = l.select(col("l_orderkey").as("b_orderkey"), col("l_partkey").as("pv"))
+    val e0 = a.join(b, col("l_orderkey") === col("b_orderkey") && col("pu") < col("pv"))
+      .groupBy(col("pu"), col("pv")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("pu"), col("pv"))
+      .localCheckpoint()
+    val e = e0.select(col("pu").as("u"), col("pv").as("v"))
+      .unionByName(e0.select(col("pv").as("u"), col("pu").as("v")))
+    labelPropagation(e, 3)
+      .select(col("node"), col("lbl").as("community"))
+      .orderBy("node")
+  }
+
+  val qCommunitiesSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.u AS node, $prev.lbl, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY e.u ORDER BY count(*) DESC, $prev.lbl) AS rk
+         |    FROM e JOIN $prev ON e.v = $prev.node
+         |    GROUP BY e.u, $prev.lbl
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    s"""WITH l AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), e0 AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), e AS (
+      |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+      |), l0 AS (
+      |  SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM e)
+      |), ${round("l0", "l1")},
+      |${round("l1", "l2")},
+      |${round("l2", "l3")}
+      |SELECT node, lbl AS community FROM l3
+      |ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_communities" -> (qCommunities _),
     "q_pagerank" -> (qPagerank _),
     "q_bfs" -> (qBfs _),
     "q_triangles" -> (qTriangles _),
@@ -482,6 +559,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_communities" -> qCommunitiesSql,
     "q_pagerank" -> qPagerankSql,
     "q_bfs" -> qBfsSql,
     "q_triangles" -> qTrianglesSql,

@@ -153,4 +153,41 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(orc == pq)
   }
+
+  test("labelPropagation: two cliques with a bridge settle into two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10; undirected
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val e = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("u", "v")
+    val got = Graph.labelPropagation(e, 3).as[(Long, Long)].collect().toMap
+    // min-label tie-breaks pull each clique onto its smallest member
+    assert(got.filterKeys(Set(1L, 2L, 3L)).values.toSet.size == 1, s"clique A split: $got")
+    assert(got.filterKeys(Set(10L, 11L, 12L)).values.toSet.size == 1, s"clique B split: $got")
+    assert(got(1L) != got(11L), s"bridge merged the cliques: $got")
+  }
+
+  test("q_communities equals a plain-Scala synchronous-LPA replay at sf0.001") {
+    val l = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val e0 = l.groupBy(_._1).values.toSeq
+      .flatMap { xs =>
+        val ps = xs.map(_._2).toSeq
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }
+      // NB: .collect{... => p} on a Map would rebuild a Map (pair
+      // results re-key!) and silently drop pairs sharing a left part
+      .groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (e0 ++ e0.map(_.swap)).groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+    var lab = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.map { case (u, vs) =>
+        val counts = vs.groupBy(lab).map { case (lb, ys) => (lb, ys.size) }
+        u -> counts.toSeq.minBy { case (lb, c) => (-c, lb) }._1
+      }
+    }
+    val got = Graph.qCommunities(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("community"))).toMap
+    assert(got == lab)
+    assert(got.values.toSet.size > 1, "LPA collapsed the whole graph into one community")
+  }
 }
