@@ -105,6 +105,9 @@ object BenchBaseline {
     "q_rolling_dau" -> 0.36,
     "q_decay" -> 0.32,
     "q_benford" -> 0.27,
+    "lake_replicate" -> 0.35,
+    "q_partition_prune" -> 0.25,
+    "q_communities" -> 2.77,
     "sample_mix" -> 0.152,
     "shard_assign" -> 0.187,
     "text_bm25" -> 0.451,
