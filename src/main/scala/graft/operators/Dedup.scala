@@ -306,10 +306,11 @@ object Dedup {
     * key set, so posting skew only enters through genuinely-shared
     * rare grams (true near-dup mass).
     */
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val t = VerifyThreshold
-    val d = docs(spark, dir)
-      .select(col("doc_id"), shingles.as("sh"))
+  /** Containment core over any (doc_id, sh: array<string>) frame —
+    * see [[dedupContainment]] for semantics and scale notes.
+    */
+  def containmentPairs(d0: DataFrame, t: Double): DataFrame = {
+    val d = d0
       .select(col("doc_id"), array_sort(array_distinct(transform(col("sh"), g => xxhash64(g)))).as("hs"))
       .withColumn("n", size(col("hs")))
       .cache()
@@ -336,6 +337,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("containment"))
     materialized(out, Seq("doc_a", "doc_b"), d)
   }
+
+  /** named query: containment over the documents 3-gram shingles. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(docs(spark, dir).select(col("doc_id"), shingles.as("sh")), VerifyThreshold)
 
   val dedupContainmentSql: String =
     """WITH w AS (

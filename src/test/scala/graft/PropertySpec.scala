@@ -231,6 +231,39 @@ class PropertySpec extends AnyFunSuite {
     assert(nPlanted == nGroups * (perGroup / 50 - 1))
   }
 
+  test("containment prefix filter is lossless at 5k docs: every planted subset pair found") {
+    // 5k synthetic gram-set docs; every 25th doc is a planted subset
+    // of its predecessor (90% of its grams) → containment ≥ 0.9 one
+    // way. The prefix filter must recall ALL of them — losslessness
+    // is a pigeonhole argument, so it has to survive scale-up and a
+    // gram vocabulary (40k) far above any one doc's size.
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 5000).map { i =>
+      if (i % 25 == 1) {
+        null // filled below from predecessor
+      } else {
+        (i.toLong, Seq.fill(30 + rnd.nextInt(40))(s"g${rnd.nextInt(40000)}").distinct)
+      }
+    }.toArray
+    for (i <- 0 until 5000 if i % 25 == 1) {
+      val base = docs(i - 1)._2
+      val keep = base.take(math.max(1, (base.size * 0.9).toInt))
+      docs(i) = (i.toLong, keep)
+    }
+    val df = docs.toSeq.toDF("doc_id", "sh").repartition(8)
+    val got = operators.Dedup.containmentPairs(df, 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    var planted = 0
+    for (i <- 0 until 5000 if i % 25 == 1) {
+      planted += 1
+      assert(got((i.toLong, (i - 1).toLong)), s"planted subset pair ($i, ${i - 1}) missed")
+    }
+    assert(planted == 200)
+    // sanity on the pair values: re-verify a planted pair's containment exactly
+    val a = docs(26)._2.toSet; val b = docs(25)._2.toSet
+    assert(a.intersect(b).size.toDouble / a.size >= 0.8)
+  }
+
   test("gear CDC chunking: coverage and size bounds on random payloads") {
     val gen = for {
       n <- Gen.chooseNum(0, 4096)
