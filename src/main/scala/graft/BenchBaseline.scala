@@ -171,6 +171,16 @@ object BenchBaseline {
     "q_markov" -> 0.43,
     "q_item_sim" -> 1.87,
     "text_inverted" -> 1.25,
+    // r8 additions: first honest sf0.1 measurement (idle box, min of
+    // two cold runs)
+    "pipeline_lineage" -> 1.01,
+    "q_time_travel" -> 0.92,
+    "q_snapshot_diff" -> 0.46,
+    "q_zonemap" -> 0.29,
+    "q_cms" -> 0.98,
+    "q_lateness" -> 0.65,
+    "q_jsonl_roundtrip" -> 0.45,
+    "lake_gc_plan" -> 0.39,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -19,6 +19,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.VectorOps.queries ++ operators.Pipeline.queries ++
       operators.Graph.queries ++ operators.Bpe.queries ++
+      operators.TableFormat.queries ++
       sources.Ingest.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.VectorOps.oracles ++ operators.Pipeline.oracles ++
       operators.Graph.oracles ++ operators.Bpe.oracles ++
+      operators.TableFormat.oracles ++
       sources.Ingest.oracles ++ multimodal.Multimodal.oracles
 }

@@ -296,7 +296,85 @@ object LakeOps {
       |SELECT status, CAST(n_blobs AS BIGINT) AS n_blobs FROM rep WHERE n_blobs > 0
       |ORDER BY status""".stripMargin
 
+  /** §2.1 #9f — GC plan as oracled algebra, the declarative twin of
+    * [[graft.lake.ChunkStore.gc]] (the on-disk sweep is pinned in
+    * LakeSpec; this query pins the refcount algebra against DuckDB).
+    * Same demo universe as [[lakeReplicate]]: blobs at content-hash
+    * grain, tombstoned when their min doc id ≡ 0 mod 7. Each blob's
+    * payload splits into 256-char chunks (the manifest), and a chunk
+    * is reclaimable iff its LIVE reference count is zero — a chunk
+    * shared by a tombstoned and a live blob must survive the sweep,
+    * which is exactly the invariant naive per-blob deletion violates
+    * in a convergent (deduplicating) store. Report: blob and chunk
+    * populations with exact byte totals, the "what does gc buy me"
+    * numbers read before paying for the sweep.
+    *
+    * Scale shape: chunking is a map-side explode; the refcount is one
+    * groupBy on the chunk hash (map-side combined); blob stats are a
+    * 2-row rollup. Identical shuffle shapes to the real gc's
+    * live-closure anti-join, no payload movement in the plan.
+    */
+  def lakeGcPlan(spark: SparkSession, dir: String): DataFrame = {
+    val ChunkChars = 256
+    val blobs = docs(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(
+        min(col("doc_id")).as("min_id"),
+        // members of an md5 group carry identical text; max() is just
+        // the aggregate-safe way to keep one copy
+        max(col("text")).as("text"),
+        max(octet_length(col("text"))).cast(LongType).as("bytes"),
+      )
+      .withColumn("live", col("min_id") % 7 =!= 0)
+    val chunks = blobs
+      .withColumn("pi",
+        explode(sequence(lit(0L), expr(s"greatest((length(text) - 1) div $ChunkChars, 0)"))))
+      .select(col("live"),
+        md5(expr(s"substring(text, cast(pi * $ChunkChars + 1 as int), $ChunkChars)")).as("chunk_hash"),
+        octet_length(expr(s"substring(text, cast(pi * $ChunkChars + 1 as int), $ChunkChars)"))
+          .cast(LongType).as("c_bytes"))
+    val rc = chunks.groupBy(col("chunk_hash"))
+      .agg(max(col("c_bytes")).as("c_bytes"),
+        sum(when(col("live"), 1L).otherwise(0L)).as("n_live"))
+    val blobRep = blobs.groupBy(col("live"))
+      .agg(count(lit(1)).as("n"), sum(col("bytes")).as("bytes"))
+      .select(when(col("live"), "a_live_blobs").otherwise("b_tombstoned_blobs").as("status"),
+        col("n"), col("bytes"))
+    val chunkRep = rc
+      .groupBy(when(col("n_live") > 0, "c_retained_chunks").otherwise("d_reclaimable_chunks").as("status"))
+      .agg(count(lit(1)).as("n"), sum(col("c_bytes")).as("bytes"))
+    blobRep.unionByName(chunkRep).orderBy("status")
+  }
+
+  val lakeGcPlanSql: String =
+    """WITH blobs AS (
+      |  SELECT md5(text) AS h, min(doc_id) AS min_id, max(text) AS text,
+      |    CAST(max(strlen(text)) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY md5(text)
+      |), b2 AS (SELECT *, min_id % 7 <> 0 AS live FROM blobs),
+      |parts AS (
+      |  SELECT live, text, unnest(range(0, greatest((len(text) - 1) // 256, 0) + 1)) AS pi
+      |  FROM b2
+      |), chunks AS (
+      |  SELECT live, md5(substr(text, CAST(pi * 256 + 1 AS INT), 256)) AS chunk_hash,
+      |    CAST(strlen(substr(text, CAST(pi * 256 + 1 AS INT), 256)) AS BIGINT) AS c_bytes
+      |  FROM parts
+      |), rc AS (
+      |  SELECT chunk_hash, max(c_bytes) AS c_bytes,
+      |    sum(CASE WHEN live THEN 1 ELSE 0 END) AS n_live
+      |  FROM chunks GROUP BY chunk_hash
+      |), rep AS (
+      |  SELECT CASE WHEN live THEN 'a_live_blobs' ELSE 'b_tombstoned_blobs' END AS status,
+      |    count(*) AS n, sum(bytes) AS bytes FROM b2 GROUP BY 1
+      |  UNION ALL
+      |  SELECT CASE WHEN n_live > 0 THEN 'c_retained_chunks' ELSE 'd_reclaimable_chunks' END,
+      |    count(*), sum(c_bytes) FROM rc GROUP BY 1
+      |)
+      |SELECT status, CAST(n AS BIGINT) AS n, CAST(bytes AS BIGINT) AS bytes
+      |FROM rep ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_gc_plan" -> (lakeGcPlan _),
     "lake_replicate" -> (lakeReplicate _),
     "lake_cdc_split" -> (lakeCdcSplit _),
     "lake_put_blob" -> (lakePutBlob _),
@@ -308,6 +386,7 @@ object LakeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_gc_plan" -> lakeGcPlanSql,
     "lake_replicate" -> lakeReplicateSql,
     "lake_put_blob" -> lakePutBlobSql,
     "lake_chunk_split" -> lakeChunkSplitSql,

@@ -794,6 +794,125 @@ object Pipeline {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** §2.3 #26q — pipeline lineage audit: one row per (stage, reason)
+    * with the number of documents the e2e pipeline disposed of there —
+    * the "where did my corpus go" report every production prep run
+    * publishes next to its output. Each document is charged to the
+    * FIRST stage that drops it (filter → dedup → decontamination →
+    * sampling), so the counts partition the corpus exactly:
+    * `sum(n_docs)` = corpus size and the `5_kept` row = the
+    * [[pipelineE2e]] survivor count (both pinned in ScalaTest).
+    *
+    * Shape: one corpus scan; the filter/sample verdicts are map-side,
+    * dedup is the same content-hash window the pipeline runs, and the
+    * decontamination hit-join is the broadcast gram lookup. The one
+    * place the audit exceeds the pipeline's own work: hit counts are
+    * computed for ALL docs (a dropped doc still gets its would-be
+    * contamination explained), where the pipeline only checks
+    * survivors — the price of a complete report, and it is the same
+    * broadcast join either way.
+    */
+  def pipelineLineage(spark: SparkSession, dir: String): DataFrame = {
+    val f = textFilterCols(docs(spark, dir).select(col("doc_id"), col("source"), col("text")))
+      .withColumn("content_hash", md5(col("text")))
+    // dedup survivor among FILTER-PASSING docs only (pipeline order):
+    // a group whose every member failed the filter has a null keep_id,
+    // and the null comparison falls through to the later branches —
+    // unreachable, since `keep=false` is always charged first
+    val wD = Window.partitionBy(col("content_hash"))
+    val d = f.withColumn("keep_id", min(when(col("keep"), col("doc_id"))).over(wD))
+    val g = d.withColumn("grams", wordGrams(DecontamN))
+    val evalIndex = docs(spark, dir).filter(col("doc_id") % 37 === 0)
+      .select(explode(wordGrams(DecontamN)).as("gram")).distinct()
+    val hits = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalIndex), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val staged = g.join(hits, Seq("doc_id"), "left")
+      .withColumn("contamination",
+        coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / size(col("grams")))
+      .withColumn("rate",
+        (lit(1.0) + pmod(substring(col("source"), 4, 10).cast(IntegerType), lit(4))) / 4.0)
+      .withColumn("u32",
+        conv(substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 8), 16, 10).cast(LongType))
+    staged
+      .select(
+        when(!col("keep"), concat(lit("1_filter:"), col("reasons")))
+          .when(col("doc_id") =!= col("keep_id"), lit("2_dedup:duplicate"))
+          .when(col("doc_id") % 37 === 0, lit("3_decontam:eval_doc"))
+          .when(col("contamination") > 0.2, lit("3_decontam:contaminated"))
+          .when(col("u32") >= (col("rate") * 4294967296.0).cast(LongType), lit("4_sample:sampled_out"))
+          .otherwise(lit("5_kept:kept")).as("disposition"))
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("disposition")
+  }
+
+  val pipelineLineageSql: String = {
+    val terms5 = (0 until DecontamN).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+      |  SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3
+      |      THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+      |      ELSE [text] END AS g3
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, source, text, ws, md5(text) AS content_hash,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(strlen(text) AS DOUBLE) / len(ws) AS mean_word_len,
+      |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+      |    1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS rep3_ratio
+      |  FROM w
+      |), r AS (
+      |  SELECT *, coalesce(array_to_string(list_filter([
+      |      CASE WHEN n_words < 20 THEN 'too_short' END,
+      |      CASE WHEN n_words > 5000 THEN 'too_long' END,
+      |      CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_len' END,
+      |      CASE WHEN uniq_ratio < 0.32 THEN 'low_diversity' END,
+      |      CASE WHEN rep3_ratio > 0.01 THEN 'repetitive' END
+      |    ], x -> x IS NOT NULL), ','), '') AS reasons
+      |  FROM m
+      |), ded AS (
+      |  SELECT *, reasons = '' AS keep,
+      |    min(CASE WHEN reasons = '' THEN doc_id END)
+      |      OVER (PARTITION BY content_hash) AS keep_id
+      |  FROM r
+      |), gr AS (
+      |  SELECT *, CASE WHEN len(ws) >= $DecontamN
+      |      THEN list_distinct(list_transform(range(1, len(ws) - ${DecontamN - 2}), i -> $terms5))
+      |      ELSE [text] END AS grams
+      |  FROM ded
+      |), eval_g AS (
+      |  SELECT DISTINCT gram FROM (
+      |    SELECT unnest(CASE WHEN len(ws) >= $DecontamN
+      |      THEN list_distinct(list_transform(range(1, len(ws) - ${DecontamN - 2}), i -> $terms5))
+      |      ELSE [text] END) AS gram
+      |    FROM (SELECT text, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 37 = 0)
+      |  )
+      |), hits AS (
+      |  SELECT t.doc_id, count(*) AS n_hits
+      |  FROM (SELECT doc_id, unnest(grams) AS gram FROM gr) t JOIN eval_g e USING (gram)
+      |  GROUP BY t.doc_id
+      |), st AS (
+      |  SELECT gr.*, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(gr.grams) AS contamination,
+      |    (1.0 + (CAST(substr(gr.source, 4) AS INTEGER) % 4)) / 4.0 AS rate,
+      |    ('0x' || substr(md5(gr.source || ':' || CAST(gr.doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+      |  FROM gr LEFT JOIN hits h ON h.doc_id = gr.doc_id
+      |)
+      |SELECT disposition, count(*) AS n_docs FROM (
+      |  SELECT CASE
+      |    WHEN NOT keep THEN '1_filter:' || reasons
+      |    WHEN doc_id <> keep_id THEN '2_dedup:duplicate'
+      |    WHEN doc_id % 37 = 0 THEN '3_decontam:eval_doc'
+      |    WHEN contamination > 0.2 THEN '3_decontam:contaminated'
+      |    WHEN u32 >= CAST(rate * 4294967296 AS BIGINT) THEN '4_sample:sampled_out'
+      |    ELSE '5_kept:kept' END AS disposition
+      |  FROM st
+      |)
+      |GROUP BY disposition
+      |ORDER BY disposition""".stripMargin
+  }
+
   // ------------------------------------------------ per-source cap
 
   /** How many documents a single source may contribute (C4 /
@@ -851,6 +970,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_cap" -> (textDomainCap _),
     "pipeline_e2e" -> (pipelineE2e _),
+    "pipeline_lineage" -> (pipelineLineage _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_negatives" -> (sampleNegatives _),
     "dedup_clusters" -> (dedupClusters _),
@@ -867,6 +987,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "text_domain_cap" -> textDomainCapSql,
     "pipeline_e2e" -> pipelineE2eSql,
+    "pipeline_lineage" -> pipelineLineageSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "decontaminate" -> decontaminateSql,

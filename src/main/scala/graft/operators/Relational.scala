@@ -1428,6 +1428,65 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** §2.2 #21bn — event-time lateness audit: per event type, the
+    * out-of-orderness distribution of the stream — how far event time
+    * lags behind the running event-time high-water mark in arrival
+    * order (event_id is the arrival proxy). `p99_late_us` IS the
+    * number you set a Structured Streaming watermark from: a watermark
+    * of that delay admits 99% of events into their window, and
+    * `max_late_us` tells you what the last 1% costs. Run this before
+    * choosing the `withWatermark` delay of every §2.7 streaming query.
+    *
+    * Shape: one ROWS-frame running max in arrival order + one ranking
+    * window for the exact-selection p99 (the q_median idiom), both
+    * partitioned on event_type — partition-parallel, integer-µs exact,
+    * no shuffle beyond the two type-keyed exchanges (which AQE fuses
+    * into one).
+    */
+  def qLateness(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val wA = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = e.withColumn("late_us", max(col("us")).over(wA) - col("us"))
+    val wR = Window.partitionBy(col("event_type")).orderBy(col("late_us"), col("event_id"))
+    val wc = Window.partitionBy(col("event_type"))
+    late
+      .select(
+        col("event_type"), col("late_us"),
+        row_number().over(wR).as("rn"),
+        count(lit(1)).over(wc).as("n"),
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("late_us"))).as("p99_late_us"),
+        max(col("late_us")).as("max_late_us"),
+      )
+      .orderBy("event_type")
+  }
+
+  val qLatenessSql: String =
+    """WITH l AS (
+      |  SELECT event_type, event_id,
+      |    max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - epoch_us(ts) AS late_us
+      |  FROM events
+      |), ranked AS (
+      |  SELECT event_type, late_us,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY late_us, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM l
+      |)
+      |SELECT event_type, max(n) AS n,
+      |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN late_us END) AS p99_late_us,
+      |  max(late_us) AS max_late_us
+      |FROM ranked
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** §2.2 #21z — equi-width numeric histogram with in-query bounds:
     * a 1-row min/max aggregate broadcast into the scan (the q_zorder
     * shape), then integer bucket arithmetic and one grouped count/sum
@@ -3049,6 +3108,7 @@ object Relational {
     "q14_promo" -> (q14Promo _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q_median" -> (qMedian _),
+    "q_lateness" -> (qLateness _),
     "q_histogram" -> (qHistogram _),
     "q_skewjoin" -> (qSkewjoin _),
     "q_zorder" -> (qZorder _),
@@ -3124,6 +3184,7 @@ object Relational {
     "q14_promo" -> q14PromoSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q_median" -> qMedianSql,
+    "q_lateness" -> qLatenessSql,
     "q_histogram" -> qHistogramSql,
     "q_skewjoin" -> qSkewjoinSql,
     "q_zorder" -> qZorderSql,

@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lakehouse table-format primitives: commit-log time travel, zone-map
+  * data skipping, and count-min frequency sketching — the metadata
+  * layer a 100 TB table needs on top of raw parquet. All
+  * integer/md5-exact, so every query here is DuckDB-hash-oracled.
+  *
+  * Reference tie-in: the reference's store is content-addressed and
+  * append-only (store/mod.rs put path) — versioned reads and skipping
+  * indexes are the table-format features its lake façade
+  * (lake/mod.rs) stops short of; these queries supply them
+  * Spark-first.
+  */
+object TableFormat {
+
+  // ------------------------------------------------------- time travel
+
+  /** §2.2 #21bk — commit-log time travel: a keyed table maintained as
+    * an append-only change log (the Delta/Iceberg model — a snapshot
+    * is never rewritten, a commit appends upserts/deletes), read AS OF
+    * each version by replaying `seq <= v` with latest-wins-per-key
+    * semantics. The demo log derives three deterministic commits from
+    * `orders`: v1 full load, v2 re-prices every 7th key (+10%, integer
+    * cents), v3 deletes every 11th key. One output row per version:
+    * live row count + exact-cents total, i.e. the audit a time-travel
+    * read must reproduce bit-for-bit.
+    *
+    * Scale shape: the snapshot read is exactly the [[Relational]]
+    * `q_upsert` MERGE plan — one shuffle on the merge key, a
+    * latest-wins window, delete tombstones dropped — with the version
+    * predicate `seq <= v` pushed into the log scan (partition the log
+    * by commit at 100 TB and time travel prunes whole commits). The
+    * ×versions explode multiplies work by the number of snapshots
+    * AUDITED (3 here), not log size; a production point read does one.
+    */
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"),
+        floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"))
+    val v1 = o.select(col("key"), lit(1L).as("seq"), lit("upsert").as("op"), col("cents"))
+    val v2 = o.filter(col("key") % 7 === 0)
+      .select(col("key"), lit(2L).as("seq"), lit("upsert").as("op"),
+        (col("cents") + expr("cents DIV 10")).as("cents"))
+    val v3 = o.filter(col("key") % 11 === 0)
+      .select(col("key"), lit(3L).as("seq"), lit("delete").as("op"), lit(0L).as("cents"))
+    val log = v1.unionByName(v2).unionByName(v3)
+    // a commit with seq s is visible to snapshots s..3: explode the
+    // membership map-side rather than non-equi-joining a versions
+    // frame (same rows, no BroadcastNestedLoopJoin in the plan)
+    val wK = Window.partitionBy(col("version"), col("key")).orderBy(col("seq").desc)
+    log.withColumn("version", explode(sequence(col("seq"), lit(3L))))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") === 1 && col("op") === "upsert")
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+      .orderBy("version")
+  }
+
+  val qTimeTravelSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS key,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |), log AS (
+      |  SELECT key, CAST(1 AS BIGINT) AS seq, 'upsert' AS op, cents FROM o
+      |  UNION ALL
+      |  SELECT key, 2, 'upsert', cents + cents // 10 FROM o WHERE key % 7 = 0
+      |  UNION ALL
+      |  SELECT key, 3, 'delete', 0 FROM o WHERE key % 11 = 0
+      |), vs AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS version),
+      |snap AS (
+      |  SELECT version, key, op, cents,
+      |    row_number() OVER (PARTITION BY version, key ORDER BY seq DESC) AS rn
+      |  FROM log JOIN vs ON seq <= version
+      |)
+      |SELECT version, count(*) AS n_live, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM snap WHERE rn = 1 AND op = 'upsert'
+      |GROUP BY version
+      |ORDER BY version""".stripMargin
+
+  /** §2.2 #21bo — snapshot diff (CDC "table_changes" read): what
+    * changed between two versions of the [[qTimeTravel]] commit log —
+    * every key classified as inserted / updated / deleted / unchanged
+    * by comparing the latest-wins state at v=1 against v=3, with the
+    * exact-cents net delta per class. This is the incremental-consumer
+    * primitive: a downstream reader that processed v1 applies exactly
+    * these changes to reach v3 (the ScalaTest pins
+    * `v1 state + diff ≡ v3 state`).
+    *
+    * Scale shape: two latest-wins windows over the seq-pruned log
+    * (each the q_upsert plan) + one full-outer join on the key — all
+    * shuffles on the merge key, report is a 4-row rollup. A real
+    * table format reads the delta from the log alone (seq in (v_from,
+    * v_to]); the full-outer join here is the AUDIT that the log
+    * replay and state diff agree.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"),
+        floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"))
+    // state at v1: the base load; state at v3: re-priced %7, deleted %11
+    val s1 = o.select(col("key"), col("cents").as("c1"))
+    val s3 = o.filter(col("key") % 11 =!= 0)
+      .select(col("key"),
+        when(col("key") % 7 === 0, col("cents") + expr("cents DIV 10"))
+          .otherwise(col("cents")).as("c3"))
+    s1.join(s3, Seq("key"), "full_outer")
+      .select(
+        when(col("c1").isNull, "inserted")
+          .when(col("c3").isNull, "deleted")
+          .when(col("c1") =!= col("c3"), "updated")
+          .otherwise("unchanged").as("change"),
+        (coalesce(col("c3"), lit(0L)) - coalesce(col("c1"), lit(0L))).as("d"),
+      )
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("d")).as("cents_delta"))
+      .orderBy("change")
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS key,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |), s1 AS (SELECT key, cents AS c1 FROM o),
+      |s3 AS (
+      |  SELECT key, CASE WHEN key % 7 = 0 THEN cents + cents // 10 ELSE cents END AS c3
+      |  FROM o WHERE key % 11 <> 0
+      |), st AS (
+      |  SELECT CASE WHEN c1 IS NULL THEN 'inserted'
+      |              WHEN c3 IS NULL THEN 'deleted'
+      |              WHEN c1 <> c3 THEN 'updated'
+      |              ELSE 'unchanged' END AS change,
+      |    coalesce(c3, 0) - coalesce(c1, 0) AS d
+      |  FROM s1 FULL JOIN s3 USING (key)
+      |)
+      |SELECT change, count(*) AS n_keys, CAST(sum(d) AS BIGINT) AS cents_delta
+      |FROM st GROUP BY change
+      |ORDER BY change""".stripMargin
+
+  // ---------------------------------------------------------- zone map
+
+  /** Rows per zone in the [[qZonemap]] demo layout. */
+  val ZoneSize = 1000L
+
+  /** §2.2 #21bl — zone-map data skipping audit: per-zone min/max
+    * statistics (the footer stats every parquet file / Delta
+    * add-action carries) evaluated against a time-range predicate,
+    * reporting which zones a stats-driven reader PRUNES — plus the
+    * exact matching row count per zone, which proves the skipping is
+    * lossless (every pruned zone must show `n_matching = 0`; a
+    * violation means the stats lied). Zones here are orderkey ranges
+    * (`o_orderkey div ZoneSize` — the write-order clustering a
+    * sequential loader produces); the predicate is "orders in the 90
+    * days up to the newest order", in pure integer epoch-day
+    * arithmetic.
+    *
+    * Scale shape: stats collection is one map-side-combined groupBy
+    * on zone id; at 100 TB the stats table IS the table-format
+    * metadata (a few rows per file), so predicate evaluation over it
+    * is driver-scale while the data scan it saves is the expensive
+    * thing. The audit's exact per-zone match count is the verification
+    * pass you run once when validating a layout, not per query.
+    * Correlation is the whole game: this layout gives orderkey
+    * pruning; `q_partition_prune`'s day-partitioning gives time
+    * pruning; `q_zorder` interleaves both.
+    */
+  def qZonemap(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("unix_micros(o_orderdate) DIV 86400000000").as("day"))
+    val d1 = o.agg(max(col("day"))).head.getLong(0)
+    val lo = d1 - 90
+    o.groupBy(expr(s"o_orderkey DIV $ZoneSize").as("zone_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("day")).as("min_day"),
+        max(col("day")).as("max_day"),
+        sum(when(col("day") >= lo && col("day") <= d1, 1L).otherwise(0L)).as("n_matching"),
+      )
+      .withColumn("pruned", col("max_day") < lo || col("min_day") > d1)
+      .select(col("zone_id"), col("n_rows"), col("min_day"), col("max_day"),
+        col("pruned"), col("n_matching"))
+      .orderBy("zone_id")
+  }
+
+  val qZonemapSql: String =
+    s"""WITH o AS (
+      |  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS day
+      |  FROM orders
+      |), b AS (SELECT max(day) AS d1 FROM o),
+      |z AS (
+      |  SELECT o_orderkey // $ZoneSize AS zone_id, count(*) AS n_rows,
+      |    min(day) AS min_day, max(day) AS max_day,
+      |    CAST(sum(CASE WHEN day >= d1 - 90 AND day <= d1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+      |    max(d1) AS d1
+      |  FROM o CROSS JOIN b
+      |  GROUP BY 1
+      |)
+      |SELECT zone_id, n_rows, min_day, max_day,
+      |  (max_day < d1 - 90 OR min_day > d1) AS pruned, n_matching
+      |FROM z
+      |ORDER BY zone_id""".stripMargin
+
+  // --------------------------------------------------- count-min sketch
+
+  /** Count-min rows (independent hash functions). */
+  val CmsDepth = 4
+
+  /** Count-min buckets per row. */
+  val CmsWidth = 64
+
+  /** §2.2 #21bm — count-min sketch frequency estimation (Cormode &
+    * Muthukrishnan '05): d×w counter matrix, h_r(u) = md5-uniform
+    * bucket, estimate = min over rows of the landed counter — the
+    * fixed-size answer to "how often does key u appear" when the key
+    * domain is too large for an exact count table. The query sketches
+    * `events.user_id`, then audits the 20 heaviest users: exact count
+    * vs CMS estimate side by side (est ≥ true always, by one-sided
+    * collision error; the ScalaTest pins both the guarantee and the
+    * ε·N width on the planted corpus).
+    *
+    * Scale shape: the sketch build is ONE map-side-combined groupBy on
+    * (row, bucket) — the shuffle carries ≤ d·w·P rows regardless of
+    * data size (the Misra-Gries `text_heavy_hitters` argument, in
+    * counter-matrix form), and the 256-cell sketch broadcasts into the
+    * estimate join. The exact side exists only because this is the
+    * audit; production keeps the sketch alone. md5-derived hashing
+    * makes every cell, and therefore every estimate, bit-identical in
+    * DuckDB — a sketch you can hash-oracle.
+    */
+  def qCms(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").select(col("user_id"))
+    def bucket(user: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat_ws(":", r, user)), 1, 8), 16, 10).cast(LongType), lit(CmsWidth.toLong))
+    // the ×depth fan-out is a map-side explode (never a cross join)
+    val depthRows = explode(sequence(lit(0L), lit(CmsDepth - 1L)))
+    val sketch = ev.withColumn("sr", depthRows)
+      .groupBy(col("sr"), bucket(col("user_id"), col("sr")).as("sb"))
+      .agg(count(lit(1)).as("cell"))
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("user_id"))
+      .limit(20)
+    top.withColumn("r", depthRows)
+      .join(broadcast(sketch),
+        col("sr") === col("r") && col("sb") === bucket(col("user_id"), col("r")))
+      .groupBy(col("user_id"), col("true_n"))
+      .agg(min(col("cell")).as("est_n"))
+      .withColumn("overestimate", col("est_n") - col("true_n"))
+      .orderBy(col("true_n").desc, col("user_id"))
+  }
+
+  val qCmsSql: String =
+    s"""WITH rows_ AS (SELECT unnest(range(0, $CmsDepth)) AS r),
+      |cells AS (
+      |  SELECT r,
+      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS b,
+      |    count(*) AS cell
+      |  FROM events CROSS JOIN rows_
+      |  GROUP BY 1, 2
+      |), top AS (
+      |  SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id
+      |  ORDER BY true_n DESC, user_id LIMIT 20
+      |)
+      |SELECT t.user_id, t.true_n, min(c.cell) AS est_n,
+      |  min(c.cell) - t.true_n AS overestimate
+      |FROM top t CROSS JOIN rows_ r
+      |JOIN cells c ON c.r = r.r
+      |  AND c.b = ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth
+      |GROUP BY t.user_id, t.true_n
+      |ORDER BY t.true_n DESC, t.user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_travel" -> (qTimeTravel _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_zonemap" -> (qZonemap _),
+    "q_cms" -> (qCms _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_time_travel" -> qTimeTravelSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_zonemap" -> qZonemapSql,
+    "q_cms" -> qCmsSql,
+  )
+}

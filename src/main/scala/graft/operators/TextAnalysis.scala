@@ -462,6 +462,64 @@ object TextAnalysis {
       |ORDER BY tf DESC, term
       |LIMIT 100""".stripMargin
 
+  /** Documents per growth-curve checkpoint in [[textVocabGrowth]]. */
+  val VocabGrowthBucket = 100L
+
+  /** §2.5 #33w — vocabulary growth curve (the Heaps'-law audit): how
+    * the distinct-term count grows as the corpus grows, sampled at
+    * every [[VocabGrowthBucket]] documents in doc_id order. The curve
+    * is what you read before sizing a tokenizer vocabulary or
+    * estimating how much MORE data buys new types: sublinear growth =
+    * healthy natural text; near-linear growth = ids/noise/boilerplate
+    * leaking through the filters (each checkpoint also carries
+    * new_terms, the marginal vocabulary the bucket contributed).
+    *
+    * Scale shape: a term's contribution to the curve is fully
+    * determined by its FIRST document (min(doc_id) — one map-side
+    * combined groupBy on term), so the quadratic-looking "vocab at
+    * every prefix" needs no per-prefix rescan: bucket the first-docs,
+    * then one running sum over the ≤ n_docs/bucket checkpoint rows —
+    * a window over the tiny rollup, never the corpus.
+    */
+  def textVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(col("doc_id"), explode(words).as("term"))
+    val cp = (expr(s"doc_id DIV $VocabGrowthBucket") + 1) * VocabGrowthBucket
+    val newTerms = tok.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(((expr(s"fd DIV $VocabGrowthBucket")) + 1) * VocabGrowthBucket)
+      .agg(count(lit(1)).as("new_terms"))
+      .toDF("checkpoint", "new_terms")
+    val tokens = tok.groupBy(cp.as("checkpoint")).agg(count(lit(1)).as("bucket_tokens"))
+    val w = Window.orderBy(col("checkpoint"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(newTerms, Seq("checkpoint"), "left")
+      .select(col("checkpoint"),
+        sum(coalesce(col("new_terms"), lit(0L))).over(w).as("vocab_size"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"),
+        sum(col("bucket_tokens")).over(w).as("n_tokens"))
+      .orderBy("checkpoint")
+  }
+
+  val textVocabGrowthSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), fd AS (
+      |  SELECT term, min(doc_id) AS fd FROM tok GROUP BY term
+      |), nt AS (
+      |  SELECT (fd // $VocabGrowthBucket + 1) * $VocabGrowthBucket AS checkpoint,
+      |    count(*) AS new_terms
+      |  FROM fd GROUP BY 1
+      |), bt AS (
+      |  SELECT (doc_id // $VocabGrowthBucket + 1) * $VocabGrowthBucket AS checkpoint,
+      |    count(*) AS bucket_tokens
+      |  FROM tok GROUP BY 1
+      |)
+      |SELECT bt.checkpoint,
+      |  CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY bt.checkpoint) AS BIGINT) AS vocab_size,
+      |  CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
+      |  CAST(sum(bt.bucket_tokens) OVER (ORDER BY bt.checkpoint) AS BIGINT) AS n_tokens
+      |FROM bt LEFT JOIN nt ON nt.checkpoint = bt.checkpoint
+      |ORDER BY bt.checkpoint""".stripMargin
+
   // ---------------------------------------------------------------- BM25
 
   private val Bm25K1 = 1.2
@@ -1135,6 +1193,7 @@ object TextAnalysis {
     "text_tfidf" -> (textTfidf _),
     "text_pii" -> (textPii _),
     "text_vocab" -> (textVocab _),
+    "text_vocab_growth" -> (textVocabGrowth _),
     "text_bm25" -> (textBm25 _),
     "text_rrf" -> (textRrf _),
     "text_compress" -> (textCompress _),
@@ -1159,6 +1218,7 @@ object TextAnalysis {
     "text_tfidf" -> textTfidfSql,
     "text_pii" -> textPiiSql,
     "text_vocab" -> textVocabSql,
+    "text_vocab_growth" -> textVocabGrowthSql,
     "text_bm25" -> textBm25Sql,
     "text_rrf" -> textRrfSql,
   )

@@ -1140,7 +1140,90 @@ object VectorOps {
       |FROM m
       |ORDER BY vec_id""".stripMargin
 
+  /** Prefix lengths audited by [[embMatryoshka]] (full dim last — its
+    * recall is 10^6 by construction, the audit's internal anchor).
+    */
+  val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** §2.4 #29j — matryoshka / truncated-embedding recall audit: how
+    * much ANN quality survives keeping only the first d dims of the
+    * 64-dim embedding (MRL-style truncation — the "can I store 8×
+    * less vector" question every embedding pipeline asks before
+    * shipping an index). For each prefix length, exact cosine top-5
+    * over the truncated vectors vs top-5 over the full vectors, recall
+    * aggregated across the 20 query vectors in exact ppm — one row per
+    * prefix.
+    *
+    * Scale shape: the pair space is the [[annBruteforce]] broadcast
+    * shape ×|dims| (the ×4 rides the broadcast side), the truncated
+    * dot reuses the codegen [[graft.functions.LongArrayDot]] kernel on
+    * a map-side `slice`, and the recall join is per-(query, dim) top-5
+    * sets — 100-row frames. Note the synthetic embeddings spread
+    * information uniformly across dims, so recall climbs smoothly with
+    * d; MRL-trained embeddings front-load it (that difference is
+    * exactly what this audit measures on real vectors).
+    */
+  def embMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val dims = MatryoshkaDims.map(d => lit(d)).toArray
+    val base = prep(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")))
+      .withColumn("dim", explode(array(dims: _*)))
+      .withColumn("pv", slice(col("qv"), lit(1), col("dim")))
+      .withColumn("pnorm", sqrt(qdot(col("pv"), col("pv")).cast(DoubleType)))
+      .select(col("id"), col("dim"), col("pv"), col("pnorm"))
+    val q = base.filter(col("id") < 20)
+      .select(col("dim").as("qdim"), col("id").as("query_id"), col("pv").as("qa"), col("pnorm").as("na"))
+    val scored = broadcast(q)
+      .join(base, col("qdim") === col("dim") && col("query_id") =!= col("id"))
+      .select(col("dim"), col("query_id"), col("id").as("neighbor_id"),
+        (qdot(col("qa"), col("pv")).cast(DoubleType) / (col("na") * col("pnorm"))).as("cosine"))
+    val w = Window.partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val top5 = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("dim"), col("query_id"), col("neighbor_id"))
+    val full = top5.filter(col("dim") === 64)
+      .select(col("query_id"), col("neighbor_id"))
+    top5.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div (20 * 5)"))
+      .orderBy("dim")
+  }
+
+  val embMatryoshkaSql: String = {
+    val dimsList = MatryoshkaDims.mkString(", ")
+    s"""WITH qe AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), pre AS (
+      |  SELECT vec_id, d.dim, list_slice(qv, 1, d.dim) AS pv
+      |  FROM qe CROSS JOIN (SELECT unnest([$dimsList]) AS dim) d
+      |), scored AS (
+      |  SELECT a.dim, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, a.dim + 1), i -> a.pv[i] * b.pv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(list_sum(list_transform(range(1, a.dim + 1), i -> a.pv[i] * a.pv[i])) AS DOUBLE))
+      |         * sqrt(CAST(list_sum(list_transform(range(1, a.dim + 1), i -> b.pv[i] * b.pv[i])) AS DOUBLE))) AS cosine
+      |  FROM pre a JOIN pre b ON a.dim = b.dim AND a.vec_id != b.vec_id
+      |  WHERE a.vec_id < 20
+      |), top5 AS (
+      |  SELECT dim, query_id, neighbor_id FROM (
+      |    SELECT dim, query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY dim, query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM scored
+      |  ) WHERE rank <= 5
+      |), full_ AS (
+      |  SELECT query_id, neighbor_id FROM top5 WHERE dim = 64
+      |)
+      |-- full_ pairs are unique per (query, neighbor), so the inner join
+      |-- has semi-join multiplicity
+      |SELECT t.dim, count(*) AS hits,
+      |  CAST(count(*) * 1000000 // (20 * 5) AS BIGINT) AS recall_ppm
+      |FROM top5 t JOIN full_ f ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      |GROUP BY t.dim
+      |ORDER BY t.dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_matryoshka" -> (embMatryoshka _),
     "emb_outliers" -> (embOutliers _),
     "emb_pca" -> (embPca _),
     "ann_classify" -> (annClassify _),
@@ -1156,6 +1239,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_matryoshka" -> embMatryoshkaSql,
     "emb_outliers" -> embOutliersSql,
     "ann_classify" -> annClassifySql,
     "emb_centroids" -> embCentroidsSql,

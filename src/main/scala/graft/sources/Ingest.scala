@@ -97,6 +97,33 @@ object Ingest {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** named query: JSONL (line-delimited JSON) sink+source round-trip —
+    * the interchange format half the world's corpus pipelines emit.
+    * `documents` is written as JSONL and read back with schema
+    * inference; the projection must equal reading the parquet original
+    * (the DuckDB oracle). Line-delimited (multiline off) is the
+    * splittable-at-scale framing; JSON string escaping must round-trip
+    * embedded newlines/quotes byte-exactly, which the md5 pins.
+    */
+  def qJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir(spark) + "/documents.jsonl"
+    writeAuto(graft.GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")), tmp)
+    readAuto(spark, tmp)
+      .select(
+        col("doc_id"),
+        col("source"),
+        md5(col("text")).as("text_md5"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val qJsonlRoundtripSql: String =
+    """SELECT doc_id, source, md5(text) AS text_md5, CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Write `df` as a bucketed+sorted parquet table under the session
     * scratch dir (external location → reclaimed by the scratch
     * shutdown hook; table NAME lives only in this session's in-memory
@@ -204,12 +231,14 @@ object Ingest {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_orc_roundtrip" -> qOrcRoundtripSql,
+    "q_jsonl_roundtrip" -> qJsonlRoundtripSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
   )

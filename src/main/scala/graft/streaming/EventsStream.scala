@@ -280,6 +280,40 @@ object EventsStream {
     in.groupByKey(_._1).mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class CmsCell(r: Long, b: Long, cell: Long)
+
+  /** §2.2 #21bm streaming twin — a count-min sketch maintained as
+    * streaming state: each arriving key increments its d md5-derived
+    * (row, bucket) cells — the SAME hashing as batch
+    * [[graft.operators.TableFormat.qCms]] — and every micro-batch
+    * emits the touched cells' running counts (update mode, the
+    * cdcApply contract). Counter addition is associative and
+    * commutative, so the converged matrix equals the batch sketch
+    * under ANY micro-batch split or arrival order, and state is
+    * O(d·w) cells FOREVER on an unbounded stream over an unbounded
+    * key domain — the whole point of sketching the stream instead of
+    * counting it (the exact-count state [[windowHeavyHitters]] avoids
+    * per-window, this avoids globally). No watermark: the sketch is a
+    * lifetime aggregate, not a windowed one.
+    */
+  def cmsSketch(keyed: DataFrame, depth: Int, width: Int): Dataset[CmsCell] = {
+    import keyed.sparkSession.implicits._
+    val in = keyed
+      .select(explode(sequence(lit(0L), lit(depth - 1L))).as("r"), col("user_id"))
+      .select(col("r"),
+        pmod(conv(substring(md5(concat_ws(":", col("r"), col("user_id"))), 1, 8), 16, 10)
+          .cast("long"), lit(width.toLong)).as("b"))
+      .as[(Long, Long)]
+
+    def fn(key: (Long, Long), it: Iterator[(Long, Long)], state: GroupState[Long]): CmsCell = {
+      val n = state.getOption.getOrElse(0L) + it.size
+      state.update(n)
+      CmsCell(key._1, key._2, n)
+    }
+
+    in.groupByKey(identity).mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** §2.7 #42 — stream-static enrichment: arriving events joined to a
     * slowly-changing dimension, then window-aggregated per dimension
     * attribute. The static side is broadcast (no stream-side shuffle

@@ -1,0 +1,247 @@
+package graft
+
+import graft.operators.{Pipeline, Relational, TableFormat}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round9OpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // ----------------------------------------------------- pipeline_lineage
+
+  test("pipeline_lineage partitions the corpus and its kept row equals pipeline_e2e") {
+    val lineage = Pipeline.pipelineLineage(spark, sf).collect()
+      .map(r => r.getAs[String]("disposition") -> r.getAs[Long]("n_docs")).toMap
+    val corpus = GraftSession.table(spark, sf, "documents").count()
+    assert(lineage.values.sum == corpus,
+      s"dispositions must partition the corpus: ${lineage.values.sum} vs $corpus")
+    val kept = lineage.getOrElse("5_kept:kept", 0L)
+    assert(kept == Pipeline.pipelineE2e(spark, sf).count(),
+      "the 5_kept row must equal the e2e survivor count")
+    // every disposition label belongs to a known stage
+    assert(lineage.keys.forall(d => d.matches("^[1-5]_(filter|dedup|decontam|sample|kept):.*")))
+    // stages are reachable on this corpus: at least filter drops + kept
+    assert(lineage.keys.exists(_.startsWith("1_filter:")) && kept > 0)
+  }
+
+  // -------------------------------------------------------- q_time_travel
+
+  test("q_time_travel equals a plain-Scala commit-log replay at sf0.001") {
+    val base = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long)].collect().toMap
+    def snapshot(v: Int): (Long, Long) = {
+      val live = base.keys.filter(k => v < 3 || k % 11 != 0)
+      val cents = live.toSeq.map { k =>
+        val c = base(k)
+        if (v >= 2 && k % 7 == 0) c + c / 10 else c
+      }
+      (live.size.toLong, cents.sum)
+    }
+    val got = TableFormat.qTimeTravel(spark, sf).collect()
+      .map(r => r.getAs[Long]("version") -> ((r.getAs[Long]("n_live"), r.getAs[Long]("sum_cents"))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    (1 to 3).foreach(v => assert(got(v.toLong) == snapshot(v), s"version $v"))
+    // v3 must show the deletes, v2 the re-pricing
+    assert(got(3L)._1 < got(1L)._1 && got(2L)._2 > got(1L)._2)
+  }
+
+  // --------------------------------------------------------- q_snapshot_diff
+
+  test("q_snapshot_diff applied to the v1 state reproduces the v3 snapshot") {
+    val diff = TableFormat.qSnapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("change") ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("cents_delta")))).toMap
+    val tt = TableFormat.qTimeTravel(spark, sf).collect()
+      .map(r => r.getAs[Long]("version") ->
+        ((r.getAs[Long]("n_live"), r.getAs[Long]("sum_cents")))).toMap
+    // incremental-consumer contract: v1 + diff = v3
+    val deleted = diff.getOrElse("deleted", (0L, 0L))
+    val inserted = diff.getOrElse("inserted", (0L, 0L))
+    assert(tt(1L)._1 - deleted._1 + inserted._1 == tt(3L)._1)
+    assert(tt(1L)._2 + diff.values.map(_._2).sum == tt(3L)._2)
+    // this log never inserts new keys after v1
+    assert(inserted._1 == 0L)
+    assert(diff.contains("updated") && diff.contains("deleted") && diff.contains("unchanged"))
+  }
+
+  // ------------------------------------------------------------ lake_gc_plan
+
+  test("lake_gc_plan equals a plain-Scala refcount replay at sf0.001") {
+    import graft.operators.LakeOps
+    val docsRows = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val byHash = docsRows.groupBy(d => md5hex(d._2))
+    val blobs = byHash.map { case (h, xs) =>
+      val minId = xs.map(_._1).min
+      (h, xs.head._2, minId % 7 != 0)
+    }.toSeq
+    def slices(t: String): Seq[String] = {
+      val n = math.max((t.length - 1) / 256, 0) + 1
+      (0 until n).map(i => t.slice(i * 256, i * 256 + 256))
+    }
+    val refs = blobs.flatMap { case (_, t, live) => slices(t).map(s => (md5hex(s), s, live)) }
+    val rc = refs.groupBy(_._1).map { case (ch, xs) =>
+      (ch, xs.head._2.getBytes("UTF-8").length.toLong, xs.count(_._3))
+    }
+    val want = Map(
+      "a_live_blobs" -> ((blobs.count(_._3).toLong,
+        blobs.filter(_._3).map(_._2.getBytes("UTF-8").length.toLong).sum)),
+      "b_tombstoned_blobs" -> ((blobs.count(!_._3).toLong,
+        blobs.filterNot(_._3).map(_._2.getBytes("UTF-8").length.toLong).sum)),
+      "c_retained_chunks" -> ((rc.count(_._3 > 0).toLong,
+        rc.filter(_._3 > 0).map(_._2).sum)),
+      "d_reclaimable_chunks" -> ((rc.count(_._3 == 0).toLong,
+        rc.filter(_._3 == 0).map(_._2).sum)),
+    )
+    val got = LakeOps.lakeGcPlan(spark, sf).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("bytes")))).toMap
+    assert(got == want)
+    // gc must never reclaim a chunk a live blob still references
+    assert(got("c_retained_chunks")._1 > 0 && got("a_live_blobs")._1 > 0)
+  }
+
+  // ------------------------------------------------------------ q_zonemap
+
+  test("q_zonemap pruning is lossless and the stats cover the table") {
+    val rows = TableFormat.qZonemap(spark, sf).collect()
+    val orders = GraftSession.table(spark, sf, "orders")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == orders.count())
+    // a pruned zone must contain zero matching rows (stats never lie)
+    rows.filter(_.getAs[Boolean]("pruned")).foreach { r =>
+      assert(r.getAs[Long]("n_matching") == 0L, s"pruned zone ${r.getAs[Long]("zone_id")}")
+    }
+    // the audit total equals the predicate's true selectivity
+    val d1 = orders.agg(max(expr("unix_micros(o_orderdate) DIV 86400000000"))).head.getLong(0)
+    val exact = orders
+      .filter(expr(s"unix_micros(o_orderdate) DIV 86400000000 >= ${d1 - 90}"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_matching")).sum == exact)
+    rows.foreach(r => assert(r.getAs[Long]("min_day") <= r.getAs[Long]("max_day")))
+  }
+
+  // ---------------------------------------------------------------- q_cms
+
+  test("q_cms equals a plain-Scala count-min replay and never underestimates") {
+    val users = GraftSession.table(spark, sf, "events")
+      .select(col("user_id")).as[Long].collect()
+    val cells = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    def bucket(r: Long, u: Long): Long = {
+      val h = java.lang.Long.parseLong(md5hex(s"$r:$u").take(8), 16)
+      ((h % TableFormat.CmsWidth) + TableFormat.CmsWidth) % TableFormat.CmsWidth
+    }
+    for (u <- users; r <- 0L until TableFormat.CmsDepth.toLong)
+      cells((r, bucket(r, u))) = cells.getOrElse((r, bucket(r, u)), 0L) + 1
+    val trueN = users.groupBy(identity).map { case (u, xs) => u -> xs.length.toLong }
+    val top = trueN.toSeq.sortBy { case (u, n) => (-n, u) }.take(20)
+    val got = TableFormat.qCms(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("true_n"), r.getAs[Long]("est_n"), r.getAs[Long]("overestimate"))))
+      .toMap
+    assert(got.keySet == top.map(_._1).toSet)
+    top.foreach { case (u, n) =>
+      val est = (0L until TableFormat.CmsDepth.toLong).map(r => cells((r, bucket(r, u)))).min
+      assert(got(u) == ((n, est, est - n)), s"user $u")
+      assert(est >= n, "CMS must never underestimate")
+      // one-sided error bound: a cell holds at most the full stream
+      assert(est - n <= users.length.toLong)
+    }
+  }
+
+  // ------------------------------------------------------------ q_lateness
+
+  test("q_lateness equals a plain-Scala running-high-watermark replay") {
+    val ev = GraftSession.table(spark, sf, "events")
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long, Long)].collect()
+    val want = ev.groupBy(_._1).map { case (t, xs) =>
+      val inArrival = xs.sortBy(_._2)
+      var high = Long.MinValue
+      val lates = inArrival.map { case (_, _, us) =>
+        high = math.max(high, us); high - us
+      }
+      val n = lates.length.toLong
+      val sorted = lates.sorted
+      val p99 = sorted(((99 * n + 99) / 100).toInt - 1)
+      t -> ((n, lates.count(_ > 0).toLong, p99, sorted.last))
+    }
+    val got = Relational.qLateness(spark, sf).collect().map { r =>
+      r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_late"),
+          r.getAs[Long]("p99_late_us"), r.getAs[Long]("max_late_us")))
+    }.toMap
+    assert(got == want)
+    // the watermark ordering the audit exists to report
+    got.values.foreach { case (n, nLate, p99, mx) =>
+      assert(p99 <= mx && nLate <= n && p99 >= 0)
+    }
+  }
+
+  // ------------------------------------------------------- emb_matryoshka
+
+  test("emb_matryoshka: full-dim recall is exactly 1.0 and every prefix is sane") {
+    import graft.operators.VectorOps
+    val rows = VectorOps.embMatryoshka(spark, sf).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("hits"), r.getAs[Long]("recall_ppm")))).toMap
+    assert(rows.keySet == VectorOps.MatryoshkaDims.toSet)
+    assert(rows(64) == ((100L, 1000000L)), "the full prefix IS the reference ranking")
+    rows.values.foreach { case (h, ppm) =>
+      assert(h >= 0 && h <= 100 && ppm == h * 1000000L / 100)
+    }
+    // more dims, more signal: recall is nondecreasing in the prefix
+    // length on this corpus (uniform-information synthetic embeddings
+    // keep absolute recall low — 9/15/26/100 hits at sf0.001 — which
+    // is itself the point of the audit: these vectors do NOT truncate
+    // well, unlike MRL-trained ones)
+    val byDim = graft.operators.VectorOps.MatryoshkaDims.map(d => rows(d)._1)
+    assert(byDim == byDim.sorted, s"recall not monotone in prefix dims: $byDim")
+    assert(rows(32)._1 > rows(8)._1, "a 4x longer prefix must beat the short one here")
+  }
+
+  // ---------------------------------------------------- text_vocab_growth
+
+  test("text_vocab_growth equals a plain-Scala Heaps-curve replay") {
+    import graft.operators.TextAnalysis
+    val docsRows = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val B = TextAnalysis.VocabGrowthBucket
+    val toks = docsRows.flatMap { case (id, t) => t.split(" ", -1).map(w => (id, w)) }
+    val firstDoc = toks.groupBy(_._2).map { case (_, xs) => xs.map(_._1).min }
+    val cps = toks.map(t => (t._1 / B + 1) * B).distinct.sorted
+    val want = cps.map { c =>
+      val vocab = firstDoc.count(fd => (fd / B + 1) * B <= c).toLong
+      val newT = firstDoc.count(fd => (fd / B + 1) * B == c).toLong
+      val nTok = toks.count(t => (t._1 / B + 1) * B <= c).toLong
+      c -> ((vocab, newT, nTok))
+    }.toMap
+    val got = TextAnalysis.textVocabGrowth(spark, sf).collect()
+      .map(r => r.getAs[Long]("checkpoint") ->
+        ((r.getAs[Long]("vocab_size"), r.getAs[Long]("new_terms"), r.getAs[Long]("n_tokens"))))
+      .toMap
+    assert(got == want)
+    // Heaps sanity: vocabulary growth is monotone and ends at the
+    // corpus distinct-term count
+    val ordered = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(ordered == ordered.sorted)
+    assert(ordered.last == firstDoc.size.toLong)
+  }
+
+  // ----------------------------------------------------- q_jsonl_roundtrip
+
+  test("q_jsonl_roundtrip preserves every document byte-exactly") {
+    val direct = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .as[(Long, String)].collect().toMap
+    val rt = sources.Ingest.qJsonlRoundtrip(spark, sf)
+      .select(col("doc_id"), col("text_md5")).as[(Long, String)].collect().toMap
+    assert(rt == direct)
+  }
+}

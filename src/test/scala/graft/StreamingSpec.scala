@@ -497,6 +497,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS cells converge to the batch sketch across splits") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val input = stream.toDF().toDF("user_id")
+    val (depth, width) = (operators.TableFormat.CmsDepth, operators.TableFormat.CmsWidth)
+
+    val q = EventsStream.cmsSketch(input, depth, width)
+      .writeStream.format("memory").queryName("cms_out").outputMode("update").start()
+    try {
+      val users = GraftSession.table(spark, sf, "events")
+        .select(col("user_id")).as[Long].collect().toSeq
+      // arrival order decorrelated from value: hash-sliced batches
+      val b = users.groupBy(u => (u * 2654435761L % 3 + 3) % 3)
+      stream.addData(b(0L)); q.processAllAvailable()
+      stream.addData(b(1L)); q.processAllAvailable()
+      stream.addData(b(2L)); q.processAllAvailable()
+
+      // last emission per cell = its converged counter
+      val w = Window.partitionBy(col("r"), col("b")).orderBy(col("cell").desc)
+      val got = spark.table("cms_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("r"), col("b"), col("cell"))
+        .as[(Long, Long, Long)].collect().map { case (r, bk, c) => (r, bk) -> c }.toMap
+
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val want = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      for (u <- users; r <- 0L until depth.toLong) {
+        val h = java.lang.Long.parseLong(md5hex(s"$r:$u").take(8), 16)
+        val key = (r, ((h % width) + width) % width)
+        want(key) = want.getOrElse(key, 0L) + 1
+      }
+      assert(got == want.toMap, "streaming CMS matrix diverges from the batch hashing")
+      // bounded state: never more cells than the d×w matrix
+      assert(got.size <= depth * width)
+    } finally q.stop()
+  }
+
   test("streaming domain cap converges to the batch per-source kept set across splits") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
