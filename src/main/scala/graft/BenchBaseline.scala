@@ -181,6 +181,36 @@ object BenchBaseline {
     "q_lateness" -> 0.65,
     "q_jsonl_roundtrip" -> 0.45,
     "lake_gc_plan" -> 0.39,
+    // late-r7 queries whose first honest sf0.1 measurement is the r8
+    // clean idle-box run (min of two cold runs, zero regressions)
+    "emb_outliers" -> 0.61,
+    "emb_pca" -> 0.56,
+    "lake_cdc_split" -> 0.31,
+    "multimodal_phash" -> 0.17,
+    "multimodal_phash_pairs" -> 0.41,
+    "pipeline_e2e" -> 1.07,
+    "q_abtest" -> 0.4,
+    "q_anomaly" -> 0.28,
+    "q_attribution" -> 0.38,
+    "q_bloom_prune" -> 0.61,
+    "q_components" -> 4.16,
+    "q_copurchase" -> 1.72,
+    "q_hits" -> 4.95,
+    "q_hopping" -> 0.39,
+    "q_ivm_merge" -> 0.55,
+    "q_mode" -> 0.35,
+    "q_ntile" -> 0.55,
+    "q_orderpath" -> 0.67,
+    "q_pareto" -> 0.63,
+    "q_rfm" -> 0.64,
+    "q_scd2_lookup" -> 0.96,
+    "q_seasonality" -> 0.26,
+    "q_skew_report" -> 0.2,
+    "q_triangles" -> 0.83,
+    "text_entropy" -> 0.54,
+    "text_heavy_hitters" -> 0.38,
+    "text_pmi" -> 0.39,
+    "text_quality_calibrated" -> 0.24,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -549,7 +549,84 @@ object Graph {
       |ORDER BY node""".stripMargin
   }
 
+  /** `rounds` of k-core peeling over an undirected edge list: each
+    * round drops every node whose current degree is below `k` (and the
+    * edges touching it), the standard iterative contraction toward the
+    * k-core — the dense subgraph community detection and influence
+    * analysis start from. A FIXED round count (not run-to-fixpoint)
+    * keeps the computation identical in the unrolled SQL oracle;
+    * convergence is visible in the output (a round that removes
+    * nothing has the same counts as its predecessor).
+    *
+    * Each round is one degree aggregation + two semi joins on the
+    * (src, dst) keys; localCheckpoint per round cuts the lineage (the
+    * pageRank lesson).
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1 && k >= 1)
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      e = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val nodes = e.select(col("src")).distinct().count()
+      val nEdges = e.count()
+      out += ((r.toLong, nodes, nEdges))
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    out.result().toDF("round", "nodes_remaining", "directed_edges_remaining")
+  }
+
+  /** named query: 3 rounds of 3-core peeling over the customer ↔
+    * supplier trade graph (the qPagerank edge relation) — how fast
+    * the graph's sparse fringe burns off, per round.
+    */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    kcorePeel(edges, k = 3, rounds = 3).orderBy("round")
+  }
+
+  val qKcoreSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  JOIN (SELECT src FROM $prev GROUP BY src HAVING count(*) >= 3) ks ON ks.src = e.src
+         |  JOIN (SELECT src FROM $prev GROUP BY src HAVING count(*) >= 3) kd ON kd.src = e.dst
+         |)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |), e0 AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs
+       |),
+       |${round("e0", "e1")},
+       |${round("e1", "e2")},
+       |${round("e2", "e3")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS round, count(DISTINCT src) AS nodes_remaining, count(*) AS directed_edges_remaining FROM e1
+       |  UNION ALL
+       |  SELECT 2, count(DISTINCT src), count(*) FROM e2
+       |  UNION ALL
+       |  SELECT 3, count(DISTINCT src), count(*) FROM e3
+       |)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore" -> (qKcore _),
     "q_communities" -> (qCommunities _),
     "q_pagerank" -> (qPagerank _),
     "q_bfs" -> (qBfs _),
@@ -559,6 +636,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kcore" -> qKcoreSql,
     "q_communities" -> qCommunitiesSql,
     "q_pagerank" -> qPagerankSql,
     "q_bfs" -> qBfsSql,

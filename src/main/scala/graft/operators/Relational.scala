@@ -1428,6 +1428,90 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** §2.2 #21bq — data drift report (the data-contract monitor): the
+    * orders table split into an "old" and "new" half at the midpoint
+    * of its date range, then per-column distribution statistics
+    * compared across the halves — NDV and modal-value share for the
+    * categorical columns, mean/min/max cents for the price — each
+    * with an integer relative-delta drift flag (|new−old|·10 > old,
+    * i.e. >10% relative change, float-free). This is the report a
+    * scheduled pipeline runs on every new partition before training
+    * on it: schema is rarely what breaks silently, distributions are.
+    *
+    * Scale shape: the midpoint is a 1-row min/max aggregate (driver
+    * scalar, the qZonemap shape); every metric is a map-side-combined
+    * groupBy over (half[, value]) — rollup-scale shuffles; the final
+    * report is a dozen rows.
+    */
+  def qDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o0 = table(spark, dir, "orders")
+      .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"),
+        expr("unix_micros(o_orderdate) DIV 86400000000").as("day"))
+    val b = o0.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    val o = o0.withColumn("half", when(col("day") <= mid, "old").otherwise("new"))
+    def catStats(c: String): DataFrame = {
+      val counts = o.groupBy(col("half"), col(c).as("v")).agg(count(lit(1)).as("n"))
+      val per = counts.groupBy(col("half"))
+        .agg(count(lit(1)).as("ndv"), max(col("n")).as("top_n"), sum(col("n")).as("total"))
+        .select(col("half"), col("ndv"),
+          expr("top_n * 1000000 div total").as("top_share_ppm"))
+      per.select(lit(s"${c}_ndv").as("metric"), col("half"), col("ndv").as("v"))
+        .unionByName(per.select(lit(s"${c}_top_share_ppm").as("metric"), col("half"),
+          col("top_share_ppm").as("v")))
+    }
+    val numStats = o.groupBy(col("half"))
+      .agg(expr("sum(cents) div count(*)").as("mean"), min(col("cents")).as("mn"),
+        max(col("cents")).as("mx"))
+    val num = numStats.select(lit("cents_mean").as("metric"), col("half"), col("mean").as("v"))
+      .unionByName(numStats.select(lit("cents_min").as("metric"), col("half"), col("mn").as("v")))
+      .unionByName(numStats.select(lit("cents_max").as("metric"), col("half"), col("mx").as("v")))
+    catStats("status").unionByName(catStats("prio")).unionByName(num)
+      .groupBy(col("metric"))
+      .agg(max(when(col("half") === "old", col("v"))).as("old_v"),
+        max(when(col("half") === "new", col("v"))).as("new_v"))
+      .withColumn("drift", abs(col("new_v") - col("old_v")) * 10 > abs(col("old_v")))
+      .orderBy("metric")
+  }
+
+  val qDriftSql: String =
+    """WITH o0 AS (
+      |  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    epoch_us(o_orderdate) // 86400000000 AS day
+      |  FROM orders
+      |), b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM o0),
+      |o AS (
+      |  SELECT *, CASE WHEN day <= mid THEN 'old' ELSE 'new' END AS half
+      |  FROM o0 CROSS JOIN b
+      |), cs AS (
+      |  SELECT half, status AS v, count(*) AS n FROM o GROUP BY 1, 2
+      |), cps AS (
+      |  SELECT half, prio AS v, count(*) AS n FROM o GROUP BY 1, 2
+      |), m AS (
+      |  SELECT 'status_ndv' AS metric, half, count(*) AS v FROM cs GROUP BY half
+      |  UNION ALL
+      |  SELECT 'status_top_share_ppm', half, max(n) * 1000000 // sum(n) FROM cs GROUP BY half
+      |  UNION ALL
+      |  SELECT 'prio_ndv', half, count(*) FROM cps GROUP BY half
+      |  UNION ALL
+      |  SELECT 'prio_top_share_ppm', half, max(n) * 1000000 // sum(n) FROM cps GROUP BY half
+      |  UNION ALL
+      |  SELECT 'cents_mean', half, sum(cents) // count(*) FROM o GROUP BY half
+      |  UNION ALL
+      |  SELECT 'cents_min', half, min(cents) FROM o GROUP BY half
+      |  UNION ALL
+      |  SELECT 'cents_max', half, max(cents) FROM o GROUP BY half
+      |)
+      |SELECT metric,
+      |  CAST(max(CASE WHEN half = 'old' THEN v END) AS BIGINT) AS old_v,
+      |  CAST(max(CASE WHEN half = 'new' THEN v END) AS BIGINT) AS new_v,
+      |  abs(max(CASE WHEN half = 'new' THEN v END) - max(CASE WHEN half = 'old' THEN v END)) * 10
+      |    > abs(max(CASE WHEN half = 'old' THEN v END)) AS drift
+      |FROM m GROUP BY metric
+      |ORDER BY metric""".stripMargin
+
   /** §2.2 #21bn — event-time lateness audit: per event type, the
     * out-of-orderness distribution of the stream — how far event time
     * lags behind the running event-time high-water mark in arrival
@@ -3109,6 +3193,7 @@ object Relational {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q_median" -> (qMedian _),
     "q_lateness" -> (qLateness _),
+    "q_drift" -> (qDrift _),
     "q_histogram" -> (qHistogram _),
     "q_skewjoin" -> (qSkewjoin _),
     "q_zorder" -> (qZorder _),
@@ -3185,6 +3270,7 @@ object Relational {
     "q15_top_supplier" -> q15TopSupplierSql,
     "q_median" -> qMedianSql,
     "q_lateness" -> qLatenessSql,
+    "q_drift" -> qDriftSql,
     "q_histogram" -> qHistogramSql,
     "q_skewjoin" -> qSkewjoinSql,
     "q_zorder" -> qZorderSql,

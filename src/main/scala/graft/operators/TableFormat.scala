@@ -144,6 +144,55 @@ object TableFormat {
       |FROM st GROUP BY change
       |ORDER BY change""".stripMargin
 
+  /** §2.2 #21bp — optimistic-concurrency conflict audit: two
+    * transactions prepared against the same base snapshot — T_A
+    * re-prices every 7th key, T_B deletes every 11th key (the same
+    * demo commits as [[qTimeTravel]]'s v2/v3) — checked for write-set
+    * overlap BEFORE the second one is allowed to commit, which is
+    * precisely the serializability test a Delta/Iceberg-style commit
+    * protocol runs at commit time. Report: keys only A touches, only
+    * B touches, and the conflict set (keys where a blind second
+    * commit would silently drop the first writer's update — here
+    * every key ≡ 0 mod 77), with the exact cents at stake per class.
+    *
+    * Scale shape: write sets are key-only projections of the commit
+    * log; the overlap test is one full-outer join on the merge key —
+    * metadata-scale work (a few rows per commit at real log grain),
+    * never a data scan.
+    */
+  def qTxnConflict(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"),
+        floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"))
+    val wa = o.filter(col("key") % 7 === 0).select(col("key"), col("cents").as("a_cents"))
+    val wb = o.filter(col("key") % 11 === 0).select(col("key"), col("cents").as("b_cents"))
+    wa.join(wb, Seq("key"), "full_outer")
+      .select(
+        when(col("a_cents").isNotNull && col("b_cents").isNotNull, "conflict")
+          .when(col("b_cents").isNull, "a_only").otherwise("b_only").as("verdict"),
+        coalesce(col("a_cents"), col("b_cents")).as("cents"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cents")).as("cents_at_stake"))
+      .orderBy("verdict")
+  }
+
+  val qTxnConflictSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS key,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |), wa AS (SELECT key, cents AS a_cents FROM o WHERE key % 7 = 0),
+      |wb AS (SELECT key, cents AS b_cents FROM o WHERE key % 11 = 0),
+      |st AS (
+      |  SELECT CASE WHEN a_cents IS NOT NULL AND b_cents IS NOT NULL THEN 'conflict'
+      |              WHEN b_cents IS NULL THEN 'a_only' ELSE 'b_only' END AS verdict,
+      |    coalesce(a_cents, b_cents) AS cents
+      |  FROM wa FULL JOIN wb USING (key)
+      |)
+      |SELECT verdict, count(*) AS n_keys, CAST(sum(cents) AS BIGINT) AS cents_at_stake
+      |FROM st GROUP BY verdict
+      |ORDER BY verdict""".stripMargin
+
   // ---------------------------------------------------------- zone map
 
   /** Rows per zone in the [[qZonemap]] demo layout. */
@@ -279,6 +328,7 @@ object TableFormat {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qTimeTravel _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_txn_conflict" -> (qTxnConflict _),
     "q_zonemap" -> (qZonemap _),
     "q_cms" -> (qCms _),
   )
@@ -286,6 +336,7 @@ object TableFormat {
   val oracles: Map[String, String] = Map(
     "q_time_travel" -> qTimeTravelSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_txn_conflict" -> qTxnConflictSql,
     "q_zonemap" -> qZonemapSql,
     "q_cms" -> qCmsSql,
   )

@@ -360,6 +360,37 @@ object EventsStream {
       .select(col("user_id"), col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** §2.7 #43b — stream-stream LEFT OUTER interval join: every
+    * purchase emits, matched rows as soon as both sides arrive (the
+    * [[purchaseClickJoin]] inner semantics) and UNMATCHED purchases
+    * with null click columns once the watermark proves no qualifying
+    * click can still arrive. That deferred-null emission is the
+    * semantic difference from the inner join — "purchases with no
+    * preceding click" is exactly the cohort a conversion pipeline
+    * wants, and dropping them (inner) or emitting them early (no
+    * watermark proof) both corrupt it. State stays O(watermark
+    * window) on both sides, same as the inner form.
+    */
+  def purchaseClickLeftJoin(events: DataFrame, lookbackMinutes: Int = 10): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases
+      .join(
+        clicks,
+        col("click_user") === col("user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("click_ts") < col("purchase_ts"),
+        "left_outer",
+      )
+      .select(col("user_id"), col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   final case class TypeHit(win_start: Long, event_type: String, ts: Timestamp)
   final case class TopKState(counts: Map[String, Long])
   final case class TopKOut(day: Timestamp, rank: Long, event_type: String, n_events: Long)

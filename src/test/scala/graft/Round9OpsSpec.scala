@@ -184,6 +184,74 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------- q_txn_conflict
+
+  test("q_txn_conflict equals a plain-Scala write-set intersection replay") {
+    val base = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long)].collect()
+    def cls(k: Long): Option[String] =
+      if (k % 77 == 0) Some("conflict")
+      else if (k % 7 == 0) Some("a_only")
+      else if (k % 11 == 0) Some("b_only")
+      else None
+    val want = base.flatMap { case (k, c) => cls(k).map(v => (v, c)) }
+      .groupBy(_._1).map { case (v, xs) => v -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val got = TableFormat.qTxnConflict(spark, sf).collect()
+      .map(r => r.getAs[String]("verdict") ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("cents_at_stake")))).toMap
+    assert(got == want)
+    assert(got.contains("conflict"), "the %77 overlap must exist at this scale")
+  }
+
+  // -------------------------------------------------------------- q_drift
+
+  test("q_drift equals a plain-Scala two-halves replay") {
+    val rows = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        expr("unix_micros(o_orderdate) DIV 86400000000").as("day"))
+      .as[(String, String, Long, Long)].collect()
+    val mid = (rows.map(_._4).min + rows.map(_._4).max) / 2
+    val halves = rows.groupBy(r => if (r._4 <= mid) "old" else "new")
+    def stats(h: Seq[(String, String, Long, Long)]): Map[String, Long] = {
+      def cat(vs: Seq[String], p: String): Map[String, Long] = {
+        val cnt = vs.groupBy(identity).map(_._2.length.toLong)
+        Map(s"${p}_ndv" -> cnt.size.toLong,
+          s"${p}_top_share_ppm" -> cnt.max * 1000000L / vs.length)
+      }
+      cat(h.map(_._1), "status") ++ cat(h.map(_._2), "prio") ++ Map(
+        "cents_mean" -> h.map(_._3).sum / h.length,
+        "cents_min" -> h.map(_._3).min,
+        "cents_max" -> h.map(_._3).max)
+    }
+    val old = stats(halves("old")); val nw = stats(halves("new"))
+    val got = Relational.qDrift(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") ->
+        ((r.getAs[Long]("old_v"), r.getAs[Long]("new_v"), r.getAs[Boolean]("drift")))).toMap
+    assert(got.keySet == old.keySet)
+    old.keySet.foreach { m =>
+      assert(got(m)._1 == old(m) && got(m)._2 == nw(m), s"metric $m")
+      assert(got(m)._3 == (math.abs(nw(m) - old(m)) * 10 > math.abs(old(m))), s"flag $m")
+    }
+  }
+
+  // -------------------------------------------------------------- q_kcore
+
+  test("kcorePeel: a triangle survives 2-core peeling, its pendant does not") {
+    import graft.operators.Graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    val out = Graph.kcorePeel(edges, k = 2, rounds = 2).collect()
+      .map(r => r.getAs[Long]("round") ->
+        ((r.getAs[Long]("nodes_remaining"), r.getAs[Long]("directed_edges_remaining")))).toMap
+    // round 1 removes the pendant node 4 (degree 1); the triangle is
+    // stable thereafter
+    assert(out(1L) == ((3L, 6L)))
+    assert(out(2L) == ((3L, 6L)))
+  }
+
   // ------------------------------------------------------- emb_matryoshka
 
   test("emb_matryoshka: full-dim recall is exactly 1.0 and every prefix is sane") {
