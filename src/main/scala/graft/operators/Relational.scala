@@ -1512,6 +1512,62 @@ object Relational {
       |FROM m GROUP BY metric
       |ORDER BY metric""".stripMargin
 
+  /** §2.2 #21br — chi-square independence test (status × priority
+    * contingency table): per-cell observed count, expected count, and
+    * χ² contribution (O·N − R·C)²/(N·R·C) — the categorical-dependence
+    * screen behind feature selection and A/B guardrails, at table
+    * scale. Cross-engine exactness: the numerator is exact in
+    * DECIMAL(38,0) (it overflows int64 past ~2M rows), each cell's
+    * single division runs in IEEE double — exactly rounded, so both
+    * engines agree bit-for-bit even past 2^53 — and is floor-quantized
+    * to micro-units BEFORE any summation, so the χ² total (the sum of
+    * the output column) is order-free. N comes from a driver scalar
+    * (the qZonemap shape), R/C from broadcast-joined rollups of the
+    * cell table itself — one fact-grain shuffle, then 15-row algebra.
+    */
+  def qChisq(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"))
+    val n = o.count()
+    val cells = o.groupBy(col("status"), col("prio")).agg(count(lit(1)).as("o_n"))
+    val rs = cells.groupBy(col("status")).agg(sum(col("o_n")).as("r_n"))
+    val cs = cells.groupBy(col("prio")).agg(sum(col("o_n")).as("c_n"))
+    cells
+      .join(broadcast(rs), Seq("status"))
+      .join(broadcast(cs), Seq("prio"))
+      .withColumn("num",
+        (col("o_n") * n - col("r_n") * col("c_n")).cast(DecimalType(38, 0)))
+      .select(
+        col("status"), col("prio"), col("o_n"),
+        floor(col("r_n").cast(DoubleType) * col("c_n") * 1000000.0 / n).cast(LongType)
+          .as("expected_micro"),
+        floor((col("num") * col("num")).cast(DoubleType) * 1000000.0
+          / (lit(n.toDouble) * col("r_n") * col("c_n"))).cast(LongType)
+          .as("chisq_contrib_micro"),
+      )
+      .orderBy("status", "prio")
+  }
+
+  val qChisqSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS status, o_orderpriority AS prio FROM orders
+      |), cells AS (
+      |  SELECT status, prio, count(*) AS o_n FROM o GROUP BY 1, 2
+      |), rs AS (SELECT status, CAST(sum(o_n) AS BIGINT) AS r_n FROM cells GROUP BY status),
+      |cs AS (SELECT prio, CAST(sum(o_n) AS BIGINT) AS c_n FROM cells GROUP BY prio),
+      |nn AS (SELECT CAST(sum(o_n) AS BIGINT) AS n FROM cells)
+      |SELECT c.status, c.prio, c.o_n,
+      |  CAST(floor(CAST(r.r_n AS DOUBLE) * s.c_n * 1000000.0 / nn.n) AS BIGINT) AS expected_micro,
+      |  CAST(floor(
+      |    CAST(CAST(c.o_n * nn.n - r.r_n * s.c_n AS DECIMAL(38,0))
+      |         * CAST(c.o_n * nn.n - r.r_n * s.c_n AS DECIMAL(38,0)) AS DOUBLE)
+      |    * 1000000.0 / (CAST(nn.n AS DOUBLE) * r.r_n * s.c_n)) AS BIGINT) AS chisq_contrib_micro
+      |FROM cells c
+      |JOIN rs r USING (status)
+      |JOIN cs s USING (prio)
+      |CROSS JOIN nn
+      |ORDER BY c.status, c.prio""".stripMargin
+
   /** §2.2 #21bn — event-time lateness audit: per event type, the
     * out-of-orderness distribution of the stream — how far event time
     * lags behind the running event-time high-water mark in arrival
@@ -3194,6 +3250,7 @@ object Relational {
     "q_median" -> (qMedian _),
     "q_lateness" -> (qLateness _),
     "q_drift" -> (qDrift _),
+    "q_chisq" -> (qChisq _),
     "q_histogram" -> (qHistogram _),
     "q_skewjoin" -> (qSkewjoin _),
     "q_zorder" -> (qZorder _),
@@ -3271,6 +3328,7 @@ object Relational {
     "q_median" -> qMedianSql,
     "q_lateness" -> qLatenessSql,
     "q_drift" -> qDriftSql,
+    "q_chisq" -> qChisqSql,
     "q_histogram" -> qHistogramSql,
     "q_skewjoin" -> qSkewjoinSql,
     "q_zorder" -> qZorderSql,

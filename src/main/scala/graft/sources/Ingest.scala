@@ -124,6 +124,34 @@ object Ingest {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** named query: CSV sink+source round-trip with header + schema
+    * inference — the third leg of the interchange matrix next to ORC
+    * and JSONL. The writer quotes embedded commas/quotes; the caveat
+    * a production pipeline must know: a CSV reader cannot distinguish
+    * an empty string from NULL (this corpus has neither) and a
+    * newline inside an unquoted field breaks line splitting — JSONL
+    * is the framing for free-text at scale, CSV for the flat
+    * numeric/categorical exports this query round-trips.
+    */
+  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir(spark) + "/documents.csv"
+    writeAuto(graft.GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars")), tmp)
+    readAuto(spark, tmp)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("source"),
+        md5(col("text")).as("text_md5"),
+        col("n_chars").cast("long").as("n_chars"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val qCsvRoundtripSql: String =
+    """SELECT doc_id, source, md5(text) AS text_md5, n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Write `df` as a bucketed+sorted parquet table under the session
     * scratch dir (external location → reclaimed by the scratch
     * shutdown hook; table NAME lives only in this session's in-memory
@@ -232,6 +260,7 @@ object Ingest {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
   )
@@ -239,6 +268,7 @@ object Ingest {
   val oracles: Map[String, String] = Map(
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_jsonl_roundtrip" -> qJsonlRoundtripSql,
+    "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
   )

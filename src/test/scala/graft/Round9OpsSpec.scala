@@ -184,6 +184,44 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------------- q_chisq
+
+  test("q_chisq equals a plain-Scala contingency replay with exact micro-quantization") {
+    val rows = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .as[(String, String)].collect()
+    val n = rows.length.toLong
+    val cells = rows.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rN = rows.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val cN = rows.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val want = cells.map { case ((s, p), o) =>
+      val num = BigInt(o * n - rN(s) * cN(p))
+      val contrib = math.floor((num * num).toDouble * 1000000.0 /
+        (n.toDouble * rN(s) * cN(p))).toLong
+      val expected = math.floor(rN(s).toDouble * cN(p) * 1000000.0 / n).toLong
+      (s, p) -> ((o, expected, contrib))
+    }
+    val got = Relational.qChisq(spark, sf).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[String]("prio")) ->
+        ((r.getAs[Long]("o_n"), r.getAs[Long]("expected_micro"),
+          r.getAs[Long]("chisq_contrib_micro")))).toMap
+    assert(got == want)
+    // the observed counts partition the table
+    assert(got.values.map(_._1).sum == n)
+  }
+
+  // ---------------------------------------------------- q_csv_roundtrip
+
+  test("q_csv_roundtrip preserves the flat projection exactly") {
+    val direct = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("m"), col("n_chars"))
+      .as[(Long, String, Long)].collect().toSet
+    val rt = sources.Ingest.qCsvRoundtrip(spark, sf)
+      .select(col("doc_id"), col("text_md5"), col("n_chars"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(rt == direct)
+  }
+
   // ------------------------------------------------------- q_txn_conflict
 
   test("q_txn_conflict equals a plain-Scala write-set intersection replay") {
