@@ -57,6 +57,45 @@ object Dedup {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.3 #22c — corpus duplication profile: the cluster-size
+    * histogram of exact (content-hash) duplicate groups — one row per
+    * cluster size with how many clusters, how many documents, and the
+    * exact bytes a dedup pass reclaims ((size−1) × blob bytes, since
+    * members of a hash group are byte-identical). This is the "is
+    * dedup worth running, and what will it save" report read before
+    * scheduling the pass — and after it, the size-1-only profile IS
+    * the proof it worked.
+    *
+    * Scale shape: one content-hash groupBy (map-side combined) then a
+    * handful-of-rows histogram aggregation — the same single shuffle
+    * as `dedup_exact` itself.
+    */
+  def dedupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = docs(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(octet_length(col("text"))).cast(LongType).as("blob_bytes"))
+    clusters.groupBy(col("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum((col("cluster_size") - 1) * col("blob_bytes")).as("reclaimable_bytes"),
+      )
+      .orderBy("cluster_size")
+  }
+
+  val dedupProfileSql: String =
+    """WITH c AS (
+      |  SELECT sha256(text) AS content_hash, count(*) AS cluster_size,
+      |    CAST(max(strlen(text)) AS BIGINT) AS blob_bytes
+      |  FROM documents GROUP BY sha256(text)
+      |)
+      |SELECT cluster_size, count(*) AS n_clusters,
+      |  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+      |  CAST(sum((cluster_size - 1) * blob_bytes) AS BIGINT) AS reclaimable_bytes
+      |FROM c GROUP BY cluster_size
+      |ORDER BY cluster_size""".stripMargin
+
   // ---------------------------------------------------------------- n-gram jaccard
 
   /** §2.3 #23 — exact word-set Jaccard near-dup pairs, scoped to
@@ -582,6 +621,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_profile" -> (dedupProfile _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_exact" -> (dedupNgramExact _),
@@ -594,6 +634,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_profile" -> dedupProfileSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_exact" -> dedupNgramExactSql,

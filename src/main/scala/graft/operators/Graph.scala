@@ -132,6 +132,98 @@ object Graph {
        |ORDER BY node_id""".stripMargin
   }
 
+  /** `iterations` of PERSONALIZED PageRank: identical integer
+    * iteration to [[pageRank]] except the teleport mass returns to the
+    * SEED set instead of every node — the random walk restarts at the
+    * seeds, so mass concentrates in their neighborhood. This is the
+    * graph-proximity primitive behind "customers like these" / related
+    * -item recommendation; global PageRank answers "important overall",
+    * PPR answers "important TO these nodes". Same shuffle shapes, same
+    * ×scale integer grid (bit-exact in the unrolled SQL oracle), same
+    * per-round localCheckpoint. Nodes that never receive mass report 0
+    * (kept, so the output node set matches pageRank's for the same
+    * graph — the consumer filters, the operator doesn't guess).
+    */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: Seq[Long], iterations: Int,
+      scale: Long = 1000000000000L,
+  ): DataFrame = {
+    require(iterations >= 1 && seeds.nonEmpty)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src").cache()
+    val nodes = ed.select(col("src").as("node_id")).dropDuplicates("node_id").localCheckpoint()
+    val isSeed = col("node_id").isin(seeds: _*)
+    val teleport = when(isSeed, lit(scale * 15 / 100)).otherwise(lit(0L))
+    var mass = nodes.select(col("node_id"), when(isSeed, lit(scale)).otherwise(lit(0L)).as("mass"))
+    for (_ <- 1 to iterations) {
+      val inMass = ed.join(mass, col("src") === col("node_id"))
+        .select(col("dst"), expr("((85 * mass) div 100) div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_mass"))
+        .select(col("dst").as("node_id"), col("in_mass"))
+      mass = nodes.join(inMass, Seq("node_id"), "left")
+        .select(col("node_id"), (teleport + coalesce(col("in_mass"), lit(0L))).as("mass"))
+        .localCheckpoint()
+    }
+    ed.unpersist()
+    mass.orderBy("node_id")
+  }
+
+  /** named query: PPR from the three lowest customer nodes over the
+    * trade graph (the qBfs seed set), 5 iterations — each node's
+    * proximity to that customer cohort on the integer mass grid.
+    */
+  def qPpr(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    personalizedPageRank(edges, Seq(2L, 4L, 6L), 5)
+      .select(
+        col("node_id"),
+        when(col("node_id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        col("mass"),
+      )
+      .orderBy("node_id")
+  }
+
+  val qPprSql: String = {
+    val seedCase = "CASE WHEN d.src IN (2, 4, 6) THEN 150000000000 ELSE 0 END"
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.src AS node_id,
+         |    CAST($seedCase + COALESCE(agg.in_mass, 0) AS BIGINT) AS mass
+         |  FROM d LEFT JOIN (
+         |    SELECT ed.dst, SUM((85 * m.mass // 100) // ed.deg) AS in_mass
+         |    FROM ed JOIN $prev m ON m.node_id = ed.src GROUP BY ed.dst
+         |  ) agg ON agg.dst = d.src
+         |)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |), e AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs
+       |), d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)),
+       |m0 AS (SELECT src AS node_id,
+       |  CAST(CASE WHEN src IN (2, 4, 6) THEN 1000000000000 ELSE 0 END AS BIGINT) AS mass FROM d),
+       |${iter("m0", "m1")},
+       |${iter("m1", "m2")},
+       |${iter("m2", "m3")},
+       |${iter("m3", "m4")},
+       |${iter("m4", "m5")}
+       |SELECT node_id,
+       |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  mass
+       |FROM m5
+       |ORDER BY node_id""".stripMargin
+  }
+
   /** `rounds` of frontier-free BFS (min-distance propagation) from a
     * seed set over a directed edge list: each round unions the current
     * distance vector with every edge-relaxed candidate (dist[src]+1)
@@ -627,6 +719,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kcore" -> (qKcore _),
+    "q_ppr" -> (qPpr _),
     "q_communities" -> (qCommunities _),
     "q_pagerank" -> (qPagerank _),
     "q_bfs" -> (qBfs _),
@@ -637,6 +730,7 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "q_kcore" -> qKcoreSql,
+    "q_ppr" -> qPprSql,
     "q_communities" -> qCommunitiesSql,
     "q_pagerank" -> qPagerankSql,
     "q_bfs" -> qBfsSql,

@@ -184,6 +184,53 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- dedup_profile
+
+  test("dedup_profile equals a plain-Scala cluster-size histogram replay") {
+    import graft.operators.Dedup
+    val texts = GraftSession.table(spark, sf, "documents")
+      .select(col("text")).as[String].collect()
+    val clusters = texts.groupBy(identity).toSeq.map { case (t, xs) =>
+      (xs.length.toLong, t.getBytes("UTF-8").length.toLong)
+    }
+    val want = clusters.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.length.toLong, s * xs.length, xs.map(x => (s - 1) * x._2).sum))
+    }
+    val got = Dedup.dedupProfile(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("reclaimable_bytes")))).toMap
+    assert(got == want)
+    // the histogram partitions the corpus
+    assert(got.values.map(_._2).sum == texts.length.toLong)
+    // singleton clusters reclaim nothing
+    got.get(1L).foreach { case (_, _, bytes) => assert(bytes == 0L) }
+  }
+
+  // ----------------------------------------------------------------- q_ppr
+
+  test("personalizedPageRank: hand graph, teleport returns only to the seed") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val out = Graph.personalizedPageRank(edges, Seq(1L), iterations = 2, scale = 1000000L)
+      .collect().map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("mass")).toMap
+    // m1: 1 -> 150000 (teleport only), 2 -> 850000, 3 -> 0
+    // m2: 1 -> 150000 + (85*850000/100)/1 = 872500; 2 -> (85*150000/100)/1
+    //     = 127500; 3 -> 0 (no in-edges, not a seed)
+    assert(out == Map(1L -> 872500L, 2L -> 127500L, 3L -> 0L))
+  }
+
+  test("q_ppr concentrates mass at the seed cohort") {
+    import graft.operators.Graph
+    val rows = Graph.qPpr(spark, sf).collect()
+    val byId = rows.map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("mass")).toMap
+    val seeds = Seq(2L, 4L, 6L).filter(byId.contains)
+    assert(seeds.nonEmpty)
+    // every seed holds at least its teleport mass; total mass is positive
+    seeds.foreach(s => assert(byId(s) >= 150000000000L))
+    assert(rows.map(_.getAs[Long]("mass")).sum > 0)
+  }
+
   // --------------------------------------------------------------- q_chisq
 
   test("q_chisq equals a plain-Scala contingency replay with exact micro-quantization") {
