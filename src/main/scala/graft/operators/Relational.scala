@@ -3215,9 +3215,114 @@ object Relational {
       |ORDER BY digit""".stripMargin
   }
 
+  /** §2.2 #21bt — 2-D skyline (Pareto frontier): the parts no other
+    * part beats on BOTH axes — smaller-or-equal size AND
+    * greater-or-equal price, strictly better on one. The naive
+    * formulation is a quadratic dominance anti-join (a BNLJ the plan
+    * audit bans); the scalable plan exploits that within one size only
+    * the max price can survive: a map-side-combined groupBy(size)
+    * collapses the table to ≤|distinct sizes| rows, and the frontier
+    * is then a running-max window over that metadata-sized remainder.
+    * The single-partition window is bounded by the size domain (tens
+    * of rows at any SF), never by the table.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val best = table(spark, dir, "part")
+      .select(col("p_size"), (decP(col("p_retailprice")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("p_size"))
+      .agg(max(col("cents")).as("best_cents"), count(lit(1)).as("n_parts"))
+    val w = Window.orderBy(col("p_size")).rowsBetween(Window.unboundedPreceding, -1)
+    best
+      .withColumn("prev_best", max(col("best_cents")).over(w))
+      .filter(col("prev_best").isNull || col("best_cents") > col("prev_best"))
+      .select(col("p_size"), col("best_cents"), col("n_parts"))
+      .orderBy("p_size")
+  }
+
+  val qSkylineSql: String =
+    """WITH best AS (
+      |  SELECT p_size,
+      |    max(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS best_cents,
+      |    count(*) AS n_parts
+      |  FROM part GROUP BY p_size
+      |), f AS (
+      |  SELECT p_size, best_cents, n_parts,
+      |    max(best_cents) OVER (ORDER BY p_size ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+      |  FROM best
+      |)
+      |SELECT p_size, best_cents, n_parts
+      |FROM f WHERE prev_best IS NULL OR best_cents > prev_best
+      |ORDER BY p_size""".stripMargin
+
+  /** §2.2 #21bu — winsorization (percentile clamping): per return
+    * flag, the exact rank-selected p05/p95 of extendedprice-cents
+    * (the q_median selection idiom — position ceil(p·n) of the
+    * per-group sort, tie-order-invariant and float-free), then the
+    * table re-aggregated with values clamped into [p05, p95]. This is
+    * the outlier-clipping step a feature pipeline runs before
+    * training; exact selection instead of approx_percentile keeps it
+    * oracle-checkable.
+    *
+    * Scale shape: one shuffle on the group key for the ranking window,
+    * whose per-group sort is the window operator's own; the threshold
+    * table is group-cardinality rows and joins back as a broadcast;
+    * the clamped re-aggregate is a map-side-combined groupBy.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val cents = table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), (decP(col("l_extendedprice")) * 100).cast(LongType).as("cents"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+    val wc = Window.partitionBy(col("l_returnflag"))
+    val thresholds = cents
+      .select(col("l_returnflag"), col("cents"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 19) div 20"), col("cents"))).as("lo_cents"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("cents"))).as("hi_cents"),
+      )
+    cents.join(broadcast(thresholds), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("lo_cents")).as("lo_cents"),
+        max(col("hi_cents")).as("hi_cents"),
+        sum(greatest(col("lo_cents"), least(col("hi_cents"), col("cents")))).as("sum_clamped_cents"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L)).as("n_clipped_high"),
+      )
+      .orderBy("l_returnflag")
+  }
+
+  val qWinsorizeSql: String =
+    """WITH cents AS (
+      |  SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem
+      |), ranked AS (
+      |  SELECT l_returnflag, cents,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM cents
+      |), th AS (
+      |  SELECT l_returnflag, max(n) AS n,
+      |    max(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS lo_cents,
+      |    max(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS hi_cents
+      |  FROM ranked GROUP BY l_returnflag
+      |)
+      |SELECT c.l_returnflag, max(n) AS n, max(lo_cents) AS lo_cents, max(hi_cents) AS hi_cents,
+      |  CAST(sum(greatest(lo_cents, least(hi_cents, cents))) AS BIGINT) AS sum_clamped_cents,
+      |  CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      |  CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+      |FROM cents c JOIN th ON c.l_returnflag = th.l_returnflag
+      |GROUP BY c.l_returnflag
+      |ORDER BY c.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decay" -> (qDecay _),
     "q_benford" -> (qBenford _),
+    "q_skyline" -> (qSkyline _),
+    "q_winsorize" -> (qWinsorize _),
     "q_rolling_dau" -> (qRollingDau _),
     "q_forecast" -> (qForecast _),
     "q_vwap" -> (qVwap _),
@@ -3301,6 +3406,8 @@ object Relational {
     "q_rolling_dau" -> qRollingDauSql,
     "q_decay" -> qDecaySql,
     "q_benford" -> qBenfordSql,
+    "q_skyline" -> qSkylineSql,
+    "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_rfm" -> qRfmSql,
     "q_pareto" -> qParetoSql,

@@ -325,7 +325,68 @@ object TableFormat {
       |GROUP BY t.user_id, t.true_n
       |ORDER BY t.true_n DESC, t.user_id""".stripMargin
 
+  // ------------------------------------------------------- compaction
+
+  /** Bin-packing target in bytes for [[qCompactPlan]] — small for the
+    * demo manifest (~300-byte files); a production OPTIMIZE targets
+    * 128 MB–1 GB output files.
+    */
+  private val CompactTarget = 1000L
+
+  /** §2.2 #21bs — small-file compaction planning (the OPTIMIZE /
+    * rewrite-manifest step): the table's file manifest — here one
+    * "file" per document with its byte size, the shape a real
+    * transaction log exposes as metadata — is packed per source
+    * partition into target-sized output bins by cumulative-sum
+    * bucketing in arrival (doc_id) order: bin = floor(bytes-before /
+    * target). Arrival order (not size-descending first-fit) keeps each
+    * output file a contiguous key range, so clustering / Z-order
+    * locality survives compaction; an oversized file simply spans its
+    * own bin. One row per planned output file: file count, byte total,
+    * and the contiguous [first, last] key range it covers.
+    *
+    * Scale shape: pure metadata work — the window runs per source
+    * partition (parallel across partitions, never a global sort), and
+    * at 100 TB the manifest is millions of rows, not the data itself;
+    * the plan's output is what a rewrite job would then execute
+    * against the actual bytes.
+    */
+  def qCompactPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars").as("bytes"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("bin", (coalesce(sum(col("bytes")).over(w), lit(0L)) / CompactTarget)
+        .cast(LongType))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bin_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+      )
+      .orderBy("source", "bin")
+  }
+
+  val qCompactPlanSql: String =
+    """WITH files AS (
+      |  SELECT source, doc_id, n_chars AS bytes FROM documents
+      |), binned AS (
+      |  SELECT source, doc_id, bytes,
+      |    coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS bin
+      |  FROM files
+      |)
+      |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM binned
+      |GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compact_plan" -> (qCompactPlan _),
     "q_time_travel" -> (qTimeTravel _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_txn_conflict" -> (qTxnConflict _),
@@ -334,6 +395,7 @@ object TableFormat {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_compact_plan" -> qCompactPlanSql,
     "q_time_travel" -> qTimeTravelSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_txn_conflict" -> qTxnConflictSql,

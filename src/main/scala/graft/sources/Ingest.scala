@@ -152,6 +152,36 @@ object Ingest {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** named query: XML sink+source round-trip — Spark 4's built-in XML
+    * data source (one `<doc>` element per row, fields as child
+    * elements, reserved characters entity-escaped by the writer).
+    * Fourth leg of the interchange matrix; XML is what legacy feeds
+    * and document-export systems still emit. The md5 pins that entity
+    * escaping round-trips the text byte-exactly; the oracle reads the
+    * parquet original. Same splittable-framing caveat as JSONL: the
+    * reader parallelizes by element within each file, and the write
+    * is one file per task — a distributed sink, no driver funnel.
+    */
+  def qXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir(spark) + "/documents.xml"
+    graft.GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .write.mode("overwrite").format("xml").option("rowTag", "doc").save(tmp)
+    spark.read.format("xml").option("rowTag", "doc").load(tmp)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("source"),
+        md5(col("text")).as("text_md5"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val qXmlRoundtripSql: String =
+    """SELECT doc_id, source, md5(text) AS text_md5, CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Write `df` as a bucketed+sorted parquet table under the session
     * scratch dir (external location → reclaimed by the scratch
     * shutdown hook; table NAME lives only in this session's in-memory
@@ -261,6 +291,7 @@ object Ingest {
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_xml_roundtrip" -> (qXmlRoundtrip _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
   )
@@ -269,6 +300,7 @@ object Ingest {
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_jsonl_roundtrip" -> qJsonlRoundtripSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,
+    "q_xml_roundtrip" -> qXmlRoundtripSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
   )

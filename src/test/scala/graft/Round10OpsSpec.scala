@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{Relational, TableFormat}
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round10OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def cents(x: Double): Long =
+    (BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+
+  // ------------------------------------------------------------ q_skyline
+
+  test("q_skyline equals the brute-force dominance frontier at sf0.001") {
+    val parts = GraftSession.table(spark, sf, "part")
+      .select(col("p_size"), col("p_retailprice")).collect()
+      .map(r => (r.getAs[Int]("p_size"), cents(r.getAs[Double]("p_retailprice"))))
+    // brute-force O(n²) dominance over per-size maxima: (s, c) is on
+    // the skyline iff no other point has s' <= s, c' >= c with one strict
+    val pts = parts.groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).max) }.toSeq
+    val want = pts.filter { case (s, c) =>
+      !pts.exists { case (s2, c2) =>
+        s2 <= s && c2 >= c && (s2 < s || c2 > c)
+      }
+    }.toMap
+    val got = Relational.qSkyline(spark, sf).collect()
+      .map(r => r.getAs[Int]("p_size") -> r.getAs[Long]("best_cents")).toMap
+    assert(got == want)
+    // frontier must be strictly increasing in price as size grows
+    val sorted = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted && sorted.distinct == sorted)
+  }
+
+  // ---------------------------------------------------------- q_winsorize
+
+  test("q_winsorize equals a plain-Scala clamp replay at sf0.001") {
+    val li = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), cents(r.getAs[Double]("l_extendedprice"))))
+    val want = li.groupBy(_._1).map { case (flag, xs) =>
+      val v = xs.map(_._2).sorted
+      val n = v.length
+      val lo = v((n + 19) / 20 - 1)
+      val hi = v((19 * n + 19) / 20 - 1)
+      flag -> ((n.toLong, lo, hi,
+        v.map(c => math.max(lo, math.min(hi, c))).sum,
+        v.count(_ < lo).toLong, v.count(_ > hi).toLong))
+    }
+    val got = Relational.qWinsorize(spark, sf).collect().map { r =>
+      r.getAs[String]("l_returnflag") -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"),
+        r.getAs[Long]("sum_clamped_cents"),
+        r.getAs[Long]("n_clipped_low"), r.getAs[Long]("n_clipped_high")))
+    }.toMap
+    assert(got == want)
+    // at most 5% clipped on either side by construction
+    got.values.foreach { case (n, _, _, _, nl, nh) =>
+      assert(nl <= n / 20 && nh <= n / 20)
+    }
+  }
+
+  // ------------------------------------------------------- q_compact_plan
+
+  test("q_compact_plan bins partition the manifest into contiguous ranges") {
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    val binned: Seq[(String, Long, Long, Long)] = docs.toSeq.groupBy(_._1).toSeq.flatMap {
+      case (src, xs) =>
+        var cum = 0L
+        xs.sortBy(_._2).map { case (_, id, b) =>
+          val bin = cum / 1000; cum += b; (src, bin, id, b)
+        }
+    }
+    val want = binned.groupBy(t => (t._1, t._2)).map { case ((src, bin), xs) =>
+      (src, bin) -> ((xs.size.toLong, xs.map(_._4).sum, xs.map(_._3).min, xs.map(_._3).max))
+    }
+    val got = TableFormat.qCompactPlan(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("bin")) ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("bin_bytes"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+    }.toMap
+    assert(got == want)
+    // bins within a source cover disjoint, ordered doc ranges
+    got.keys.groupBy(_._1).foreach { case (_, ks) =>
+      val ordered = ks.toSeq.sortBy(_._2).map(got)
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 < b._3, "bin key ranges must be disjoint and ordered")
+        case _         => ()
+      }
+    }
+    // packing conserves bytes and file count per source
+    val bySrc = got.toSeq.groupBy(_._1._1)
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val bins = bySrc(src).map(_._2)
+      assert(bins.map(_._1).sum == xs.length.toLong)
+      assert(bins.map(_._2).sum == xs.map(_._3).sum)
+    }
+  }
+
+  // ------------------------------------------------------ q_xml_roundtrip
+
+  test("q_xml_roundtrip preserves text md5 and byte length exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((md5hex(r.getAs[String]("text")), r.getAs[String]("text").getBytes("UTF-8").length.toLong)))
+      .toMap
+    val got = Ingest.qXmlRoundtrip(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_md5"), r.getAs[Long]("n_bytes")))).toMap
+    assert(got == want)
+  }
+}
