@@ -717,7 +717,92 @@ object Graph {
        |ORDER BY round""".stripMargin
   }
 
+  /** Borůvka minimum spanning forest over a weighted undirected edge
+    * list (`u` < `v`, one row per edge, int64 weight `w`). Each round
+    * every component selects its minimum incident cross-edge under the
+    * TOTAL order (w, u, v) — lexicographic tie-break makes the forest
+    * unique and equal to Kruskal's under the same order (both compute
+    * the MSF of the distinct-weight perturbation), which is what the
+    * ScalaTest replays — then the selected edges contract via
+    * [[connectedComponents]] label merging. Components at least halve
+    * per round, so rounds = O(log n) regardless of diameter — the
+    * property that makes Borůvka THE distributed MST algorithm (it
+    * needs no sequential priority queue, only groupBy-min and joins).
+    *
+    * Scale shape per round: two label joins onto the edge list (shuffle
+    * on node id), a map-side-combined groupBy-min per component over
+    * struct-ordered candidates, and a label contraction whose input is
+    * ≤ one edge per component — the contraction graph is forest-sized,
+    * never data-sized. localCheckpoint per round cuts the O(rounds)
+    * lineage (the q_bfs idiom).
+    */
+  def boruvkaMsf(edges0: DataFrame, maxRounds: Int = 12): DataFrame = {
+    val edges = edges0.select(col("u"), col("v"), col("w")).localCheckpoint()
+    var labels = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .distinct().select(col("node"), col("node").as("lbl")).localCheckpoint()
+    var forest: Option[DataFrame] = None
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val lu = labels.select(col("node").as("u"), col("lbl").as("cu"))
+      val lv = labels.select(col("node").as("v"), col("lbl").as("cv"))
+      val cross = edges.join(lu, Seq("u")).join(lv, Seq("v"))
+        .filter(col("cu") =!= col("cv")).localCheckpoint()
+      if (cross.isEmpty) done = true
+      else {
+        val e = struct(col("w"), col("u"), col("v"), col("cu"), col("cv"))
+        val sel = cross.select(col("cu").as("comp"), e.as("e"))
+          .unionAll(cross.select(col("cv").as("comp"), e.as("e")))
+          .groupBy(col("comp")).agg(min(col("e")).as("e"))
+          // an edge whose two components BOTH pick it appears twice
+          .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"),
+            col("e.cu").as("cu"), col("e.cv").as("cv"))
+          .distinct().localCheckpoint()
+        forest = Some(forest.fold(sel.select(col("u"), col("v"), col("w")))(
+          _.unionAll(sel.select(col("u"), col("v"), col("w")))))
+        val merge = sel.select(col("cu").as("u"), col("cv").as("v"))
+          .unionAll(sel.select(col("cv").as("u"), col("cu").as("v")))
+        val comp = connectedComponents(merge)
+          .select(col("node").as("old_lbl"), col("lbl").as("new_lbl"))
+        labels = labels.join(comp, labels("lbl") === col("old_lbl"), "left")
+          .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+    }
+    forest.getOrElse(edges.filter(lit(false)))
+  }
+
+  /** §2.8 #54 — minimum spanning forest of the weighted nation trade
+    * graph (nations linked by trade, weight = cheapest single line
+    * item ever shipped between them in exact cents — "connect all
+    * trading partners at minimum cost"). Engine-specific rows-only
+    * query (an iterative argmin has no SQL oracle); ScalaTest replays
+    * Kruskal under the identical (w, u, v) total order and pins
+    * forest-size = nodes − components.
+    */
+  def qMsf(spark: SparkSession, dir: String): DataFrame = {
+    val edges = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(
+        least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"),
+        (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"),
+      )
+      .groupBy(col("u"), col("v")).agg(min(col("cents")).as("w"))
+    boruvkaMsf(edges)
+      .select(col("u"), col("v"), col("w").as("w_cents"))
+      .orderBy("u", "v")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_msf" -> (qMsf _),
     "q_kcore" -> (qKcore _),
     "q_ppr" -> (qPpr _),
     "q_communities" -> (qCommunities _),

@@ -573,4 +573,59 @@ object EventsStream {
       .groupByKey(h => (h.band_idx, h.band_key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  final case class DayCount(event_type: String, day: Long, n: Long)
+  final case class CusumState(nRef: Int, sumRef: Long, s: Long, lastDay: Long)
+  final case class CusumOut(
+      event_type: String, day: Long, n: Long, s_scaled: Long, alert: Boolean)
+
+  /** §2.2 #21be streaming twin — online one-sided CUSUM drift monitor
+    * per event type over a keyed stream of per-day counts (the output
+    * grain of [[windowedCounts]]): the first `refDays` closed days fix
+    * an integer reference level, then every later day updates
+    * S ← max(0, S + (n·nRef − sumRef)) — the per-day deviation scaled
+    * by nRef so the whole recursion stays int64 and float-free — and
+    * raises `alert` once S exceeds threshold·nRef. This is the
+    * detector that pages when a source's volume drifts upward (bot
+    * traffic, duplicate floods) instead of waiting for the batch
+    * [[graft.operators.Relational.qChangepoint]] retrospective.
+    *
+    * Per-type days must arrive in event-time order across micro-batches
+    * (the windowedCounts→watermark emission order); within a batch the
+    * group iterator is sorted, and a day at-or-before the last scored
+    * day is a late duplicate and is dropped — so any in-order split of
+    * the day stream converges to the same alarm sequence (pinned in
+    * StreamingSpec against a plain-Scala replay). State is three int64
+    * scalars per type, O(|types|) forever.
+    */
+  def cusumMonitor(
+      dayCounts: Dataset[DayCount], refDays: Int = 3, threshold: Long = 50,
+  ): Dataset[CusumOut] = {
+    import dayCounts.sparkSession.implicits._
+
+    def fn(tpe: String, it: Iterator[DayCount],
+        state: GroupState[CusumState]): Iterator[CusumOut] = {
+      var st = state.getOption.getOrElse(CusumState(0, 0L, 0L, Long.MinValue))
+      val out = scala.collection.mutable.ListBuffer.empty[CusumOut]
+      it.toSeq.sortBy(_.day).foreach { dc =>
+        if (dc.day > st.lastDay) {
+          if (st.nRef < refDays) {
+            st = CusumState(st.nRef + 1, st.sumRef + dc.n, 0L, dc.day)
+            out += CusumOut(tpe, dc.day, dc.n, 0L, alert = false)
+          } else {
+            val dev = dc.n * st.nRef - st.sumRef
+            val s = math.max(0L, st.s + dev)
+            st = st.copy(s = s, lastDay = dc.day)
+            out += CusumOut(tpe, dc.day, dc.n, s, alert = s > threshold * st.nRef)
+          }
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    dayCounts
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

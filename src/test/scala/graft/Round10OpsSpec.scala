@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, TableFormat}
+import graft.operators.{Graph, Relational, TableFormat}
 import graft.sources.Ingest
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -98,6 +98,61 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(bins.map(_._1).sum == xs.length.toLong)
       assert(bins.map(_._2).sum == xs.map(_._3).sum)
     }
+  }
+
+  // ---------------------------------------------------------------- q_msf
+
+  /** Kruskal under the (w, u, v) total order — the sequential twin of
+    * the distributed Borůvka (both compute the unique MSF of the
+    * distinct-weight perturbation that order induces).
+    */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.sortBy { case (u, v, w) => (w, u, v) }.flatMap { case (u, v, w) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+    }.toSet
+  }
+
+  test("boruvkaMsf on a hand graph with weight ties equals Kruskal") {
+    import TestSpark.spark.implicits._
+    // two squares joined by a bridge; parallel tie weights exercise the
+    // (w, u, v) lexicographic tie-break
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L), (1L, 4L, 5L),
+      (4L, 5L, 1L),
+      (5L, 6L, 7L), (6L, 7L, 7L), (7L, 8L, 7L), (5L, 8L, 7L),
+      (10L, 11L, 2L), // separate component
+    )
+    val got = Graph.boruvkaMsf(edges.toDF("u", "v", "w")).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"), r.getAs[Long]("w"))).toSet
+    assert(got == kruskal(edges))
+    assert(got.size == 10 - 2) // n nodes − n components
+  }
+
+  test("q_msf equals a Kruskal replay of the nation trade graph at sf0.001") {
+    val edges = GraftSession.table(spark, sf, "orders")
+      .join(GraftSession.table(spark, sf, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(GraftSession.table(spark, sf, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(GraftSession.table(spark, sf, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(
+        least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("u"), col("v")).agg(min(col("cents")).as("w"))
+      .collect().map(r => (r.getAs[Int]("u").toLong, r.getAs[Int]("v").toLong, r.getAs[Long]("w")))
+    val want = kruskal(edges.toSeq)
+    val got = Graph.qMsf(spark, sf).collect()
+      .map(r => (r.getAs[Int]("u").toLong, r.getAs[Int]("v").toLong, r.getAs[Long]("w_cents"))).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < edges.length, "MSF must be a proper subset of the edges")
   }
 
   // ------------------------------------------------------ q_xml_roundtrip

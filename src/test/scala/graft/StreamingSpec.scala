@@ -626,4 +626,51 @@ class StreamingSpec extends AnyFunSuite {
     val kinds = feats.map(_.getAs[String]("kind")).toSet
     assert(kinds == Set("img", "aud", "vid"))
   }
+
+  test("streaming CUSUM monitor equals a plain-Scala replay and alerts on planted drift") {
+    implicit val sc = spark.sqlContext
+    import EventsStream.{CusumOut, DayCount}
+
+    // per-(type, day) counts from the corpus, plus a planted upward
+    // drift: a synthetic type at its reference level for 3 days then 6×
+    val corpus = events
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(t => DayCount(t._1, t._2, t._3)).toSeq
+    val planted = (0L to 9L).map(d => DayCount("drift", d, if (d < 3) 10 else 60))
+    val all = corpus ++ planted
+
+    val stream = MemoryStream[DayCount]
+    val q = EventsStream.cusumMonitor(stream.toDS(), refDays = 3, threshold = 50)
+      .writeStream.format("memory").queryName("cusum_out").outputMode("append").start()
+    try {
+      // split across micro-batches in day order per type (the
+      // windowedCounts→watermark emission contract)
+      val days = all.map(_.day).distinct.sorted
+      val (early, late) = days.splitAt(days.length / 2)
+      stream.addData(all.filter(d => early.contains(d.day))); q.processAllAvailable()
+      stream.addData(all.filter(d => late.contains(d.day))); q.processAllAvailable()
+
+      val got = spark.table("cusum_out").as[CusumOut].collect()
+        .map(o => (o.event_type, o.day) -> ((o.n, o.s_scaled, o.alert))).toMap
+
+      // plain-Scala replay of the identical integer recursion
+      val want = all.groupBy(_.event_type).flatMap { case (tpe, xs) =>
+        val sorted = xs.sortBy(_.day)
+        val ref = sorted.take(3)
+        val refSum = ref.map(_.n).sum
+        var s = 0L
+        ref.map(dc => (tpe, dc.day) -> ((dc.n, 0L, false))) ++
+          sorted.drop(3).map { dc =>
+            s = math.max(0L, s + (dc.n * 3 - refSum))
+            (tpe, dc.day) -> ((dc.n, s, s > 50 * 3))
+          }
+      }
+      assert(got == want, "streaming CUSUM diverges from the replay")
+      // the planted drift must alarm, and never during its reference days
+      val driftAlerts = planted.filter(p => got((p.event_type, p.day))._3).map(_.day)
+      assert(driftAlerts.nonEmpty && driftAlerts.min >= 3)
+      assert(got(("drift", 3L))._3 || got(("drift", 4L))._3, "drift must alarm within 2 days")
+    } finally q.stop()
+  }
 }
