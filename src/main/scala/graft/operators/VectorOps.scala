@@ -1222,7 +1222,42 @@ object VectorOps {
       |ORDER BY t.dim""".stripMargin
   }
 
+  /** Cluster report for [[kmeansCentroids]]'s spherical k-means: every
+    * vector assigned to its argmax-cosine centroid (broadcast k-row
+    * centroid table — the ann_ivf assignment shape, one map-side pass,
+    * no per-point shuffle beyond the id-grain partial agg), rolled up
+    * to per-cluster size and cohesion. Cohesion is the integer mean of
+    * per-point floor(cos·10^6 + 0.5) — int64 sums then ONE floor
+    * division, so the report is order-free bit-deterministic even
+    * though cosine itself is a double.
+    */
+  def embKmeans(data: DataFrame, k: Int): DataFrame = {
+    val cents = kmeansCentroids(data, k)
+    val d = prep(data)
+    d.join(broadcast(cents), lit(true))
+      .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"))
+      .select(col("id"),
+        (-col("m.nid")).cast(LongType).as("centroid_id"),
+        floor(col("m.cos") * 1000000 + 0.5).cast(LongType).as("cos_ppm"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_points"), sum(col("cos_ppm")).as("sum_cos_ppm"))
+      .select(col("centroid_id"), col("n_points"),
+        expr("sum_cos_ppm div n_points").as("cohesion_ppm"))
+      .orderBy("centroid_id")
+  }
+
+  /** §2.4 #28c — named query: 8-cluster k-means report over the
+    * embeddings table. Engine-specific rows-only (iterative Lloyd has
+    * no SQL oracle); ScalaTest replays the assignment argmax and the
+    * integer cohesion from the same centroids.
+    */
+  def embKmeans(spark: SparkSession, dir: String): DataFrame =
+    embKmeans(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")), 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> (embKmeans(_: SparkSession, _: String)),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_outliers" -> (embOutliers _),
     "emb_pca" -> (embPca _),

@@ -149,7 +149,10 @@ class PlanSpec extends AnyFunSuite {
     val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "ann_pq", "dedup_semantic",
       "text_tfidf", "text_bm25", "text_surprisal", "q_zorder", "q_histogram",
       "sample_negatives", "q22_idle", "ann_classify", "text_pmi", "text_heavy_hitters",
-      "q_skew_report", "q_abtest", "q_rolling_dau", "text_rrf", "q_decay", "q_benford")
+      "q_skew_report", "q_abtest", "q_rolling_dau", "text_rrf", "q_decay", "q_benford",
+      // emb_kmeans assigns against the broadcast 8-centroid table —
+      // the ann_ivf quantizer shape
+      "emb_kmeans")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

@@ -155,6 +155,44 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < edges.length, "MSF must be a proper subset of the edges")
   }
 
+  // ------------------------------------------------------------ emb_kmeans
+
+  test("emb_kmeans equals a plain-Scala assignment replay from the same centroids") {
+    import TestSpark.spark.implicits._
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cents = graft.operators.VectorOps.kmeansCentroids(e, 8).collect()
+      .map(r => (r.getAs[Int]("centroid_id"),
+        r.getAs[Seq[Long]]("cv").toArray, r.getAs[Double]("cnorm")))
+    val pts = e.select(col("id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 10000 + 0.5).cast("long")).as("qv"))
+      .as[(Long, Seq[Long])].collect()
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // replay the argmax-cosine assignment with the identical IEEE ops
+    // and (cos, -cid) tie-break, then the integer cohesion rollup
+    val assigned = pts.map { case (_, qvSeq) =>
+      val qv = qvSeq.toArray
+      val norm = math.sqrt(dot(qv, qv).toDouble)
+      val best = cents.map { case (cid, cv, cnorm) =>
+        (dot(qv, cv).toDouble / (norm * cnorm), -cid.toLong)
+      }.max
+      (-best._2, math.floor(best._1 * 1000000 + 0.5).toLong)
+    }
+    val want = assigned.groupBy(_._1).map { case (cid, xs) =>
+      cid -> ((xs.length.toLong, xs.map(_._2).sum / xs.length))
+    }
+    val got = graft.operators.VectorOps.embKmeans(spark, sf).collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("cohesion_ppm")))).toMap
+    assert(got == want)
+    // the clusters partition the corpus
+    assert(got.values.map(_._1).sum == pts.length.toLong)
+  }
+
   // ------------------------------------------------------ q_xml_roundtrip
 
   test("q_xml_roundtrip preserves text md5 and byte length exactly") {
