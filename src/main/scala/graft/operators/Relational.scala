@@ -3318,7 +3318,67 @@ object Relational {
       |GROUP BY c.l_returnflag
       |ORDER BY c.l_returnflag""".stripMargin
 
+  /** §2.2 #21bv — activity streaks (gaps-and-islands): per user, runs
+    * of consecutive active days found by the classic island key
+    * `day − dense_rank(day)` — constant within a run of consecutive
+    * days, distinct across gaps — then rolled up to per-user streak
+    * stats (active days, islands, longest run; max-struct tie-break
+    * picks the EARLIEST start among equal-length runs). The
+    * engagement-streak / consecutive-failure-run shape every activity
+    * pipeline reports.
+    *
+    * Scale shape: one shuffle to the (user, day) grain with map-side
+    * combine, then user-partitioned windows and a user-grain rollup —
+    * partition-parallel throughout, no global sort before the final
+    * display ORDER BY; all int64 epoch-day arithmetic.
+    */
+  def qStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = table(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island", col("day") - dense_rank().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("len"), (-col("start_day")).as("neg_start"))).as("m"),
+      )
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("m.len").as("max_streak_days"), (-col("m.neg_start")).as("max_streak_start"))
+      .orderBy("user_id")
+  }
+
+  val qStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), isl AS (
+      |  SELECT user_id, day,
+      |    day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM days
+      |), runs AS (
+      |  SELECT user_id, island, count(*) AS len, min(day) AS start_day
+      |  FROM isl GROUP BY user_id, island
+      |), agg AS (
+      |  SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, count(*) AS n_streaks
+      |  FROM runs GROUP BY user_id
+      |), best AS (
+      |  SELECT user_id, len AS max_streak_days, start_day AS max_streak_start
+      |  FROM (
+      |    SELECT user_id, len, start_day,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rk
+      |    FROM runs
+      |  ) WHERE rk = 1
+      |)
+      |SELECT a.user_id, n_active_days, n_streaks, max_streak_days, max_streak_start
+      |FROM agg a JOIN best b ON a.user_id = b.user_id
+      |ORDER BY a.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaks" -> (qStreaks _),
     "q_decay" -> (qDecay _),
     "q_benford" -> (qBenford _),
     "q_skyline" -> (qSkyline _),
@@ -3406,6 +3466,7 @@ object Relational {
     "q_rolling_dau" -> qRollingDauSql,
     "q_decay" -> qDecaySql,
     "q_benford" -> qBenfordSql,
+    "q_streaks" -> qStreaksSql,
     "q_skyline" -> qSkylineSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,

@@ -155,6 +155,35 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < edges.length, "MSF must be a proper subset of the edges")
   }
 
+  // ------------------------------------------------------------- q_streaks
+
+  test("q_streaks equals a plain-Scala islands replay at sf0.001") {
+    val days = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+    val want = days.groupBy(_._1).map { case (u, xs) =>
+      val ds = xs.map(_._2).sorted
+      // split into runs of consecutive days
+      val runs = ds.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (h :: t), d) if h.head == d - 1 => (d :: h) :: t
+        case (acc, d)                               => List(d) :: acc
+      }.map(r => (r.length.toLong, r.min))
+      val best = runs.maxBy { case (len, start) => (len, -start) }
+      u -> ((ds.length.toLong, runs.length.toLong, best._1, best._2))
+    }
+    val got = Relational.qStreaks(spark, sf).collect().map { r =>
+      r.getAs[Long]("user_id") -> ((r.getAs[Long]("n_active_days"),
+        r.getAs[Long]("n_streaks"), r.getAs[Long]("max_streak_days"),
+        r.getAs[Long]("max_streak_start")))
+    }.toMap
+    assert(got == want)
+    // islands invariants
+    got.values.foreach { case (active, streaks, maxLen, _) =>
+      assert(maxLen <= active && streaks <= active && maxLen >= 1)
+    }
+  }
+
   // ------------------------------------------------------------ emb_kmeans
 
   test("emb_kmeans equals a plain-Scala assignment replay from the same centroids") {
