@@ -3377,7 +3377,79 @@ object Relational {
       |FROM agg a JOIN best b ON a.user_id = b.user_id
       |ORDER BY a.user_id""".stripMargin
 
+  /** §2.2 #21bw — growth accounting: every active (user, day) classified
+    * against the user's previous active day — `new` (first ever),
+    * `retained` (active yesterday), `resurrected` (returned after a
+    * gap) — plus `churned` charged to the day AFTER an active day with
+    * no successor (clipped at the corpus max day, where churn is not
+    * yet observable). Per-day totals of the four classes are the
+    * standard DAU growth-accounting identity: DAU(d) = new + retained
+    * + resurrected, and retained(d) = DAU(d−1) − churned(d).
+    *
+    * Scale shape: one map-side-combined shuffle to the (user, day)
+    * grain, per-user lag/lead windows (partition-parallel), a 1-row
+    * broadcast max-day anchor (the q_decay shape), and a day-grain
+    * conditional rollup.
+    */
+  def qGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val act = table(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val c = act
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+      .localCheckpoint() // feeds both the class and churn branches
+    val classified = c.select(col("day"),
+      when(col("prev").isNull, "new")
+        .when(col("prev") === col("day") - 1, "retained")
+        .otherwise("resurrected").as("status"))
+    val maxDay = c.agg(max(col("day")).as("d_max"))
+    val churned = c.crossJoin(broadcast(maxDay))
+      .filter(col("day") < col("d_max") &&
+        (col("next").isNull || col("next") > col("day") + 1))
+      .select((col("day") + 1).as("day"), lit("churned").as("status"))
+    classified.unionAll(churned)
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("status") === "churned", 1L).otherwise(0L)).as("n_churned"),
+      )
+      .orderBy("day")
+  }
+
+  val qGrowthSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), c AS (
+      |  SELECT user_id, day,
+      |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+      |  FROM act
+      |), classified AS (
+      |  SELECT day,
+      |    CASE WHEN prev IS NULL THEN 'new'
+      |         WHEN prev = day - 1 THEN 'retained'
+      |         ELSE 'resurrected' END AS status
+      |  FROM c
+      |  UNION ALL
+      |  SELECT day + 1 AS day, 'churned' AS status
+      |  FROM c CROSS JOIN (SELECT max(day) AS d_max FROM act) m
+      |  WHERE day < d_max AND (next IS NULL OR next > day + 1)
+      |)
+      |SELECT day,
+      |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+      |  CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+      |FROM classified
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_growth" -> (qGrowth _),
     "q_streaks" -> (qStreaks _),
     "q_decay" -> (qDecay _),
     "q_benford" -> (qBenford _),
@@ -3467,6 +3539,7 @@ object Relational {
     "q_decay" -> qDecaySql,
     "q_benford" -> qBenfordSql,
     "q_streaks" -> qStreaksSql,
+    "q_growth" -> qGrowthSql,
     "q_skyline" -> qSkylineSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,

@@ -152,7 +152,10 @@ class PlanSpec extends AnyFunSuite {
       "q_skew_report", "q_abtest", "q_rolling_dau", "text_rrf", "q_decay", "q_benford",
       // emb_kmeans assigns against the broadcast 8-centroid table —
       // the ann_ivf quantizer shape
-      "emb_kmeans")
+      "emb_kmeans",
+      // q_growth clips churn at a broadcast 1-ROW max-day anchor —
+      // the q_decay shape
+      "q_growth")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

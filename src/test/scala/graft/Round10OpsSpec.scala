@@ -184,6 +184,47 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------------- q_growth
+
+  test("q_growth satisfies the growth-accounting identities at sf0.001") {
+    val act = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+    val dau = act.groupBy(_._2).map { case (d, xs) => d -> xs.length.toLong }
+    val rows = Relational.qGrowth(spark, sf).collect().map { r =>
+      r.getAs[Long]("day") -> ((r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+        r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned")))
+    }.toMap
+    val maxDay = act.map(_._2).max
+    rows.foreach { case (d, (nNew, nRet, nRes, nChu)) =>
+      // DAU identity: active days decompose exactly
+      assert(nNew + nRet + nRes == dau.getOrElse(d, 0L), s"day $d DAU identity")
+      // churn identity: yesterday's actives either retain or churn
+      if (d > rows.keys.min && d <= maxDay)
+        assert(nRet + nChu == dau.getOrElse(d - 1, 0L), s"day $d churn identity")
+    }
+    // totals: every user is new exactly once
+    assert(rows.values.map(_._1).sum == act.map(_._1).distinct.length.toLong)
+    // plain-Scala classification replay
+    val want = {
+      val byUser = act.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+      val cls = scala.collection.mutable.Map[(Long, String), Long]().withDefaultValue(0L)
+      byUser.values.foreach { ds =>
+        ds.zipWithIndex.foreach { case (d, i) =>
+          val s = if (i == 0) "new" else if (ds(i - 1) == d - 1) "retained" else "resurrected"
+          cls((d, s)) += 1
+          val next = if (i + 1 < ds.length) Some(ds(i + 1)) else None
+          if (d < maxDay && next.forall(_ > d + 1)) cls((d + 1, "churned")) += 1
+        }
+      }
+      cls.keys.map(_._1).toSeq.distinct.map { d =>
+        d -> ((cls((d, "new")), cls((d, "retained")), cls((d, "resurrected")), cls((d, "churned"))))
+      }.toMap
+    }
+    assert(rows == want)
+  }
+
   // ------------------------------------------------------------ emb_kmeans
 
   test("emb_kmeans equals a plain-Scala assignment replay from the same centroids") {
