@@ -187,6 +187,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("boruvkaMsf equals Kruskal on random graphs with duplicate weights") {
+    // the per-component argmin + contraction rounds must land on the
+    // exact forest Kruskal picks under the (w, u, v) total order —
+    // duplicate weights force the lexicographic tie-break to carry,
+    // multi-component graphs exercise the forest (not tree) case
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 15 + trial * 10
+      val edges = (0 until n * 2)
+        .map { _ =>
+          val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+          (math.min(a, b).toLong, math.max(a, b).toLong, (rnd.nextInt(5) + 1).toLong)
+        }
+        .filter { case (u, v, _) => u != v }
+        .groupBy { case (u, v, _) => (u, v) }
+        .map { case (_, xs) => xs.minBy(_._3) } // one weight per edge
+        .toSeq
+      val got = operators.Graph.boruvkaMsf(edges.toDF("u", "v", "w"))
+        .as[(Long, Long, Long)].collect().toSet
+      // Kruskal replay under the identical total order
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val want = edges.sortBy { case (u, v, w) => (w, u, v) }.flatMap { case (u, v, w) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+      }.toSet
+      assert(got == want, s"trial $trial: forest diverged (n=$n, edges=${edges.size})")
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+      val comps = nodes - want.size
+      assert(comps >= 1 && got.size == nodes - comps)
+    }
+  }
+
   test("semDedup at 10k vectors: pair space stays bounded as numClusters scales, planted dups caught") {
     // SemDeDup's scaling claim: the quadratic term is per-cluster, so
     // with numClusters ∝ corpus size the within-cluster pair space is
