@@ -3448,7 +3448,71 @@ object Relational {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** §2.2 #21bx — association rules over co-purchase pairs: the
+    * market-basket statistics layer on top of `q_copurchase`'s raw
+    * pair counts — support, both-direction confidence, and lift, each
+    * as exact ppm integers (counts multiplied and floor-divided ONCE;
+    * lift's numerator n_both·N·10^6 runs in DECIMAL(38,0) ≡ HUGEINT
+    * because it overflows int64 at billion-basket scale). Pairs below
+    * min-support 3 are pruned BEFORE the stats join — the Apriori
+    * observation that makes the pair space tractable at scale.
+    *
+    * Scale shape: the basket self-join is the dominant term (the
+    * q_copurchase plan), pruned by support before joining the two
+    * item-count sides (item-stats tables are |parts|-sized —
+    * broadcastable at any realistic catalog) and the 1-row basket
+    * total; final output is a bounded top-100 by lift.
+    */
+  def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nBaskets = l.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val item = l.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = l.select(col("l_orderkey").as("b_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, col("l_orderkey") === col("b_orderkey") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 3)
+      .join(broadcast(item.select(col("l_partkey").as("p1"), col("n_item").as("n_p1"))), Seq("p1"))
+      .join(broadcast(item.select(col("l_partkey").as("p2"), col("n_item").as("n_p2"))), Seq("p2"))
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("p1"), col("p2"), col("n_both"), col("n_p1"), col("n_p2"),
+        expr("n_both * 1000000L div n_p1").as("conf_p1_p2_ppm"),
+        expr("n_both * 1000000L div n_p2").as("conf_p2_p1_ppm"),
+        expr("CAST(CAST(n_both AS DECIMAL(38,0)) * n_baskets * 1000000 div (CAST(n_p1 AS DECIMAL(38,0)) * n_p2) AS BIGINT)")
+          .as("lift_ppm"),
+      )
+      .orderBy(col("lift_ppm").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  val qBasketLiftSql: String =
+    """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM l),
+      |item AS (SELECT l_partkey, count(*) AS n_item FROM l GROUP BY l_partkey),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_both
+      |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 3
+      |)
+      |SELECT p1, p2, n_both,
+      |  i1.n_item AS n_p1, i2.n_item AS n_p2,
+      |  CAST(n_both * 1000000 // i1.n_item AS BIGINT) AS conf_p1_p2_ppm,
+      |  CAST(n_both * 1000000 // i2.n_item AS BIGINT) AS conf_p2_p1_ppm,
+      |  CAST(CAST(n_both AS HUGEINT) * n_baskets * 1000000 // (CAST(i1.n_item AS HUGEINT) * i2.n_item) AS BIGINT) AS lift_ppm
+      |FROM pairs
+      |JOIN item i1 ON i1.l_partkey = p1
+      |JOIN item i2 ON i2.l_partkey = p2
+      |CROSS JOIN n
+      |ORDER BY lift_ppm DESC, p1, p2
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_lift" -> (qBasketLift _),
     "q_growth" -> (qGrowth _),
     "q_streaks" -> (qStreaks _),
     "q_decay" -> (qDecay _),
@@ -3540,6 +3604,7 @@ object Relational {
     "q_benford" -> qBenfordSql,
     "q_streaks" -> qStreaksSql,
     "q_growth" -> qGrowthSql,
+    "q_basket_lift" -> qBasketLiftSql,
     "q_skyline" -> qSkylineSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,

@@ -155,7 +155,10 @@ class PlanSpec extends AnyFunSuite {
       "emb_kmeans",
       // q_growth clips churn at a broadcast 1-ROW max-day anchor —
       // the q_decay shape
-      "q_growth")
+      "q_growth",
+      // q_basket_lift cross-joins a broadcast 1-ROW basket total —
+      // the q_zorder shape
+      "q_basket_lift")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

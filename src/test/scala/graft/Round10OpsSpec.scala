@@ -184,6 +184,38 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- q_basket_lift
+
+  test("q_basket_lift equals a plain-Scala association-rule replay at sf0.001") {
+    val l = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val nBaskets = l.map(_._1).distinct.length.toLong
+    val nItem = l.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairs = l.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (pq, xs) => pq -> xs.length.toLong }
+      .filter(_._2 >= 3)
+    val scored = pairs.toSeq.map { case ((p1, p2), nBoth) =>
+      val (n1, n2) = (nItem(p1), nItem(p2))
+      val lift = (BigInt(nBoth) * nBaskets * 1000000 / (BigInt(n1) * n2)).toLong
+      (p1, p2, nBoth, n1, n2, nBoth * 1000000L / n1, nBoth * 1000000L / n2, lift)
+    }.sortBy(t => (-t._8, t._1, t._2)).take(100)
+    val got = Relational.qBasketLift(spark, sf).collect().map { r =>
+      (r.getAs[Long]("p1"), r.getAs[Long]("p2"), r.getAs[Long]("n_both"),
+        r.getAs[Long]("n_p1"), r.getAs[Long]("n_p2"),
+        r.getAs[Long]("conf_p1_p2_ppm"), r.getAs[Long]("conf_p2_p1_ppm"),
+        r.getAs[Long]("lift_ppm"))
+    }.toSeq
+    assert(got == scored)
+    // every emitted rule meets min-support and lift is internally consistent
+    got.foreach { case (_, _, nBoth, n1, n2, c12, c21, lift) =>
+      assert(nBoth >= 3 && c12 <= 1000000L && c21 <= 1000000L)
+      assert(lift == (BigInt(nBoth) * nBaskets * 1000000 / (BigInt(n1) * n2)).toLong)
+    }
+  }
+
   // -------------------------------------------------------------- q_growth
 
   test("q_growth satisfies the growth-accounting identities at sf0.001") {
