@@ -3511,7 +3511,35 @@ object Relational {
       |ORDER BY lift_ppm DESC, p1, p2
       |LIMIT 100""".stripMargin
 
+  /** §2.2 #21dd — mergeable-sketch distinct rollup (Datasketches HLL):
+    * per-(type, day) HLL sketches of the user set, UNIONED up to
+    * per-(type, week) distinct estimates and compared against the
+    * exact count. This is the pattern that makes distinct-counting
+    * tractable at 100 TB: daily sketch partials are kilobytes, the
+    * weekly rollup unions sketches instead of re-scanning the raw
+    * events (a re-aggregation any calendar hierarchy gets for free),
+    * and the shuffle carries sketch bytes, not user ids. Engine-
+    * specific estimates → rows-only; ScalaTest pins the relative
+    * error bound and that union-of-daily ≡ direct weekly sketching.
+    */
+  def qHllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+    val weekly = e.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .withColumn("week", expr("day div 7"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_users"))
+    val exact = e.withColumn("week", expr("day div 7"))
+      .select(col("event_type"), col("week"), col("user_id")).distinct()
+      .groupBy(col("event_type"), col("week")).agg(count(lit(1)).as("exact_users"))
+    weekly.join(exact, Seq("event_type", "week"))
+      .orderBy("event_type", "week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_rollup" -> (qHllRollup _),
     "q_basket_lift" -> (qBasketLift _),
     "q_growth" -> (qGrowth _),
     "q_streaks" -> (qStreaks _),

@@ -184,6 +184,36 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------- q_hll_rollup
+
+  test("q_hll_rollup estimates track exact distincts and daily unions equal direct sketches") {
+    val rows = Relational.qHllRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_users")
+      val exact = r.getAs[Long]("exact_users")
+      // lgK=12 HLL: sparse-mode is near-exact at these cardinalities
+      assert(math.abs(est - exact) <= math.max(2L, exact / 20),
+        s"estimate $est too far from exact $exact")
+    }
+    // mergeability: union of daily sketches ≡ sketching the week directly
+    val e = GraftSession.table(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000 div 7").as("week"),
+        col("user_id"))
+    val direct = e.groupBy(col("event_type"), col("week"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("d_est"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("week")) -> r.getAs[Long]("d_est"))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("week"))
+      val union = r.getAs[Long]("est_users")
+      val d = direct(k)
+      assert(math.abs(union - d) <= math.max(1L, d / 100),
+        s"union-of-daily $union diverges from direct sketch $d at $k")
+    }
+  }
+
   // --------------------------------------------------------- q_basket_lift
 
   test("q_basket_lift equals a plain-Scala association-rule replay at sf0.001") {
