@@ -3538,7 +3538,47 @@ object Relational {
       .orderBy("event_type", "week")
   }
 
+  /** §2.2 #21de — mergeable-sketch quantile rollup (Datasketches KLL,
+    * the quantile twin of `q_hll_rollup`): per-(type, day) KLL
+    * sketches of the integer event values, MERGED up to per-(type,
+    * week) p50/p95 estimates next to the exact rank-selected
+    * quantiles (the q_median position idiom). Same scale story:
+    * kilobyte sketch partials re-aggregate up the calendar hierarchy
+    * without re-sorting raw events — exact grouped quantiles need a
+    * per-group sort of the week's data, the sketch rollup only unions
+    * daily partials. Engine-specific estimates → rows-only; ScalaTest
+    * pins the KLL rank-error bound against the exact distribution.
+    */
+  def qKllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value")).cast(LongType).as("v"))
+    val est = e.groupBy(col("event_type"), col("day"))
+      .agg(expr("kll_sketch_agg_bigint(v, 200)").as("sk"))
+      .withColumn("week", expr("day div 7"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(expr("kll_merge_agg_bigint(sk)").as("msk"))
+      .select(col("event_type"), col("week"),
+        expr("kll_sketch_get_n_bigint(msk)").as("n"),
+        expr("kll_sketch_get_quantile_bigint(msk, 0.5d)").as("p50_est"),
+        expr("kll_sketch_get_quantile_bigint(msk, 0.95d)").as("p95_est"))
+    val w = Window.partitionBy(col("event_type"), col("week")).orderBy(col("v"))
+    val wc = Window.partitionBy(col("event_type"), col("week"))
+    val exact = e.withColumn("week", expr("day div 7"))
+      .select(col("event_type"), col("week"), col("v"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("v"))).as("p50_exact"),
+        max(when(col("rn") === expr("(19 * cnt + 19) div 20"), col("v"))).as("p95_exact"),
+      )
+    est.join(exact, Seq("event_type", "week"))
+      .orderBy("event_type", "week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kll_rollup" -> (qKllRollup _),
     "q_hll_rollup" -> (qHllRollup _),
     "q_basket_lift" -> (qBasketLift _),
     "q_growth" -> (qGrowth _),

@@ -184,6 +184,37 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------- q_kll_rollup
+
+  test("q_kll_rollup quantile estimates sit within the KLL rank-error band") {
+    val vals = GraftSession.table(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000 div 7").as("week"),
+        floor(col("value")).cast("long").as("v"))
+      .collect()
+      .map(r => ((r.getAs[String]("event_type"), r.getAs[Long]("week")), r.getAs[Long]("v")))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sorted }
+    val rows = Relational.qKllRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("week"))
+      val sorted = vals(k)
+      assert(r.getAs[Long]("n") == sorted.length.toLong, s"sketch n diverges at $k")
+      // k=200 KLL: normalized rank error ≤ ~1.65%; allow 4% both ways.
+      // duplicated integer values span a rank INTERVAL [P(< x), P(<= x)]
+      // — the estimate is in-band when its interval intersects the band
+      def inBand(x: Long, lo: Double, hi: Double): Boolean = {
+        val rLo = sorted.count(_ < x).toDouble / sorted.length
+        val rHi = sorted.count(_ <= x).toDouble / sorted.length
+        rLo <= hi && rHi >= lo
+      }
+      assert(inBand(r.getAs[Long]("p50_est"), 0.46, 0.54), s"p50 out of band at $k")
+      assert(inBand(r.getAs[Long]("p95_est"), 0.91, 0.99), s"p95 out of band at $k")
+      // exact selections really are the positional quantiles
+      assert(r.getAs[Long]("p50_exact") == sorted((sorted.length + 1) / 2 - 1))
+      assert(r.getAs[Long]("p95_exact") == sorted((19 * sorted.length + 19) / 20 - 1))
+    }
+  }
+
   // ---------------------------------------------------------- q_hll_rollup
 
   test("q_hll_rollup estimates track exact distincts and daily unions equal direct sketches") {
