@@ -184,6 +184,28 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- plan pins
+
+  test("q_winsorize joins the threshold table as a broadcast, never a shuffle") {
+    val plan = Relational.qWinsorize(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), "group-cardinality thresholds must broadcast")
+  }
+
+  test("q_compact_plan's window partitions by source (parallel, no global sort)") {
+    val plan = TableFormat.qCompactPlan(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"), plan)
+  }
+
+  test("q_skyline aggregates per size before the metadata-sized frontier window") {
+    val df = Relational.qSkyline(spark, sf)
+    df.collect() // AQE-final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the window must consume the aggregated per-size rows, not the table:
+    // partial aggregation happens below the single exchange feeding it
+    assert(plan.contains("partial_max"), plan)
+  }
+
   // ---------------------------------------------------------- q_kll_rollup
 
   test("q_kll_rollup quantile estimates sit within the KLL rank-error band") {
