@@ -3577,7 +3577,74 @@ object Relational {
       .orderBy("event_type", "week")
   }
 
+  /** §2.2 #21by — STL-lite seasonal decomposition of the daily volume
+    * per event type: count = trend + weekday season + residual, all on
+    * a ×7 integer grid. Trend is the centered 7-day RANGE-frame sum
+    * (value-based, gap-safe; only full windows emit), detrend is
+    * 7·count − trend, the weekday effect is the per-(type, dow)
+    * floor-mean of the detrended series, residual the remainder. The
+    * anomaly screen that separates "Mondays are always low" from "this
+    * Monday is broken".
+    *
+    * Cross-engine subtlety: the detrended series is SIGNED, and Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors — they
+    * disagree on negatives. The weekday mean therefore divides the
+    * offset-shifted sum (sum + OFFSET·n, provably non-negative), where
+    * truncation ≡ floor, and subtracts OFFSET back — bit-identical in
+    * both engines with zero float traffic.
+    *
+    * Scale shape: one map-side-combined shuffle to the (type, day)
+    * grain; type-partitioned RANGE windows over the tiny daily rollup;
+    * a dow-grain effect agg joined back by (type, dow). Everything
+    * after the first shuffle is calendar-sized.
+    */
+  def qStlLite(spark: SparkSession, dir: String): DataFrame = {
+    val Offset = 1000000000L
+    val daily = table(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-3, 3)
+    val detr = daily
+      .withColumn("trend_x7", sum(col("c")).over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .filter(col("n7") === 7)
+      .withColumn("detr_x7", col("c") * 7 - col("trend_x7"))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+    val eff = detr.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("detr_x7")).as("s"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("dow"),
+        (expr(s"(s + ${Offset}L * n) div n") - Offset).as("season_x7"))
+    detr.join(eff, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("c"), col("trend_x7"),
+        col("season_x7"), (col("detr_x7") - col("season_x7")).as("resid_x7"))
+      .orderBy("event_type", "day")
+  }
+
+  val qStlLiteSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), detr AS (
+      |  SELECT event_type, day, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend_x7,
+      |    count(*) OVER (PARTITION BY event_type ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+      |    c * 7 - sum(c) OVER (PARTITION BY event_type ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS detr_x7,
+      |    day % 7 AS dow
+      |  FROM daily
+      |), f AS (SELECT * FROM detr WHERE n7 = 7),
+      |eff AS (
+      |  SELECT event_type, dow,
+      |    CAST((sum(detr_x7) + 1000000000 * count(*)) // count(*) - 1000000000 AS BIGINT) AS season_x7
+      |  FROM f GROUP BY 1, 2
+      |)
+      |SELECT f.event_type, day, c, CAST(trend_x7 AS BIGINT) AS trend_x7,
+      |  season_x7, CAST(detr_x7 - season_x7 AS BIGINT) AS resid_x7
+      |FROM f JOIN eff ON f.event_type = eff.event_type AND f.dow = eff.dow
+      |ORDER BY f.event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stl_lite" -> (qStlLite _),
     "q_kll_rollup" -> (qKllRollup _),
     "q_hll_rollup" -> (qHllRollup _),
     "q_basket_lift" -> (qBasketLift _),
@@ -3673,6 +3740,7 @@ object Relational {
     "q_streaks" -> qStreaksSql,
     "q_growth" -> qGrowthSql,
     "q_basket_lift" -> qBasketLiftSql,
+    "q_stl_lite" -> qStlLiteSql,
     "q_skyline" -> qSkylineSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,

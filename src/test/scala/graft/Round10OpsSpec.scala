@@ -184,6 +184,45 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ q_stl_lite
+
+  test("q_stl_lite decomposition identities hold and the replay matches at sf0.001") {
+    val daily = GraftSession.table(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"), r.getAs[Long]("c")))
+    val want = daily.groupBy(_._1).toSeq.flatMap { case (tpe, xs) =>
+      val byDay = xs.map(t => t._2 -> t._3).toMap
+      val full = xs.filter { case (_, d, _) => (-3L to 3L).forall(o => byDay.contains(d + o)) }
+      val detr = full.map { case (_, d, c) =>
+        val trend = (-3L to 3L).map(o => byDay(d + o)).sum
+        (d, c, trend, c * 7 - trend)
+      }
+      val eff = detr.groupBy(t => t._1 % 7).map { case (dow, ys) =>
+        val s = ys.map(_._4).sum
+        dow -> (math.floorDiv(s, ys.length.toLong)) // floor, not truncate
+      }
+      detr.map { case (d, c, trend, dx) =>
+        (tpe, d) -> ((c, trend, eff(d % 7), dx - eff(d % 7)))
+      }
+    }.toMap
+    val got = Relational.qStlLite(spark, sf).collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
+        ((r.getAs[Long]("c"), r.getAs[Long]("trend_x7"),
+          r.getAs[Long]("season_x7"), r.getAs[Long]("resid_x7")))
+    }.toMap
+    assert(got == want)
+    // identity: 7c = trend + season + resid on every emitted day
+    got.foreach { case (k, (c, trend, season, resid)) =>
+      assert(c * 7 == trend + season + resid, s"decomposition identity broken at $k")
+    }
+    // per-(type, dow) residuals sum to < n (the floor-mean remainder)
+    got.toSeq.groupBy { case ((tpe, d), _) => (tpe, d % 7) }.foreach { case (k, rs) =>
+      val s = rs.map(_._2._4).sum
+      assert(s >= 0 && s < rs.length, s"floor-mean residual bound broken at $k")
+    }
+  }
+
   // ------------------------------------------------------------- plan pins
 
   test("q_winsorize joins the threshold table as a broadcast, never a shuffle") {
