@@ -3643,7 +3643,56 @@ object Relational {
       |FROM f JOIN eff ON f.event_type = eff.event_type AND f.dow = eff.dow
       |ORDER BY f.event_type, day""".stripMargin
 
+  /** §2.2 #21bz — distribution-rank window navigation: the remaining
+    * ANSI window functions in one report — percent_rank, cume_dist,
+    * first_value / last_value / nth_value(2) over each customer's
+    * order history in cents. percent_rank = (rank−1)/(n−1) and
+    * cume_dist = peers/n are single IEEE divisions of exact integers —
+    * deterministic cross-engine without quantization; the value
+    * navigation uses the full-partition frame (last_value under the
+    * default frame is the famous footgun this query pins correctly).
+    * Ties on order date break by order key, making every output
+    * column deterministic.
+    *
+    * Scale shape: one shuffle on the customer key; all windows share
+    * the single (custkey, date, key) sort — Spark plans them in one
+    * Window operator, partition-parallel.
+    */
+  def qDistRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        (decP(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        col("o_orderdate"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("cents"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("cents")).over(wf).as("first_cents"),
+        last(col("cents")).over(wf).as("last_cents"),
+        nth_value(col("cents"), 2).over(wf).as("second_cents"),
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qDistRankSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER wf AS first_cents,
+      |  last_value(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER wf AS last_cents,
+      |  nth_value(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), 2) OVER wf AS second_cents
+      |FROM orders
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dist_rank" -> (qDistRank _),
     "q_stl_lite" -> (qStlLite _),
     "q_kll_rollup" -> (qKllRollup _),
     "q_hll_rollup" -> (qHllRollup _),
@@ -3741,6 +3790,7 @@ object Relational {
     "q_growth" -> qGrowthSql,
     "q_basket_lift" -> qBasketLiftSql,
     "q_stl_lite" -> qStlLiteSql,
+    "q_dist_rank" -> qDistRankSql,
     "q_skyline" -> qSkylineSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,

@@ -184,6 +184,30 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------- q_dist_rank
+
+  test("q_dist_rank navigation values satisfy their definitions at sf0.001") {
+    val dates = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderkey"), expr("unix_micros(o_orderdate)").as("d")).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("d")).toMap
+    val rows = Relational.qDistRank(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rs) =>
+      val n = rs.length
+      // replay the window order: (date, key)
+      val sorted = rs.sortBy(r => (dates(r.getAs[Long]("o_orderkey")), r.getAs[Long]("o_orderkey")))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        // date+key order is tie-free on key, so rank = i+1
+        val pr = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        assert(r.getAs[Double]("pr") == pr)
+        assert(r.getAs[Double]("cd") == (i + 1).toDouble / n)
+        assert(r.getAs[Long]("first_cents") == sorted.head.getAs[Long]("cents"))
+        assert(r.getAs[Long]("last_cents") == sorted.last.getAs[Long]("cents"))
+        if (n >= 2) assert(r.getAs[Long]("second_cents") == sorted(1).getAs[Long]("cents"))
+        else assert(r.isNullAt(r.fieldIndex("second_cents")))
+      }
+    }
+  }
+
   // ------------------------------------------------------------ q_stl_lite
 
   test("q_stl_lite decomposition identities hold and the replay matches at sf0.001") {
