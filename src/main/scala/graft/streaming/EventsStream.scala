@@ -574,6 +574,51 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class UserDay(user_id: Long, day: Long)
+  final case class GrowthOut(user_id: Long, day: Long, status: String)
+
+  /** §2.2 #21bw streaming twin — growth-accounting classifier as
+    * per-user state: each arriving active day is classified `new` /
+    * `retained` / `resurrected` against the user's last active day
+    * (one int64 of state per user), and a gap additionally emits the
+    * `churned` marker for day last+1 the moment the gap is OBSERVED —
+    * i.e. when the user resurrects. That is the one semantic delta vs
+    * batch [[graft.operators.Relational.qGrowth]]: an unbounded stream
+    * can never prove "this user's absence is final", so trailing-edge
+    * churn (after the last activity ever) belongs to the reporting
+    * layer's watermark close, while every gap-churn emits here exactly
+    * as in batch — the equivalence StreamingSpec pins. Days must
+    * arrive in order per user across micro-batches (within a batch the
+    * iterator is sorted; at-or-before-state days are dropped), so any
+    * in-order split converges.
+    */
+  def growthClasses(userDays: Dataset[UserDay]): Dataset[GrowthOut] = {
+    import userDays.sparkSession.implicits._
+
+    def fn(u: Long, it: Iterator[UserDay],
+        state: GroupState[Long]): Iterator[GrowthOut] = {
+      var last = state.getOption.getOrElse(Long.MinValue)
+      val out = scala.collection.mutable.ListBuffer.empty[GrowthOut]
+      it.map(_.day).toSeq.distinct.sorted.foreach { d =>
+        if (d > last) {
+          if (last == Long.MinValue) out += GrowthOut(u, d, "new")
+          else if (d == last + 1) out += GrowthOut(u, d, "retained")
+          else {
+            out += GrowthOut(u, last + 1, "churned")
+            out += GrowthOut(u, d, "resurrected")
+          }
+          last = d
+        }
+      }
+      state.update(last)
+      out.iterator
+    }
+
+    userDays
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class DayCount(event_type: String, day: Long, n: Long)
   final case class CusumState(nRef: Int, sumRef: Long, s: Long, lastDay: Long)
   final case class CusumOut(

@@ -627,6 +627,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(kinds == Set("img", "aud", "vid"))
   }
 
+  test("streaming growth classifier equals batch classification; gap-churn emits on resurrection") {
+    implicit val sc = spark.sqlContext
+    import EventsStream.{GrowthOut, UserDay}
+
+    val userDays = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().as[(Long, Long)].collect().map(t => UserDay(t._1, t._2)).toSeq
+
+    val stream = MemoryStream[UserDay]
+    val q = EventsStream.growthClasses(stream.toDS())
+      .writeStream.format("memory").queryName("growth_out").outputMode("append").start()
+    try {
+      // in-order-per-user split across three micro-batches by day range
+      val days = userDays.map(_.day).distinct.sorted
+      val cut1 = days(days.length / 3); val cut2 = days(2 * days.length / 3)
+      stream.addData(userDays.filter(_.day <= cut1)); q.processAllAvailable()
+      stream.addData(userDays.filter(d => d.day > cut1 && d.day <= cut2)); q.processAllAvailable()
+      stream.addData(userDays.filter(_.day > cut2)); q.processAllAvailable()
+
+      val got = spark.table("growth_out").as[GrowthOut].collect()
+        .map(o => (o.user_id, o.day, o.status)).toSet
+
+      // batch replay: qGrowth's classification, minus trailing-edge churn
+      // (unobservable on an unbounded stream)
+      val want = userDays.groupBy(_.user_id).toSeq.flatMap { case (u, xs) =>
+        val ds = xs.map(_.day).distinct.sorted
+        ds.zipWithIndex.flatMap { case (d, i) =>
+          val cls =
+            if (i == 0) Seq((u, d, "new"))
+            else if (ds(i - 1) == d - 1) Seq((u, d, "retained"))
+            else Seq((u, ds(i - 1) + 1, "churned"), (u, d, "resurrected"))
+          cls
+        }
+      }.toSet
+      assert(got == want, "streaming growth classes diverge from the batch classification")
+      // cross-check the non-churn classes against batch qGrowth day totals
+      val batch = operators.Relational.qGrowth(spark, sf).collect()
+        .map(r => r.getAs[Long]("day") ->
+          ((r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"))))
+        .toMap
+      val gotByDay = got.toSeq.groupBy(_._2).map { case (d, xs) =>
+        d -> ((xs.count(_._3 == "new").toLong, xs.count(_._3 == "retained").toLong,
+          xs.count(_._3 == "resurrected").toLong))
+      }
+      batch.foreach { case (d, want3) =>
+        assert(gotByDay.getOrElse(d, ((0L, 0L, 0L))) == want3, s"day $d class totals diverge")
+      }
+    } finally q.stop()
+  }
+
   test("streaming CUSUM monitor equals a plain-Scala replay and alerts on planted drift") {
     implicit val sc = spark.sqlContext
     import EventsStream.{CusumOut, DayCount}
