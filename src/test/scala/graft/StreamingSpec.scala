@@ -627,6 +627,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(kinds == Set("img", "aud", "vid"))
   }
 
+  test("checkpointed file-source → file-sink restart is exactly-once (no loss, no duplicates)") {
+    // the fault-tolerance contract a production stream lives on: kill
+    // the query between micro-batches, restart from the checkpoint,
+    // and the (idempotent) file sink must hold each closed window's
+    // aggregate exactly once — proven against the batch answer
+    val root = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    val all = events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .orderBy("ts").collect()
+    val sch = events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value")).schema
+    def writeSlice(rows: Seq[org.apache.spark.sql.Row], part: Int): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
+        .write.mode("append").parquet(srcDir)
+    def startQ() = EventsStream
+      .windowedCounts(spark.readStream.schema(sch).parquet(srcDir))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val third = all.length / 3
+    writeSlice(all.slice(0, third).toSeq, 0)
+    val q1 = startQ()
+    try { q1.processAllAvailable() } finally q1.stop()
+    writeSlice(all.slice(third, 2 * third).toSeq, 1) // lands while the query is DOWN
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      writeSlice(all.slice(2 * third, all.length).toSeq, 2)
+      q2.processAllAvailable()
+      // sentinel far in the future closes every real window
+      writeSlice(Seq(org.apache.spark.sql.Row(0L,
+        java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), 0L, "sentinel", 0.0)), 3)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"), count(lit(1)).as("emissions"))
+      .collect()
+    // exactly-once: every (day, type) emitted exactly one aggregate row
+    got.foreach(r => assert(r.getAs[Long]("emissions") == 1L,
+      s"duplicate emission for ${r.get(0)}/${r.get(1)}"))
+    val want = events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => (r.get(0), r.getAs[String]("event_type")) -> r.getAs[Long]("n_events")).toMap
+    val gotMap = got.map(r => (r.get(0), r.getAs[String]("event_type")) -> r.getAs[Long]("n_events")).toMap
+    assert(gotMap == want, s"restart lost or duplicated data: got=${gotMap.size} want=${want.size}")
+  }
+
   test("streaming growth classifier equals batch classification; gap-churn emits on resurrection") {
     implicit val sc = spark.sqlContext
     import EventsStream.{GrowthOut, UserDay}
