@@ -762,10 +762,14 @@ object Graph {
           .distinct().localCheckpoint()
         forest = Some(forest.fold(sel.select(col("u"), col("v"), col("w")))(
           _.unionAll(sel.select(col("u"), col("v"), col("w")))))
-        val merge = sel.select(col("cu").as("u"), col("cv").as("v"))
-          .unionAll(sel.select(col("cv").as("u"), col("cu").as("v")))
-        val comp = connectedComponents(merge)
-          .select(col("node").as("old_lbl"), col("lbl").as("new_lbl"))
+        // contraction graph = ≤ one edge per component — forest-sized.
+        // Pipeline.connectedComponents' bounded-driver union-find fast
+        // path finishes it in one collect instead of a per-round
+        // propagation loop (min-root representative ≡ the min-label
+        // fixpoint); the distributed loop still engages above the bound.
+        val merge = sel.select(col("cu").as("doc_a"), col("cv").as("doc_b"))
+        val comp = Pipeline.connectedComponents(merge)
+          .select(col("doc_id").as("old_lbl"), col("cluster_id").as("new_lbl"))
         labels = labels.join(comp, labels("lbl") === col("old_lbl"), "left")
           .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
           .localCheckpoint()
