@@ -3691,7 +3691,80 @@ object Relational {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** §2.2 #21ca — robust outlier screen (median/MAD): per event type,
+    * the exact rank-selected median of the integer values, the median
+    * absolute deviation around it (a second rank selection over
+    * |v − med|), and the count beyond the 3·MAD fence — the
+    * heavy-tail-safe sibling of the mean/σ screen in `q_anomaly`,
+    * which a single extreme value can drag wide open (σ is quadratic
+    * in outliers; MAD has a 50% breakdown point). Everything is int64
+    * rank selection — no float moments at all.
+    *
+    * Scale shape: two window passes over the fact (both partitioned by
+    * type, each the window operator's own per-group sort) with the
+    * type-cardinality median table broadcast back between them; the
+    * fence count is a map-side-combined conditional agg.
+    */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_type"), floor(col("value")).cast(LongType).as("v"))
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+      val wc = Window.partitionBy(col("event_type"))
+      df.select(col("event_type"), col(valueCol),
+          row_number().over(w).as("rn"), count(lit(1)).over(wc).as("n"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col(valueCol))).as(out))
+    }
+    val med = medianOf(e, "v", "med").select(col("event_type"), col("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("v"), col("med"), abs(col("v") - col("med")).as("d"))
+    val mad = medianOf(dev, "d", "mad").select(col("event_type"), col("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("d") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
+        max(col("d")).as("max_dev"),
+      )
+      .orderBy("event_type")
+  }
+
+  val qMadOutliersSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events
+      |), r1 AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e
+      |), med AS (
+      |  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+      |  FROM r1 GROUP BY event_type
+      |), dev AS (
+      |  SELECT e.event_type, v, med, abs(v - med) AS d
+      |  FROM e JOIN med ON e.event_type = med.event_type
+      |), r2 AS (
+      |  SELECT event_type, d,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev
+      |), mad AS (
+      |  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad
+      |  FROM r2 GROUP BY event_type
+      |)
+      |SELECT dev.event_type, count(*) AS n, max(med) AS med, max(mad) AS mad,
+      |  CAST(sum(CASE WHEN d > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  max(d) AS max_dev
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |GROUP BY dev.event_type
+      |ORDER BY dev.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_outliers" -> (qMadOutliers _),
     "q_dist_rank" -> (qDistRank _),
     "q_stl_lite" -> (qStlLite _),
     "q_kll_rollup" -> (qKllRollup _),
@@ -3791,6 +3864,7 @@ object Relational {
     "q_basket_lift" -> qBasketLiftSql,
     "q_stl_lite" -> qStlLiteSql,
     "q_dist_rank" -> qDistRankSql,
+    "q_mad_outliers" -> qMadOutliersSql,
     "q_skyline" -> qSkylineSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,

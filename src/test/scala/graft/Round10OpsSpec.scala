@@ -184,6 +184,29 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------- q_mad_outliers
+
+  test("q_mad_outliers equals a plain-Scala median/MAD replay at sf0.001") {
+    val e = GraftSession.table(spark, sf, "events")
+      .select(col("event_type"), floor(col("value")).cast("long").as("v")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("v")))
+    def med(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    val want = e.groupBy(_._1).map { case (tpe, xs) =>
+      val vs = xs.map(_._2).toSeq
+      val m = med(vs)
+      val ds = vs.map(v => math.abs(v - m))
+      val md = med(ds)
+      tpe -> ((vs.length.toLong, m, md, ds.count(_ > 3 * md).toLong, ds.max))
+    }
+    val got = Relational.qMadOutliers(spark, sf).collect().map { r =>
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n"), r.getAs[Long]("med"),
+        r.getAs[Long]("mad"), r.getAs[Long]("n_outliers"), r.getAs[Long]("max_dev")))
+    }.toMap
+    assert(got == want)
+    // MAD's 50% breakdown: at most half the rows can sit beyond the fence
+    got.values.foreach { case (n, _, _, out, _) => assert(out <= n / 2) }
+  }
+
   // ----------------------------------------------------------- q_dist_rank
 
   test("q_dist_rank navigation values satisfy their definitions at sf0.001") {
