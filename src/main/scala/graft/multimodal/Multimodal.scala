@@ -344,7 +344,97 @@ object Multimodal {
       |WHERE bit_count(xor(a.phash, b2.phash)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Typed row for one output cell of the resize grid. */
+  final case class CellRow(doc_id: Long, cy: Int, cx: Int, n_px: Long, mean_val: Long)
+
+  /** Resize grid side: every image downsamples to ≤ Grid×Grid cells. */
+  val ResizeGrid = 4
+
+  /** STUB resizer: deterministic average-pool "resize" of the fake
+    * w×h byte image (pixel(y,x) = payload[(y·w + x) mod len]) to a
+    * [[ResizeGrid]]² grid — cell (cy,cx) covers rows [⌊cy·h/G⌋,
+    * ⌊(cy+1)·h/G⌋) × the analogous columns, value = integer floor-mean
+    * of covered bytes. A real implementation hands the decoded frame
+    * to a SIMD scaler here; the batch shape, integer-exact pooling,
+    * and long-form output schema are the production plumbing. Cells
+    * that cover zero pixels (h or w < G) are skipped in both engines.
+    */
+  def resizeBatch(batch: Seq[MediaRow]): Seq[CellRow] =
+    batch.filter(_.kind == "img").flatMap { m =>
+      val b = m.payload
+      if (b.isEmpty) Seq.empty
+      else {
+        val w = (b(0) & 0xff) + 1
+        val h = if (b.length > 1) (b(1) & 0xff) + 1 else 1
+        def px(y: Int, x: Int): Long = (b((y * w + x) % b.length) & 0xff).toLong
+        for {
+          cy <- 0 until ResizeGrid
+          cx <- 0 until ResizeGrid
+          r0 = cy * h / ResizeGrid; r1 = (cy + 1) * h / ResizeGrid
+          c0 = cx * w / ResizeGrid; c1 = (cx + 1) * w / ResizeGrid
+          n = (r1 - r0).toLong * (c1 - c0)
+          if n > 0
+        } yield {
+          var s = 0L
+          var y = r0
+          while (y < r1) { var x = c0; while (x < c1) { s += px(y, x); x += 1 }; y += 1 }
+          CellRow(m.doc_id, cy, cx, n, s / n)
+        }
+      }
+    }
+
+  /** §2.6 #35c — image resize / downsample: every `img` payload
+    * average-pooled to the fixed grid in the same batched
+    * mapPartitions shape as [[multimodalFeatures]] — output is
+    * O(images × G²) regardless of resolution, the property that lets
+    * a thumbnail pass run over petabytes of media without the decoded
+    * pixels ever hitting a shuffle. Integer floor-mean pooling keeps
+    * it bit-exact, so the whole pipeline is DuckDB-oracled despite
+    * the decode stub.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(b => resizeBatch(b.toSeq)))
+      .toDF()
+      .orderBy("doc_id", "cy", "cx")
+  }
+
+  val multimodalResizeSql: String =
+    """WITH img AS (
+      |  SELECT doc_id, text,
+      |    len(text) AS len,
+      |    ord(substring(text, 1, 1)) + 1 AS w,
+      |    CASE WHEN len(text) > 1 THEN ord(substring(text, 2, 1)) + 1 ELSE 1 END AS h
+      |  FROM documents WHERE doc_id % 3 = 0 AND len(text) > 0
+      |), cells AS (
+      |  SELECT doc_id, text, len, w, h,
+      |    unnest(range(0, 4)) AS cy
+      |  FROM img
+      |), cells2 AS (
+      |  SELECT doc_id, text, len, w, h, cy, unnest(range(0, 4)) AS cx
+      |  FROM cells
+      |), bounds AS (
+      |  SELECT doc_id, text, len, w, h, cy, cx,
+      |    cy * h // 4 AS r0, (cy + 1) * h // 4 AS r1,
+      |    cx * w // 4 AS c0, (cx + 1) * w // 4 AS c1
+      |  FROM cells2
+      |), pooled AS (
+      |  SELECT doc_id, CAST(cy AS INT) AS cy, CAST(cx AS INT) AS cx,
+      |    (r1 - r0) * (c1 - c0) AS n_px,
+      |    list_sum(flatten(list_transform(range(r0, r1), y ->
+      |      list_transform(range(c0, c1), x ->
+      |        ord(substring(text, CAST((y * w + x) % len + 1 AS INT), 1)))))) AS s
+      |  FROM bounds
+      |  WHERE r1 > r0 AND c1 > c0
+      |)
+      |SELECT doc_id, cy, cx, CAST(n_px AS BIGINT) AS n_px,
+      |  CAST(s // n_px AS BIGINT) AS mean_val
+      |FROM pooled
+      |ORDER BY doc_id, cy, cx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_resize" -> (multimodalResize _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -354,6 +444,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "multimodal_resize" -> multimodalResizeSql,
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_phash_pairs" -> multimodalPhashPairsSql,
     "multimodal_meta" -> multimodalMetaSql,

@@ -184,6 +184,31 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------- multimodal_resize
+
+  test("multimodal_resize pools every image cell to its exact byte floor-mean") {
+    val rows = multimodal.Multimodal.multimodalResize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val media = multimodal.Multimodal.mediaTable(spark, sf).collect()
+      .filter(_.getAs[String]("kind") == "img")
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == media.filter(_._2.nonEmpty).keySet)
+    rows.foreach { r =>
+      val b = media(r.getAs[Long]("doc_id"))
+      val w = (b(0) & 0xff) + 1
+      val h = if (b.length > 1) (b(1) & 0xff) + 1 else 1
+      val (cy, cx) = (r.getAs[Int]("cy"), r.getAs[Int]("cx"))
+      val (r0, r1, c0, c1) = (cy * h / 4, (cy + 1) * h / 4, cx * w / 4, (cx + 1) * w / 4)
+      val px = for (y <- r0 until r1; x <- c0 until c1) yield (b((y * w + x) % b.length) & 0xff).toLong
+      assert(r.getAs[Long]("n_px") == px.length.toLong)
+      assert(r.getAs[Long]("mean_val") == px.sum / px.length)
+      assert(r.getAs[Long]("mean_val") >= 0 && r.getAs[Long]("mean_val") <= 255)
+    }
+    // output is O(images × G²): never more than 16 cells per image
+    byDoc.values.foreach(cells => assert(cells.length <= 16))
+  }
+
   // ------------------------------------------------------- q_mad_outliers
 
   test("q_mad_outliers equals a plain-Scala median/MAD replay at sf0.001") {
