@@ -3763,7 +3763,59 @@ object Relational {
       |GROUP BY dev.event_type
       |ORDER BY dev.event_type""".stripMargin
 
+  /** §2.2 #21cb — floored running balance (secondary sort): per user,
+    * credits (`signup`/`click`/`view` add ⌊value⌋) and debits
+    * (`purchase`/`error` subtract) folded in event-time order with the
+    * balance clamped at zero — the inventory-depletion / prepaid-credit
+    * recursion `S ← max(0, S + δ)` that NO window function expresses
+    * (the clamp makes each step depend on the previous result;
+    * recursive SQL or a fold is the only formulation, hence rows-only
+    * with a ScalaTest replay).
+    *
+    * Scale shape: the classic secondary-sort pattern —
+    * `repartition(user)` + `sortWithinPartitions(user, ts, id)` +
+    * one `mapPartitions` fold. Each partition streams in constant
+    * memory (no per-user collect, no window buffer); a user's events
+    * are contiguous inside exactly one partition, so the fold never
+    * crosses boundaries. This is how per-key ordered folds survive
+    * 100 TB when `flatMapGroups` (which materializes each group's
+    * iterator from a shuffle) and windows (which buffer frames) are
+    * the wrong tool.
+    */
+  def qRunsumFloor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        when(col("event_type").isin("signup", "click", "view"),
+          floor(col("value")).cast(LongType))
+          .otherwise(-floor(col("value")).cast(LongType)).as("delta"))
+    val folded = e
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Long)] {
+          private val in = it.buffered
+          def hasNext: Boolean = in.hasNext
+          def next(): (Long, Long, Long, Long) = {
+            val user = in.head._1
+            var bal = 0L; var hits = 0L; var n = 0L
+            while (in.hasNext && in.head._1 == user) {
+              val (_, _, _, d) = in.next()
+              n += 1
+              val s = bal + d
+              if (s < 0) { bal = 0L; hits += 1 } else bal = s
+            }
+            (user, n, bal, hits)
+          }
+        }
+      }
+    folded.toDF("user_id", "n_events", "final_balance", "n_floor_hits")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_runsum_floor" -> (qRunsumFloor _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_dist_rank" -> (qDistRank _),
     "q_stl_lite" -> (qStlLite _),

@@ -184,6 +184,33 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- q_runsum_floor
+
+  test("q_runsum_floor equals a plain-Scala clamped fold at sf0.001") {
+    val e = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type"), floor(col("value")).cast("long").as("v")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("v")))
+    val credit = Set("signup", "click", "view")
+    val want = e.groupBy(_._1).map { case (u, xs) =>
+      var bal = 0L; var hits = 0L
+      xs.sortBy(t => (t._2, t._3)).foreach { case (_, _, _, tpe, v) =>
+        val d = if (credit(tpe)) v else -v
+        val s = bal + d
+        if (s < 0) { bal = 0; hits += 1 } else bal = s
+      }
+      u -> ((xs.length.toLong, bal, hits))
+    }
+    val got = Relational.qRunsumFloor(spark, sf).collect().map { r =>
+      r.getAs[Long]("user_id") -> ((r.getAs[Long]("n_events"),
+        r.getAs[Long]("final_balance"), r.getAs[Long]("n_floor_hits")))
+    }.toMap
+    assert(got == want)
+    // the clamp invariant: balances are never negative
+    got.values.foreach { case (_, bal, _) => assert(bal >= 0) }
+  }
+
   // ------------------------------------------------- multimodal_resize
 
   test("multimodal_resize pools every image cell to its exact byte floor-mean") {
