@@ -1256,7 +1256,41 @@ object VectorOps {
   def embKmeans(spark: SparkSession, dir: String): DataFrame =
     embKmeans(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")), 8)
 
+  /** §2.4 #29k — index recall audit: each approximate ANN variant
+    * (LSH, IVF, PQ) scored against the exact brute-force top-k on the
+    * same query batch — overlap@k in exact ppm (integer counts, ONE
+    * floor division). This is the evaluation a pipeline runs before
+    * trusting an index at scale: recall is a property of the data
+    * distribution, not the algorithm, so it must be re-measured per
+    * corpus. The truth set is one broadcast-side table (queries ×
+    * k rows); each comparison is a semi-join overlap count on
+    * (query_id, neighbor_id) — metadata-sized work on top of the
+    * candidate generation itself. Engine-specific candidates →
+    * rows-only; ScalaTest pins the recall floors and the exact
+    * overlap arithmetic.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = annBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    try {
+      val nTruth = truth.count()
+      val methods = Seq(
+        "lsh" -> annLsh(spark, dir),
+        "ivf" -> annIvf(spark, dir),
+        "pq" -> annPq(spark, dir),
+      )
+      methods.map { case (name, df) =>
+        val hits = df.select(col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+        (name, nTruth, hits, hits * 1000000L / math.max(nTruth, 1L))
+      }.toDF("method", "n_truth", "n_hits", "recall_ppm")
+        .orderBy("method")
+    } finally { truth.unpersist(); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall" -> (annRecall _),
     "emb_kmeans" -> (embKmeans(_: SparkSession, _: String)),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_outliers" -> (embOutliers _),

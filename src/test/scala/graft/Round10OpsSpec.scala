@@ -184,6 +184,35 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ ann_recall
+
+  test("ann_recall overlap arithmetic is exact and floors hold at sf0.001") {
+    import graft.operators.VectorOps
+    val truth = VectorOps.annBruteforce(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val byMethod = Map(
+      "lsh" -> VectorOps.annLsh(spark, sf),
+      "ivf" -> VectorOps.annIvf(spark, sf),
+      "pq" -> VectorOps.annPq(spark, sf),
+    ).map { case (m, df) =>
+      m -> df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    }
+    val got = VectorOps.annRecall(spark, sf).collect().map { r =>
+      r.getAs[String]("method") -> ((r.getAs[Long]("n_truth"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm")))
+    }.toMap
+    assert(got.keySet == Set("lsh", "ivf", "pq"))
+    got.foreach { case (m, (nT, nH, ppm)) =>
+      assert(nT == truth.size.toLong)
+      assert(nH == (byMethod(m) intersect truth).size.toLong, s"$m hit count diverges")
+      assert(ppm == nH * 1000000L / nT)
+    }
+    // the recall floors the dedicated specs assert, restated on the report
+    assert(got("lsh")._3 >= 500000L && got("ivf")._3 >= 700000L && got("pq")._3 >= 700000L)
+  }
+
   // --------------------------------------------------------- q_runsum_floor
 
   test("q_runsum_floor equals a plain-Scala clamped fold at sf0.001") {
