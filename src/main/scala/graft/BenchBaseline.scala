@@ -211,6 +211,25 @@ object BenchBaseline {
     "text_heavy_hitters" -> 0.38,
     "text_pmi" -> 0.39,
     "text_quality_calibrated" -> 0.24,
+    // r9 queries: first honest sf0.1 measurement (idle-box cold run,
+    // zero regressions in the same bench invocation)
+    "q_skyline" -> 0.18,
+    "q_winsorize" -> 1.18,
+    "q_compact_plan" -> 0.23,
+    "q_xml_roundtrip" -> 0.43,
+    "q_msf" -> 2.61,
+    "emb_kmeans" -> 0.57,
+    "q_streaks" -> 0.4,
+    "q_growth" -> 0.56,
+    "q_basket_lift" -> 1.64,
+    "q_hll_rollup" -> 0.45,
+    "q_kll_rollup" -> 0.78,
+    "q_stl_lite" -> 0.33,
+    "q_dist_rank" -> 0.63,
+    "q_mad_outliers" -> 0.81,
+    "q_runsum_floor" -> 0.33,
+    "multimodal_resize" -> 0.3,
+    "ann_recall" -> 3.02,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */
