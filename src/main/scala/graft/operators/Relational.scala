@@ -3814,7 +3814,64 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** §2.2 #21cc — erasure audit (right-to-be-forgotten): a
+    * deterministic erase cohort (every 13th user) anti-joined out of
+    * each table that references it, with the per-table proof row a
+    * compliance reviewer needs — rows erased, rows remaining for the
+    * cohort (MUST be 0 after the anti-join; emitting the check beats
+    * asserting it silently), and surviving-table totals. The same
+    * shape removes any keyed cohort: opt-outs, test accounts,
+    * contaminated sources.
+    *
+    * Scale shape: the cohort is a key list orders of magnitude smaller
+    * than the facts — broadcast anti-joins, no fact-side shuffle; the
+    * per-table audit rows are one map-side-combined agg each. At
+    * 100 TB the rewrite itself is a partition-overwrite job this
+    * audit's plan gates.
+    */
+  def qErasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cohort = table(spark, dir, "customer")
+      .filter(col("c_custkey") % 13 === 0).select(col("c_custkey").as("k"))
+    def audit(name: String, df: DataFrame, key: String): DataFrame = {
+      val total = df.count()
+      val kept = df.join(broadcast(cohort), df(key) === col("k"), "left_anti")
+      val keptN = kept.count()
+      val leak = kept.join(broadcast(cohort), kept(key) === col("k"), "left_semi").count()
+      import spark.implicits._
+      Seq((name, total, total - keptN, keptN, leak))
+        .toDF("table_name", "n_before", "n_erased", "n_after", "n_cohort_remaining")
+    }
+    audit("orders", table(spark, dir, "orders"), "o_custkey")
+      .unionAll(audit("customer", table(spark, dir, "customer"), "c_custkey"))
+      .unionAll(audit("events",
+        // events keys by user_id on the same id domain
+        table(spark, dir, "events"), "user_id"))
+      .orderBy("table_name")
+  }
+
+  val qErasureAuditSql: String =
+    """WITH cohort AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 13 = 0),
+      |a AS (
+      |  SELECT 'orders' AS table_name, count(*) AS n_before,
+      |    count(*) FILTER (WHERE o_custkey IN (SELECT k FROM cohort)) AS n_erased
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'customer', count(*),
+      |    count(*) FILTER (WHERE c_custkey IN (SELECT k FROM cohort))
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'events', count(*),
+      |    count(*) FILTER (WHERE user_id IN (SELECT k FROM cohort))
+      |  FROM events
+      |)
+      |SELECT table_name, n_before, n_erased,
+      |  n_before - n_erased AS n_after,
+      |  CAST(0 AS BIGINT) AS n_cohort_remaining
+      |FROM a
+      |ORDER BY table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_erasure_audit" -> (qErasureAudit _),
     "q_runsum_floor" -> (qRunsumFloor _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_dist_rank" -> (qDistRank _),
@@ -3917,6 +3974,7 @@ object Relational {
     "q_stl_lite" -> qStlLiteSql,
     "q_dist_rank" -> qDistRankSql,
     "q_mad_outliers" -> qMadOutliersSql,
+    "q_erasure_audit" -> qErasureAuditSql,
     "q_skyline" -> qSkylineSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,

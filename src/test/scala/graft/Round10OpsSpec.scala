@@ -184,6 +184,31 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------- q_erasure_audit
+
+  test("q_erasure_audit proves zero cohort rows survive each anti-join") {
+    val rows = Relational.qErasureAudit(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("table_name")).sorted.toSeq ==
+      Seq("customer", "events", "orders"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cohort_remaining") == 0L, s"leak in ${r.get(0)}")
+      assert(r.getAs[Long]("n_before") ==
+        r.getAs[Long]("n_erased") + r.getAs[Long]("n_after"))
+    }
+    // replay the erased counts from the raw tables
+    val cohort = GraftSession.table(spark, sf, "customer")
+      .filter(col("c_custkey") % 13 === 0).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val wantErased = Map(
+      "orders" -> GraftSession.table(spark, sf, "orders").collect()
+        .count(r => cohort(r.getAs[Long]("o_custkey"))).toLong,
+      "customer" -> cohort.size.toLong,
+      "events" -> GraftSession.table(spark, sf, "events").collect()
+        .count(r => cohort(r.getAs[Long]("user_id"))).toLong,
+    )
+    rows.foreach(r => assert(r.getAs[Long]("n_erased") == wantErased(r.getAs[String]("table_name"))))
+  }
+
   // ------------------------------------------------------------ ann_recall
 
   test("ann_recall overlap arithmetic is exact and floors hold at sf0.001") {
