@@ -391,6 +391,38 @@ object EventsStream {
       .select(col("user_id"), col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** §2.7 #43c — stream-stream FULL OUTER interval join, completing
+    * the join matrix next to the inner ([[purchaseClickJoin]]) and
+    * left-outer ([[purchaseClickLeftJoin]]) forms: matched
+    * purchase←click pairs emit immediately; an unmatched purchase
+    * emits with null click columns AND an unmatched click emits with
+    * null purchase columns — each only once its side's watermark
+    * PROVES no partner can still arrive. The click side answers the
+    * inverse question the left join cannot: which clicks never
+    * converted. State stays O(watermark window) on both sides — the
+    * same bound, null emission costs nothing extra.
+    */
+  def purchaseClickFullJoin(events: DataFrame, lookbackMinutes: Int = 10): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases
+      .join(
+        clicks,
+        col("click_user") === col("user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("click_ts") < col("purchase_ts"),
+        "full_outer",
+      )
+      .select(coalesce(col("user_id"), col("click_user")).as("user_id"),
+        col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   final case class TypeHit(win_start: Long, event_type: String, ts: Timestamp)
   final case class TopKState(counts: Map[String, Long])
   final case class TopKOut(day: Timestamp, rank: Long, event_type: String, n_events: Long)

@@ -253,6 +253,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join emits both unmatched sides after the watermark") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val input = stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = EventsStream.purchaseClickFullJoin(input, lookbackMinutes = 10)
+      .writeStream.format("memory").queryName("ssfj_out").outputMode("append").start()
+    try {
+      val evs = events.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+        .sortBy(e => (e._2.getTime, e._3))
+      val (b1, b2) = evs.splitAt(evs.size / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val horizon = new Timestamp(evs.map(_._2.getTime).max + 4L * 3600 * 1000)
+      stream.addData(Seq((-1L, horizon, -1L, "click", 0.0), (-1L, horizon, -2L, "purchase", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((-1L, horizon, -3L, "click", 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("ssfj_out").filter(col("user_id") =!= -1L)
+        .select(col("purchase_id"), col("click_id"))
+        .as[(Option[Long], Option[Long])].collect().toSet
+
+      val p = events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+      val c = events.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"), unix_micros(col("ts")).as("c_us"))
+      val want = p.join(
+          c,
+          col("pu") === col("cu") && col("c_us") >= col("p_us") - lit(600000000L) && col("c_us") < col("p_us"),
+          "full_outer",
+        )
+        .select(col("purchase_id"), col("click_id")).as[(Option[Long], Option[Long])].collect().toSet
+      assert(got == want, s"stream=${got.size} batch=${want.size}")
+      // all three row classes must be present for the test to mean anything
+      assert(want.exists(t => t._1.nonEmpty && t._2.nonEmpty))
+      assert(want.exists(t => t._1.nonEmpty && t._2.isEmpty), "never-clicked purchases")
+      assert(want.exists(t => t._1.isEmpty && t._2.nonEmpty), "never-converted clicks")
+    } finally q.stop()
+  }
+
   test("streaming lake sink: micro-batches land content-addressed, replays dedupe") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-lake")
