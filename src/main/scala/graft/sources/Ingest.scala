@@ -182,6 +182,68 @@ object Ingest {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic malformed JSONL lines planted by
+    * [[qJsonlQuarantine]] — truncation, bare text, wrong nesting,
+    * unclosed strings: the shapes real feeds actually break in.
+    */
+  private val CorruptLines = Seq(
+    """{"doc_id": 900001, "source": """,
+    """this is not json at all""",
+    """{"doc_id": 900002 "source": "x", "text": "missing comma"}""",
+    """{"doc_id": 900003, "source": "x", "text": "unclosed""",
+    """{"doc_id": 900004,, "source": "x"}""",
+    """}{""",
+    """{{""",
+  )
+
+  /** named query: malformed-line quarantine on JSONL ingest — the
+    * corpus is written as JSONL, seven deterministic corrupt lines are
+    * planted beside it, and the read-back uses PERMISSIVE mode with a
+    * corrupt-record column so bad lines are QUARANTINED, not dropped
+    * and not fatal. At 100 TB/day of feed data, FAILFAST means one bad
+    * line kills the job and DROPMALFORMED silently loses data — the
+    * production contract is "count it, keep the raw line, continue",
+    * which is what this query proves: every good row survives
+    * (id-sum-exact) and every planted line lands in quarantine. (The
+    * aggregate reads doc_id alongside the corrupt column — Spark
+    * refuses a query that selects ONLY the internal corrupt column
+    * from a JSON scan.)
+    */
+  def qJsonlQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = scratchDir(spark) + "/documents_quarantine.jsonl"
+    writeAuto(graft.GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")), tmp)
+    // plant the corrupt shard next to the good part files
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "zz-corrupt.json"),
+      CorruptLines.mkString("\n").getBytes("UTF-8"))
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType),
+    ))
+    val parsed = spark.read.schema(sch)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .json(tmp)
+    // the aggregate references doc_id alongside _corrupt, so Spark's
+    // "only the corrupt column" restriction doesn't bite — no cache
+    parsed
+      .select(when(col("_corrupt").isNull, "good").otherwise("quarantined").as("class"),
+        coalesce(col("doc_id"), lit(0L)).as("id"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("class") === "good", col("id")).otherwise(0L)).as("id_sum"))
+      .orderBy("class")
+  }
+
+  val qJsonlQuarantineSql: String =
+    """SELECT 'good' AS class, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents
+      |UNION ALL
+      |SELECT 'quarantined', 7, 0
+      |ORDER BY class""".stripMargin
+
   /** Write `df` as a bucketed+sorted parquet table under the session
     * scratch dir (external location → reclaimed by the scratch
     * shutdown hook; table NAME lives only in this session's in-memory
@@ -292,6 +354,7 @@ object Ingest {
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
+    "q_jsonl_quarantine" -> (qJsonlQuarantine _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
   )
@@ -301,6 +364,7 @@ object Ingest {
     "q_jsonl_roundtrip" -> qJsonlRoundtripSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_xml_roundtrip" -> qXmlRoundtripSql,
+    "q_jsonl_quarantine" -> qJsonlQuarantineSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
   )

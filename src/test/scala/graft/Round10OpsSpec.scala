@@ -184,6 +184,19 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------- q_jsonl_quarantine
+
+  test("q_jsonl_quarantine keeps every good row and quarantines every planted line") {
+    val rows = Ingest.qJsonlQuarantine(spark, sf).collect()
+      .map(r => r.getAs[String]("class") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("id_sum")))).toMap
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(rows("good") == ((docs.length.toLong, docs.sum)))
+    assert(rows("quarantined")._1 == 7L, "all seven malformed lines must quarantine")
+    assert(rows.keySet == Set("good", "quarantined"))
+  }
+
   // ------------------------------------------------------- q_erasure_audit
 
   test("q_erasure_audit proves zero cohort rows survive each anti-join") {
