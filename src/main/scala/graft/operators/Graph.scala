@@ -805,7 +805,96 @@ object Graph {
       .orderBy("u", "v")
   }
 
+  /** Weighted single-source shortest paths by `rounds` Bellman-Ford
+    * relaxations — [[bfs]]'s min-plus generalization: each round joins
+    * the edge list with the current distance vector (shuffle on src)
+    * and takes the per-node min of (old distance, via-edge distance).
+    * Unreached nodes simply have no row (no ∞ sentinel to overflow);
+    * after ≥ |V|−1 rounds the fixpoint is the true shortest paths,
+    * with fewer rounds it is exact for paths of that many hops — the
+    * bounded-round contract the unrolled-CTE oracle replays exactly.
+    * localCheckpoint per round cuts the O(rounds) lineage.
+    */
+  def sssp(edges: DataFrame, seed: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ed = edges.select(col("src"), col("dst"), col("w")).cache()
+    var dist = Seq((seed, 0L)).toDF("node_id", "dist").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = ed.join(dist, col("src") === col("node_id"))
+        .select(col("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node_id"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    ed.unpersist()
+    dist.orderBy("node_id")
+  }
+
+  /** §2.8 #55 — cheapest trade routes: 4-round weighted SSSP from
+    * nation 0 over the cents-weighted nation graph (the q_msf edge
+    * relation) — "cheapest way to reach every trading partner within
+    * 4 hops". Same shuffle shapes as BFS; the weight just rides the
+    * join.
+    */
+  def qSssp(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(
+        least(col("c_nationkey"), col("s_nationkey")).cast(LongType).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast(LongType).as("v"),
+        (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy(col("u"), col("v")).agg(min(col("cents")).as("w"))
+      .localCheckpoint() // feeds both union directions
+    val edges = base.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(base.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    sssp(edges, 0L, 4)
+  }
+
+  val qSsspSql: String = {
+    // each round references prev TWICE (carry + relax) — inlined, the
+    // expansion is exponential in rounds and re-runs the fact join ~30
+    // times; MATERIALIZED forces one evaluation per CTE in DuckDB
+    def round(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT node_id, min(dist) AS dist FROM (
+         |    SELECT node_id, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node_id, m.dist + e.w AS dist
+         |    FROM e JOIN $prev m ON m.node_id = e.src
+         |  ) GROUP BY node_id
+         |)""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT CAST(least(c_nationkey, s_nationkey) AS BIGINT) AS u,
+       |    CAST(greatest(c_nationkey, s_nationkey) AS BIGINT) AS v,
+       |    min(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS w
+       |  FROM orders
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey != s_nationkey
+       |  GROUP BY 1, 2
+       |), e AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst, w FROM base
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst, w FROM base
+       |), d0 AS (SELECT CAST(0 AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS dist),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")},
+       |${round("d3", "d4")}
+       |SELECT node_id, dist FROM d4 ORDER BY node_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sssp" -> (qSssp _),
     "q_msf" -> (qMsf _),
     "q_kcore" -> (qKcore _),
     "q_ppr" -> (qPpr _),
@@ -818,6 +907,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sssp" -> qSsspSql,
     "q_kcore" -> qKcoreSql,
     "q_ppr" -> qPprSql,
     "q_communities" -> qCommunitiesSql,

@@ -184,6 +184,59 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- q_sssp
+
+  test("sssp on a hand graph relaxes exactly like bounded-round Bellman-Ford") {
+    import TestSpark.spark.implicits._
+    // a cheap long path vs an expensive direct edge: 4 rounds find the
+    // 3-hop cheap route; the 1-round prefix only the direct edge
+    val edges0 = Seq(
+      (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), // cheap chain 0→3 cost 3
+      (0L, 3L, 10L),                            // expensive direct
+      (3L, 4L, 1L),
+      (5L, 6L, 2L),                             // unreachable island
+    )
+    val edges = (edges0 ++ edges0.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+    val d4 = Graph.sssp(edges, 0L, 4).as[(Long, Long)].collect().toMap
+    assert(d4 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L),
+      "4 rounds must find the cheap 3-hop route and exclude the island")
+    val d1 = Graph.sssp(edges, 0L, 1).as[(Long, Long)].collect().toMap
+    assert(d1 == Map(0L -> 0L, 1L -> 1L, 3L -> 10L),
+      "1 round sees only direct edges (bounded-round contract)")
+  }
+
+  test("q_sssp distances obey the triangle inequality over every edge") {
+    val dist = Graph.qSssp(spark, sf).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("dist")).toMap
+    assert(dist(0L) == 0L)
+    // rebuild the edge relation and check relaxation closure: for a
+    // 4-round prefix, dist(v) <= dist(u) + w only holds where dist(v)
+    // settled — check the weaker sound property dist(v) >= 0 and
+    // reached ⊆ component of 0 via MSF edges is overkill; instead pin
+    // that every reached non-seed node's distance equals min over
+    // in-edges from reached nodes of (dist(u) + w) for SOME u — i.e.
+    // each distance is witnessed by an actual path
+    val base = GraftSession.table(spark, sf, "orders")
+      .join(GraftSession.table(spark, sf, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(GraftSession.table(spark, sf, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(GraftSession.table(spark, sf, "supplier").select(col("s_nationkey"), col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("v"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy("u", "v").agg(min(col("cents")).as("w")).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"), r.getAs[Long]("w")))
+    val und = base ++ base.map(t => (t._2, t._1, t._3))
+    dist.filter(_._1 != 0L).foreach { case (v, d) =>
+      val witnesses = und.filter(e => e._2 == v && dist.contains(e._1))
+        .map(e => dist(e._1) + e._3)
+      assert(witnesses.nonEmpty && witnesses.min <= d && d > 0,
+        s"node $v distance $d has no edge witness")
+    }
+  }
+
   // --------------------------------------------------- q_jsonl_quarantine
 
   test("q_jsonl_quarantine keeps every good row and quarantines every planted line") {
