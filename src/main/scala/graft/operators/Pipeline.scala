@@ -967,7 +967,50 @@ object Pipeline {
       |WHERE rn <= $DomainCapK
       |ORDER BY source, rank""".stripMargin
 
+  /** §2.3 #26p — train/val/test holdout split: every document routed
+    * to a split by its md5 percentile bucket (u32 prefix mod 100 —
+    * train < 90, val < 95, test otherwise), reported per (source,
+    * split) with an id-sum receipt. Hash-of-id routing is the ONLY
+    * split that survives a growing corpus: a row's split never changes
+    * when new data arrives (random() reshuffles everything, row_number
+    * shifts on every insert), and the per-source report shows the
+    * proportions hold within every stratum, not just globally —
+    * the leakage audit before any eval is trusted.
+    *
+    * Scale shape: one map-side hash + one map-side-combined rollup;
+    * nothing else. The split column is a pure function of the row, so
+    * downstream readers can recompute it without a join.
+    */
+  def qSplitHoldout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.GraftSession.table
+    table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        pmod(conv(substring(md5(concat_ws(":", lit("split"), col("doc_id"))), 1, 8), 16, 10)
+          .cast(LongType), lit(100L)).as("bucket"))
+      .select(col("source"), col("doc_id"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("source", "split")
+  }
+
+  val qSplitHoldoutSql: String =
+    """WITH b AS (
+      |  SELECT source, doc_id,
+      |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT source,
+      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM b
+      |GROUP BY 1, 2
+      |ORDER BY source, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_holdout" -> (qSplitHoldout _),
     "text_domain_cap" -> (textDomainCap _),
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_lineage" -> (pipelineLineage _),
@@ -985,6 +1028,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_split_holdout" -> qSplitHoldoutSql,
     "text_domain_cap" -> textDomainCapSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_lineage" -> pipelineLineageSql,

@@ -184,6 +184,34 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------- q_split_holdout
+
+  test("q_split_holdout is stable under corpus growth and partitions every stratum") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.qSplitHoldout(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("id_sum")))).toMap
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    // splits partition each source exactly
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val bySplit = rows.filter(_._1._1 == src).values
+      assert(bySplit.map(_._1).sum == xs.length.toLong)
+      assert(bySplit.map(_._2).sum == xs.map(_._2).sum)
+    }
+    // growth-stability: recompute each doc's split independently — the
+    // property that a row's split never changes as the corpus grows
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = docs.map { case (src, id) =>
+      val b = java.lang.Long.parseLong(md5hex(s"split:$id").take(8), 16) % 100
+      (src, if (b < 90) "train" else if (b < 95) "val" else "test")
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    rows.foreach { case (k, (n, _)) => assert(want.getOrElse(k, 0L) == n, s"split count diverges at $k") }
+  }
+
   // ---------------------------------------------------------------- q_sssp
 
   test("sssp on a hand graph relaxes exactly like bounded-round Bellman-Ford") {
