@@ -224,18 +224,23 @@ object Ingest {
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType),
     ))
+    // the parsed frame MUST be cached: a pruned consumer (count()
+    // prunes to the corrupt column alone) trips Spark's
+    // QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction on a raw JSON scan;
+    // the cache materializes the full schema and the restriction
+    // doesn't apply to the in-memory relation (the documented
+    // workaround). materialized() releases it after the 2-row
+    // aggregate lands.
     val parsed = spark.read.schema(sch)
       .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
-      .json(tmp)
-    // the aggregate references doc_id alongside _corrupt, so Spark's
-    // "only the corrupt column" restriction doesn't bite — no cache
-    parsed
+      .json(tmp).cache()
+    val agg = parsed
       .select(when(col("_corrupt").isNull, "good").otherwise("quarantined").as("class"),
         coalesce(col("doc_id"), lit(0L)).as("id"))
       .groupBy(col("class"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("class") === "good", col("id")).otherwise(0L)).as("id_sum"))
-      .orderBy("class")
+    graft.GraftSession.materialized(agg, Seq("class"), parsed)
   }
 
   val qJsonlQuarantineSql: String =
