@@ -433,8 +433,105 @@ object Multimodal {
       |FROM pooled
       |ORDER BY doc_id, cy, cx""".stripMargin
 
+  // ------------------------------------------------------ audio energy
+
+  /** Typed row leaving the (stub) audio decoder: per-asset energy
+    * profile from the frame-windowed VAD pass.
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_samples: Long,
+      n_frames: Long,
+      n_active: Long,
+      peak_avg: Long,
+      active_ppm: Long,
+  )
+
+  /** Samples per analysis frame (≈16 ms at 16 kHz — the standard VAD
+    * frame).
+    */
+  val AudioFrameSamples = 256
+
+  /** A frame whose mean per-sample energy reaches this is "active"
+    * (speech/sound vs silence in a real decoder).
+    */
+  val AudioActiveThreshold = 2500L
+
+  /** STUB audio decode: payload bytes as unsigned 8-bit PCM, centered
+    * at 128. A real implementation hands the batch to a PCM/opus
+    * decoder here; the frame windowing, integer energy math,
+    * activity gate, and typed output schema are the production
+    * plumbing and identical for real samples. All integer: per frame
+    * energy = Σ(v²), mean = energy div frame_len (partial tail frame
+    * normalized by ITS length, so short tails are comparable).
+    */
+  def decodeAudioBatch(batch: Seq[MediaRow]): Seq[AudioFeatures] =
+    batch.filter(m => m.kind == "aud" && m.payload.nonEmpty).map { m =>
+      val avgs = m.payload.grouped(AudioFrameSamples).map { fr =>
+        val energy = fr.foldLeft(0L) { (acc, b) =>
+          val v = (b & 0xff) - 128L
+          acc + v * v
+        }
+        energy / fr.length
+      }.toVector
+      val nActive = avgs.count(_ >= AudioActiveThreshold).toLong
+      AudioFeatures(m.doc_id, m.payload.length.toLong, avgs.length.toLong,
+        nActive, avgs.max, nActive * 1000000L / avgs.length)
+    }
+
+  /** §2.6 #35d — audio activity detection (the VAD/energy-gate pass an
+    * ASR/TTS data pipeline runs to drop silence and score assets
+    * before the expensive transcription stage): every `aud` payload is
+    * windowed into [[AudioFrameSamples]]-sample frames, each frame's
+    * integer mean energy gates it active/silent, and the per-asset
+    * profile (frame counts, active share in ppm, peak frame energy)
+    * comes back as one typed row. Same batched mapPartitions decode
+    * shape as [[multimodalFeatures]] — swapping in a real codec
+    * changes only [[decodeAudioBatch]].
+    *
+    * Scale shape: pure map-side (no shuffle before the final
+    * orderBy); decoder memory is bounded by [[DecodeBatchSize]] ×
+    * frame buffer regardless of partition size. All arithmetic is
+    * int64, so the whole pipeline is DuckDB-oracle-checkable
+    * byte-for-byte.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(b => decodeAudioBatch(b.toSeq)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val multimodalAudioSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, len(text) AS n,
+      |    unnest(range(0, len(text))) AS j, text
+      |  FROM documents WHERE doc_id % 3 = 1 AND len(text) > 0
+      |), v AS (
+      |  SELECT doc_id, j // 256 AS frame,
+      |    CAST(ord(substring(text, CAST(j + 1 AS INT), 1)) - 128 AS BIGINT) AS s
+      |  FROM a
+      |), fr AS (
+      |  SELECT doc_id, frame, count(*) AS fn, sum(s * s) AS energy
+      |  FROM v GROUP BY 1, 2
+      |), fa AS (
+      |  SELECT doc_id, frame, fn, CAST(energy // fn AS BIGINT) AS avg_e FROM fr
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(fn) AS BIGINT) AS n_samples,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(CASE WHEN avg_e >= 2500 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+      |  CAST(max(avg_e) AS BIGINT) AS peak_avg,
+      |  CAST(sum(CASE WHEN avg_e >= 2500 THEN 1 ELSE 0 END) * 1000000 // count(*)
+      |    AS BIGINT) AS active_ppm
+      |FROM fa
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_resize" -> (multimodalResize _),
+    "multimodal_audio" -> (multimodalAudio _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -445,6 +542,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "multimodal_resize" -> multimodalResizeSql,
+    "multimodal_audio" -> multimodalAudioSql,
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_phash_pairs" -> multimodalPhashPairsSql,
     "multimodal_meta" -> multimodalMetaSql,

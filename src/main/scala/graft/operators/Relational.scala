@@ -2613,6 +2613,115 @@ object Relational {
       |FROM c
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** §2.2 #21cf — time-in-state / dwell-time report: how long users
+    * SIT in each state before the next event — the duration companion
+    * to [[qMarkov]]'s transition counts (where do users stall vs flow;
+    * the session-UX and ops-funnel latency signal). Each inter-event
+    * gap is attributed to the EARLIER event's type; per state the
+    * report carries interval count, total/mean/max dwell in exact
+    * integer microseconds.
+    *
+    * Scale shape: one `lead` window pass on the per-user (µs,
+    * event_id) total order (bounded frame, user streams short — the
+    * q_markov shape) + one small agg over |event_types| groups. All
+    * int64; mean is floor division after the aggregate, so no float
+    * enters.
+    */
+  def qDwell(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("dwell", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dwell").isNotNull)
+      .groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dwell")).as("total_us"),
+        max(col("dwell")).as("max_us"))
+      .withColumn("mean_us", expr("total_us div n_intervals"))
+      .orderBy("state")
+  }
+
+  val qDwellSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+      |), d AS (
+      |  SELECT event_type AS state,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dwell
+      |  FROM e
+      |)
+      |SELECT state, count(*) AS n_intervals,
+      |  CAST(sum(dwell) AS BIGINT) AS total_us,
+      |  CAST(max(dwell) AS BIGINT) AS max_us,
+      |  CAST(sum(dwell) // count(*) AS BIGINT) AS mean_us
+      |FROM d WHERE dwell IS NOT NULL
+      |GROUP BY state
+      |ORDER BY state""".stripMargin
+
+  /** §2.2 #21cd — frequent sequential patterns (PrefixSpan-lite):
+    * which "a happens, then LATER b happens" patterns are common
+    * across users — the sequence-mining upgrade of [[qMarkov]], which
+    * only sees ADJACENT pairs. Pattern a→b holds for a user iff some
+    * occurrence of a precedes some occurrence of b in their stream
+    * (any gap allowed); support = users exhibiting it; patterns below
+    * 1% user share are pruned. a→a (support = "a recurs") is included
+    * — the repeat-behavior signal.
+    *
+    * Scale shape: the classic formulation enumerates occurrence pairs
+    * (quadratic per user). This is linear: a→b for a user ⟺
+    * first_pos(a) < last_pos(b), so one bounded per-user window
+    * (row_number on the (µs, event_id) total order, same as
+    * [[qMarkov]]) + a (user, type) min/max rollup collapses each
+    * user to ≤|event_types| rows, and the per-user self-join is then
+    * ≤|event_types|² rows/user regardless of stream length. Counts
+    * exact int64, share floor-quantized to ppm — no float.
+    */
+  def qSeqmine(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val spans = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("pos", row_number().over(w))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+    val a = spans.select(col("user_id"), col("event_type").as("a"), col("first_pos"))
+    val b = spans.select(col("user_id").as("b_user"), col("event_type").as("b"),
+      col("last_pos"))
+    val nUsers = table(spark, dir, "events")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    a.join(b, col("user_id") === col("b_user") && col("first_pos") < col("last_pos"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nUsers))
+      .withColumn("share_ppm", expr("(support * 1000000L) div n_users"))
+      .filter(col("share_ppm") >= 10000)
+      .select(col("a"), col("b"), col("support"), col("share_ppm"))
+      .orderBy("a", "b")
+  }
+
+  val qSeqmineSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+      |), p AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS pos
+      |  FROM e
+      |), s AS (
+      |  SELECT user_id, event_type,
+      |    min(pos) AS first_pos, max(pos) AS last_pos
+      |  FROM p GROUP BY 1, 2
+      |), u AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+      |pat AS (
+      |  SELECT a.event_type AS a, b.event_type AS b, count(*) AS support
+      |  FROM s a JOIN s b ON a.user_id = b.user_id AND a.first_pos < b.last_pos
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a, b, CAST(support AS BIGINT) AS support,
+      |  CAST(support * 1000000 // n_users AS BIGINT) AS share_ppm
+      |FROM pat CROSS JOIN u
+      |WHERE support * 1000000 // n_users >= 10000
+      |ORDER BY a, b""".stripMargin
+
   /** §2.2 #21ax — item-item cosine similarity over the co-purchase
     * matrix ("customers who bought X also bought Y, normalized"):
     * cosine(i,j) = |orders with both| / √(|orders with i|·|orders
@@ -3895,6 +4004,8 @@ object Relational {
     "q_pareto" -> (qPareto _),
     "q_mode" -> (qMode _),
     "q_markov" -> (qMarkov _),
+    "q_seqmine" -> (qSeqmine _),
+    "q_dwell" -> (qDwell _),
     "q_item_sim" -> (qItemSim _),
     "q_copurchase" -> (qCopurchase _),
     "q_ntile" -> (qNtile _),
@@ -3982,6 +4093,8 @@ object Relational {
     "q_pareto" -> qParetoSql,
     "q_mode" -> qModeSql,
     "q_markov" -> qMarkovSql,
+    "q_seqmine" -> qSeqmineSql,
+    "q_dwell" -> qDwellSql,
     "q_item_sim" -> qItemSimSql,
     "q_copurchase" -> qCopurchaseSql,
     "q_ntile" -> qNtileSql,

@@ -385,6 +385,79 @@ object TableFormat {
       |GROUP BY source, bin
       |ORDER BY source, bin""".stripMargin
 
+  // ------------------------------------------------- deletion vectors
+
+  /** §2.2 #21ce — merge-on-read deletion vectors: the OTHER delete
+    * path next to `q_upsert`'s copy-on-write MERGE. A delete commit
+    * writes no data files — only a tiny positional vector
+    * `(file_id, pos)` naming rows to suppress — and every subsequent
+    * read applies the vector as an anti join. Positions, not keys:
+    * the reader never needs the table's key columns or their
+    * uniqueness, which is what lets a format delete from ANY file
+    * (Delta DVs / Iceberg positional delete files). Demo layout
+    * derives 8 "files" from `orders` (file_id = key % 8, pos = rank
+    * within file by key — deterministic stand-ins for the physical
+    * file/row-index a real format records at write time); one delete
+    * commit tombstones every 13th key plus file 3's first 10
+    * positions (a positional delete no key predicate expresses). The
+    * report pins per-file live/deleted counts and exact-cents live
+    * sums — reconciling to the base totals proves suppressed rows
+    * are hidden, not lost.
+    *
+    * Scale shape: the DV side is vanishingly small relative to the
+    * base (deletes-per-commit, not table size), so the read-side anti
+    * join BROADCASTS — zero shuffle added to any consumer's plan; the
+    * base scan stays untouched (no rewrite amplification, the whole
+    * point of MOR deletes at 100 TB). The `pos` window here exists
+    * only to derive the demo layout; a real reader gets positions for
+    * free from the scan.
+    */
+  def qDeleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"),
+        floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"))
+      .withColumn("file_id", col("key") % 8)
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("file_id")).orderBy(col("key")))
+          .cast(LongType))
+    val dv = base
+      .filter(col("key") % 13 === 0 || (col("file_id") === 3 && col("pos") <= 10))
+      .select(col("file_id"), col("pos"))
+    val live = base.join(broadcast(dv), Seq("file_id", "pos"), "left_anti")
+    val nDel = broadcast(dv.groupBy(col("file_id")).agg(count(lit(1)).as("n_deleted")))
+    live.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("live_cents"))
+      .join(nDel, Seq("file_id"), "left_outer")
+      .select(col("file_id"), col("n_live"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"), col("live_cents"))
+      .orderBy("file_id")
+  }
+
+  val qDeleteVectorsSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    o_orderkey % 8 AS file_id,
+      |    CAST(row_number() OVER (PARTITION BY o_orderkey % 8 ORDER BY o_orderkey)
+      |      AS BIGINT) AS pos
+      |  FROM orders
+      |), dv AS (
+      |  SELECT file_id, pos FROM base
+      |  WHERE key % 13 = 0 OR (file_id = 3 AND pos <= 10)
+      |), live AS (
+      |  SELECT * FROM base
+      |  WHERE NOT EXISTS (SELECT 1 FROM dv
+      |    WHERE dv.file_id = base.file_id AND dv.pos = base.pos)
+      |)
+      |SELECT l.file_id, l.n_live, coalesce(d.n_deleted, 0) AS n_deleted,
+      |  l.live_cents
+      |FROM (SELECT file_id, count(*) AS n_live,
+      |        CAST(sum(cents) AS BIGINT) AS live_cents
+      |      FROM live GROUP BY file_id) l
+      |LEFT JOIN (SELECT file_id, count(*) AS n_deleted FROM dv GROUP BY file_id) d
+      |  USING (file_id)
+      |ORDER BY file_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compact_plan" -> (qCompactPlan _),
     "q_time_travel" -> (qTimeTravel _),
@@ -392,6 +465,7 @@ object TableFormat {
     "q_txn_conflict" -> (qTxnConflict _),
     "q_zonemap" -> (qZonemap _),
     "q_cms" -> (qCms _),
+    "q_delete_vectors" -> (qDeleteVectors _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -401,5 +475,6 @@ object TableFormat {
     "q_txn_conflict" -> qTxnConflictSql,
     "q_zonemap" -> qZonemapSql,
     "q_cms" -> qCmsSql,
+    "q_delete_vectors" -> qDeleteVectorsSql,
   )
 }

@@ -1173,6 +1173,98 @@ object TextAnalysis {
       |FROM f GROUP BY word HAVING count(DISTINCT doc_id) >= 20
       |ORDER BY word""".stripMargin
 
+  // ------------------------------------------------------ RAKE keyphrases
+
+  /** §2.5 #33x — RAKE keyphrase extraction (Rose et al. 2010,
+    * "Automatic Keyword Extraction from Individual Documents"):
+    * candidate phrases are maximal stopword-free token runs; a word
+    * scores deg/freq (deg = summed length of phrases it appears in —
+    * co-occurrence degree including self; freq = occurrence count);
+    * a phrase scores the sum of its member words' scores. The
+    * corpus-level top-100 multiword phrases by score — the
+    * unsupervised index-term/topic-label extractor that needs no
+    * training data, one step up from [[textTfidf]]'s single terms.
+    *
+    * Scale shape: token explode is map-side; phrase segmentation is a
+    * per-doc running-sum window on the (doc, pos) order (bounded —
+    * document streams, never corpus-wide); word stats and
+    * phrase-type stats shuffle on Zipf-bounded vocab / phrase-type
+    * keys; the final top-100 is a TakeOrdered under the total
+    * (score, phrase) order, never a global sort. Scores are
+    * floor-quantized ppm int64 — no float.
+    */
+  def textRake(spark: SparkSession, dir: String): DataFrame = {
+    val stops = stopwords.toMap.apply("en")
+    val wStop = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val member = docs(spark, dir)
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+      .withColumn("is_stop",
+        when(col("w").isin(stops: _*) || col("w") === "", 1L).otherwise(0L))
+      .withColumn("phrase_id", sum(col("is_stop")).over(wStop))
+      .filter(col("is_stop") === 0)
+    val phrases = member
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(collect_list(struct(col("pos"), col("w"))).as("ws"))
+      .select(
+        expr("array_join(transform(array_sort(ws), x -> x.w), ' ')").as("phrase"),
+        size(col("ws")).cast(LongType).as("plen"))
+    val wscore = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("plen"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"), expr("(deg * 1000000L) div freq").as("wscore_ppm"))
+    phrases
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+      .select(col("phrase"), col("n_occ"), explode(split(col("phrase"), " ")).as("w"))
+      .join(wscore, "w")
+      .groupBy(col("phrase"), col("n_occ"))
+      .agg(count(lit(1)).as("plen"), sum(col("wscore_ppm")).as("score_ppm"))
+      .filter(col("plen") >= 2)
+      .select(col("phrase"), col("n_occ"), col("plen"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(100)
+  }
+
+  val textRakeSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(toks) AS w,
+      |    unnest(range(1, len(toks) + 1)) AS pos
+      |  FROM ws
+      |), marked AS (
+      |  SELECT doc_id, w, pos,
+      |    CASE WHEN w IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')
+      |      OR w = '' THEN 1 ELSE 0 END AS is_stop
+      |  FROM tok
+      |), ph AS (
+      |  SELECT doc_id, w, pos, is_stop,
+      |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      |  FROM marked
+      |), phrases AS (
+      |  SELECT doc_id, phrase_id,
+      |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+      |    CAST(count(*) AS BIGINT) AS plen
+      |  FROM ph WHERE is_stop = 0 GROUP BY 1, 2
+      |), occ AS (
+      |  SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phrases
+      |), wscore AS (
+      |  SELECT w, CAST(sum(plen) * 1000000 // count(*) AS BIGINT) AS wscore_ppm
+      |  FROM occ GROUP BY w
+      |), ptype AS (
+      |  SELECT phrase, count(*) AS n_occ FROM phrases GROUP BY 1
+      |), pw AS (
+      |  SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w FROM ptype
+      |)
+      |SELECT p.phrase, CAST(p.n_occ AS BIGINT) AS n_occ,
+      |  CAST(count(*) AS BIGINT) AS plen,
+      |  CAST(sum(s.wscore_ppm) AS BIGINT) AS score_ppm
+      |FROM pw p JOIN wscore s USING (w)
+      |GROUP BY p.phrase, p.n_occ
+      |HAVING count(*) >= 2
+      |ORDER BY score_ppm DESC, phrase
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_inverted" -> (textInverted _),
     "text_pmi" -> (textPmi _),
@@ -1191,6 +1283,7 @@ object TextAnalysis {
     "text_winnow_pairs" -> (textWinnowPairs _),
     "text_repetition" -> (textRepetition _),
     "text_tfidf" -> (textTfidf _),
+    "text_rake" -> (textRake _),
     "text_pii" -> (textPii _),
     "text_vocab" -> (textVocab _),
     "text_vocab_growth" -> (textVocabGrowth _),
@@ -1216,6 +1309,7 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
+    "text_rake" -> textRakeSql,
     "text_pii" -> textPiiSql,
     "text_vocab" -> textVocabSql,
     "text_vocab_growth" -> textVocabGrowthSql,

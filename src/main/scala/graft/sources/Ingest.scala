@@ -354,6 +354,80 @@ object Ingest {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  /** §2.8 #46f — schema evolution on read: a long-lived table whose
+    * parquet files were written by THREE pipeline generations with a
+    * widening schema (gen 1: key+cents; gen 2 adds `disc_cents`;
+    * gen 3 adds `channel`), read back as ONE table via `mergeSchema`
+    * over hive-style `gen=N` directories. Rows written before a
+    * column existed MUST surface as NULL — never a read error, never
+    * dropped, never a backfill rewrite: on a table that has lived for
+    * years, heterogeneous file schemas are the steady state, and
+    * rewriting old files to add a column is exactly the full-table
+    * write a 100 TB lake must not need. The report pins per-generation
+    * row counts, the null count of each late column (old generations
+    * must be all-NULL for columns they predate), and exact-cents sums.
+    *
+    * Scale shape: schema merging reads parquet FOOTERS, not data —
+    * a metadata pass Spark parallelizes over the file listing; the
+    * report is one scan + partial agg keyed on the partition column,
+    * and a generation predicate (`gen = 3`) would prune whole
+    * directories. The oracle replays the generation rules from the
+    * original table — the evolved layout must not change a value.
+    */
+  def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratchDir(spark)}/orders_evolution_${Integer.toHexString(dir.hashCode)}"
+    val o = graft.GraftSession.table(spark, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    if (evolutionDone.add(root)) {
+      o.filter(col("key") % 3 === 0).select("key", "cents")
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      o.filter(col("key") % 3 === 1)
+        .select(col("key"), col("cents"), expr("cents DIV 20").as("disc_cents"))
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+      o.filter(col("key") % 3 === 2)
+        .select(col("key"), col("cents"), expr("cents DIV 20").as("disc_cents"),
+          when(col("key") % 2 === 0, "web").otherwise("store").as("channel"))
+        .write.mode("overwrite").parquet(s"$root/gen=3")
+    }
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(col("gen"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("sum_cents"),
+        sum(when(col("disc_cents").isNull, 1L).otherwise(0L)).as("n_disc_null"),
+        sum(coalesce(col("disc_cents"), lit(0L))).as("sum_disc"),
+        sum(when(col("channel").isNull, 1L).otherwise(0L)).as("n_channel_null"),
+        count(when(col("channel") === "web", 1)).as("n_web"),
+      )
+      .orderBy("gen")
+  }
+  private val evolutionDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  val qSchemaEvolutionSql: String =
+    """WITH o AS (
+      |  SELECT CAST(o_orderkey % 3 + 1 AS INTEGER) AS gen,
+      |    o_orderkey AS key,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |), e AS (
+      |  SELECT gen, key, cents,
+      |    CASE WHEN gen >= 2 THEN cents // 20 END AS disc_cents,
+      |    CASE WHEN gen = 3 THEN
+      |      CASE WHEN key % 2 = 0 THEN 'web' ELSE 'store' END
+      |    END AS channel
+      |  FROM o
+      |)
+      |SELECT gen, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CASE WHEN disc_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_disc_null,
+      |  CAST(sum(coalesce(disc_cents, 0)) AS BIGINT) AS sum_disc,
+      |  CAST(sum(CASE WHEN channel IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_channel_null,
+      |  CAST(count(CASE WHEN channel = 'web' THEN 1 END) AS BIGINT) AS n_web
+      |FROM e
+      |GROUP BY gen
+      |ORDER BY gen""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
@@ -362,6 +436,7 @@ object Ingest {
     "q_jsonl_quarantine" -> (qJsonlQuarantine _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,5 +447,6 @@ object Ingest {
     "q_jsonl_quarantine" -> qJsonlQuarantineSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
+    "q_schema_evolution" -> qSchemaEvolutionSql,
   )
 }

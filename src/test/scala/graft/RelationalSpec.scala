@@ -158,7 +158,10 @@ class PlanSpec extends AnyFunSuite {
       "q_growth",
       // q_basket_lift cross-joins a broadcast 1-ROW basket total —
       // the q_zorder shape
-      "q_basket_lift")
+      "q_basket_lift",
+      // q_seqmine cross-joins a broadcast 1-ROW distinct-user count
+      // into the ≤|event_types|² pattern table — the q_benford shape
+      "q_seqmine")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

@@ -1,0 +1,247 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.{Relational, TableFormat}
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round11OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def cents(x: Double): Long =
+    math.floor(x * 100 + 0.5).toLong
+
+  // ---------------------------------------------------- q_schema_evolution
+
+  test("q_schema_evolution: merged read null-fills pre-column generations exactly") {
+    val rows = Ingest.qSchemaEvolution(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("gen")).toSeq == Seq(1, 2, 3))
+    val byGen = rows.map(r => r.getAs[Int]("gen") -> r).toMap
+
+    // replay the generation rules straight from orders
+    val o = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), cents(r.getAs[Double]("o_totalprice"))))
+    for (g <- 1 to 3) {
+      val mine = o.filter { case (k, _) => k % 3 == g - 1 }
+      val r = byGen(g)
+      assert(r.getAs[Long]("n_rows") == mine.length.toLong, s"gen $g n_rows")
+      assert(r.getAs[Long]("sum_cents") == mine.map(_._2).sum, s"gen $g sum_cents")
+      // a column added in gen N reads back all-NULL for gens < N —
+      // and NEVER null once it exists
+      assert(r.getAs[Long]("n_disc_null") == (if (g == 1) mine.length.toLong else 0L))
+      assert(r.getAs[Long]("n_channel_null") == (if (g < 3) mine.length.toLong else 0L))
+      val wantDisc = if (g == 1) 0L else mine.map(_._2 / 20).sum
+      assert(r.getAs[Long]("sum_disc") == wantDisc, s"gen $g sum_disc")
+      val wantWeb = if (g < 3) 0L else mine.count(_._1 % 2 == 0).toLong
+      assert(r.getAs[Long]("n_web") == wantWeb, s"gen $g n_web")
+    }
+  }
+
+  // ----------------------------------------------------- q_delete_vectors
+
+  test("q_delete_vectors: suppressed rows are hidden, not lost, and the DV applies positionally") {
+    val rows = TableFormat.qDeleteVectors(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("file_id")).toSeq == (0L to 7L))
+
+    val o = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), cents(r.getAs[Double]("o_totalprice"))))
+    // replay: file assignment + positional rank + the two delete rules
+    val byFile = o.groupBy(_._1 % 8)
+    val expect = byFile.map { case (fid, xs) =>
+      val ranked = xs.sortBy(_._1).zipWithIndex.map { case ((k, c), i) => (k, c, i + 1L) }
+      val deleted = ranked.filter { case (k, _, pos) => k % 13 == 0 || (fid == 3 && pos <= 10) }
+      val live = ranked.filterNot { case (k, _, pos) => k % 13 == 0 || (fid == 3 && pos <= 10) }
+      fid -> (live.length.toLong, deleted.length.toLong, live.map(_._2).sum)
+    }
+    rows.foreach { r =>
+      val (nLive, nDel, liveCents) = expect(r.getAs[Long]("file_id"))
+      assert(r.getAs[Long]("n_live") == nLive)
+      assert(r.getAs[Long]("n_deleted") == nDel)
+      assert(r.getAs[Long]("live_cents") == liveCents)
+    }
+    // conservation: live + deleted = base, per file and in total
+    val totBase = o.length.toLong
+    assert(rows.map(r => r.getAs[Long]("n_live") + r.getAs[Long]("n_deleted")).sum == totBase)
+    // the positional rule actually bit: file 3 lost at least its 10 head positions
+    assert(expect(3L)._2 >= 10L)
+  }
+
+  test("q_delete_vectors read side broadcasts the DV (no shuffle added to the consumer)") {
+    val plan = TableFormat.qDeleteVectors(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti join in:\n$plan")
+  }
+
+  // ----------------------------------------------------------- q_seqmine
+
+  test("q_seqmine equals a plain-Scala first-before-last replay at sf0.001") {
+    val ev = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"), r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val users = ev.map(_._1).distinct.length.toLong
+    val support = scala.collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).foreach { case (_, xs) =>
+      val ordered = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      val spans = ordered.zipWithIndex.groupBy(_._1).map { case (t, occ) =>
+        t -> (occ.map(_._2).min, occ.map(_._2).max)
+      }
+      for ((a, (fa, _)) <- spans; (b, (_, lb)) <- spans if fa < lb)
+        support((a, b)) = support.getOrElse((a, b), 0L) + 1L
+    }
+    val want = support.toMap.filter { case (_, s) => s * 1000000L / users >= 10000L }
+    val got = Relational.qSeqmine(spark, sf).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        (r.getAs[Long]("support"), r.getAs[Long]("share_ppm"))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (s, ppm)) =>
+      assert(want(k) == s, s"support mismatch for $k")
+      assert(ppm == s * 1000000L / users)
+    }
+    // a→b and b→a are independent claims; at least one asymmetric or
+    // self pattern should exist in real event data
+    assert(got.nonEmpty)
+  }
+
+  test("q_seqmine sees non-adjacent patterns q_markov misses") {
+    import spark.implicits._
+    // user 1: a x b — a→b holds with a gap (markov's adjacent pairs
+    // are only a→x and x→b); user 2 noise so the 1%-share gate keeps
+    // all patterns of user 1 (2 users → each pattern = 50% share)
+    val df = Seq(
+      (1L, 1000L, 1L, "a"), (1L, 2000L, 2L, "x"), (1L, 3000L, 3L, "b"),
+      (2L, 1000L, 4L, "x"),
+    ).toDF("user_id", "us", "event_id", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_id"), col("event_type"))
+    val tmp = java.nio.file.Files.createTempDirectory("seqmine").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    try {
+      val got = Relational.qSeqmine(spark, tmp).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSet
+      assert(got.contains(("a", "b")), s"gapped pattern missing from $got")
+      assert(!got.contains(("b", "a")), "order must matter")
+      assert(!got.contains(("a", "a")), "no self pattern without recurrence")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  // -------------------------------------------------------------- q_dwell
+
+  test("q_dwell equals a plain-Scala gap-attribution replay at sf0.001") {
+    val ev = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"), r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val s = xs.sortBy(x => (x._2, x._3))
+      s.zip(s.tail).map { case (a, b) => (a._4, b._2 - a._2) }
+    }
+    val want = gaps.groupBy(_._1).map { case (t, g) =>
+      val ds = g.map(_._2)
+      t -> (ds.length.toLong, ds.sum, ds.max, ds.sum / ds.length)
+    }
+    val got = Relational.qDwell(spark, sf).collect()
+      .map(r => r.getAs[String]("state") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("total_us"),
+          r.getAs[Long]("max_us"), r.getAs[Long]("mean_us"))).toMap
+    assert(got == want)
+    // every gap is attributed exactly once: interval count = events - users
+    val users = ev.map(_._1).distinct.length
+    assert(got.values.map(_._1).sum == ev.length - users)
+    got.values.foreach { case (_, tot, mx, mean) =>
+      assert(tot >= 0 && mx >= mean && mean >= 0)
+    }
+  }
+
+  // ------------------------------------------------------------ text_rake
+
+  test("text_rake equals a plain-Scala RAKE replay at sf0.001") {
+    val stops = Set("the", "a", "and", "of", "to", "in", "is")
+    val texts = GraftSession.table(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    // phrase segmentation: maximal stopword-free runs ('' is a boundary)
+    val phrases = texts.flatMap { t =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      t.split(" ", -1).foreach { w =>
+        if (stops(w) || w.isEmpty) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) runs += cur
+      runs
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    phrases.foreach { p =>
+      p.foreach { w =>
+        freq(w) = freq.getOrElse(w, 0L) + 1
+        deg(w) = deg.getOrElse(w, 0L) + p.length
+      }
+    }
+    val wscore = freq.keys.map(w => w -> deg(w) * 1000000L / freq(w)).toMap
+    val want = phrases.groupBy(_.mkString(" ")).collect {
+      case (ph, occ) if occ.head.length >= 2 =>
+        ph -> (occ.length.toLong, occ.head.length.toLong, occ.head.map(wscore).sum)
+    }.toSeq
+      .sortBy { case (ph, (_, _, s)) => (-s, ph) }
+      .take(100)
+    val got = operators.TextAnalysis.textRake(spark, sf).collect()
+      .map(r => (r.getAs[String]("phrase"),
+        (r.getAs[Long]("n_occ"), r.getAs[Long]("plen"), r.getAs[Long]("score_ppm"))))
+    assert(got.toSeq == want, s"first got=${got.take(3).toSeq} want=${want.take(3)}")
+    assert(got.nonEmpty && got.forall(_._2._2 >= 2))
+  }
+
+  // ----------------------------------------------------- multimodal_audio
+
+  test("multimodal_audio equals a plain-Scala frame-energy replay at sf0.001") {
+    val docs = GraftSession.table(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").getBytes("UTF-8")))
+      .filter(_._2.nonEmpty)
+    val want = docs.map { case (id, b) =>
+      val avgs = b.grouped(256).map { fr =>
+        fr.foldLeft(0L) { (acc, x) => val v = (x & 0xff) - 128L; acc + v * v } / fr.length
+      }.toVector
+      val act = avgs.count(_ >= 2500L).toLong
+      id -> (b.length.toLong, avgs.length.toLong, act, avgs.max, act * 1000000L / avgs.length)
+    }.toMap
+    val got = Multimodal.multimodalAudio(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("n_frames"), r.getAs[Long]("n_active"),
+          r.getAs[Long]("peak_avg"), r.getAs[Long]("active_ppm"))).toMap
+    assert(got == want)
+    // only the aud third of the corpus decodes, and the gate must
+    // actually discriminate somewhere on real text
+    assert(got.nonEmpty)
+    assert(got.keySet.forall(_ % 3 == 1))
+  }
+
+  test("audio decode: partial tail frame is normalized by its own length") {
+    val row = Multimodal.MediaRow(7L, "aud", Array.fill[Byte](300)(0)) // v = -128 per sample
+    val out = Multimodal.decodeAudioBatch(Seq(row))
+    assert(out.length == 1)
+    val f = out.head
+    assert(f.n_samples == 300L && f.n_frames == 2L)
+    // both frames have identical per-sample energy despite the short
+    // tail: 128² exactly
+    assert(f.peak_avg == 128L * 128L)
+    assert(f.n_active == 2L && f.active_ppm == 1000000L)
+    // silence payload: centered bytes at exactly 128 → zero energy
+    val silent = Multimodal.decodeAudioBatch(
+      Seq(Multimodal.MediaRow(8L, "aud", Array.fill[Byte](512)(-128)))) // 0x80 = 128 unsigned
+    assert(silent.head.peak_avg == 0L && silent.head.n_active == 0L)
+    // empty and non-aud payloads never decode
+    assert(Multimodal.decodeAudioBatch(Seq(
+      Multimodal.MediaRow(9L, "aud", Array.empty),
+      Multimodal.MediaRow(10L, "img", Array.fill[Byte](32)(1)))).isEmpty)
+  }
+}
