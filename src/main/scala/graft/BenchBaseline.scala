@@ -230,6 +230,27 @@ object BenchBaseline {
     "q_runsum_floor" -> 0.33,
     "multimodal_resize" -> 0.3,
     "ann_recall" -> 3.02,
+    // r10 batch — first honest sf0.1 cold-run numbers (zero-error,
+    // zero-regression bench on the round-7 continuation box)
+    "dedup_profile" -> 0.28,
+    "emb_matryoshka" -> 0.96,
+    "multimodal_audio" -> 0.26,
+    "q_chisq" -> 0.35,
+    "q_csv_roundtrip" -> 0.36,
+    "q_delete_vectors" -> 0.54,
+    "q_drift" -> 0.48,
+    "q_dwell" -> 0.34,
+    "q_erasure_audit" -> 0.93,
+    "q_jsonl_quarantine" -> 0.41,
+    "q_kcore" -> 3.09,
+    "q_ppr" -> 3.52,
+    "q_schema_evolution" -> 0.28,
+    "q_seqmine" -> 0.68,
+    "q_split_holdout" -> 0.16,
+    "q_sssp" -> 1.08,
+    "q_txn_conflict" -> 0.27,
+    "text_rake" -> 0.81,
+    "text_vocab_growth" -> 0.29,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

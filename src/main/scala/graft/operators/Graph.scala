@@ -893,8 +893,78 @@ object Graph {
        |SELECT node_id, dist FROM d4 ORDER BY node_id""".stripMargin
   }
 
+  /** §2.8 #56 — link prediction by the Resource-Allocation index
+    * (Zhou, Lü & Zhang 2009): for every NON-adjacent pair (x, y),
+    * RA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/deg(z) — common-neighbor evidence
+    * with hub neighbors downweighted (a shared neighbor that links to
+    * everything is weak evidence; RA is the integer-friendly sibling
+    * of Adamic-Adar's 1/log deg, which would drag a float log in).
+    * Top-50 predicted "parts that will be co-purchased next" over the
+    * same support-≥2 co-purchase graph as [[qComponents]] — the
+    * recommendation/graph-completion primitive next to the proximity
+    * ranker [[personalizedPageRank]].
+    *
+    * Scale shape: one two-hop join through the shared neighbor (each
+    * wedge z contributes once — cost Σ deg(z)², the canonical
+    * link-prediction bound; at 100 TB cap or sample hub neighbors,
+    * which RA already downweights toward zero), a degree join on the
+    * small node set, an anti join against the existing edge list, and
+    * a TakeOrdered top-50 under the total (score, x, y) order.
+    * Contributions are floor-quantized `1e6 div deg(z)` int64 — no
+    * float anywhere, so the DuckDB oracle replays bit-for-bit.
+    */
+  def qLinkpred(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("pu"))
+    val b = l.select(col("l_orderkey").as("b_orderkey"), col("l_partkey").as("pv"))
+    val e0 = a.join(b, col("l_orderkey") === col("b_orderkey") && col("pu") < col("pv"))
+      .groupBy(col("pu"), col("pv")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("pu"), col("pv"))
+      .localCheckpoint()
+    val bi = e0.select(col("pu").as("z"), col("pv").as("n"))
+      .unionByName(e0.select(col("pv").as("z"), col("pu").as("n")))
+    val deg = bi.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val wd = bi.join(deg, "z")
+    val x = wd.select(col("z"), col("n").as("x"), col("deg"))
+    val y = wd.select(col("z").as("z2"), col("n").as("y"))
+    val cand = x.join(y, col("z") === col("z2") && col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common"), sum(expr("1000000L div deg")).as("score_ppm"))
+    cand.join(e0, cand("x") === e0("pu") && cand("y") === e0("pv"), "left_anti")
+      .orderBy(col("score_ppm").desc, col("x"), col("y"))
+      .limit(50)
+  }
+
+  val qLinkpredSql: String =
+    """WITH l AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), e0 AS (
+      |  SELECT a.l_partkey AS pu, b.l_partkey AS pv
+      |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), bi AS (
+      |  SELECT pu AS z, pv AS n FROM e0 UNION ALL SELECT pv, pu FROM e0
+      |), deg AS (
+      |  SELECT z, count(*) AS deg FROM bi GROUP BY z
+      |), wd AS (
+      |  SELECT bi.z, bi.n, deg.deg FROM bi JOIN deg USING (z)
+      |), cand AS (
+      |  SELECT x.n AS x, y.n AS y, count(*) AS common,
+      |    CAST(sum(1000000 // x.deg) AS BIGINT) AS score_ppm
+      |  FROM wd x JOIN wd y ON x.z = y.z AND x.n < y.n
+      |  GROUP BY 1, 2
+      |)
+      |SELECT x, y, CAST(common AS BIGINT) AS common, score_ppm
+      |FROM cand
+      |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.pu = cand.x AND e0.pv = cand.y)
+      |ORDER BY score_ppm DESC, x, y
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sssp" -> (qSssp _),
+    "q_linkpred" -> (qLinkpred _),
     "q_msf" -> (qMsf _),
     "q_kcore" -> (qKcore _),
     "q_ppr" -> (qPpr _),
@@ -908,6 +978,7 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "q_sssp" -> qSsspSql,
+    "q_linkpred" -> qLinkpredSql,
     "q_kcore" -> qKcoreSql,
     "q_ppr" -> qPprSql,
     "q_communities" -> qCommunitiesSql,

@@ -316,6 +316,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("seqmine's first<last trick equals the exists-pair subsequence definition on random streams") {
+    // a→b for a user ⟺ ∃ i<j with type(i)=a, type(j)=b — the operator
+    // computes it as first_pos(a) < last_pos(b); prove the equivalence
+    // on random small streams (incl. duplicates and self-patterns)
+    val types = Seq("u", "v", "w", "x")
+    val gen = for {
+      n <- Gen.chooseNum(1, 12)
+      ts <- Gen.listOfN(n, Gen.oneOf(types))
+    } yield ts
+    sample(gen, 400, seed = 77L).foreach { stream =>
+      val idx = stream.zipWithIndex
+      val brute = (for {
+        (a, i) <- idx
+        (b, j) <- idx
+        if i < j
+      } yield (a, b)).toSet
+      val spans = idx.groupBy(_._1).map { case (t, occ) =>
+        t -> (occ.map(_._2).min, occ.map(_._2).max)
+      }
+      // iterate Seq views: a for-yield over the Maps themselves would
+      // rebuild a Map and collapse each a to a single b
+      val trick = (for {
+        (a, (fa, _)) <- spans.toSeq
+        (b, (_, lb)) <- spans.toSeq
+        if fa < lb
+      } yield (a, b)).toSet
+      assert(trick == brute, s"stream=$stream trick=$trick brute=$brute")
+    }
+  }
+
   test("block-parity phash: single byte flip moves at most one bit") {
     val gen = for {
       n <- Gen.chooseNum(62, 2048)

@@ -160,6 +160,51 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------- q_linkpred
+
+  test("q_linkpred equals a brute-force resource-allocation replay at sf0.001") {
+    val li = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        pairCounts((ps(i), ps(j))) = pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    // NB: .collect on a Map yielding tuples would rebuild a Map and
+    // collapse duplicate first components — go through an iterator
+    val edges = pairCounts.iterator.collect { case (p, c) if c >= 2 => p }.toSet
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    edges.foreach { case (u, v) =>
+      nbrs(u) = nbrs.getOrElse(u, Set.empty) + v
+      nbrs(v) = nbrs.getOrElse(v, Set.empty) + u
+    }
+    val deg = nbrs.map { case (z, n) => z -> n.size.toLong }
+    // wedges: for every shared neighbor z, every x<y neighbor pair
+    val score = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    nbrs.foreach { case (z, n) =>
+      val s = n.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) {
+        val k = (s(i), s(j))
+        val (c0, sc0) = score.getOrElse(k, (0L, 0L))
+        score(k) = (c0 + 1, sc0 + 1000000L / deg(z))
+      }
+    }
+    val want = score.toSeq
+      .filterNot { case (k, _) => edges(k) }
+      .sortBy { case ((x, y), (_, s)) => (-s, x, y) }
+      .take(50)
+      .map { case ((x, y), (c, s)) => (x, y, c, s) }
+    val got = operators.Graph.qLinkpred(spark, sf).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"),
+        r.getAs[Long]("common"), r.getAs[Long]("score_ppm"))).toSeq
+    assert(got == want, s"got head=${got.take(3)} want head=${want.take(3)}")
+    assert(got.nonEmpty)
+    // no prediction may duplicate an existing edge
+    got.foreach { case (x, y, _, _) => assert(!edges((x, y))) }
+  }
+
   // ------------------------------------------------------------ text_rake
 
   test("text_rake equals a plain-Scala RAKE replay at sf0.001") {
