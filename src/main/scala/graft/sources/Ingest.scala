@@ -354,6 +354,56 @@ object Ingest {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  /** §2.2 #21ac3 — DYNAMIC partition pruning: the runtime half of the
+    * pruning story next to [[qPartitionPrune]]'s static predicate.
+    * The pruning set here is not a literal — it is the distinct
+    * purchase days of the last week, known only after scanning the
+    * dim side — and Spark still prunes the partitioned fact scan:
+    * the broadcast join on the partition column plants a
+    * `dynamicpruningexpression(day IN dynamicpruning#N)` into
+    * `PartitionFilters`, so only matching `day=N` directories are
+    * read (IngestSpec pins the expression in the plan). THE
+    * star-schema lever at 100 TB: `fact JOIN dim WHERE dim.pred`
+    * reads only the fact partitions the filtered dim reaches, with no
+    * user-written partition predicate at all.
+    *
+    * Per matched day × event type: event count + exact floored-value
+    * sum, plus the fact/dim day alignment the join proves. The oracle
+    * replays the same dim derivation and join on the unpartitioned
+    * original — pruning must not change a row.
+    */
+  def qDpp(spark: SparkSession, dir: String): DataFrame = {
+    val ev = partitionedEvents(spark, dir)
+    val d1 = graft.GraftSession.table(spark, dir, "events")
+      .agg(max(expr("unix_micros(ts) div 86400000000"))).head.getLong(0)
+    val dim = graft.GraftSession.table(spark, dir, "events")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .filter(col("event_type") === "purchase" && col("day") > d1 - 7)
+      .select(col("day")).distinct()
+    ev.join(dim.hint("broadcast"), ev("day") === dim("day"))
+      .select(ev("day").cast("long").as("day"), col("event_type"), col("value"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("sum_v"))
+      .orderBy("day", "event_type")
+  }
+
+  val qDppSql: String =
+    """WITH b AS (
+      |  SELECT max(epoch_us(ts) // 86400000000) AS d1 FROM events
+      |), dim AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day
+      |  FROM events CROSS JOIN b
+      |  WHERE event_type = 'purchase' AND epoch_us(ts) // 86400000000 > d1 - 7
+      |)
+      |SELECT e.day AS day, e.event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(e.value) AS BIGINT)) AS BIGINT) AS sum_v
+      |FROM (SELECT epoch_us(ts) // 86400000000 AS day, event_type, value
+      |      FROM events) e
+      |JOIN dim ON e.day = dim.day
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** §2.8 #46f — schema evolution on read: a long-lived table whose
     * parquet files were written by THREE pipeline generations with a
     * widening schema (gen 1: key+cents; gen 2 adds `disc_cents`;
@@ -437,6 +487,7 @@ object Ingest {
     "q_bucket_join" -> (qBucketJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_dpp" -> (qDpp _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +499,6 @@ object Ingest {
     "q_bucket_join" -> qBucketJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_schema_evolution" -> qSchemaEvolutionSql,
+    "q_dpp" -> qDppSql,
   )
 }

@@ -160,6 +160,32 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------------- q_dpp
+
+  test("q_dpp plans runtime partition pruning and matches the unpartitioned answer") {
+    val df = Ingest.qDpp(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression in PartitionFilters:\n${plan.take(2000)}")
+    // replay on the unpartitioned original
+    val ev = GraftSession.table(spark, sf, "events")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"), floor(col("value")).cast("long").as("v"))
+      .collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type"), r.getAs[Long]("v")))
+    val d1 = ev.map(_._1).max
+    val dimDays = ev.filter(e => e._2 == "purchase" && e._1 > d1 - 7).map(_._1).toSet
+    val want = ev.filter(e => dimDays(e._1))
+      .groupBy(e => (e._1, e._2))
+      .map { case ((d, t), xs) => (d, t) -> (xs.length.toLong, xs.map(_._3).sum) }
+    val got = rows.map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type")) ->
+      (r.getAs[Long]("n_events"), r.getAs[Long]("sum_v"))).toMap
+    assert(got == want)
+    // pruning actually restricted the scan: matched days ⊆ purchase week
+    assert(got.keySet.map(_._1).subsetOf(dimDays) && got.nonEmpty)
+  }
+
   // ----------------------------------------------------------- q_linkpred
 
   test("q_linkpred equals a brute-force resource-allocation replay at sf0.001") {
