@@ -1289,8 +1289,59 @@ object VectorOps {
     } finally { truth.unpersist(); () }
   }
 
+  // --------------------------------------------- IVF index maintenance
+
+  /** §2.4 #29l — IVF index maintenance / append-without-retrain: the
+    * production append path of a vector index. The coarse quantizer
+    * is trained ONCE on the standing corpus; a new batch is assigned
+    * to those FROZEN centroids — one broadcast argmax pass, no
+    * retrain, no reshuffle of existing inverted lists, old vectors'
+    * assignments untouched by construction. The report is the
+    * per-list health view that decides WHEN to retrain: old/new list
+    * sizes, growth_ppm (skewed growth = arriving data concentrating
+    * in few lists), and the new batch's mean assignment cosine vs
+    * the old corpus's (drift_ppm < 0 = new vectors sit farther from
+    * every centroid — the quantizer is going stale).
+    *
+    * Scale shape: identical to the [[annIvf]] assign step — 16
+    * broadcast centroids, map-side argmax partial agg, one small
+    * rollup per side; append cost is O(batch), never O(corpus).
+    * Rows-only by design (iterative quantizer, like `ann_ivf`);
+    * Round11OpsSpec pins conservation, determinism, and a
+    * brute-force frozen-centroid assignment replay.
+    */
+  def annIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    val old = e.filter(col("id") % 10 =!= 0)
+    val fresh = e.filter(col("id") % 10 === 0)
+    val cs = broadcast(kmeansCentroids(old, 16))
+    def assigned(d: DataFrame): DataFrame = prep(d)
+      .join(cs, lit(true))
+      .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"))
+      .select(col("id"), (-col("m.nid")).cast(IntegerType).as("centroid_id"),
+        floor(col("m.cos") * 1000000).cast(LongType).as("sim_ppm"))
+    val oldS = assigned(old).groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_old"),
+        expr("sum(sim_ppm) div count(1)").as("mean_old_ppm"))
+    val newS = assigned(fresh).groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_new"),
+        expr("sum(sim_ppm) div count(1)").as("mean_new_ppm"))
+    oldS.join(newS, Seq("centroid_id"), "full_outer")
+      .select(col("centroid_id"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("mean_old_ppm"), lit(0L)).as("mean_old_ppm"),
+        coalesce(col("mean_new_ppm"), lit(0L)).as("mean_new_ppm"))
+      .withColumn("growth_ppm", expr("n_new * 1000000 div greatest(n_old, 1)"))
+      .withColumn("drift_ppm", col("mean_new_ppm") - col("mean_old_ppm"))
+      .orderBy("centroid_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
+    "ann_incremental" -> (annIncremental _),
     "emb_kmeans" -> (embKmeans(_: SparkSession, _: String)),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_outliers" -> (embOutliers _),

@@ -161,7 +161,10 @@ class PlanSpec extends AnyFunSuite {
       "q_basket_lift",
       // q_seqmine cross-joins a broadcast 1-ROW distinct-user count
       // into the ≤|event_types|² pattern table — the q_benford shape
-      "q_seqmine")
+      "q_seqmine",
+      // ann_incremental assigns both sides against the broadcast
+      // 16-centroid table — the ann_ivf quantizer shape
+      "ann_incremental")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

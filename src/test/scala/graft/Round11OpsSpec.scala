@@ -270,6 +270,57 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._2._2 >= 2))
   }
 
+  // ------------------------------------------------------ ann_incremental
+
+  test("ann_incremental: conservation, determinism, and frozen-centroid assignment replay") {
+    val rows = operators.VectorOps.annIncremental(spark, sf).collect()
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).toArray))
+    val nOldTotal = e.count(_._1 % 10 != 0).toLong
+    val nNewTotal = e.count(_._1 % 10 == 0).toLong
+    assert(rows.map(_.getAs[Long]("n_old")).sum == nOldTotal, "every old vector in exactly one list")
+    assert(rows.map(_.getAs[Long]("n_new")).sum == nNewTotal, "every appended vector in exactly one list")
+
+    // frozen-centroid replay: assign the new batch brute-force against
+    // the SAME deterministic quantizer and reproduce the report's
+    // n_new and mean_new_ppm per centroid
+    val old = GraftSession.table(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cents = operators.VectorOps.kmeansCentroids(old, 16).collect()
+      .map(r => (r.getAs[Int]("centroid_id"), r.getSeq[Long](1).toArray, r.getAs[Double]("cnorm")))
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+    val got = scala.collection.mutable.Map.empty[Int, (Long, Long)] // cid -> (n, sumSim)
+    e.filter(_._1 % 10 == 0).foreach { case (_, v) =>
+      val qv = quant(v)
+      val norm = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      // argmax cosine, ties to the smaller centroid id (the operator's
+      // max(struct(cos, -cid)) tie-break)
+      val (cid, cos) = cents.map { case (c, cv, cn) =>
+        var dot = 0L; var i = 0
+        while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
+        (c, dot.toDouble / (norm * cn))
+      }.minBy { case (c, s) => (-s, c) }
+      val sim = math.floor(cos * 1000000).toLong
+      val (n0, s0) = got.getOrElse(cid, (0L, 0L))
+      got(cid) = (n0 + 1, s0 + sim)
+    }
+    val byCid = rows.map(r => r.getAs[Int]("centroid_id") ->
+      (r.getAs[Long]("n_new"), r.getAs[Long]("mean_new_ppm"))).toMap
+    got.foreach { case (cid, (n, sumSim)) =>
+      assert(byCid(cid)._1 == n, s"n_new mismatch for centroid $cid")
+      assert(byCid(cid)._2 == sumSim / n, s"mean_new_ppm mismatch for centroid $cid")
+    }
+    // centroids with no appended vectors must report n_new = 0, not vanish
+    byCid.foreach { case (cid, (n, _)) => if (!got.contains(cid)) assert(n == 0L) }
+
+    // determinism: the frozen quantizer + argmax assignment replays identically
+    val again = operators.VectorOps.annIncremental(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   // ----------------------------------------------------- multimodal_audio
 
   test("multimodal_audio equals a plain-Scala frame-energy replay at sf0.001") {
