@@ -251,6 +251,9 @@ object BenchBaseline {
     "q_txn_conflict" -> 0.27,
     "text_rake" -> 0.81,
     "text_vocab_growth" -> 0.29,
+    "q_linkpred" -> 2.05,
+    "q_dpp" -> 0.53,
+    "ann_incremental" -> 0.62,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */
