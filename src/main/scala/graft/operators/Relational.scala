@@ -2613,6 +2613,75 @@ object Relational {
       |FROM c
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** §2.2 #21cg — bitmap-index activity / retention algebra: each
+    * user's last-64-day activity compressed to ONE int64 bitmask
+    * (bit i = active i days before the corpus max day) in a single
+    * `bit_or` aggregation — then every retention/audience question is
+    * pure bitwise math on the mask, no second scan and no self-join.
+    * This is the bitmap-index trick (roaring-bitmap audiences,
+    * ClickHouse `groupBitmap`) that makes "active today AND a week
+    * ago" O(users) instead of the event-table self-join
+    * [[qRetention]] does per cohort pair. Report rows are
+    * active-day-count buckets with exact member counts plus the
+    * today / week-ago / both bit tests.
+    *
+    * Scale shape: one shuffle keyed on user_id with map-side
+    * `bit_or` partials (the mask is 8 BYTES of state per user — the
+    * whole point), then a tiny bucket rollup; at 100 TB the mask
+    * column persists as an incrementally-maintained user dimension
+    * (yesterday's mask `>> 1 | today's bit` — the [[qIvmMerge]]
+    * algebra). All int64 bit ops — bit-identical cross-engine.
+    */
+  def qBitmapRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val d1 = ev.agg(max(col("day"))).head.getLong(0)
+    val masks = ev
+      .withColumn("off", lit(d1) - col("day"))
+      .filter(col("off") < 64)
+      .groupBy(col("user_id"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(off AS INT))")).as("mask"))
+    masks
+      .select(
+        bit_count(col("mask")).cast(LongType).as("active_days"),
+        (col("mask").bitwiseAND(1L)).as("today"),
+        (expr("shiftright(mask, 7)").bitwiseAND(1L)).as("week_ago"),
+      )
+      .groupBy(col("active_days"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("today")).as("n_today"),
+        sum(col("week_ago")).as("n_week_ago"),
+        sum(col("today") * col("week_ago")).as("n_both"),
+      )
+      .orderBy("active_days")
+  }
+
+  val qBitmapRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), b AS (
+      |  SELECT max(day) AS d1 FROM e
+      |), m AS (
+      |  SELECT user_id,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(d1 - day AS INT)) AS mask
+      |  FROM e CROSS JOIN b
+      |  WHERE d1 - day < 64
+      |  GROUP BY user_id
+      |), f AS (
+      |  SELECT CAST(bit_count(mask) AS BIGINT) AS active_days,
+      |    mask & 1 AS today,
+      |    (mask >> 7) & 1 AS week_ago
+      |  FROM m
+      |)
+      |SELECT active_days, count(*) AS n_users,
+      |  CAST(sum(today) AS BIGINT) AS n_today,
+      |  CAST(sum(week_ago) AS BIGINT) AS n_week_ago,
+      |  CAST(sum(today * week_ago) AS BIGINT) AS n_both
+      |FROM f
+      |GROUP BY active_days
+      |ORDER BY active_days""".stripMargin
+
   /** §2.2 #21cf — time-in-state / dwell-time report: how long users
     * SIT in each state before the next event — the duration companion
     * to [[qMarkov]]'s transition counts (where do users stall vs flow;
@@ -4006,6 +4075,7 @@ object Relational {
     "q_markov" -> (qMarkov _),
     "q_seqmine" -> (qSeqmine _),
     "q_dwell" -> (qDwell _),
+    "q_bitmap_retention" -> (qBitmapRetention _),
     "q_item_sim" -> (qItemSim _),
     "q_copurchase" -> (qCopurchase _),
     "q_ntile" -> (qNtile _),
@@ -4095,6 +4165,7 @@ object Relational {
     "q_markov" -> qMarkovSql,
     "q_seqmine" -> qSeqmineSql,
     "q_dwell" -> qDwellSql,
+    "q_bitmap_retention" -> qBitmapRetentionSql,
     "q_item_sim" -> qItemSimSql,
     "q_copurchase" -> qCopurchaseSql,
     "q_ntile" -> qNtileSql,

@@ -270,6 +270,35 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._2._2 >= 2))
   }
 
+  // --------------------------------------------------- q_bitmap_retention
+
+  test("q_bitmap_retention equals a plain-Scala bitmask replay at sf0.001") {
+    val ev = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+    val d1 = ev.map(_._2).max
+    val masks = ev.filter(e => d1 - e._2 < 64)
+      .groupBy(_._1).map { case (_, xs) =>
+        xs.map(e => 1L << (d1 - e._2).toInt).reduce(_ | _)
+      }
+    val want = masks.groupBy(m => java.lang.Long.bitCount(m).toLong).map { case (ad, ms) =>
+      ad -> (ms.size.toLong,
+        ms.count(m => (m & 1L) == 1L).toLong,
+        ms.count(m => ((m >> 7) & 1L) == 1L).toLong,
+        ms.count(m => (m & 1L) == 1L && ((m >> 7) & 1L) == 1L).toLong)
+    }
+    val got = Relational.qBitmapRetention(spark, sf).collect()
+      .map(r => r.getAs[Long]("active_days") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_today"),
+          r.getAs[Long]("n_week_ago"), r.getAs[Long]("n_both"))).toMap
+    assert(got == want)
+    // the bitmap answers must be internally consistent audience algebra
+    got.values.foreach { case (n, t, w, b) =>
+      assert(b <= math.min(t, w) && t <= n && w <= n)
+    }
+    assert(got.values.map(_._1).sum == masks.size.toLong)
+  }
+
   // ------------------------------------------------------ ann_incremental
 
   test("ann_incremental: conservation, determinism, and frozen-centroid assignment replay") {
