@@ -254,6 +254,7 @@ object BenchBaseline {
     "q_linkpred" -> 2.05,
     "q_dpp" -> 0.53,
     "ann_incremental" -> 0.62,
+    "q_bitmap_retention" -> 0.23,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */
