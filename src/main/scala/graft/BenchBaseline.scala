@@ -255,6 +255,7 @@ object BenchBaseline {
     "q_dpp" -> 0.53,
     "ann_incremental" -> 0.62,
     "q_bitmap_retention" -> 0.23,
+    "q_fd_audit" -> 0.64,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

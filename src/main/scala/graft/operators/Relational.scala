@@ -2613,6 +2613,74 @@ object Relational {
       |FROM c
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** §2.2 #21ch — functional-dependency audit: does `lhs → rhs`
+    * actually HOLD in the data — the schema-contract check behind
+    * denormalization, dimension extraction, and join-key trust
+    * (profiling's rule-shaped sibling next to [[profileTable]]'s
+    * per-column stats and the referential [[qIntegrity]] audit). Four
+    * declared FDs are measured: one that must hold (nation →
+    * region — safe to denormalize), and three behavioral ones that
+    * must NOT (customer → priority, user → event type, source →
+    * language), each reported as group counts, violating-group
+    * counts, worst fan-out, and violation ppm.
+    *
+    * Scale shape: one map-side-combined groupBy per FD on its lhs
+    * key + a 1-row rollup — the same pass count a SELECT DISTINCT
+    * costs; FDs over the same lhs share a scan. All counts exact
+    * int64, floor-ppm — no float.
+    */
+  def qFdAudit(spark: SparkSession, dir: String): DataFrame = {
+    def fd(df: DataFrame, tbl: String, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("ndv"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("ndv")).as("max_fanout"))
+        .select(lit(tbl).as("tbl"), lit(s"$lhs->$rhs").as("fd"),
+          col("n_groups"), col("n_violating"), col("max_fanout"))
+    val t = table(spark, dir, _: String)
+    fd(t("nation"), "nation", "n_nationkey", "n_regionkey")
+      .unionByName(fd(t("orders"), "orders", "o_custkey", "o_orderpriority"))
+      .unionByName(fd(t("events"), "events", "user_id", "event_type"))
+      .unionByName(fd(t("documents"), "documents", "source", "lang"))
+      .withColumn("violation_ppm", expr("n_violating * 1000000 div n_groups"))
+      .orderBy("tbl", "fd")
+  }
+
+  val qFdAuditSql: String =
+    """WITH f1 AS (
+      |  SELECT 'nation' AS tbl, 'n_nationkey->n_regionkey' AS fd,
+      |    count(*) AS n_groups,
+      |    CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+      |    CAST(max(ndv) AS BIGINT) AS max_fanout
+      |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS ndv
+      |        FROM nation GROUP BY 1)
+      |), f2 AS (
+      |  SELECT 'orders', 'o_custkey->o_orderpriority', count(*),
+      |    CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(max(ndv) AS BIGINT)
+      |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS ndv
+      |        FROM orders GROUP BY 1)
+      |), f3 AS (
+      |  SELECT 'events', 'user_id->event_type', count(*),
+      |    CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(max(ndv) AS BIGINT)
+      |  FROM (SELECT user_id, count(DISTINCT event_type) AS ndv
+      |        FROM events GROUP BY 1)
+      |), f4 AS (
+      |  SELECT 'documents', 'source->lang', count(*),
+      |    CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(max(ndv) AS BIGINT)
+      |  FROM (SELECT source, count(DISTINCT lang) AS ndv
+      |        FROM documents GROUP BY 1)
+      |), u AS (
+      |  SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      |  UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4
+      |)
+      |SELECT tbl, fd, n_groups, n_violating, max_fanout,
+      |  n_violating * 1000000 // n_groups AS violation_ppm
+      |FROM u
+      |ORDER BY tbl, fd""".stripMargin
+
   /** §2.2 #21cg — bitmap-index activity / retention algebra: each
     * user's last-64-day activity compressed to ONE int64 bitmask
     * (bit i = active i days before the corpus max day) in a single
@@ -4076,6 +4144,7 @@ object Relational {
     "q_seqmine" -> (qSeqmine _),
     "q_dwell" -> (qDwell _),
     "q_bitmap_retention" -> (qBitmapRetention _),
+    "q_fd_audit" -> (qFdAudit _),
     "q_item_sim" -> (qItemSim _),
     "q_copurchase" -> (qCopurchase _),
     "q_ntile" -> (qNtile _),
@@ -4166,6 +4235,7 @@ object Relational {
     "q_seqmine" -> qSeqmineSql,
     "q_dwell" -> qDwellSql,
     "q_bitmap_retention" -> qBitmapRetentionSql,
+    "q_fd_audit" -> qFdAuditSql,
     "q_item_sim" -> qItemSimSql,
     "q_copurchase" -> qCopurchaseSql,
     "q_ntile" -> qNtileSql,

@@ -270,6 +270,29 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._2._2 >= 2))
   }
 
+  // ------------------------------------------------------------ q_fd_audit
+
+  test("q_fd_audit: the structural FD holds, the behavioral ones are violated, counts replay") {
+    val rows = Relational.qFdAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("fd") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_violating"),
+          r.getAs[Long]("max_fanout"), r.getAs[Long]("violation_ppm"))).toMap
+    assert(rows.size == 4)
+    // nation → region is a true FD of the schema: zero violations
+    val (ng, nv, mf, ppm) = rows("n_nationkey->n_regionkey")
+    assert(nv == 0L && ppm == 0L && mf == 1L && ng == 25L)
+    // behavioral FDs must NOT hold on real activity data
+    assert(rows("user_id->event_type")._2 > 0L)
+    // replay one audit exactly: user_id → event_type from the raw table
+    val ev = GraftSession.table(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val ndv = ev.groupBy(_._1).map { case (_, xs) => xs.map(_._2).distinct.length }
+    val (g, v, f, p) = rows("user_id->event_type")
+    assert(g == ndv.size.toLong && v == ndv.count(_ > 1).toLong && f == ndv.max.toLong)
+    assert(p == v * 1000000L / g)
+  }
+
   // --------------------------------------------------- q_bitmap_retention
 
   test("q_bitmap_retention equals a plain-Scala bitmask replay at sf0.001") {
