@@ -31,7 +31,12 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // builder-side targeted floor measurement: comma-separated names.
+    // The driver never sets this, so driver rounds always bench all.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
       try materialize(SparkEntry.queries(n)(spark, warmDir))
       catch { case _: Throwable => () }

@@ -256,6 +256,12 @@ object BenchBaseline {
     "ann_incremental" -> 0.62,
     "q_bitmap_retention" -> 0.23,
     "q_fd_audit" -> 0.64,
+    // r8: partsupp-family TPC-H shapes, first honest cold sf0.1 runs
+    "q9_profit" -> 0.98,
+    "q20_potential" -> 2.05,
+    "q2_mincost" -> 1.81,
+    "q11_important" -> 1.16,
+    "q16_suppcnt" -> 0.73,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.LakeOps.queries ++
+    operators.Relational.queries ++ operators.PartSupp.queries ++
+      operators.LakeOps.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.VectorOps.queries ++ operators.Pipeline.queries ++
       operators.Graph.queries ++ operators.Bpe.queries ++
@@ -26,7 +27,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.LakeOps.oracles ++
+    operators.Relational.oracles ++ operators.PartSupp.oracles ++
+      operators.LakeOps.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.VectorOps.oracles ++ operators.Pipeline.oracles ++
       operators.Graph.oracles ++ operators.Bpe.oracles ++

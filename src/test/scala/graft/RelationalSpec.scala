@@ -164,7 +164,10 @@ class PlanSpec extends AnyFunSuite {
       "q_seqmine",
       // ann_incremental assigns both sides against the broadcast
       // 16-centroid table — the ann_ivf quantizer shape
-      "ann_incremental")
+      "ann_incremental",
+      // q11_important cross-joins a broadcast 1-ROW nation-total
+      // aggregate into the per-part stock rollup — the q22_idle shape
+      "q11_important")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Regenerate BASELINE.md's per-query floor table from BenchBaseline.scala.
+
+BenchBaseline.scala is the authoritative machine-read floor map; this
+keeps the human-read copy in BASELINE.md from drifting (the r7 verdict
+found it listing 125 of 202 floors). Run from the repo root after
+freezing new floors.
+"""
+import re
+
+src = open("src/main/scala/graft/BenchBaseline.scala").read()
+m = re.search(r"val sf01Floors: Map\[String, Double\] = Map\((.*?)\n  \)", src, re.S)
+floors = sorted(
+    (n, float(v)) for n, v in re.findall(r'"([a-z0-9_]+)" -> ([0-9.]+)', m.group(1))
+)
+
+rows = []
+for i in range(0, len(floors), 2):
+    a = floors[i]
+    b = floors[i + 1] if i + 1 < len(floors) else None
+    right = f"| {b[0]} | {b[1]:g} |" if b else "| | |"
+    rows.append(f"| {a[0]} | {a[1]:g} " + right)
+table = "\n".join(rows)
+
+md = open("BASELINE.md").read()
+start = md.index("## Per-query floors")
+head_end = md.index("| query | floor | query | floor |", start)
+body_end = md.index("\n\n(q_msf", start)
+header = md[start:head_end]
+header = re.sub(r"\b\d+ floors as of round \d+", f"{len(floors)} floors", header, count=1)
+open("BASELINE.md", "w").write(
+    md[:start] + header + "| query | floor | query | floor |\n|---|---|---|---|\n" + table + md[body_end:]
+)
+print(f"regenerated {len(floors)} floors")
