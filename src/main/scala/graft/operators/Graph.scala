@@ -735,16 +735,30 @@ object Graph {
     * ≤ one edge per component — the contraction graph is forest-sized,
     * never data-sized. localCheckpoint per round cuts the O(rounds)
     * lineage (the q_bfs idiom).
+    *
+    * `maxRounds` is a lower bound on the round budget: the actual
+    * bound is max(maxRounds, ⌈log₂ n⌉+1) derived from the node count
+    * (components at least halve per round), and exhausting it with
+    * cross-component edges remaining throws instead of returning a
+    * silently partial forest.
     */
   def boruvkaMsf(edges0: DataFrame, maxRounds: Int = 12): DataFrame = {
     val edges = edges0.select(col("u"), col("v"), col("w")).localCheckpoint()
     var labels = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .distinct().select(col("node"), col("node").as("lbl")).localCheckpoint()
+    // components at least halve per round, so ⌈log₂ n⌉ rounds always
+    // suffice — derive the bound from the node count instead of trusting
+    // the caller's cap (a fixed 12 silently truncated above 2^12 initial
+    // components; the labels count() is against the just-checkpointed
+    // relation, one cheap job)
+    val nNodes = labels.count()
+    val needed = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nNodes - 1))) + 1
+    val rounds = math.max(maxRounds, needed)
     var forest: Option[DataFrame] = None
     var round = 0
     var done = false
-    while (!done && round < maxRounds) {
+    while (!done && round < rounds) {
       round += 1
       val lu = labels.select(col("node").as("u"), col("lbl").as("cu"))
       val lv = labels.select(col("node").as("v"), col("lbl").as("cv"))
@@ -774,6 +788,20 @@ object Graph {
           .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
           .localCheckpoint()
       }
+    }
+    // convergence proof: a non-spanning partial forest must never be
+    // returned silently — if the bound was somehow exhausted with cross
+    // edges remaining, fail loudly so callers can't mistake truncated
+    // for converged
+    if (!done) {
+      val lu = labels.select(col("node").as("u"), col("lbl").as("cu"))
+      val lv = labels.select(col("node").as("v"), col("lbl").as("cv"))
+      val remaining = edges.join(lu, Seq("u")).join(lv, Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+      if (!remaining.isEmpty)
+        throw new IllegalStateException(
+          s"boruvkaMsf: $rounds rounds exhausted with cross-component edges remaining " +
+            s"($nNodes nodes) — the forest would be partial, not spanning")
     }
     forest.getOrElse(edges.filter(lit(false)))
   }

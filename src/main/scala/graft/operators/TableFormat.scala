@@ -357,8 +357,11 @@ object TableFormat {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     files
-      .withColumn("bin", (coalesce(sum(col("bytes")).over(w), lit(0L)) / CompactTarget)
-        .cast(LongType))
+      // integer `div`, not `/`+cast: Long / Long is a DOUBLE in Spark,
+      // and a cumulative byte sum past 2^53 would round before the cast
+      // while the DuckDB oracle's `//` stays exact at any scale
+      .withColumn("cum_bytes", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_bytes div $CompactTarget"))
       .groupBy(col("source"), col("bin"))
       .agg(
         count(lit(1)).as("n_files"),

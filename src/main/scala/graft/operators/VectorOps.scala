@@ -1321,7 +1321,10 @@ object VectorOps {
       .groupBy(col("id"))
       .agg(max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"))
       .select(col("id"), (-col("m.nid")).cast(IntegerType).as("centroid_id"),
-        floor(col("m.cos") * 1000000).cast(LongType).as("sim_ppm"))
+        // round-half-up, the suite-wide ppm convention (embKmeans uses
+        // the same form — the two reports must quantize identically so
+        // cohesion/drift numbers are comparable across ops)
+        floor(col("m.cos") * 1000000 + 0.5).cast(LongType).as("sim_ppm"))
     val oldS = assigned(old).groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_old"),
         expr("sum(sim_ppm) div count(1)").as("mean_old_ppm"))

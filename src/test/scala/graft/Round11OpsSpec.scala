@@ -355,7 +355,7 @@ class Round11OpsSpec extends AnyFunSuite {
         while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
         (c, dot.toDouble / (norm * cn))
       }.minBy { case (c, s) => (-s, c) }
-      val sim = math.floor(cos * 1000000).toLong
+      val sim = math.floor(cos * 1000000 + 0.5).toLong
       val (n0, s0) = got.getOrElse(cid, (0L, 0L))
       got(cid) = (n0 + 1, s0 + sim)
     }
