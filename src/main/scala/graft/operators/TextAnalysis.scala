@@ -1054,24 +1054,27 @@ object TextAnalysis {
 
   /** §2.5 #33s — frequent-term extraction at threshold max(5, N/1000)
     * by sketch-then-verify: pass 1 is a ZERO-SHUFFLE per-partition
-    * Misra-Gries summary (≤ 32·k rows collected — bounded independent
-    * of corpus size) whose union is a guaranteed candidate superset;
-    * pass 2 recounts ONLY candidate occurrences (broadcast isin
-    * filter before the groupBy), so the exact pass shuffles
-    * |candidate tokens| ≪ N. At 100 TB the full-vocabulary shuffle
-    * never happens — that is the entire point vs the naive plan the
-    * oracle runs. Output is exact (recount + threshold), so the
-    * partition-dependent candidate set never shows.
+    * Misra-Gries summary (≤ P·k rows, bounded independent of corpus
+    * size) whose union is a guaranteed candidate superset; pass 2
+    * recounts ONLY candidate occurrences via a broadcast LEFT SEMI
+    * join on the candidate relation — NOT an `isin` literal list,
+    * which would compile counters×partitions string literals into the
+    * plan (Janino pressure + plan-size blowup at 100× partition
+    * counts) — so the exact pass shuffles |candidate tokens| ≪ N. At
+    * 100 TB the full-vocabulary shuffle never happens — that is the
+    * entire point vs the naive plan the oracle runs. Output is exact
+    * (recount + threshold), so the partition-dependent candidate set
+    * never shows.
     */
   def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = docs(spark, dir).select(explode(words).as("w"))
     val candidates = toks.as[String]
       .mapPartitions(it => misraGries(it, HeavyHitterCounters))
-      .map(_._1).distinct().collect().toSeq
+      .map(_._1).distinct().toDF("cand_w")
     val nRow = toks.agg(count(lit(1)).as("n_total"))
     toks
-      .filter(col("w").isin(candidates: _*))
+      .join(broadcast(candidates), col("w") === col("cand_w"), "left_semi")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .join(broadcast(nRow), lit(true))
       .filter(col("c") >= greatest(lit(5L), floor(col("n_total").cast(DoubleType) / 1000.0).cast(LongType)))

@@ -759,6 +759,14 @@ class Round7OpsSpec extends AnyFunSuite {
     val mg = TextAnalysis.misraGries(shuffled.iterator, 10).toMap
     assert(mg.contains("hot"), "a term above n/(k+1) must survive Misra-Gries")
     assert(mg.size <= 10)
+
+    // plan pin: the candidate filter must be a broadcast LEFT SEMI
+    // join, never an `isin` literal list (counters×partitions string
+    // literals compiled into the plan — Janino pressure at 100×
+    // partition counts)
+    val plan = TextAnalysis.textHeavyHitters(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains(" IN ("), "candidate set must not compile into an IN literal list")
   }
 
   test("phash kernel equals the plain-Scala block-parity replay, and edits stay close") {
