@@ -51,6 +51,13 @@ object ArrayExprs {
   def planeSignBuckets(qv: Column, planes: Array[Array[Long]], bitsPerTable: Int): Column =
     ColumnBridge.column(PlaneSignBuckets(ColumnBridge.expression(qv), planes, bitsPerTable))
 
+  /** Per-table MULTI-PROBE LSH buckets of a quantized array<long>
+    * vector — the query-side companion of [[planeSignBuckets]] (see
+    * [[PlaneSignProbes]]).
+    */
+  def planeSignProbes(qv: Column, planes: Array[Array[Long]], bitsPerTable: Int, nProbes: Int): Column =
+    ColumnBridge.column(PlaneSignProbes(ColumnBridge.expression(qv), planes, bitsPerTable, nProbes))
+
   /** BPE token count of a string word under a constant merge list
     * (see [[BpeEncodeCount]]).
     */
@@ -516,6 +523,106 @@ case class PlaneSignBuckets(child: Expression, planes: Array[Array[Long]], bitsP
          |      if ($s >= 0) $acc |= 1 << $b;
          |    }
          |    $out[$t] = $acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Multi-probe LSH probe buckets (Lv et al., VLDB'07 — public): for
+  * each table, the exact sign bucket FOLLOWED by query-directed
+  * perturbations flipping the lowest-|margin| hyperplane bits — the
+  * buckets a near neighbor most likely fell into when it landed just
+  * across a close hyperplane. Probing Δ extra buckets per table
+  * recovers most of the recall of Δ× more tables at the index size of
+  * one.
+  *
+  * Probe sequence per table (nProbes ≤ 4): exact, flip argmin|dot|,
+  * flip 2nd-argmin|dot|, flip both — the first steps of the
+  * perturbation-set ordering, sufficient at 4 bits/table where the
+  * full sequence would enumerate subsets. Output is flattened
+  * `table-major`: probe j of table t sits at t·nProbes + j, so
+  * `tbl = idx / nProbes` after a posexplode.
+  *
+  * QUERY-side only: the data side stays single-bucket (the index is
+  * built once; multi-probe multiplies only the per-query probe count,
+  * never the index size — the entire point of the technique).
+  */
+case class PlaneSignProbes(child: Expression, planes: Array[Array[Long]], bitsPerTable: Int, nProbes: Int)
+    extends UnaryExpression {
+  require(nProbes >= 1 && nProbes <= 4, "probe sequence implemented for nProbes in [1,4]")
+  private val numTables = planes.length / bitsPerTable
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val qv = in.asInstanceOf[ArrayData]
+    val n = qv.numElements()
+    val out = new Array[Int](numTables * nProbes)
+    if (n == planes(0).length) {
+      var t = 0
+      while (t < numTables) {
+        var acc = 0
+        var m0 = 0; var m1 = 0
+        var d0 = Long.MaxValue; var d1 = Long.MaxValue
+        var b = 0
+        while (b < bitsPerTable) {
+          val p = planes(t * bitsPerTable + b)
+          var s = 0L
+          var i = 0
+          while (i < n) { s += qv.getLong(i) * p(i); i += 1 }
+          if (s >= 0) acc |= 1 << b
+          val a = math.abs(s)
+          if (a < d0) { d1 = d0; m1 = m0; d0 = a; m0 = b }
+          else if (a < d1) { d1 = a; m1 = b }
+          b += 1
+        }
+        val base = t * nProbes
+        out(base) = acc
+        if (nProbes > 1) out(base + 1) = acc ^ (1 << m0)
+        if (nProbes > 2) out(base + 2) = acc ^ (1 << m1)
+        if (nProbes > 3) out(base + 3) = acc ^ (1 << m0) ^ (1 << m1)
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "long[][]")
+    nullSafeCodeGen(ctx, ev, qv => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val acc = ctx.freshName("acc")
+      val b = ctx.freshName("b"); val p = ctx.freshName("p")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val m0 = ctx.freshName("m0"); val m1 = ctx.freshName("m1")
+      val d0 = ctx.freshName("d0"); val d1 = ctx.freshName("d1")
+      val a = ctx.freshName("a"); val base = ctx.freshName("base")
+      s"""
+         |int $n = $qv.numElements();
+         |int[] $out = new int[$numTables * $nProbes];
+         |if ($n == $planesRef[0].length) {
+         |  for (int $t = 0; $t < $numTables; $t++) {
+         |    int $acc = 0;
+         |    int $m0 = 0; int $m1 = 0;
+         |    long $d0 = Long.MAX_VALUE; long $d1 = Long.MAX_VALUE;
+         |    for (int $b = 0; $b < $bitsPerTable; $b++) {
+         |      long[] $p = $planesRef[$t * $bitsPerTable + $b];
+         |      long $s = 0L;
+         |      for (int $i = 0; $i < $n; $i++) { $s += $qv.getLong($i) * $p[$i]; }
+         |      if ($s >= 0) $acc |= 1 << $b;
+         |      long $a = Math.abs($s);
+         |      if ($a < $d0) { $d1 = $d0; $m1 = $m0; $d0 = $a; $m0 = $b; }
+         |      else if ($a < $d1) { $d1 = $a; $m1 = $b; }
+         |    }
+         |    int $base = $t * $nProbes;
+         |    $out[$base] = $acc;
+         |    if ($nProbes > 1) $out[$base + 1] = $acc ^ (1 << $m0);
+         |    if ($nProbes > 2) $out[$base + 2] = $acc ^ (1 << $m1);
+         |    if ($nProbes > 3) $out[$base + 3] = $acc ^ (1 << $m0) ^ (1 << $m1);
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

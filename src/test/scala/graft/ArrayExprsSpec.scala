@@ -27,6 +27,40 @@ class ArrayExprsSpec extends AnyFunSuite {
     assert(both.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("PlaneSignProbes: probe 0 is the exact bucket, flips follow the margin order") {
+    val planes: Array[Array[Long]] = {
+      val rnd = new scala.util.Random(11)
+      Array.fill(8 * 4)(Array.fill(64)(math.floor(rnd.nextGaussian() * 10000 + 0.5).toLong))
+    }
+    val rows = vecs.limit(40)
+      .select(col("vec_id"),
+        col("q"),
+        ArrayExprs.planeSignBuckets(col("q"), planes, 4).as("exact"),
+        ArrayExprs.planeSignProbes(col("q"), planes, 4, 4).as("probes"))
+      .collect()
+    rows.foreach { r =>
+      val qv = r.getSeq[Long](1).toArray
+      val exact = r.getSeq[Int](2)
+      val probes = r.getSeq[Int](3)
+      assert(probes.length == 8 * 4)
+      for (t <- 0 until 8) {
+        // plain-Scala margin replay
+        val dots = (0 until 4).map { b =>
+          val p = planes(t * 4 + b)
+          qv.indices.map(i => qv(i) * p(i)).sum
+        }
+        val acc = dots.zipWithIndex.collect { case (s, b) if s >= 0 => 1 << b }.sum
+        val Seq(m0, m1) = dots.zipWithIndex.sortBy { case (s, b) => (math.abs(s), b) }.take(2).map(_._2)
+        assert(probes(t * 4) == exact(t) && exact(t) == acc, s"table $t exact bucket")
+        assert(probes(t * 4 + 1) == (acc ^ (1 << m0)), s"table $t probe 1")
+        assert(probes(t * 4 + 2) == (acc ^ (1 << m1)), s"table $t probe 2")
+        assert(probes(t * 4 + 3) == (acc ^ (1 << m0) ^ (1 << m1)), s"table $t probe 3")
+        // probes within a table are pairwise distinct buckets
+        assert(probes.slice(t * 4, t * 4 + 4).distinct.length == 4)
+      }
+    }
+  }
+
   test("MinHashSig equals the per-perm transform/array_min formulation") {
     val perms = operators.Dedup.perms
     val prime = operators.Dedup.MinHashPrime

@@ -45,8 +45,9 @@ class DedupVectorSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = bf.count(lsh.contains).toDouble / bf.size
     info(s"ann_lsh recall@5 = $recall")
-    // deterministic (fixed hyperplane seed); measures 0.70 here
-    assert(recall >= 0.5, s"LSH recall under the pinned floor: $recall")
+    // deterministic (fixed hyperplane seed); measured 0.70 exact-bucket,
+    // 0.98 since 4-probe multi-probe (Lv'07) landed on the query side
+    assert(recall >= 0.7, s"LSH recall under the pinned floor: $recall")
   }
 
   test("ann_ivf recall@5 vs brute force") {
@@ -145,7 +146,8 @@ class DedupVectorSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val lshRecall = bf.count(lsh.contains).toDouble / bf.size
     info(s"held-out ann_lsh recall@5 = $lshRecall")
-    assert(lshRecall >= 0.5, s"LSH recall under the pinned floor on held-out queries: $lshRecall")
+    // 0.61 exact-bucket → 0.99 with multi-probe on held-out queries
+    assert(lshRecall >= 0.7, s"LSH recall under the pinned floor on held-out queries: $lshRecall")
     val ivf = VectorOps.annIvf(e, held, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivfRecall = bf.count(ivf.contains).toDouble / bf.size

@@ -329,7 +329,9 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(ppm == nH * 1000000L / nT)
     }
     // the recall floors the dedicated specs assert, restated on the report
-    assert(got("lsh")._3 >= 500000L && got("ivf")._3 >= 700000L && got("pq")._3 >= 700000L)
+    // (lsh raised 0.5 → 0.7 when 4-probe multi-probe landed; measures
+    // ≈0.98 on this corpus)
+    assert(got("lsh")._3 >= 700000L && got("ivf")._3 >= 700000L && got("pq")._3 >= 700000L)
   }
 
   // --------------------------------------------------------- q_runsum_floor
