@@ -35,6 +35,30 @@ import org.apache.spark.sql.types._
   */
 object Graph {
 
+  /** Lineage cut for every iterative op in this file: executor-local
+    * by default (fast, and the right choice on local[*] where executor
+    * storage IS the machine), RELIABLE when
+    * `spark.graft.graph.checkpointDir` is set. The difference only
+    * shows on a real cluster: `localCheckpoint` blocks live in
+    * executor storage, so one lost executor mid-iteration aborts a
+    * 50-round job with no recovery path (lineage was truncated); a
+    * reliable checkpoint writes the cut to the fault-tolerant
+    * checkpoint dir (HDFS/object store) and the job replays from it.
+    * One conf away on purpose — the 100 TB knob, zero-cost locally.
+    */
+  private def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val dir = spark.conf.get("spark.graft.graph.checkpointDir", "")
+    if (dir.isEmpty) df.localCheckpoint()
+    else {
+      val sc = spark.sparkContext
+      // setCheckpointDir mints a fresh UUID subdir per call — set once
+      // per context, not once per round
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    }
+  }
+
   /** `iterations` rounds of damped (0.85) integer PageRank over a
     * directed edge list (`src`, `dst`). Returns (node_id, mass) with
     * mass on the ×`scale` integer grid; nodes = every src in `edges`.
@@ -49,7 +73,7 @@ object Graph {
     // the ed cache fill. The eager localCheckpoint doubles as ed's
     // cache warmer, and dropDuplicates keeps the hash(node_id)
     // partitioning the per-round left join then reuses exchange-free.
-    val nodes = ed.select(col("src").as("node_id")).dropDuplicates("node_id").localCheckpoint()
+    val nodes = ed.select(col("src").as("node_id")).dropDuplicates("node_id").transform(cut)
     val teleport = scale * 15 / 100
     var mass = nodes.select(col("node_id"), lit(scale).as("mass"))
     // localCheckpoint (eager) per iteration cuts the join lineage —
@@ -69,7 +93,7 @@ object Graph {
         .select(col("dst").as("node_id"), col("in_mass"))
       mass = nodes.join(inMass, Seq("node_id"), "left")
         .select(col("node_id"), (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("mass"))
-        .localCheckpoint()
+        .transform(cut)
     }
     ed.unpersist()
     mass.orderBy("node_id")
@@ -88,7 +112,7 @@ object Graph {
       .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-      .localCheckpoint()
+      .transform(cut)
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
     pageRank(edges, 5)
@@ -151,7 +175,7 @@ object Graph {
     require(iterations >= 1 && seeds.nonEmpty)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, "src").cache()
-    val nodes = ed.select(col("src").as("node_id")).dropDuplicates("node_id").localCheckpoint()
+    val nodes = ed.select(col("src").as("node_id")).dropDuplicates("node_id").transform(cut)
     val isSeed = col("node_id").isin(seeds: _*)
     val teleport = when(isSeed, lit(scale * 15 / 100)).otherwise(lit(0L))
     var mass = nodes.select(col("node_id"), when(isSeed, lit(scale)).otherwise(lit(0L)).as("mass"))
@@ -163,7 +187,7 @@ object Graph {
         .select(col("dst").as("node_id"), col("in_mass"))
       mass = nodes.join(inMass, Seq("node_id"), "left")
         .select(col("node_id"), (teleport + coalesce(col("in_mass"), lit(0L))).as("mass"))
-        .localCheckpoint()
+        .transform(cut)
     }
     ed.unpersist()
     mass.orderBy("node_id")
@@ -178,7 +202,7 @@ object Graph {
       .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-      .localCheckpoint()
+      .transform(cut)
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
     personalizedPageRank(edges, Seq(2L, 4L, 6L), 5)
@@ -236,14 +260,14 @@ object Graph {
   def bfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val ed = edges.select(col("src"), col("dst")).cache()
-    var dist = seeds.select(col("node_id"), lit(0L).as("dist")).localCheckpoint()
+    var dist = seeds.select(col("node_id"), lit(0L).as("dist")).transform(cut)
     for (_ <- 1 to rounds) {
       val relaxed = ed.join(dist, col("src") === col("node_id"))
         .select(col("dst").as("node_id"), (col("dist") + 1).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node_id"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .transform(cut)
     }
     ed.unpersist()
     dist.orderBy("node_id")
@@ -260,7 +284,7 @@ object Graph {
       .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-      .localCheckpoint()
+      .transform(cut)
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
     val seeds = edges.select(col("src").as("node_id"))
@@ -338,7 +362,7 @@ object Graph {
       // join that derives it — 17 exchanges → 3× the fact scan at
       // scale (measured in the plan audit; ReuseExchange does not
       // unify the legs because each sits under a different join key)
-      .localCheckpoint()
+      .transform(cut)
     val e1 = edges.select(col("u").as("a"), col("v").as("b"))
     val e2 = edges.select(col("u").as("b2"), col("v").as("c2"))
     val e3 = edges.select(col("u").as("a3"), col("v").as("c3"))
@@ -392,9 +416,9 @@ object Graph {
     * the q_bfs idiom.
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val e = edges.select(col("u"), col("v")).transform(cut)
     var lab = e.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("lbl"))
-      .select(col("u").as("node"), col("lbl")).localCheckpoint()
+      .select(col("u").as("node"), col("lbl")).transform(cut)
     // DECIMAL(38,0) potential: an int64 sum could overflow on a
     // billion-node graph (labels up to 2^31 × n rows)
     def labelSum(d: DataFrame): BigDecimal =
@@ -412,7 +436,7 @@ object Graph {
       val parents = stepped.select(col("node").as("p_node"), col("lbl").as("p_lbl"))
       val jumped = stepped.join(parents, stepped("lbl") === parents("p_node"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .transform(cut)
       val s = labelSum(jumped)
       converged = s == prevSum
       prevSum = s
@@ -439,7 +463,7 @@ object Graph {
       .groupBy(col("pu"), col("pv")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("pu"), col("pv"))
-      .localCheckpoint()
+      .transform(cut)
     val e = e0.select(col("pu").as("u"), col("pv").as("v"))
       .unionByName(e0.select(col("pv").as("u"), col("pu").as("v")))
     connectedComponents(e)
@@ -486,8 +510,8 @@ object Graph {
     */
   def hits(edges: DataFrame, rounds: Int, scale: Long = 1000000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val srcs = e.select(col("src")).dropDuplicates("src").localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().transform(cut)
+    val srcs = e.select(col("src")).dropDuplicates("src").transform(cut)
     def maxOf(d: DataFrame, c: String): Long =
       d.agg(max(col(c))).head().getLong(0)
     var hub = srcs.select(col("src"), lit(scale).as("hub"))
@@ -498,13 +522,13 @@ object Graph {
       val aMax = maxOf(aRaw, "a_raw")
       auth = aRaw
         .select(col("dst"), expr(s"(a_raw * $scale) div $aMax").as("auth"))
-        .localCheckpoint()
+        .transform(cut)
       val hRaw = e.join(auth, "dst")
         .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
       val hMax = maxOf(hRaw, "h_raw")
       hub = hRaw
         .select(col("src"), expr(s"(h_raw * $scale) div $hMax").as("hub"))
-        .localCheckpoint()
+        .transform(cut)
     }
     hub.select(col("src").as("node_id"), lit("hub").as("score_kind"), col("hub").as("score"))
       .unionByName(auth.select(col("dst").as("node_id"), lit("authority").as("score_kind"), col("auth").as("score")))
@@ -577,15 +601,15 @@ object Graph {
     * lineage exactly like [[pageRank]].
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val e = edges.select(col("u"), col("v")).transform(cut)
     var lab = e.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
+      .withColumn("lbl", col("node")).transform(cut)
     for (_ <- 1 to rounds) {
       val nbr = e.join(lab.select(col("node").as("v"), col("lbl")), "v")
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("u")).orderBy(col("cnt").desc, col("lbl"))
       lab = nbr.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("u").as("node"), col("lbl")).localCheckpoint()
+        .select(col("u").as("node"), col("lbl")).transform(cut)
     }
     lab
   }
@@ -606,7 +630,7 @@ object Graph {
       .groupBy(col("pu"), col("pv")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("pu"), col("pv"))
-      .localCheckpoint()
+      .transform(cut)
     val e = e0.select(col("pu").as("u"), col("pv").as("v"))
       .unionByName(e0.select(col("pv").as("u"), col("pu").as("v")))
     labelPropagation(e, 3)
@@ -656,7 +680,7 @@ object Graph {
     */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 1 && k >= 1)
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var e = edges.select(col("src"), col("dst")).transform(cut)
     val out = Seq.newBuilder[(Long, Long, Long)]
     for (r <- 1 to rounds) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -664,7 +688,7 @@ object Graph {
       e = e
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
+        .transform(cut)
       val nodes = e.select(col("src")).distinct().count()
       val nEdges = e.count()
       out += ((r.toLong, nodes, nEdges))
@@ -683,7 +707,7 @@ object Graph {
       .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-      .localCheckpoint()
+      .transform(cut)
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
     kcorePeel(edges, k = 3, rounds = 3).orderBy("round")
@@ -743,10 +767,10 @@ object Graph {
     * silently partial forest.
     */
   def boruvkaMsf(edges0: DataFrame, maxRounds: Int = 12): DataFrame = {
-    val edges = edges0.select(col("u"), col("v"), col("w")).localCheckpoint()
+    val edges = edges0.select(col("u"), col("v"), col("w")).transform(cut)
     var labels = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
-      .distinct().select(col("node"), col("node").as("lbl")).localCheckpoint()
+      .distinct().select(col("node"), col("node").as("lbl")).transform(cut)
     // components at least halve per round, so ⌈log₂ n⌉ rounds always
     // suffice — derive the bound from the node count instead of trusting
     // the caller's cap (a fixed 12 silently truncated above 2^12 initial
@@ -763,7 +787,7 @@ object Graph {
       val lu = labels.select(col("node").as("u"), col("lbl").as("cu"))
       val lv = labels.select(col("node").as("v"), col("lbl").as("cv"))
       val cross = edges.join(lu, Seq("u")).join(lv, Seq("v"))
-        .filter(col("cu") =!= col("cv")).localCheckpoint()
+        .filter(col("cu") =!= col("cv")).transform(cut)
       if (cross.isEmpty) done = true
       else {
         val e = struct(col("w"), col("u"), col("v"), col("cu"), col("cv"))
@@ -773,7 +797,7 @@ object Graph {
           // an edge whose two components BOTH pick it appears twice
           .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"),
             col("e.cu").as("cu"), col("e.cv").as("cv"))
-          .distinct().localCheckpoint()
+          .distinct().transform(cut)
         forest = Some(forest.fold(sel.select(col("u"), col("v"), col("w")))(
           _.unionAll(sel.select(col("u"), col("v"), col("w")))))
         // contraction graph = ≤ one edge per component — forest-sized.
@@ -786,7 +810,7 @@ object Graph {
           .select(col("doc_id").as("old_lbl"), col("cluster_id").as("new_lbl"))
         labels = labels.join(comp, labels("lbl") === col("old_lbl"), "left")
           .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-          .localCheckpoint()
+          .transform(cut)
       }
     }
     // convergence proof: a non-spanning partial forest must never be
@@ -848,14 +872,14 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val ed = edges.select(col("src"), col("dst"), col("w")).cache()
-    var dist = Seq((seed, 0L)).toDF("node_id", "dist").localCheckpoint()
+    var dist = Seq((seed, 0L)).toDF("node_id", "dist").transform(cut)
     for (_ <- 1 to rounds) {
       val relaxed = ed.join(dist, col("src") === col("node_id"))
         .select(col("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node_id"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .transform(cut)
     }
     ed.unpersist()
     dist.orderBy("node_id")
@@ -880,7 +904,7 @@ object Graph {
         greatest(col("c_nationkey"), col("s_nationkey")).cast(LongType).as("v"),
         (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
       .groupBy(col("u"), col("v")).agg(min(col("cents")).as("w"))
-      .localCheckpoint() // feeds both union directions
+      .transform(cut) // feeds both union directions
     val edges = base.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionAll(base.select(col("v").as("src"), col("u").as("dst"), col("w")))
     sssp(edges, 0L, 4)
@@ -950,7 +974,7 @@ object Graph {
       .groupBy(col("pu"), col("pv")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("pu"), col("pv"))
-      .localCheckpoint()
+      .transform(cut)
     val bi = e0.select(col("pu").as("z"), col("pv").as("n"))
       .unionByName(e0.select(col("pv").as("z"), col("pu").as("n")))
     val deg = bi.groupBy(col("z")).agg(count(lit(1)).as("deg"))

@@ -8,6 +8,32 @@ class GraphSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("reliable-checkpoint knob: identical results, checkpoint dir written") {
+    // the 100 TB fault-tolerance knob: with spark.graft.graph
+    // .checkpointDir set, every iterative op cuts lineage via reliable
+    // checkpoints to that dir instead of executor-local storage
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 1L), (1L, 4L)).toDF("src", "dst")
+    val local = Graph.pageRank(edges, 3).as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile
+    try {
+      spark.conf.set("spark.graft.graph.checkpointDir", dir.getAbsolutePath)
+      val reliable = Graph.pageRank(edges, 3).as[(Long, Long)].collect().toMap
+      assert(reliable == local, "reliable-checkpoint mode must not change results")
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(dir).nonEmpty, "reliable mode must actually write checkpoint data")
+    } finally {
+      spark.conf.unset("spark.graft.graph.checkpointDir")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+    assert(!dir.exists, "test cleans its checkpoint dir")
+  }
+
   test("pageRank: one iteration on a hand-computed path graph") {
     // path 1-2-3, both directions. deg: 1→1, 2→2, 3→1; m0 = 1e12 each.
     // transfers: 1 sends 8.5e11 to 2; 2 sends 4.25e11 to each of 1,3;
