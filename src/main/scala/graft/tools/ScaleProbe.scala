@@ -1,0 +1,123 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale probe (r7 verdict, next-round #7): one honest cold run of
+  * the heaviest queries at ~10× the bench SF, to catch superlinear
+  * blowups the sf0.1 bench cannot see (a quadratic candidate set or an
+  * accidentally-global sort looks fine at 600k rows and explodes at
+  * 6M).
+  *
+  * The driver generates no sf1 testdata, so the probe DERIVES one from
+  * sf0.1: each fact/dim table is replicated `Factor` times with every
+  * id column shifted by replica·10^8 — disjoint key spaces, so the
+  * graph queries see `Factor` disjoint copies of the same graph (the
+  * honest way to scale a graph without changing its diameter) and the
+  * corpus queries see a `Factor`× corpus. Document text gets a
+  * replica suffix so content addresses and shingles differ across
+  * replicas instead of producing a pathological 10-way-everything
+  * duplicate corpus. The derived data lives under target/ (gitignored,
+  * inside the repo) and is rebuilt only when absent.
+  *
+  * Pass criterion: no query takes more than `Factor`× its same-run
+  * sf0.1 time (linear-or-better scaling); results land in
+  * BENCH_sf1.json next to the per-round bench artifacts.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [queries...]
+  */
+object ScaleProbe {
+
+  private val Factor = 10
+  private val Offset = 100000000L // replica key stride; all sf0.1 keys ≪ 10^8
+
+  /** id columns to shift per table; everything else copies verbatim. */
+  private val idCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("user_id", "event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "nation" -> Seq(),
+    "region" -> Seq(),
+  )
+
+  /** The default probe set: the 10 heaviest floors (graph family +
+    * the two corpus-quadratic-risk ops).
+    */
+  private val DefaultQueries = Seq(
+    "q_hits", "q_pagerank", "q_components", "q_bfs", "q_ppr",
+    "q_kcore", "q_communities", "q_msf", "dedup_containment", "ann_recall")
+
+  private def buildScaled(spark: SparkSession, src: String, out: String): Unit = {
+    idCols.foreach { case (name, ids) =>
+      val base = GraftSession.table(spark, src, name)
+      val scaled: DataFrame =
+        if (ids.isEmpty) base // dims shared by every replica
+        else (0 until Factor).map { r =>
+          val shifted = ids.foldLeft(base) { (df, c) =>
+            // preserve the column's original type: every sf0.1 key +
+            // 9·10^8 still fits an int32
+            df.withColumn(c, (col(c) + lit(r * Offset)).cast(df.schema(c).dataType))
+          }
+          if (name == "documents")
+            shifted.withColumn("text",
+              if (r == 0) col("text") else concat(col("text"), lit(s" replica$r")))
+          else shifted
+        }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleprobe] built $name")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/sf1"
+    val names = if (args.nonEmpty) args.toSeq else DefaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSession.tunedConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) buildScaled(spark, src, out)
+
+    def materialize(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    // JIT/codegen warm-up at the smallest SF so the timing measures the plan
+    names.foreach(n => try materialize(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () })
+    spark.catalog.clearCache()
+
+    def timed(n: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      materialize(SparkEntry.queries(n)(spark, dir))
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
+    val rows = names.map { n =>
+      val t01 = timed(n, src)
+      val t1 = timed(n, out)
+      val ratio = t1 / math.max(0.001, t01)
+      println(f"[scaleprobe] $n%-20s sf0.1 $t01%7.2fs   sf1 $t1%7.2fs   ratio ${ratio}%5.2fx")
+      (n, t01, t1, ratio)
+    }
+    def num(v: Double) = "%.2f".format(v)
+    val json = rows.map { case (n, a, b, r) =>
+      s""""$n":{"sf01_sec":${num(a)},"sf1_sec":${num(b)},"ratio":${num(r)}}"""
+    }.mkString(s"""{"factor":$Factor,"queries":{""", ",", "}}")
+    val w = new java.io.PrintWriter("BENCH_sf1.json")
+    try w.println(json) finally w.close()
+    val worst = rows.maxBy(_._4)
+    println(s"[scaleprobe] worst ratio: ${worst._1} at ${num(worst._4)}x (gate: <= $Factor x)")
+    spark.stop()
+    if (rows.exists(_._4 > Factor)) sys.exit(1)
+  }
+}
