@@ -142,7 +142,9 @@ object PartSupp {
     table(spark, dir, "supplier")
       .join(broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
-      .join(cand, col("s_suppkey").cast(LongType) === col("ps_suppkey"), "left_semi")
+      // cand is a distinct-suppkey set (≤ |supplier|): broadcast it so
+      // the semi join never exchanges the supplier dim
+      .join(broadcast(cand), col("s_suppkey").cast(LongType) === col("ps_suppkey"), "left_semi")
       .select(col("s_name"), col("s_suppkey").cast(LongType).as("suppkey"))
       .orderBy("s_name")
   }
