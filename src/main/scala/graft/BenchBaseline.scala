@@ -262,6 +262,7 @@ object BenchBaseline {
     "q2_mincost" -> 1.81,
     "q11_important" -> 1.16,
     "q16_suppcnt" -> 0.73,
+    "ann_knn_graph" -> 4.96,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality + determinism pins for the NN-descent k-NN graph
+  * (SURVEY §2.4 #29m, rows-only by design — iterative, LSH-seeded).
+  */
+class KnnGraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val K = 5
+
+  /** brute-force true k-NN per node, (cosine DESC, id ASC) order. */
+  private lazy val truth: Map[Long, Seq[Long]] = {
+    val vs = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 10000 + 0.5).cast("long")).as("qv"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray)
+    val norms = vs.map { case (id, q) => id -> math.sqrt(q.map(x => x.toDouble * x).sum) }.toMap
+    vs.map { case (a, qa) =>
+      val top = vs.filter(_._1 != a).map { case (b, qb) =>
+        var dot = 0L; var i = 0
+        while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
+        (b, dot.toDouble / (norms(a) * norms(b)))
+      }.sortBy { case (b, c) => (-c, b) }.take(K).map(_._1)
+      a -> top.toSeq
+    }.toMap
+  }
+
+  test("knn-graph recall vs the brute-force true k-NN graph") {
+    val got = VectorOps.annKnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every node got exactly K edges, self-free
+    got.foreach { case (v, ns) =>
+      assert(ns.size == K, s"node $v has ${ns.size} neighbors")
+      assert(!ns.contains(v))
+    }
+    assert(got.keySet == truth.keySet, "every corpus vector gets a neighbor list")
+    val hits = truth.toSeq.map { case (v, t) => t.count(got(v).contains) }.sum
+    val recall = hits.toDouble / (truth.size * K)
+    info(s"knn-graph recall@$K = $recall")
+    assert(recall >= 0.8, s"NN-descent graph recall under the pinned floor: $recall")
+  }
+
+  test("knn-graph is deterministic and rank-ordered") {
+    val a = VectorOps.annKnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    val b = VectorOps.annKnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(a.toSeq == b.toSeq, "LSH-seeded NN-descent must replay identically")
+    // ranks are 1..K per node
+    a.groupBy(_._1).values.foreach(g => assert(g.map(_._2).sorted.toSeq == (1L to K.toLong)))
+  }
+}

@@ -27,7 +27,7 @@ start = md.index("## Per-query floors")
 head_end = md.index("| query | floor | query | floor |", start)
 body_end = md.index("\n\n(q_msf", start)
 header = md[start:head_end]
-header = re.sub(r"\b\d+ floors as of round \d+", f"{len(floors)} floors", header, count=1)
+header = re.sub(r"\b\d+ floors\b", f"{len(floors)} floors", header, count=1)
 open("BASELINE.md", "w").write(
     md[:start] + header + "| query | floor | query | floor |\n|---|---|---|---|\n" + table + md[body_end:]
 )
