@@ -263,6 +263,7 @@ object BenchBaseline {
     "q11_important" -> 1.16,
     "q16_suppcnt" -> 0.73,
     "ann_knn_graph" -> 4.96,
+    "sample_temperature" -> 1.04,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -1009,7 +1009,60 @@ object Pipeline {
       |GROUP BY 1, 2
       |ORDER BY source, split""".stripMargin
 
+  /** §2.3 #26r — temperature-based corpus mixing (the share^α
+    * resampling every multilingual/multi-source training mixture runs:
+    * α < 1 upweights small sources toward uniform, α = 1 is
+    * proportional). Here α = 0.5 on per-source TOKEN mass with a
+    * half-corpus token budget: per-source weight √tokens, budget
+    * share w_s/W of T/2 tokens, Bernoulli keep at the resulting
+    * per-source rate via the md5-uniform idiom.
+    *
+    * Cross-engine exactness: √tokens is quantized to integer
+    * milli-units BEFORE the Σw normalizer (a double Σ√ would be
+    * summation-order-dependent; integer sums are not), the budget
+    * algebra is pure int64 floor division, and the keep test compares
+    * md5-u32 % 10^6 against an integer ppm rate. Scale shape: one
+    * map-side-combined source rollup, a 1-ROW total broadcast-crossed
+    * into the |sources|-row rate table (the q22_idle shape), rates
+    * broadcast back onto the corpus — purely map-side per doc.
+    */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val w = docs(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("toks"))
+      .withColumn("sw", floor(sqrt(col("toks").cast(DoubleType)) * 1000 + 0.5).cast(LongType))
+    val tot = w.agg(sum(col("toks")).as("t_total"), sum(col("sw")).as("w_total"))
+    val rates = w.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1000000L),
+          expr("((t_total div 2) * sw div w_total) * 1000000 div toks")).as("rate_ppm"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("u", pmod(
+        conv(substring(md5(concat_ws(":", lit("temp"), col("doc_id"))), 1, 8), 16, 10).cast(LongType),
+        lit(1000000L)))
+      .select(col("doc_id"), col("source"), col("rate_ppm"), (col("u") < col("rate_ppm")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val sampleTemperatureSql: String =
+    """WITH s AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT source, toks, CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS sw FROM s
+      |), tot AS (
+      |  SELECT CAST(sum(toks) AS BIGINT) AS t_total, CAST(sum(sw) AS BIGINT) AS w_total FROM w
+      |), r AS (
+      |  SELECT source, least(1000000, ((t_total // 2) * sw // w_total) * 1000000 // toks) AS rate_ppm
+      |  FROM w, tot
+      |)
+      |SELECT doc_id, source, rate_ppm,
+      |  (('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) < rate_ppm AS kept
+      |FROM documents JOIN r USING (source)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature" -> (sampleTemperature _),
     "q_split_holdout" -> (qSplitHoldout _),
     "text_domain_cap" -> (textDomainCap _),
     "pipeline_e2e" -> (pipelineE2e _),
@@ -1028,6 +1081,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_temperature" -> sampleTemperatureSql,
     "q_split_holdout" -> qSplitHoldoutSql,
     "text_domain_cap" -> textDomainCapSql,
     "pipeline_e2e" -> pipelineE2eSql,

@@ -66,6 +66,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.forall { case (n, h) => h <= n })
   }
 
+  test("sample_temperature: the integer budget algebra replays exactly and tempers toward uniform") {
+    val d = GraftSession.table(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars").as[(Long, String, Long)].collect()
+    val toks = d.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val sw = toks.view.mapValues(t => math.floor(math.sqrt(t.toDouble) * 1000 + 0.5).toLong).toMap
+    val tTotal = toks.values.sum
+    val wTotal = sw.values.sum
+    def ratePpm(s: String): Long =
+      math.min(1000000L, (tTotal / 2) * sw(s) / wTotal * 1000000L / toks(s))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = operators.Pipeline.sampleTemperature(spark, sf).collect()
+    assert(rows.length == d.length, "audit view emits every doc")
+    rows.foreach { r =>
+      val (id, s) = (r.getAs[Long]("doc_id"), r.getAs[String]("source"))
+      assert(r.getAs[Long]("rate_ppm") == ratePpm(s), s"rate for $s")
+      val u = java.lang.Long.parseLong(md5hex(s"temp:$id").take(8), 16) % 1000000L
+      assert(r.getAs[Boolean]("kept") == (u < ratePpm(s)), s"keep flag for doc $id")
+    }
+    // α = 0.5 property: a source's budgeted token share is compressed
+    // toward uniform — smaller-than-average sources get rate above the
+    // flat T/2 rate, larger-than-average below (strictly when sizes
+    // differ; equal-size corpora get equal rates)
+    val flat = 500000L
+    val mean = tTotal.toDouble / toks.size
+    toks.foreach { case (s, t) =>
+      if (t.toDouble < mean * 0.9) assert(ratePpm(s) >= flat, s"$s should be upweighted")
+      if (t.toDouble > mean * 1.1) assert(ratePpm(s) <= flat, s"$s should be downweighted")
+    }
+  }
+
   test("text_repetition ratios match a driver-side recomputation and are bounded") {
     val docs = GraftSession.table(spark, sf, "documents")
       .select("doc_id", "text").as[(Long, String)].collect()

@@ -167,7 +167,10 @@ class PlanSpec extends AnyFunSuite {
       "ann_incremental",
       // q11_important cross-joins a broadcast 1-ROW nation-total
       // aggregate into the per-part stock rollup — the q22_idle shape
-      "q11_important")
+      "q11_important",
+      // sample_temperature cross-joins a broadcast 1-ROW corpus-total
+      // aggregate into the |sources|-row rate table — the same shape
+      "sample_temperature")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
