@@ -381,6 +381,50 @@ object VectorOps {
   def annKnnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraph(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")), 5, 3)
 
+  /** §2.4 #29n — graph-expanded ANN query: take a cheap seed
+    * candidate set (here IVF top-k, recall ≈ 0.86) and repair it by
+    * walking `hops` steps of the prebuilt k-NN graph from every seed,
+    * then exact-re-rank the expanded set — the query-time half of the
+    * graph-index story ([[knnGraph]] is the build-time half). The
+    * expansion is a bounded join per hop: |candidates| ≤ seeds·(k+1)^hops,
+    * and every wide row stays (query_id, id).
+    *
+    * On a real deployment the graph is BUILT ONCE and reused across
+    * query batches; the named query rebuilds it inline because the
+    * harness is stateless per query — its cost is the build, not the
+    * expansion.
+    */
+  def graphExpand(data: DataFrame, queries: DataFrame, k: Int,
+      seeds: DataFrame, graph: DataFrame, hops: Int = 2): DataFrame = {
+    val g = graph.select(col("vec_id").as("g_src"), col("neighbor_id").as("g_dst"))
+    var cand = seeds.select(col("query_id"), col("neighbor_id")).distinct()
+    for (_ <- 1 to hops) {
+      cand = cand.unionAll(
+        cand.join(g, cand("neighbor_id") === col("g_src"))
+          .select(col("query_id"), col("g_dst").as("neighbor_id")))
+        .distinct()
+    }
+    val d = prep(data).select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"))
+    val q = prep(queries).select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"))
+    val scored = cand
+      .join(broadcast(q), "query_id")
+      .join(d, "neighbor_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** named query: IVF seeds for the 20-query workload, 2-hop
+    * expansion over the 5-NN graph, exact top-5 re-rank. Rows-only;
+    * ScalaTest pins recall ≥ the IVF seed's and vs brute force.
+    */
+  def annGraphExpand(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    val queries = e.filter(col("id") < 20)
+    graphExpand(e, queries, 5, annIvf(e, queries, 5), knnGraph(e, 5, 3))
+  }
+
   // ------------------------------------------------------------- k-means
 
   /** Spherical k-means over the quantized vectors, for the IVF coarse
@@ -1459,6 +1503,7 @@ object VectorOps {
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_lsh" -> (annLsh(_: SparkSession, _: String)),
     "ann_knn_graph" -> (annKnnGraph _),
+    "ann_graph_expand" -> (annGraphExpand _),
     "ann_ivf" -> (annIvf(_: SparkSession, _: String)),
     "ann_filtered" -> (annFiltered(_: SparkSession, _: String)),
     "ann_pq" -> (annPq(_: SparkSession, _: String)),

@@ -46,6 +46,20 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"NN-descent graph recall under the pinned floor: $recall")
   }
 
+  test("graph-expanded query beats its IVF seed and nears brute-force recall") {
+    val bf = VectorOps.annBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = VectorOps.annIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exp = VectorOps.annGraphExpand(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfRecall = bf.count(ivf.contains).toDouble / bf.size
+    val expRecall = bf.count(exp.contains).toDouble / bf.size
+    info(s"ivf recall@5 = $ivfRecall, graph-expanded recall@5 = $expRecall")
+    assert(expRecall >= ivfRecall, "expansion must never lose the seed's recall")
+    assert(expRecall >= 0.9, s"graph-expanded recall under the pinned floor: $expRecall")
+  }
+
   test("knn-graph is deterministic and rank-ordered") {
     val a = VectorOps.annKnnGraph(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))

@@ -170,7 +170,10 @@ class PlanSpec extends AnyFunSuite {
       "q11_important",
       // sample_temperature cross-joins a broadcast 1-ROW corpus-total
       // aggregate into the |sources|-row rate table — the same shape
-      "sample_temperature")
+      "sample_temperature",
+      // ann_graph_expand embeds annIvf's broadcast 16-centroid
+      // quantizer assignment (its seed stage) — the ann_ivf shape
+      "ann_graph_expand")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
