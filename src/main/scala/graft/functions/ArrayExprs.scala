@@ -555,6 +555,10 @@ case class PlaneSignBuckets(child: Expression, planes: Array[Array[Long]], bitsP
 case class PlaneSignProbes(child: Expression, planes: Array[Array[Long]], bitsPerTable: Int, nProbes: Int)
     extends UnaryExpression {
   require(nProbes >= 1 && nProbes <= 4, "probe sequence implemented for nProbes in [1,4]")
+  // with a single hyperplane per table the second-margin index m1
+  // degenerates to m0 and probes 2/3 would duplicate probe 1 + exact
+  require(nProbes == 1 || bitsPerTable >= 2,
+    "multi-probe needs >= 2 bits per table (probes 2+ flip the two smallest margins)")
   private val numTables = planes.length / bitsPerTable
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

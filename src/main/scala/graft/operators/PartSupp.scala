@@ -238,7 +238,12 @@ object PartSupp {
     val grp = nat.groupBy(col("ps_partkey")).agg(sum(col("val")).as("value"))
     val tot = nat.agg(sum(col("val")).as("total"), countDistinct(col("ps_partkey")).as("n_parts"))
     grp.crossJoin(broadcast(tot))
-      .filter(lit(2L) * col("value") * col("n_parts") > lit(3L) * col("total"))
+      // 2·value·n_parts > 3·total, divide-before-multiply: the triple
+      // product overflows int64 near total ~ 2^63/n_parts, while
+      // value > (3·total) div (2·n_parts) is the EXACT same predicate
+      // (v·2n > 3t ⟺ v > floor(3t/2n) for positive integers) and only
+      // needs 3·total ≤ 2^63 (safe input bound: total < 3.07e18 cents)
+      .filter(col("value") > expr("(3 * total) div (2 * n_parts)"))
       .select(col("ps_partkey"), col("value"))
       .orderBy(col("value").desc, col("ps_partkey"))
   }
@@ -255,7 +260,7 @@ object PartSupp {
       |grp AS (SELECT ps_partkey, CAST(sum(val) AS BIGINT) AS value FROM nat GROUP BY 1),
       |tot AS (SELECT CAST(sum(val) AS BIGINT) AS total, CAST(count(DISTINCT ps_partkey) AS BIGINT) AS n_parts FROM nat)
       |SELECT ps_partkey, value FROM grp, tot
-      |WHERE 2 * value * n_parts > 3 * total
+      |WHERE value > (3 * total) // (2 * n_parts)
       |ORDER BY value DESC, ps_partkey""".stripMargin
 
   /** §2.2 #21cm — supplier-count-by-part-attributes, TPC-H Q16 shape:

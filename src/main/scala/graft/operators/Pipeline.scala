@@ -1031,10 +1031,17 @@ object Pipeline {
       .groupBy(col("source")).agg(sum(col("n_chars")).as("toks"))
       .withColumn("sw", floor(sqrt(col("toks").cast(DoubleType)) * 1000 + 0.5).cast(LongType))
     val tot = w.agg(sum(col("toks")).as("t_total"), sum(col("sw")).as("w_total"))
-    val rates = w.crossJoin(broadcast(tot))
-      .select(col("source"),
-        least(lit(1000000L),
-          expr("((t_total div 2) * sw div w_total) * 1000000 div toks")).as("rate_ppm"))
+    // rate_ppm = min(1e6, floor(floor((T/2)·sw / W) · 1e6 / toks)), computed
+    // WITHOUT the naive (T/2)·sw product (overflows int64 near T ~ 2^63/sw,
+    // i.e. well inside the 100 TB regime). Split division is exact:
+    //   floor(t2·sw/W)       = (t2·sh div W)·1e5 + ((t2·sh mod W)·1e5 + t2·sl) div W
+    //     with sw = sh·1e5 + sl  — identity floor((A·K+B)/W) = qA·K + (rA·K+B) div W;
+    //   floor(bsrc·1e6/toks) = (bsrc·1e3 div toks)·1e3 + ((bsrc·1e3 mod toks)·1e3) div toks,
+    //     short-circuited to the 1e6 cap when bsrc ≥ toks.
+    // Safe input bounds (documented, vs the old t_total ≲ 2^63/sw), under this
+    // operator's sw = ⌊√toks·1e3⌉ coupling: t_total ≤ 2^63/2e5, w_total ≤ 2^63/1e5,
+    // toks ≤ 2^63/1e3 — all beyond a 100 TB corpus.
+    val rates = temperatureRatePpm(w.crossJoin(broadcast(tot)))
     docs(spark, dir)
       .select(col("doc_id"), col("source"))
       .join(broadcast(rates), Seq("source"))
@@ -1045,6 +1052,21 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** rate_ppm = min(1e6, ⌊⌊(t_total/2)·sw / w_total⌋ · 1e6 / toks⌋) over
+    * `(source, toks, sw, t_total, w_total)` rows, all-int64 and exact —
+    * split out of [[sampleTemperature]] so the near-2^63 regime (where
+    * the naive triple product wraps) is directly unit-testable.
+    */
+  private[graft] def temperatureRatePpm(df: DataFrame): DataFrame = df
+    .withColumn("t2", expr("t_total div 2"))
+    .withColumn("ba", expr("t2 * (sw div 100000)"))
+    .withColumn("bb", expr("t2 * (sw % 100000)"))
+    .withColumn("bsrc", expr("(ba div w_total) * 100000 + ((ba % w_total) * 100000 + bb) div w_total"))
+    .select(col("source"),
+      expr("""CASE WHEN bsrc >= toks THEN CAST(1000000 AS BIGINT)
+              ELSE ((bsrc * 1000) div toks) * 1000 + (((bsrc * 1000) % toks) * 1000) div toks
+              END""").as("rate_ppm"))
+
   val sampleTemperatureSql: String =
     """WITH s AS (
       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks FROM documents GROUP BY 1
@@ -1052,9 +1074,22 @@ object Pipeline {
       |  SELECT source, toks, CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS sw FROM s
       |), tot AS (
       |  SELECT CAST(sum(toks) AS BIGINT) AS t_total, CAST(sum(sw) AS BIGINT) AS w_total FROM w
-      |), r AS (
-      |  SELECT source, least(1000000, ((t_total // 2) * sw // w_total) * 1000000 // toks) AS rate_ppm
+      |), parts AS (
+      |  SELECT source, toks,
+      |    (t_total // 2) * (sw // 100000) AS ba,
+      |    (t_total // 2) * (sw % 100000) AS bb,
+      |    w_total
       |  FROM w, tot
+      |), bs AS (
+      |  SELECT source, toks,
+      |    (ba // w_total) * 100000 + ((ba % w_total) * 100000 + bb) // w_total AS bsrc
+      |  FROM parts
+      |), r AS (
+      |  SELECT source,
+      |    CASE WHEN bsrc >= toks THEN 1000000
+      |         ELSE ((bsrc * 1000) // toks) * 1000 + (((bsrc * 1000) % toks) * 1000) // toks
+      |         END AS rate_ppm
+      |  FROM bs
       |)
       |SELECT doc_id, source, rate_ppm,
       |  (('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) < rate_ppm AS kept

@@ -351,9 +351,18 @@ object TableFormat {
     * the plan's output is what a rewrite job would then execute
     * against the actual bytes.
     */
-  def qCompactPlan(spark: SparkSession, dir: String): DataFrame = {
-    val files = table(spark, dir, "documents")
-      .select(col("source"), col("doc_id"), col("n_chars").as("bytes"))
+  def qCompactPlan(spark: SparkSession, dir: String): DataFrame =
+    compactPlanOn(
+      table(spark, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").as("bytes")),
+      CompactTarget)
+
+  /** The binning core of [[qCompactPlan]] over an arbitrary manifest
+    * `(source, doc_id, bytes)` — split out so the >2^53 cumulative-sum
+    * regime (where a double-rounding bin id would diverge from exact
+    * integer division) is directly unit-testable.
+    */
+  def compactPlanOn(files: DataFrame, target: Long): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     files
@@ -361,7 +370,7 @@ object TableFormat {
       // and a cumulative byte sum past 2^53 would round before the cast
       // while the DuckDB oracle's `//` stays exact at any scale
       .withColumn("cum_bytes", coalesce(sum(col("bytes")).over(w), lit(0L)))
-      .withColumn("bin", expr(s"cum_bytes div $CompactTarget"))
+      .withColumn("bin", expr(s"cum_bytes div $target"))
       .groupBy(col("source"), col("bin"))
       .agg(
         count(lit(1)).as("n_files"),

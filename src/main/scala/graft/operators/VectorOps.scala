@@ -311,8 +311,9 @@ object VectorOps {
     * 1000-executor cluster already scales, no sequential insert path.
     *
     * Per round, wide ops and their bounds:
-    *  - undirected adjacency = kNN ∪ reverse(kNN), out-degree ≤ 2k and
-    *    REVERSE degree capped at 2k by deterministic row_number (an
+    *  - undirected adjacency = kNN ∪ reverse(kNN), out-degree ≤ pool
+    *    (= 2k) and TOTAL per-node degree capped at 2·pool (= 4k) by
+    *    deterministic row_number (an
     *    unbounded hub's in-degree would otherwise square in the next
     *    join — the paper's ρ-sampling, made deterministic);
     *  - neighbors-of-neighbors self-join on the middle node: ≤ (2k)²
@@ -366,10 +367,15 @@ object VectorOps {
         .select(col("query_id").as("a"), col("neighbor_id").as("b"))
         .localCheckpoint()
     }
+    // eager localCheckpoint BEFORE unpersisting prep: the final re-rank
+    // join reads the cached relation, so a lazy return + early unpersist
+    // would recompute prep from scratch at materialization time
     val out = topK(withVecs(knn.select(col("a").as("query_id"), col("b").as("neighbor_id"))), k)
       .select(col("query_id").as("vec_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("vec_id", "rank")
+      .localCheckpoint()
     d.unpersist()
-    out.orderBy("vec_id", "rank")
+    out
   }
 
   /** §2.4 #29m — named query: 5-NN graph of the embeddings corpus,

@@ -67,6 +67,13 @@ object ScaleProbe {
           if (name == "documents")
             shifted.withColumn("text",
               if (r == 0) col("text") else concat(col("text"), lit(s" replica$r")))
+          else if (name == "embeddings" && r != 0)
+            // perturb one coordinate per replica: verbatim vector copies
+            // would land 10-way-identical in every LSH/IVF bucket, making
+            // the ann probe time a pathological duplicate corpus rather
+            // than a genuine 10x one (same reason documents get a suffix)
+            shifted.withColumn("embedding",
+              expr(s"transform(embedding, (x, i) -> IF(i = 0, CAST(x + ${r}e-3 AS FLOAT), x))"))
           else shifted
         }.reduce(_ unionAll _)
       scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -87,7 +94,15 @@ object ScaleProbe {
     GraftSession.tunedConf.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$out/lineitem.parquet").exists()) buildScaled(spark, src, out)
+    // sentinel written only after EVERY table lands: a crash mid-build
+    // leaves no sentinel, so the next run rebuilds instead of silently
+    // probing a partial dataset (idCols is an unordered Map — any table
+    // may have been the one written before the crash)
+    val sentinel = new java.io.File(s"$out/_GRAFT_COMPLETE")
+    if (!sentinel.exists()) {
+      buildScaled(spark, src, out)
+      sentinel.createNewFile()
+    }
 
     def materialize(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     // JIT/codegen warm-up at the smallest SF so the timing measures the plan
