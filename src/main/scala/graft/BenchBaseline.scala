@@ -267,7 +267,7 @@ object BenchBaseline {
     // graph build (4.96 alone) + IVF seed + expansion — the named query
     // rebuilds the reusable index inline because the harness is
     // stateless per query
-    "ann_graph_expand" -> 7.77,
+    "ann_graph_expand" -> 1.96,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

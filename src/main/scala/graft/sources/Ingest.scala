@@ -57,7 +57,7 @@ object Ingest {
     * per invocation would accumulate a full table copy in /tmp on
     * every bench/verify run and never reclaim it.
     */
-  private def scratchDir(spark: SparkSession): String = {
+  private[graft] def scratchDir(spark: SparkSession): String = {
     val root = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-scratch-${spark.sparkContext.applicationId}")
