@@ -268,6 +268,7 @@ object BenchBaseline {
     // rebuilds the reusable index inline because the harness is
     // stateless per query
     "ann_graph_expand" -> 1.96,
+    "sample_diversity" -> 1.27,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -451,6 +451,97 @@ object VectorOps {
     graphExpand(e, queries, 5, annIvf(e, queries, 5), knnGraphTable(spark, dir))
   }
 
+  // ------------------------------------------- diversity sampling
+
+  /** §2.4 #29o — diversity / coreset sampling over the k-NN graph
+    * (the promised downstream consumer of [[knnGraph]]): a
+    * deterministic degree-penalized greedy keep. Nodes are totally
+    * ordered by priority (degree ASC, vec_id ASC) — sparse-region
+    * points first, hubs of dense near-dup neighborhoods last — and
+    * the kept set is the LEXICOGRAPHICALLY-FIRST MAXIMAL INDEPENDENT
+    * SET of the similarity graph (edges = graph pairs at cosine ≥
+    * `simThreshold`): no two kept points are near-dups of each other,
+    * and every dropped point is similar to a kept representative —
+    * the k-center-lite coverage guarantee an LLM curation pass wants.
+    *
+    * Computed distributed, not sequentially: per round, every still-
+    * active node that beats ALL its active neighbors is kept and its
+    * neighbors dropped (the Luby local-optimum step — provably equal
+    * to the sequential greedy in priority order, which is exactly
+    * what the ScalaTest replays). Per-round wide ops are (id, degree)
+    * shuffles keyed on node id — the q_components shape; vectors
+    * never shuffle at all (the graph is the only input). Rounds track
+    * the priority-chain depth of a near-dup cluster, far under the
+    * loud `maxRounds` bound — exhausting it THROWS (the boruvkaMsf
+    * idiom), never a silent partial sample.
+    *
+    * Output: one row per corpus vector — (vec_id, degree, kept,
+    * rep_id); rep_id = itself when kept, else the min-priority kept
+    * neighbor covering it (the cluster representative).
+    */
+  def diversitySample(graph: DataFrame, simThreshold: Double, maxRounds: Int = 40): DataFrame = {
+    val half = graph.filter(col("cosine") >= simThreshold)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+    val sym = half.unionAll(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val deg = graph.select(col("vec_id")).distinct()
+      .join(sym.groupBy(col("a").as("vec_id")).agg(count(lit(1)).as("degree")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .localCheckpoint()
+    var active = deg
+    var kept: Option[DataFrame] = None
+    var round = 0
+    while (round < maxRounds && !active.isEmpty) {
+      round += 1
+      val pa = active.select(col("vec_id").as("a"), struct(col("degree"), col("vec_id")).as("pa"))
+      val pb = active.select(col("vec_id").as("b"), struct(col("degree"), col("vec_id")).as("pb"))
+      // best (min-priority) ACTIVE neighbor; a node with none — or that
+      // beats it — is a local optimum of the total order and is kept
+      val best = sym.join(pb, "b").groupBy(col("a")).agg(min(col("pb")).as("best_nbr"))
+      val keep = pa.join(best, Seq("a"), "left")
+        .filter(col("best_nbr").isNull || col("pa") < col("best_nbr"))
+        .select(col("a").as("vec_id"))
+        .localCheckpoint()
+      kept = Some(kept.fold(keep)(_.unionAll(keep)))
+      val dropped = sym.join(keep.select(col("vec_id").as("a")), "a")
+        .select(col("b").as("vec_id")).distinct()
+      active = active
+        .join(keep.unionAll(dropped).distinct(), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+    }
+    if (!active.isEmpty)
+      throw new IllegalStateException(
+        s"diversitySample: $maxRounds rounds exhausted with active nodes remaining — " +
+          "the sample would be partial, not a maximal independent set")
+    val k = kept.getOrElse(deg.select(col("vec_id")).filter(lit(false)))
+    val keptPri = deg.join(k, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("b"), struct(col("degree"), col("vec_id")).as("pb"))
+    val reps = sym.join(keptPri, "b")
+      .groupBy(col("a").as("vec_id")).agg(min(col("pb")).as("m"))
+      .select(col("vec_id"), col("m.vec_id").as("rep_id"))
+    deg
+      .join(k.select(col("vec_id"), lit(true).as("is_kept")), Seq("vec_id"), "left")
+      .join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("degree"),
+        coalesce(col("is_kept"), lit(false)).as("kept"),
+        when(coalesce(col("is_kept"), lit(false)), col("vec_id"))
+          .otherwise(col("rep_id")).as("rep_id"))
+      .orderBy("vec_id")
+  }
+
+  /** named query: greedy diversity keep over the materialized 5-NN
+    * graph at cosine ≥ 0.4 — the corpus's near-NEIGHBOR band (its max
+    * pairwise cosine is ≈ 0.48-0.51 across SFs, so dedup_embedding's
+    * 0.5 near-DUP cut leaves this graph nearly edgeless; a diversity
+    * pass prunes crowded neighborhoods, not just duplicates). Rows-only
+    * by design (iterative greedy selection); ScalaTest replays the
+    * sequential greedy MIS and pins independence + coverage +
+    * representatives.
+    */
+  def sampleDiversity(spark: SparkSession, dir: String): DataFrame =
+    diversitySample(knnGraphTable(spark, dir), 0.4)
+
   // ------------------------------------------------------------- k-means
 
   /** Spherical k-means over the quantized vectors, for the IVF coarse
@@ -1529,6 +1620,7 @@ object VectorOps {
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_lsh" -> (annLsh(_: SparkSession, _: String)),
     "ann_knn_graph" -> (annKnnGraph _),
+    "sample_diversity" -> (sampleDiversity _),
     "ann_graph_expand" -> (annGraphExpand _),
     "ann_ivf" -> (annIvf(_: SparkSession, _: String)),
     "ann_filtered" -> (annFiltered(_: SparkSession, _: String)),

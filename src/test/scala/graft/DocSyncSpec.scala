@@ -39,4 +39,13 @@ class DocSyncSpec extends AnyFunSuite {
     val ghosts = keyish.diff(SparkEntry.queries.keySet)
     assert(ghosts.isEmpty, s"SURVEY §2 mentions keys with no queries entry: ${ghosts.toSeq.sorted}")
   }
+
+  test("§2 status tags carry no builder-internal round numbers") {
+    // the builder's internal round counter ran ahead of the driver's,
+    // so `✅ rN` tags were ambiguous cross-round (r8 verdict item 10):
+    // the status column is a bare ✅ — round provenance lives in git
+    // history and BASELINE.md, which name DRIVER rounds explicitly
+    val tagged = "✅ r\\d+".r.findAllIn(section2).toSeq
+    assert(tagged.isEmpty, s"round-numbered status tags remain in §2: ${tagged.distinct}")
+  }
 }

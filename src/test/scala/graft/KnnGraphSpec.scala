@@ -69,4 +69,38 @@ class KnnGraphSpec extends AnyFunSuite {
     // ranks are 1..K per node
     a.groupBy(_._1).values.foreach(g => assert(g.map(_._2).sorted.toSeq == (1L to K.toLong)))
   }
+
+  test("sample_diversity equals the sequential greedy MIS, covers the corpus") {
+    val out = VectorOps.sampleDiversity(spark, sf).collect()
+    // replay sequentially from the SAME materialized graph artifact
+    val g = VectorOps.knnGraphTable(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    val sym = g.filter(_._3 >= 0.4).flatMap(e => Seq((e._1, e._2), (e._2, e._1))).toSet
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = g.map(_._1).distinct
+    val deg = nodes.map(n => n -> nbrs.getOrElse(n, Set.empty[Long]).size.toLong).toMap
+    // lexicographically-first MIS under (degree ASC, id ASC)
+    val keptRef = scala.collection.mutable.Set[Long]()
+    for (n <- nodes.sortBy(n => (deg(n), n)))
+      if (!nbrs.getOrElse(n, Set.empty[Long]).exists(keptRef)) keptRef += n
+
+    assert(out.length == nodes.length, "one row per corpus vector")
+    val gotKept = out.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    assert(gotKept == keptRef.toSet, "distributed local-optimum rounds must equal the sequential greedy")
+    // the 0.4 band is populated at every SF, so the sample must actually drop some
+    assert(gotKept.size < nodes.length, "no node was dropped — threshold produced no edges")
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("degree") == deg(id))
+      if (r.getAs[Boolean]("kept")) assert(r.getAs[Long]("rep_id") == id)
+      else {
+        val keptNbrs = nbrs(id).filter(gotKept)
+        assert(keptNbrs.nonEmpty, s"dropped node $id has no kept representative (MIS not maximal)")
+        assert(r.getAs[Long]("rep_id") == keptNbrs.minBy(n => (deg(n), n)),
+          s"rep of $id must be its min-priority kept neighbor")
+      }
+    }
+    // independence: no two kept nodes are near-dups of each other
+    assert(!sym.exists { case (a, b) => gotKept(a) && gotKept(b) })
+  }
 }
