@@ -681,17 +681,40 @@ object Graph {
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 1 && k >= 1)
     var e = edges.select(col("src"), col("dst")).transform(cut)
+    // ONE aggregation over the edge relation per round, shared three
+    // ways: it drives the next peel (deg >= k), and — because the edge
+    // list is symmetric, so every surviving node appears as src — its
+    // row count IS nodes_remaining and its deg-sum IS the directed
+    // edge count. The previous shape re-scanned the full edge relation
+    // twice more per round (a distinct + a count) just for the stats;
+    // that was the bulk of the 6.75x-per-10x sf1 curve the r8 verdict
+    // flagged. The degree relation is node-sized — checkpointing it is
+    // cheap, and the counts run against the checkpoint.
+    var deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).transform(cut)
     val out = Seq.newBuilder[(Long, Long, Long)]
-    for (r <- 1 to rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node"))
-      e = e
-        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .transform(cut)
-      val nodes = e.select(col("src")).distinct().count()
-      val nEdges = e.count()
-      out += ((r.toLong, nodes, nEdges))
+    var r = 1
+    var converged = false
+    var last = (-1L, -1L)
+    while (r <= rounds) {
+      if (converged) {
+        // a round that removed nothing makes every later round a no-op:
+        // emit the fixpoint stats without re-running the joins (the
+        // unrolled-CTE oracle computes the identical rows the hard way)
+        out += ((r.toLong, last._1, last._2))
+      } else {
+        val keep = deg.filter(col("deg") >= k).select(col("src").as("node"))
+        e = e
+          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .transform(cut)
+        deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).transform(cut)
+        val nodes = deg.count()
+        val nEdges = deg.agg(coalesce(sum(col("deg")), lit(0L))).head().getLong(0)
+        converged = (nodes, nEdges) == last
+        last = (nodes, nEdges)
+        out += ((r.toLong, nodes, nEdges))
+      }
+      r += 1
     }
     val spark = edges.sparkSession
     import spark.implicits._
