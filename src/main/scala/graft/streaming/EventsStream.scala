@@ -606,49 +606,73 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
-  final case class UserDay(user_id: Long, day: Long)
+  final case class UserDay(user_id: Long, day: Long, ts: java.sql.Timestamp)
+  final case class GrowthState(last: Long, churnEmitted: Boolean)
   final case class GrowthOut(user_id: Long, day: Long, status: String)
 
   /** §2.2 #21bw streaming twin — growth-accounting classifier as
     * per-user state: each arriving active day is classified `new` /
-    * `retained` / `resurrected` against the user's last active day
-    * (one int64 of state per user), and a gap additionally emits the
-    * `churned` marker for day last+1 the moment the gap is OBSERVED —
-    * i.e. when the user resurrects. That is the one semantic delta vs
-    * batch [[graft.operators.Relational.qGrowth]]: an unbounded stream
-    * can never prove "this user's absence is final", so trailing-edge
-    * churn (after the last activity ever) belongs to the reporting
-    * layer's watermark close, while every gap-churn emits here exactly
-    * as in batch — the equivalence StreamingSpec pins. Days must
-    * arrive in order per user across micro-batches (within a batch the
-    * iterator is sorted; at-or-before-state days are dropped), so any
-    * in-order split converges.
+    * `retained` / `resurrected` against the user's last active day,
+    * a gap emits the `churned` marker for day last+1 the moment the
+    * gap is OBSERVED (on resurrection), and — the r8 verdict's
+    * trailing-edge item — a user who never returns gets that same
+    * `churned` marker when the EVENT-TIME WATERMARK closes day
+    * last+1 (EventTimeTimeout at the end of day last+1; the state
+    * carries a churn-emitted flag so a later resurrection emits only
+    * `resurrected`, never a duplicate churn). A user active on the
+    * corpus' final day times out strictly AFTER any watermark the
+    * stream can reach, so is never churned — exactly batch
+    * [[graft.operators.Relational.qGrowth]]'s max-day clip. With the
+    * watermark advanced to just past the close of the last real day,
+    * stream ≡ batch INCLUDING trailing churn — the equivalence
+    * StreamingSpec pins. Days must arrive in order per user across
+    * micro-batches (within a batch the iterator is sorted;
+    * at-or-before-state days are dropped), so any in-order split
+    * converges. State is one (int64, bool) per user.
     */
-  def growthClasses(userDays: Dataset[UserDay]): Dataset[GrowthOut] = {
+  def growthClasses(userDays: Dataset[UserDay],
+      watermarkDelay: String = "0 seconds"): Dataset[GrowthOut] = {
     import userDays.sparkSession.implicits._
+    val MsPerDay = 86400000L
 
     def fn(u: Long, it: Iterator[UserDay],
-        state: GroupState[Long]): Iterator[GrowthOut] = {
-      var last = state.getOption.getOrElse(Long.MinValue)
-      val out = scala.collection.mutable.ListBuffer.empty[GrowthOut]
-      it.map(_.day).toSeq.distinct.sorted.foreach { d =>
-        if (d > last) {
-          if (last == Long.MinValue) out += GrowthOut(u, d, "new")
-          else if (d == last + 1) out += GrowthOut(u, d, "retained")
-          else {
-            out += GrowthOut(u, last + 1, "churned")
-            out += GrowthOut(u, d, "resurrected")
+        state: GroupState[GrowthState]): Iterator[GrowthOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        // keep the state: a later resurrection must classify as
+        // `resurrected` (not `new`) and must not re-emit this churn
+        state.update(GrowthState(s.last, churnEmitted = true))
+        Iterator.single(GrowthOut(u, s.last + 1, "churned"))
+      } else {
+        var s = state.getOption.getOrElse(GrowthState(Long.MinValue, churnEmitted = false))
+        val out = scala.collection.mutable.ListBuffer.empty[GrowthOut]
+        it.map(_.day).toSeq.distinct.sorted.foreach { d =>
+          if (d > s.last) {
+            if (s.last == Long.MinValue) out += GrowthOut(u, d, "new")
+            else if (d == s.last + 1) out += GrowthOut(u, d, "retained")
+            else {
+              if (!s.churnEmitted) out += GrowthOut(u, s.last + 1, "churned")
+              out += GrowthOut(u, d, "resurrected")
+            }
+            s = GrowthState(d, churnEmitted = false)
           }
-          last = d
         }
+        state.update(s)
+        // fire when the watermark proves day last+1 closed without
+        // activity — i.e. passes the start of day last+2. Spark
+        // requires the timeout to sit above the current watermark;
+        // a user processed behind it keeps the correct churn DAY,
+        // the marker just fires at the next batch.
+        state.setTimeoutTimestamp(
+          math.max((s.last + 2) * MsPerDay, state.getCurrentWatermarkMs() + 1))
+        out.iterator
       }
-      state.update(last)
-      out.iterator
     }
 
     userDays
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   final case class DayCount(event_type: String, day: Long, n: Long)

@@ -136,6 +136,39 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rocksdb: growth trailing-edge churn fires on watermark close identically") {
+    implicit val sc = rs.sqlContext
+    import EventsStream.{GrowthOut, UserDay}
+    val MsPerDay = 86400000L
+    def dayTs(day: Long, offsetMs: Long = 0L) = new Timestamp(day * MsPerDay + offsetMs)
+    val userDays = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().as[(Long, Long)].collect().map(t => UserDay(t._1, t._2, dayTs(t._2))).toSeq
+    val dMax = userDays.map(_.day).max
+    val stream = MemoryStream[UserDay]
+    val q = EventsStream.growthClasses(stream.toDS())
+      .writeStream.format("memory").queryName("rdb_growth_out").outputMode("append").start()
+    try {
+      stream.addData(userDays); q.processAllAvailable()
+      // watermark past the close of the final real day, then one more
+      // batch to process the expired timeouts (the StreamingSpec shape)
+      stream.addData(Seq(UserDay(-1L, dMax + 1, dayTs(dMax + 1, 1000)))); q.processAllAvailable()
+      stream.addData(Seq(UserDay(-2L, dMax + 1, dayTs(dMax + 1, 1000)))); q.processAllAvailable()
+      val got = rs.table("rdb_growth_out").as[GrowthOut].collect()
+        .filter(_.user_id >= 0).map(o => (o.user_id, o.day, o.status)).toSet
+      val want = userDays.groupBy(_.user_id).toSeq.flatMap { case (u, xs) =>
+        val ds = xs.map(_.day).distinct.sorted
+        val classes = ds.zipWithIndex.flatMap { case (d, i) =>
+          if (i == 0) Seq((u, d, "new"))
+          else if (ds(i - 1) == d - 1) Seq((u, d, "retained"))
+          else Seq((u, ds(i - 1) + 1, "churned"), (u, d, "resurrected"))
+        }
+        (if (ds.last < dMax) Seq((u, ds.last + 1, "churned")) else Nil) ++ classes
+      }.toSet
+      assert(got == want, "rocksdb growth classes diverge from the batch classification")
+    } finally q.stop()
+  }
+
   test("rocksdb: the provider actually in use is RocksDB, not the default") {
     // guard against a silently-ignored conf: the session must report
     // the provider these tests claim to exercise

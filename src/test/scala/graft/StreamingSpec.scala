@@ -717,13 +717,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotMap == want, s"restart lost or duplicated data: got=${gotMap.size} want=${want.size}")
   }
 
-  test("streaming growth classifier equals batch classification; gap-churn emits on resurrection") {
+  test("streaming growth classifier equals batch classification INCLUDING trailing churn") {
     implicit val sc = spark.sqlContext
     import EventsStream.{GrowthOut, UserDay}
 
+    val MsPerDay = 86400000L
+    def dayTs(day: Long, offsetMs: Long = 0L) = new java.sql.Timestamp(day * MsPerDay + offsetMs)
     val userDays = events
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-      .distinct().as[(Long, Long)].collect().map(t => UserDay(t._1, t._2)).toSeq
+      .distinct().as[(Long, Long)].collect().map(t => UserDay(t._1, t._2, dayTs(t._2))).toSeq
+    val dMax = userDays.map(_.day).max
 
     val stream = MemoryStream[UserDay]
     val q = EventsStream.growthClasses(stream.toDS())
@@ -735,34 +738,47 @@ class StreamingSpec extends AnyFunSuite {
       stream.addData(userDays.filter(_.day <= cut1)); q.processAllAvailable()
       stream.addData(userDays.filter(d => d.day > cut1 && d.day <= cut2)); q.processAllAvailable()
       stream.addData(userDays.filter(_.day > cut2)); q.processAllAvailable()
+      // advance the watermark to JUST past the close of the final real
+      // day: users last active before dMax see their (last+2)-day
+      // timeout crossed and emit trailing churn; users active ON dMax
+      // time out strictly later and never churn — batch's d_max clip.
+      // Two sentinel batches: the first moves the watermark at its
+      // batch end, the second triggers the batch that processes the
+      // now-expired timeouts.
+      stream.addData(Seq(UserDay(-1L, dMax + 1, dayTs(dMax + 1, 1000)))); q.processAllAvailable()
+      stream.addData(Seq(UserDay(-2L, dMax + 1, dayTs(dMax + 1, 1000)))); q.processAllAvailable()
 
       val got = spark.table("growth_out").as[GrowthOut].collect()
+        .filter(_.user_id >= 0)
         .map(o => (o.user_id, o.day, o.status)).toSet
 
-      // batch replay: qGrowth's classification, minus trailing-edge churn
-      // (unobservable on an unbounded stream)
+      // batch replay: qGrowth's FULL classification — gap churn the
+      // moment it is observed, trailing churn at last+1 clipped at d_max
       val want = userDays.groupBy(_.user_id).toSeq.flatMap { case (u, xs) =>
         val ds = xs.map(_.day).distinct.sorted
-        ds.zipWithIndex.flatMap { case (d, i) =>
-          val cls =
-            if (i == 0) Seq((u, d, "new"))
-            else if (ds(i - 1) == d - 1) Seq((u, d, "retained"))
-            else Seq((u, ds(i - 1) + 1, "churned"), (u, d, "resurrected"))
-          cls
+        val classes = ds.zipWithIndex.flatMap { case (d, i) =>
+          if (i == 0) Seq((u, d, "new"))
+          else if (ds(i - 1) == d - 1) Seq((u, d, "retained"))
+          else Seq((u, ds(i - 1) + 1, "churned"), (u, d, "resurrected"))
         }
+        val trailing =
+          if (ds.last < dMax) Seq((u, ds.last + 1, "churned")) else Nil
+        classes ++ trailing
       }.toSet
       assert(got == want, "streaming growth classes diverge from the batch classification")
-      // cross-check the non-churn classes against batch qGrowth day totals
+      // cross-check ALL FOUR classes against batch qGrowth day totals —
+      // trailing churn now included, so the parity is complete
       val batch = operators.Relational.qGrowth(spark, sf).collect()
         .map(r => r.getAs[Long]("day") ->
-          ((r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"))))
+          ((r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+            r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"))))
         .toMap
       val gotByDay = got.toSeq.groupBy(_._2).map { case (d, xs) =>
         d -> ((xs.count(_._3 == "new").toLong, xs.count(_._3 == "retained").toLong,
-          xs.count(_._3 == "resurrected").toLong))
+          xs.count(_._3 == "resurrected").toLong, xs.count(_._3 == "churned").toLong))
       }
-      batch.foreach { case (d, want3) =>
-        assert(gotByDay.getOrElse(d, ((0L, 0L, 0L))) == want3, s"day $d class totals diverge")
+      batch.foreach { case (d, want4) =>
+        assert(gotByDay.getOrElse(d, ((0L, 0L, 0L, 0L))) == want4, s"day $d class totals diverge")
       }
     } finally q.stop()
   }
