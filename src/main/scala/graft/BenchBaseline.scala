@@ -269,6 +269,8 @@ object BenchBaseline {
     // stateless per query
     "ann_graph_expand" -> 1.96,
     "sample_diversity" -> 1.27,
+    "sample_dsir" -> 1.95,
+    "q_theta_sets" -> 1.31,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

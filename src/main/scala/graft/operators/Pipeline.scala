@@ -1096,7 +1096,99 @@ object Pipeline {
       |FROM documents JOIN r USING (source)
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.3 #26s — DSIR-style importance resampling (Xie'23, public):
+    * score every raw document by how much its HASHED unigram
+    * distribution looks like a TARGET domain (here source `src0` as
+    * the stand-in for "high-quality reference corpus"), then keep the
+    * top quarter per source. The classic cheap domain-matching pass an
+    * LLM mixture runs when it wants "more like Wikipedia" without a
+    * trained classifier.
+    *
+    * Mechanics: features are md5-hashed unigram buckets (4096 — the
+    * paper's hashed n-gram trick, which makes the model size constant
+    * regardless of vocabulary); per-bucket importance is the
+    * add-one-smoothed log-likelihood ratio ln(p_target/p_raw),
+    * computed as ONE ln of a double ratio of exact counts (the PMI
+    * idiom) and quantized to integer micro-nats so per-doc sums are
+    * order-free and cross-engine exact; a document's weight is the sum
+    * over its TOKENS (repeats and all — the unigram LM likelihood
+    * ratio). Keep = per-source percent-rank ≥ 0.75 on (weight, doc_id)
+    * — the text_quality_calibrated window idiom, so each source
+    * contributes its own top quarter rather than the target domain
+    * crowding out everything.
+    *
+    * Scale shape: tokens shuffle once on the 4096-value bucket key;
+    * the λ table is 4096 rows broadcast back; the per-doc sum is one
+    * map-side-combined shuffle on doc_id; the keep decision is a
+    * per-source window. Nothing driver-side, nothing all-pairs.
+    */
+  def sampleDsir(spark: SparkSession, dir: String): DataFrame = {
+    val B = 4096L
+    val target = "src0"
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(concat(lit("dsir:"), col("term"))), 1, 8), 16, 10).cast(LongType),
+        lit(B)))
+    val counts = tok.groupBy(col("bucket")).agg(
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("t_tot"), sum(col("cr")).as("r_tot"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor(log(
+          ((col("ct") + 1).cast(DoubleType) * (col("r_tot") + B).cast(DoubleType)) /
+            ((col("cr") + 1).cast(DoubleType) * (col("t_tot") + B).cast(DoubleType))
+        ) * 1000000.0).cast(LongType).as("lam_micro"))
+    val weights = tok
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lam_micro")).as("dsir_micro"))
+    val w = Window.partitionBy(col("source")).orderBy(col("dsir_micro"), col("doc_id"))
+    weights
+      .withColumn("pct_micro",
+        floor(percent_rank().over(w) * 1000000.0 + 0.5).cast(LongType))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("dsir_micro"),
+        col("pct_micro"), (col("pct_micro") >= 750000L).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val sampleDsirSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5('dsir:' || unnest(string_split(text, ' '))), 1, 8))::BIGINT % 4096 AS bucket
+      |  FROM documents
+      |), counts AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      |  FROM tok GROUP BY bucket
+      |), tot AS (
+      |  SELECT CAST(sum(ct) AS BIGINT) AS t_tot, CAST(sum(cr) AS BIGINT) AS r_tot FROM counts
+      |), lam AS (
+      |  SELECT bucket,
+      |    CAST(floor(ln(
+      |      (CAST(ct + 1 AS DOUBLE) * CAST(r_tot + 4096 AS DOUBLE)) /
+      |      (CAST(cr + 1 AS DOUBLE) * CAST(t_tot + 4096 AS DOUBLE))
+      |    ) * 1000000.0) AS BIGINT) AS lam_micro
+      |  FROM counts, tot
+      |), wts AS (
+      |  SELECT doc_id, source, count(*) AS n_tokens,
+      |    CAST(sum(lam_micro) AS BIGINT) AS dsir_micro
+      |  FROM tok JOIN lam USING (bucket)
+      |  GROUP BY doc_id, source
+      |), ranked AS (
+      |  SELECT doc_id, source, n_tokens, dsir_micro,
+      |    CAST(floor(percent_rank() OVER (PARTITION BY source ORDER BY dsir_micro, doc_id) * 1000000.0 + 0.5) AS BIGINT) AS pct_micro
+      |  FROM wts
+      |)
+      |SELECT doc_id, source, n_tokens, dsir_micro, pct_micro,
+      |  pct_micro >= 750000 AS kept
+      |FROM ranked
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir" -> (sampleDsir _),
     "sample_temperature" -> (sampleTemperature _),
     "q_split_holdout" -> (qSplitHoldout _),
     "text_domain_cap" -> (textDomainCap _),
@@ -1116,6 +1208,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_dsir" -> sampleDsirSql,
     "sample_temperature" -> sampleTemperatureSql,
     "q_split_holdout" -> qSplitHoldoutSql,
     "text_domain_cap" -> textDomainCapSql,

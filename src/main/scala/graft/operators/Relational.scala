@@ -3823,6 +3823,61 @@ object Relational {
       .orderBy("event_type", "week")
   }
 
+  /** §2.2 #21df — mergeable-sketch SET ALGEBRA (Datasketches Theta,
+    * via Spark 4's native theta_* expressions): per-type audience
+    * sketches of the user set, built from per-(type, day) partials
+    * and UNIONED up (the q_hll_rollup merge path), then pairwise
+    * INTERSECTED — the operation HLL fundamentally cannot do, and the
+    * reason theta sketches exist: "how many users do checkout and
+    * search share" across arbitrarily large audiences with kilobyte
+    * partials, no re-scan of raw events, re-aggregable up any
+    * hierarchy. Estimates for |A∩B|, |A∪B|, |A\B| sit next to their
+    * exact counterparts (one keyed self-join on user_id — the exact
+    * path shuffles ids; the sketch path shuffles kilobytes, which is
+    * the 100 TB story).
+    *
+    * The pairwise join is |event_types|² (≤ 25 rows each side) — a
+    * bounded broadcast by construction, whitelisted in the plan audit
+    * like the other metadata-sized anchors. Engine-specific estimates
+    * → rows-only; ScalaTest pins exact-mode equality (below 2^12
+    * uniques a theta sketch is a hash sample of EVERYTHING, so
+    * estimate ≡ exact) plus the set-algebra invariants.
+    */
+  def qThetaSets(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+    val sk = e.groupBy(col("event_type"), col("day"))
+      .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("theta_union_agg(sk, 12)").as("sk"))
+    val users = e.select(col("event_type"), col("user_id")).distinct()
+    val exactInter = users.select(col("event_type").as("type_a"), col("user_id"))
+      .join(users.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val exactN = users.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val est = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("skb")),
+        col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("cast(floor(theta_sketch_estimate(theta_intersection(ska, skb)) + 0.5) as bigint)").as("est_inter"),
+        expr("cast(floor(theta_sketch_estimate(theta_union(ska, skb)) + 0.5) as bigint)").as("est_union"),
+        expr("cast(floor(theta_sketch_estimate(theta_difference(ska, skb)) + 0.5) as bigint)").as("est_only_a"))
+    est
+      .join(exactInter, Seq("type_a", "type_b"), "left")
+      .join(broadcast(exactN.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(exactN.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("est_inter"), coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        col("est_union"),
+        (col("n_a") + col("n_b") - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        col("est_only_a"),
+        (col("n_a") - coalesce(col("exact_inter"), lit(0L))).as("exact_only_a"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** §2.2 #21by — STL-lite seasonal decomposition of the daily volume
     * per event type: count = trend + weekday season + residual, all on
     * a ×7 integer grid. Trend is the centered 7-day RANGE-frame sum
@@ -4124,6 +4179,7 @@ object Relational {
     "q_stl_lite" -> (qStlLite _),
     "q_kll_rollup" -> (qKllRollup _),
     "q_hll_rollup" -> (qHllRollup _),
+    "q_theta_sets" -> (qThetaSets _),
     "q_basket_lift" -> (qBasketLift _),
     "q_growth" -> (qGrowth _),
     "q_streaks" -> (qStreaks _),

@@ -121,4 +121,54 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(rep3 - (if (t3 > 0) 1.0 - u3.toDouble / t3 else 0.0)) < 1e-12)
     }
   }
+
+  test("sample_dsir equals a plain-Scala hashed-LLR replay; target domain ranks high") {
+    val B = 4096L
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(term: String): Long = {
+      val h = java.lang.Long.parseLong(md5hex(s"dsir:$term").take(8), 16)
+      ((h % B) + B) % B
+    }
+    val corpus = GraftSession.table(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
+    val toks = corpus.map { case (id, src, text) => (id, src, text.split(" ", -1).map(bucket)) }
+    val ct = new Array[Long](B.toInt); val cr = new Array[Long](B.toInt)
+    toks.foreach { case (_, src, bs) =>
+      bs.foreach(b => if (src == "src0") ct(b.toInt) += 1 else cr(b.toInt) += 1)
+    }
+    val tTot = ct.sum; val rTot = cr.sum
+    val lam = Array.tabulate(B.toInt) { b =>
+      math.floor(math.log(
+        ((ct(b) + 1).toDouble * (rTot + B)) / ((cr(b) + 1).toDouble * (tTot + B))) * 1e6).toLong
+    }
+    val wants = toks.map { case (id, src, bs) =>
+      (id, src, bs.length.toLong, bs.map(b => lam(b.toInt)).sum)
+    }
+    // per-source percent_rank on (weight, doc_id) — unique order, so
+    // rank = row position
+    val expect = wants.groupBy(_._2).iterator.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(x => (x._4, x._1))
+      val n = sorted.length
+      sorted.zipWithIndex.map { case ((id, src, nt, w), i) =>
+        val pct = if (n == 1) 0L
+          else math.floor(i.toDouble / (n - 1) * 1e6 + 0.5).toLong
+        id -> ((src, nt, w, pct, pct >= 750000L))
+      }
+    }.toMap
+    val got = Pipeline.sampleDsir(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("n_tokens"), r.getAs[Long]("dsir_micro"),
+          r.getAs[Long]("pct_micro"), r.getAs[Boolean]("kept")))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, want) => assert(got(id) == want, s"doc $id") }
+    // direction: the target domain's own docs must score above the rest
+    val (t, r) = wants.partition(_._2 == "src0")
+    def meanPerToken(xs: Array[(Long, String, Long, Long)]): Double =
+      xs.map(_._4).sum.toDouble / math.max(1L, xs.map(_._3).sum)
+    assert(meanPerToken(t) > meanPerToken(r),
+      "target-domain docs must out-score the raw pool per token")
+  }
 }

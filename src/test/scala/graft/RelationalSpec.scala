@@ -173,7 +173,14 @@ class PlanSpec extends AnyFunSuite {
       "sample_temperature",
       // ann_graph_expand embeds annIvf's broadcast 16-centroid
       // quantizer assignment (its seed stage) — the ann_ivf shape
-      "ann_graph_expand")
+      "ann_graph_expand",
+      // q_theta_sets pairwise-joins the per-type sketch table with
+      // itself on a non-equi (type_a < type_b) predicate — both sides
+      // ≤ |event_types| rows by construction, a bounded broadcast
+      "q_theta_sets",
+      // sample_dsir cross-joins a broadcast 1-ROW corpus-totals
+      // aggregate into the 4096-row λ table — the q_zorder shape
+      "sample_dsir")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
