@@ -516,7 +516,10 @@ object Graph {
       d.agg(max(col(c))).head().getLong(0)
     var hub = srcs.select(col("src"), lit(scale).as("hub"))
     var auth: DataFrame = null
-    for (_ <- 1 to rounds) {
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      r += 1
       val aRaw = e.join(hub, "src")
         .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
       val aMax = maxOf(aRaw, "a_raw")
@@ -526,9 +529,18 @@ object Graph {
       val hRaw = e.join(auth, "dst")
         .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
       val hMax = maxOf(hRaw, "h_raw")
-      hub = hRaw
+      val next = hRaw
         .select(col("src"), expr(s"(h_raw * $scale) div $hMax").as("hub"))
         .transform(cut)
+      // convergence exit (r8 verdict wish-list #3): on the integer
+      // score grid an unchanged hub vector is an exact fixpoint — the
+      // next round recomputes the same auth (pure function of hub) and
+      // the same hub, so exiting changes nothing the oracle's unrolled
+      // rounds would produce. One node-sized join per round.
+      converged = next
+        .join(hub.select(col("src"), col("hub").as("prev_hub")), Seq("src"))
+        .filter(col("hub") =!= col("prev_hub")).isEmpty
+      hub = next
     }
     hub.select(col("src").as("node_id"), lit("hub").as("score_kind"), col("hub").as("score"))
       .unionByName(auth.select(col("dst").as("node_id"), lit("authority").as("score_kind"), col("auth").as("score")))
@@ -604,12 +616,25 @@ object Graph {
     val e = edges.select(col("u"), col("v")).transform(cut)
     var lab = e.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node")).transform(cut)
-    for (_ <- 1 to rounds) {
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      r += 1
       val nbr = e.join(lab.select(col("node").as("v"), col("lbl")), "v")
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("u")).orderBy(col("cnt").desc, col("lbl"))
-      lab = nbr.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      val next = nbr.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("u").as("node"), col("lbl")).transform(cut)
+      // convergence exit (r8 verdict wish-list #3): synchronous LPA with
+      // a deterministic tiebreak is a pure function of the label
+      // relation, so an unchanged round is a fixpoint and every further
+      // round reproduces it — exit early WITHOUT changing the output the
+      // unrolled-CTE oracle computes the long way. One node-sized join
+      // against the just-checkpointed relations per round.
+      converged = next
+        .join(lab.select(col("node"), col("lbl").as("prev_lbl")), Seq("node"))
+        .filter(col("lbl") =!= col("prev_lbl")).isEmpty
+      lab = next
     }
     lab
   }

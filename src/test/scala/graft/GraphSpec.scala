@@ -191,6 +191,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L) != got(11L), s"bridge merged the cliques: $got")
   }
 
+  test("convergence exit: rounds past the fixpoint change nothing (LPA + HITS)") {
+    // LPA on the two-clique fixture converges within a few rounds; a
+    // 25-round budget must return the identical assignment (the early
+    // exit is provably output-preserving — this pins it)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val e = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("u", "v")
+    val short = Graph.labelPropagation(e, 5).as[(Long, Long)].collect().sorted.toSeq
+    val long = Graph.labelPropagation(e, 25).as[(Long, Long)].collect().sorted.toSeq
+    assert(short == long, "extra LPA rounds after the fixpoint changed the assignment")
+    // HITS on the integer grid reaches an exact fixpoint fast on the
+    // small bipartite fixture
+    val ed = Seq((1L, 11L), (1L, 12L), (2L, 11L), (3L, 12L)).toDF("src", "dst")
+    val h12 = Graph.hits(ed, 12).as[(Long, String, Long)].collect().sorted.toSeq
+    val h25 = Graph.hits(ed, 25).as[(Long, String, Long)].collect().sorted.toSeq
+    assert(h12 == h25, "extra HITS rounds after the integer fixpoint changed scores")
+  }
+
   test("q_communities equals a plain-Scala synchronous-LPA replay at sf0.001") {
     val l = GraftSession.table(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
