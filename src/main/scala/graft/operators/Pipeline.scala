@@ -1122,24 +1122,69 @@ object Pipeline {
     * map-side-combined shuffle on doc_id; the keep decision is a
     * per-source window. Nothing driver-side, nothing all-pairs.
     */
-  def sampleDsir(spark: SparkSession, dir: String): DataFrame = {
-    val B = 4096L
+  private val DsirB = 4096L
+
+  /** md5-hashed unigram bucket of a term column — the [[sampleDsir]]
+    * feature hash, shared with the streaming scorer.
+    */
+  private def dsirBucket(term: Column): Column = pmod(
+    conv(substring(md5(concat(lit("dsir:"), term)), 1, 8), 16, 10).cast(LongType),
+    lit(DsirB))
+
+  /** token relation + per-bucket LLR model of [[sampleDsir]]: the λ
+    * table is DENSIFIED over all 4096 buckets (unseen buckets carry
+    * the ct=cr=0 smoothed ratio) so a standing model can score stream
+    * tokens the corpus never contained; batch output is unchanged
+    * because corpus tokens only ever hit seen buckets.
+    */
+  private def dsirLambda(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val target = "src0"
     val tok = docs(spark, dir)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
-      .withColumn("bucket", pmod(
-        conv(substring(md5(concat(lit("dsir:"), col("term"))), 1, 8), 16, 10).cast(LongType),
-        lit(B)))
-    val counts = tok.groupBy(col("bucket")).agg(
-      sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
-      sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
+      .withColumn("bucket", dsirBucket(col("term")))
+    val counts = spark.range(DsirB).toDF("bucket")
+      .join(tok.groupBy(col("bucket")).agg(
+        sum(when(col("source") === target, 1L).otherwise(0L)).as("ct0"),
+        sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr0")), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ct0"), lit(0L)).as("ct"),
+        coalesce(col("cr0"), lit(0L)).as("cr"))
     val totals = counts.agg(sum(col("ct")).as("t_tot"), sum(col("cr")).as("r_tot"))
     val lam = counts.crossJoin(broadcast(totals))
       .select(col("bucket"),
         floor(log(
-          ((col("ct") + 1).cast(DoubleType) * (col("r_tot") + B).cast(DoubleType)) /
-            ((col("cr") + 1).cast(DoubleType) * (col("t_tot") + B).cast(DoubleType))
+          ((col("ct") + 1).cast(DoubleType) * (col("r_tot") + DsirB).cast(DoubleType)) /
+            ((col("cr") + 1).cast(DoubleType) * (col("t_tot") + DsirB).cast(DoubleType))
         ) * 1000000.0).cast(LongType).as("lam_micro"))
+    (tok, lam)
+  }
+
+  /** The standing DSIR model as a driver-side map — 4096 entries by
+    * construction (the bounded-collect idiom), frozen once and
+    * broadcast into [[dsirScoreOn]]'s row-local expression.
+    */
+  def dsirModel(spark: SparkSession, dir: String): Map[Long, Long] = {
+    val (_, lam) = dsirLambda(spark, dir)
+    lam.collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lam_micro")).toMap
+  }
+
+  /** Stateless streaming twin of [[sampleDsir]]'s scoring half: each
+    * arriving document is scored against the FROZEN standing model —
+    * the production shape (model trained on the standing corpus,
+    * applied to the stream; retraining is a batch concern). Pure
+    * row-local transform+aggregate over a 4096-entry literal map:
+    * no state, no shuffle, append-mode safe at any rate.
+    */
+  def dsirScoreOn(df: DataFrame, model: Map[Long, Long]): DataFrame = {
+    val lamMap = typedLit(model)
+    df.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      aggregate(
+        transform(split(col("text"), " "), t => element_at(lamMap, dsirBucket(t))),
+        lit(0L), (acc, x) => acc + x).as("dsir_micro"))
+  }
+
+  def sampleDsir(spark: SparkSession, dir: String): DataFrame = {
+    val (tok, lam) = dsirLambda(spark, dir)
     val weights = tok
       .join(broadcast(lam), Seq("bucket"))
       .groupBy(col("doc_id"), col("source"))

@@ -371,6 +371,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring equals batch sample_dsir weights (frozen standing model)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val input = stream.toDF().toDF("doc_id", "source", "text")
+
+    val model = operators.Pipeline.dsirModel(spark, sf)
+    assert(model.size == 4096, "the densified model must cover every bucket")
+    val q = operators.Pipeline.dsirScoreOn(input, model)
+      .writeStream.format("memory").queryName("dsir_out").outputMode("append").start()
+    try {
+      val docs = GraftSession.table(spark, sf, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+
+      val got = spark.table("dsir_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dsir_micro")))).toMap
+      val want = operators.Pipeline.sampleDsir(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dsir_micro")))).toMap
+      assert(got == want, "stream scores diverge from the batch weights")
+    } finally q.stop()
+  }
+
   test("streaming importance sampling equals batch sample_importance (stateless reuse)") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, String, String)]
