@@ -271,6 +271,7 @@ object BenchBaseline {
     "sample_diversity" -> 1.27,
     "sample_dsir" -> 1.95,
     "q_theta_sets" -> 1.31,
+    "q_funnel_window" -> 0.83,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -838,6 +838,70 @@ object Relational {
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** §2.2 #21mm — CONVERSION-WINDOW funnel (the product-analytics
+    * variant of [[qFunnel]]): each stage counts only if it lands
+    * inside a bounded window after the previous stage — click within
+    * 3 days of the first view, purchase within 7 days of that click —
+    * which is how real funnel reports are defined ("conversion
+    * window"); the unbounded funnel overstates conversion by crediting
+    * arbitrarily-late events. Output adds the exact per-stage
+    * latencies the bounded semantics make meaningful.
+    *
+    * Scale shape: identical to qFunnel — per-stage min-aggregation on
+    * user_id (map-side combinable) joined forward, all equi-joins on
+    * the user key; the window bound is a map-side predicate, free at
+    * any scale. Latencies are exact int64 microsecond differences.
+    */
+  def qFunnelWindow(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    def stage(tpe: String, prev: DataFrame, prevCol: String, outCol: String, windowUs: Long): DataFrame =
+      e.filter(col("event_type") === tpe)
+        .join(prev.select(col("user_id"), col(prevCol)), "user_id")
+        .filter(col("us") > col(prevCol) && col("us") <= col(prevCol) + windowUs)
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as(outCol))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("ts_view_us"))
+    val c = stage("click", v, "ts_view_us", "ts_click_us", 3 * DayUs)
+    val p = stage("purchase", c, "ts_click_us", "ts_purchase_us", 7 * DayUs)
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("ts_view_us"),
+        (col("ts_click_us") - col("ts_view_us")).as("click_lag_us"),
+        (col("ts_purchase_us") - col("ts_click_us")).as("purchase_lag_us"),
+        (lit(1L) + col("ts_click_us").isNotNull.cast(LongType) + col("ts_purchase_us").isNotNull.cast(LongType))
+          .as("depth"),
+      )
+      .orderBy("user_id")
+  }
+
+  val qFunnelWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+      |), v AS (
+      |  SELECT user_id, min(us) AS ts_view_us FROM e WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(us) AS ts_click_us
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND us > ts_view_us AND us <= ts_view_us + 3 * 86400000000
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(us) AS ts_purchase_us
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > ts_click_us AND us <= ts_click_us + 7 * 86400000000
+      |  GROUP BY e.user_id
+      |)
+      |SELECT user_id, ts_view_us,
+      |  ts_click_us - ts_view_us AS click_lag_us,
+      |  ts_purchase_us - ts_click_us AS purchase_lag_us,
+      |  CAST(1 + (ts_click_us IS NOT NULL)::int + (ts_purchase_us IS NOT NULL)::int AS BIGINT) AS depth
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** §2.2 #21s — last-touch attribution: each purchase is credited to
     * the same user's most recent PRECEDING non-purchase touchpoint
     * (view/click/signup/error), 'none' when there is no touch within
@@ -4236,6 +4300,7 @@ object Relational {
     "profile_table" -> (profileTable _),
     "q_upsert" -> (qUpsert _),
     "q_funnel" -> (qFunnel _),
+    "q_funnel_window" -> (qFunnelWindow _),
     "q_attribution" -> (qAttribution _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "q_anomaly" -> (qAnomaly _),
@@ -4332,6 +4397,7 @@ object Relational {
     "q_corr_scalar" -> qCorrScalarSql,
     "q_upsert" -> qUpsertSql,
     "q_funnel" -> qFunnelSql,
+    "q_funnel_window" -> qFunnelWindowSql,
     "q_attribution" -> qAttributionSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "q_anomaly" -> qAnomalySql,

@@ -12,6 +12,26 @@ class Round11OpsSpec extends AnyFunSuite {
   private def cents(x: Double): Long =
     math.floor(x * 100 + 0.5).toLong
 
+  test("q_funnel_window: depth never exceeds the unbounded funnel, lags obey the windows") {
+    val DayUs = 86400000000L
+    val bounded = Relational.qFunnelWindow(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("depth"), Option(r.getAs[java.lang.Long]("click_lag_us")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("purchase_lag_us")).map(_.longValue)))).toMap
+    val unbounded = Relational.qFunnel(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("depth")).toMap
+    assert(bounded.keySet == unbounded.keySet, "both funnels start from the same view cohort")
+    var strictly = 0
+    bounded.foreach { case (u, (d, clag, plag)) =>
+      assert(d <= unbounded(u), s"user $u: conversion window must never ADD conversions")
+      if (d < unbounded(u)) strictly += 1
+      clag.foreach(l => assert(l > 0 && l <= 3 * DayUs, s"user $u click lag $l outside window"))
+      plag.foreach(l => assert(l > 0 && l <= 7 * DayUs, s"user $u purchase lag $l outside window"))
+      if (plag.isDefined) assert(clag.isDefined, s"user $u purchased without a windowed click")
+    }
+    assert(strictly > 0, "the window should disqualify at least one late conversion on this corpus")
+  }
+
   // ---------------------------------------------------- q_schema_evolution
 
   test("q_schema_evolution: merged read null-fills pre-column generations exactly") {
