@@ -622,9 +622,14 @@ object Graph {
       r += 1
       val nbr = e.join(lab.select(col("node").as("v"), col("lbl")), "v")
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("u")).orderBy(col("cnt").desc, col("lbl"))
-      val next = nbr.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("u").as("node"), col("lbl")).transform(cut)
+      // argmax by (cnt DESC, lbl ASC) as max(struct(cnt, -lbl)): a
+      // map-side-combinable partial aggregation instead of the
+      // row_number window, which re-SORTED the whole (u, lbl) pair
+      // relation every round — the dominant term of q_communities'
+      // 4.97x-per-10x sf1 curve. Same tiebreak, identical output.
+      val next = nbr
+        .groupBy(col("u")).agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("lbl")).transform(cut)
       // convergence exit (r8 verdict wish-list #3): synchronous LPA with
       // a deterministic tiebreak is a pure function of the label
       // relation, so an unchanged round is a fixpoint and every further
