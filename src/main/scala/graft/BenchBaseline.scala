@@ -272,6 +272,7 @@ object BenchBaseline {
     "sample_dsir" -> 1.95,
     "q_theta_sets" -> 1.31,
     "q_funnel_window" -> 0.83,
+    "multimodal_e2e" -> 1.34,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

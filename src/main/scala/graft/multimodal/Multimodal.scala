@@ -529,7 +529,124 @@ object Multimodal {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.6 #36 — end-to-end multimodal curation pipeline as ONE
+    * declarative plan (the media twin of `pipeline_e2e`), over the
+    * realistic dirty corpus ([[phashCorpus]]: payloads plus
+    * re-encoded same-length copies): exact dedup by content address →
+    * perceptual near-dup drop (a surviving payload is dropped when a
+    * LOWER-id exact-dedup survivor sits within hamming ≤ 3 of its
+    * pHash — candidates from the lossless 4-segment pigeonhole, never
+    * the pair space) → minimum-size quality gate → survivors, with a
+    * per-(stage, kind) lineage rollup (docs + bytes) so Σ of the
+    * disposition stages pins back to the ingest row, the
+    * pipeline_lineage discipline.
+    *
+    * Scale shape: one content-sha shuffle (exact dedup), one
+    * (segment, value)-keyed shuffle (perceptual candidates), map-side
+    * everything else; the rollup output is |stages|×|kinds| rows.
+    */
+  def multimodalE2e(spark: SparkSession, dir: String): DataFrame = {
+    val MinBytes = 120L
+    // the pipeline corpus = the phash corpus (re-encoded same-length
+    // copies for the perceptual stage) PLUS byte-exact copies of every
+    // 11th payload (the artifact the content-address stage exists
+    // for — this corpus has near-dups but no natural byte-exact dups)
+    val dirty = phashCorpus(spark, dir).unionByName(
+      table(spark, dir, "documents").filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text").cast(BinaryType).as("payload")))
+    val base = dirty.select(
+      col("doc_id"),
+      expr("CASE WHEN doc_id % 3 = 0 THEN 'img' WHEN doc_id % 3 = 1 THEN 'aud' ELSE 'vid' END").as("kind"),
+      octet_length(col("payload")).cast(LongType).as("n_bytes"),
+      sha2(col("payload"), 256).as("sha"),
+      graft.functions.ArrayExprs.blockParityHash(col("payload")).as("phash"),
+    ).cache()
+    val winners = base.groupBy(col("sha")).agg(min(col("doc_id")).as("winner"))
+    val tagged = base.join(winners, Seq("sha"))
+    val surv1 = tagged.filter(col("doc_id") === col("winner"))
+      .select(col("doc_id"), col("phash"))
+    val segs = surv1.select(
+      col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("seg_idx"), pmod(shiftright(col("phash"), j * 16), lit(65536L)).as("seg_val"))): _*)).as("seg"))
+      .select(col("doc_id"), col("phash"), col("seg.seg_idx").as("seg_idx"), col("seg.seg_val").as("seg_val"))
+    val dupBySmaller = segs
+      .select(col("doc_id").as("doc_a"), col("phash").as("ph_a"), col("seg_idx"), col("seg_val"))
+      .join(segs.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"), col("seg_idx"), col("seg_val")),
+        Seq("seg_idx", "seg_val"))
+      .filter(col("doc_b") < col("doc_a"))
+      .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= 3)
+      .select(col("doc_a").as("doc_id")).distinct()
+    val disp = tagged
+      .join(dupBySmaller.withColumn("pdup", lit(true)), Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("doc_id") =!= col("winner"), "exact_dup")
+          .when(coalesce(col("pdup"), lit(false)), "phash_dup")
+          .when(col("n_bytes") < MinBytes, "too_small")
+          .otherwise("survivor"))
+    base.select(col("kind"), col("n_bytes")).withColumn("stage", lit("ingest"))
+      .unionByName(disp.select(col("kind"), col("n_bytes"), col("stage")))
+      .groupBy(col("stage"), col("kind"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("sum_bytes"))
+      .orderBy("stage", "kind")
+  }
+
+  val multimodalE2eSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    substring(text, 1, CAST(len(text) // 3 AS INT))
+      |      || chr(xor(ord(substring(text, CAST(len(text) // 3 AS INT) + 1, 1)), 1))
+      |      || substring(text, CAST(len(text) // 3 AS INT) + 2) AS text
+      |  FROM documents WHERE doc_id % 7 = 0 AND len(text) >= 3
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+      |), m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'img' WHEN doc_id % 3 = 1 THEN 'aud' ELSE 'vid' END AS kind,
+      |    CAST(len(text) AS BIGINT) AS n_bytes, sha256(text) AS sha, text
+      |  FROM corpus
+      |), b AS (
+      |  SELECT doc_id, len(text) AS n,
+      |    unnest(range(0, len(text))) AS j, text
+      |  FROM corpus
+      |), sums AS (
+      |  SELECT doc_id, CAST(j * 62 // n AS INT) AS blk,
+      |    sum(ord(substring(text, CAST(j + 1 AS INT), 1))) AS s
+      |  FROM b GROUP BY doc_id, CAST(j * 62 // n AS INT)
+      |), bits AS (
+      |  SELECT doc_id, sum(CAST(s % 2 AS BIGINT) << blk) AS phash FROM sums GROUP BY doc_id
+      |), h AS (
+      |  SELECT c.doc_id, CAST(coalesce(bits.phash, 0) AS BIGINT) AS phash
+      |  FROM corpus c LEFT JOIN bits ON c.doc_id = bits.doc_id
+      |), w AS (
+      |  SELECT sha, min(doc_id) AS winner FROM m GROUP BY sha
+      |), t AS (
+      |  SELECT m.doc_id, m.kind, m.n_bytes, w.winner FROM m JOIN w USING (sha)
+      |), sv AS (
+      |  SELECT t.doc_id, h.phash FROM t JOIN h USING (doc_id) WHERE t.doc_id = t.winner
+      |), pd AS (
+      |  SELECT DISTINCT a.doc_id FROM sv a
+      |  JOIN sv b2 ON b2.doc_id < a.doc_id AND bit_count(xor(a.phash, b2.phash)) <= 3
+      |), disp AS (
+      |  SELECT t.kind, t.n_bytes,
+      |    CASE WHEN t.doc_id != t.winner THEN 'exact_dup'
+      |         WHEN t.doc_id IN (SELECT doc_id FROM pd) THEN 'phash_dup'
+      |         WHEN t.n_bytes < 120 THEN 'too_small'
+      |         ELSE 'survivor' END AS stage
+      |  FROM t
+      |), all_ AS (
+      |  SELECT kind, n_bytes, 'ingest' AS stage FROM m
+      |  UNION ALL
+      |  SELECT kind, n_bytes, stage FROM disp
+      |)
+      |SELECT stage, kind, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
+      |FROM all_ GROUP BY stage, kind
+      |ORDER BY stage, kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_e2e" -> (multimodalE2e _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_phash" -> (multimodalPhash _),
@@ -541,6 +658,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "multimodal_e2e" -> multimodalE2eSql,
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_audio" -> multimodalAudioSql,
     "multimodal_phash" -> multimodalPhashSql,

@@ -12,6 +12,25 @@ class Round11OpsSpec extends AnyFunSuite {
   private def cents(x: Double): Long =
     math.floor(x * 100 + 0.5).toLong
 
+  test("multimodal_e2e: disposition stages conserve the ingest corpus per kind") {
+    val rows = Multimodal.multimodalE2e(spark, sf).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[String]("kind")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_bytes")))).toMap
+    val stages = rows.keys.map(_._1).toSet
+    assert(stages == Set("ingest", "exact_dup", "phash_dup", "too_small", "survivor"),
+      s"every pipeline stage must fire on the dirty corpus: $stages")
+    for (kind <- Seq("img", "aud", "vid")) {
+      val (inDocs, inBytes) = rows(("ingest", kind))
+      val disp = rows.filterKeys(k => k._2 == kind && k._1 != "ingest").values
+      assert(disp.map(_._1).sum == inDocs, s"$kind: disposition docs must sum to ingest")
+      assert(disp.map(_._2).sum == inBytes, s"$kind: disposition bytes must sum to ingest")
+      // the planted copies guarantee both dedup stages fire per kind
+      assert(rows(("exact_dup", kind))._1 > 0 && rows(("phash_dup", kind))._1 > 0)
+      assert(rows(("survivor", kind))._1 > rows(("phash_dup", kind))._1,
+        s"$kind: survivors should dominate on this corpus")
+    }
+  }
+
   test("q_funnel_window: depth never exceeds the unbounded funnel, lags obey the windows") {
     val DayUs = 86400000000L
     val bounded = Relational.qFunnelWindow(spark, sf).collect()
