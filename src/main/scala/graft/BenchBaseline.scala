@@ -273,6 +273,7 @@ object BenchBaseline {
     "q_theta_sets" -> 1.31,
     "q_funnel_window" -> 0.83,
     "multimodal_e2e" -> 1.34,
+    "decontaminate_semantic" -> 0.79,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -451,6 +451,69 @@ object VectorOps {
     graphExpand(e, queries, 5, annIvf(e, queries, 5), knnGraphTable(spark, dir))
   }
 
+  // --------------------------------------- semantic decontamination
+
+  /** §2.3 #26t — SEMANTIC benchmark decontamination (the embedding
+    * companion of the 5-gram `decontaminate`: n-gram matching misses
+    * paraphrased eval leakage, which is exactly what recent data
+    * papers screen with an embedding pass): every corpus vector is
+    * scored against the eval-benchmark set (held out as vec_id % 20 =
+    * 0) and flagged when its nearest eval neighbor sits at cosine ≥
+    * 0.4 — the corpus' near-neighbor band, same convention as
+    * `sample_diversity`.
+    *
+    * Scale shape: the eval suite is BROADCAST (a benchmark set is
+    * fixed-size by nature — the ann_bruteforce contract) and every
+    * corpus vector scores map-side against it with the codegen'd
+    * integer-dot kernel, then one map-side-combinable argmax per
+    * vector (the dedup_embedding max-struct idiom) — no shuffle of
+    * vectors at all. At a larger eval suite the IVF/LSH prune path
+    * (ann_filtered) drops in front unchanged.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    val evalSet = prep(e.filter(col("id") % 20 === 0))
+      .select(col("id").as("eval_id"), col("qv").as("qb"), col("norm").as("nb"))
+    val corpus = prep(e.filter(col("id") % 20 =!= 0))
+      .select(col("id").as("vec_id"), col("qv").as("qa"), col("norm").as("na"))
+    corpus.crossJoin(broadcast(evalSet))
+      .select(col("vec_id"), col("eval_id"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("nid"))).as("m"))
+      .select(
+        col("vec_id"),
+        (-col("m.nid")).as("nearest_eval_id"),
+        col("m.cosine").as("cosine"),
+        (col("m.cosine") >= 0.4).as("contaminated"),
+      )
+      .orderBy("vec_id")
+  }
+
+  val decontaminateSemanticSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qv,
+      |    sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS DOUBLE)) AS norm
+      |  FROM q
+      |), p AS (
+      |  SELECT c.vec_id, e.vec_id AS eval_id,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * e.qv[i])) AS DOUBLE) / (c.norm * e.norm) AS cosine
+      |  FROM n c JOIN n e ON e.vec_id % 20 = 0
+      |  WHERE c.vec_id % 20 != 0
+      |), best AS (
+      |  SELECT vec_id, eval_id AS nearest_eval_id, cosine FROM (
+      |    SELECT vec_id, eval_id, cosine,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rk
+      |    FROM p
+      |  ) WHERE rk = 1
+      |)
+      |SELECT vec_id, nearest_eval_id, cosine, cosine >= 0.4 AS contaminated
+      |FROM best
+      |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------- diversity sampling
 
   /** §2.4 #29o — diversity / coreset sampling over the k-NN graph
@@ -1618,6 +1681,7 @@ object VectorOps {
     "ann_bruteforce" -> (annBruteforce(_: SparkSession, _: String)),
     "emb_quantize" -> (embQuantize _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "decontaminate_semantic" -> (decontaminateSemantic _),
     "ann_lsh" -> (annLsh(_: SparkSession, _: String)),
     "ann_knn_graph" -> (annKnnGraph _),
     "sample_diversity" -> (sampleDiversity _),
@@ -1636,6 +1700,7 @@ object VectorOps {
     "ann_bruteforce" -> annBruteforceSql,
     "emb_quantize" -> embQuantizeSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "decontaminate_semantic" -> decontaminateSemanticSql,
     "ann_filtered" -> annFilteredSql,
     // ann_lsh / ann_ivf: engine-specific candidate generation → rows-only + recall tests
   )

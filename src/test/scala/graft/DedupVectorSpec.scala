@@ -228,4 +228,22 @@ class DedupVectorSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_uniq") <= r.getAs[Long]("n_tokens"))
     }
   }
+
+  test("decontaminate_semantic: covers exactly the non-eval split, flags the near band") {
+    val rows = operators.VectorOps.decontaminateSemantic(spark, sf).collect()
+    val corpusIds = GraftSession.table(spark, sf, "embeddings")
+      .filter(col("vec_id") % 20 =!= 0).select("vec_id")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == corpusIds,
+      "one verdict per non-eval corpus vector, eval vectors never self-screen")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nearest_eval_id") % 20 == 0, "nearest neighbor must be an eval vector")
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Boolean]("contaminated") == (c >= 0.4))
+    }
+    val flagged = rows.count(_.getAs[Boolean]("contaminated"))
+    assert(flagged > 0 && flagged < rows.length,
+      s"the 0.4 band should flag some but not all of this corpus ($flagged/${rows.length})")
+  }
 }

@@ -180,7 +180,11 @@ class PlanSpec extends AnyFunSuite {
       "q_theta_sets",
       // sample_dsir cross-joins a broadcast 1-ROW corpus-totals
       // aggregate into the 4096-row λ table — the q_zorder shape
-      "sample_dsir")
+      "sample_dsir",
+      // decontaminate_semantic broadcasts the eval-benchmark suite
+      // (fixed-size by nature) and scores corpus vectors map-side —
+      // the ann_bruteforce contract
+      "decontaminate_semantic")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
