@@ -274,6 +274,7 @@ object BenchBaseline {
     "q_funnel_window" -> 0.83,
     "multimodal_e2e" -> 1.34,
     "decontaminate_semantic" -> 0.79,
+    "dedup_lsh_tune" -> 2.63,
   )
 
   /** queries running slower than factor×floor: (name, measured, floor). */

@@ -199,6 +199,63 @@ object Dedup {
       ),
     )
 
+  /** §2.3 #24d — LSH banding TUNING audit: the (bands × rows) choice
+    * IS the MinHash design decision (it places the S-curve), and this
+    * op measures it empirically on the actual corpus instead of
+    * trusting the formula: the SAME 64-perm signature is banded three
+    * ways — 32×2, 16×4 (the production config), 8×8 — and each config
+    * reports its candidate load, exact-verified pair count at J ≥ 0.8,
+    * measured precision, and the theoretical collision probability at
+    * the threshold. Because the configs NEST (an 8-row band match
+    * implies both 4-row halves match, which imply the 2-row quarters),
+    * candidate/verified sets are strictly ⊆-ordered — more, narrower
+    * bands buy recall with candidate load; the audit shows exactly how
+    * much of each on this corpus.
+    *
+    * Scale shape: signatures computed once (map-side codegen kernel),
+    * three band-keyed self-joins of the usual bounded shape; per-config
+    * results are two scalar counts (bounded driver collect). Rows-only
+    * by design (xxhash64 band keys); ScalaTest pins the nesting order,
+    * the 16×4 row's equality with `dedup_minhash_lsh`, and the theory
+    * column's closed form.
+    */
+  def dedupLshTune(spark: SparkSession, dir: String): DataFrame = {
+    val configs = Seq((32, 2), (16, 4), (8, 8))
+    val d = docs(spark, dir).select(col("doc_id"), shingles.as("sh")).cache()
+    val sigd = d.withColumn("sig", signature(col("sh"))).select(col("doc_id"), col("sig")).cache()
+    val rows = configs.map { case (b, r) =>
+      val bandArr = transform(
+        sequence(lit(0), lit(b - 1)),
+        bi => struct(
+          bi.cast(IntegerType).as("band_idx"),
+          xxhash64(slice(col("sig"), bi * r + 1, lit(r))).as("band_key")))
+      val bands = sigd.select(col("doc_id"), explode(bandArr).as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+          Seq("band_idx", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .cache()
+      val nCand = cand.count()
+      val nVer = cand
+        .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha_")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb_")), "doc_b")
+        .filter(jaccard(col("sha_"), col("shb_")) >= VerifyThreshold)
+        .count()
+      cand.unpersist()
+      val theory = math.floor(
+        (1 - math.pow(1 - math.pow(VerifyThreshold, r), b)) * 1e6 + 0.5).toLong
+      (s"${b}x$r", b.toLong, r.toLong, nCand, nVer,
+        if (nCand == 0) 1000000L else nVer * 1000000L / nCand, theory)
+    }
+    d.unpersist(); sigd.unpersist()
+    import spark.implicits._
+    rows.toDF("cfg", "n_bands", "rows_per_band", "n_candidates", "n_verified",
+      "precision_ppm", "theory_recall_ppm")
+      .orderBy("rows_per_band")
+  }
+
   /** Exploded (doc_id, band_idx, band_key) relation. The 4-long band
     * slice is collapsed to one 64-bit hash before the shuffle — a
     * quarter of the shuffle bytes, and a band-hash collision can only
@@ -624,6 +681,7 @@ object Dedup {
     "dedup_profile" -> (dedupProfile _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_lsh_tune" -> (dedupLshTune _),
     "dedup_ngram_exact" -> (dedupNgramExact _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _),

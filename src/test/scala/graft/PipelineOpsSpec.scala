@@ -122,6 +122,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_lsh_tune: configs nest, 16x4 row equals the named op, theory is the closed form") {
+    val rows = Dedup.dedupLshTune(spark, sf).collect()
+      .map(r => r.getAs[String]("cfg") ->
+        ((r.getAs[Long]("n_bands"), r.getAs[Long]("rows_per_band"), r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("n_verified"), r.getAs[Long]("precision_ppm"), r.getAs[Long]("theory_recall_ppm")))).toMap
+    assert(rows.keySet == Set("32x2", "16x4", "8x8"))
+    rows.foreach { case (_, (b, r, cand, ver, prec, theory)) =>
+      assert(b * r == 64L, "every config bands the same 64-perm signature")
+      assert(ver <= cand)
+      if (cand > 0) assert(prec == ver * 1000000L / cand)
+      assert(theory == math.floor((1 - math.pow(1 - math.pow(0.8, r.toDouble), b.toDouble)) * 1e6 + 0.5).toLong)
+    }
+    // band nesting: an 8-row match implies its 4-row halves match,
+    // which imply the 2-row quarters — candidate/verified sets are
+    // strictly subset-ordered, so the counts must be too
+    assert(rows("32x2")._3 >= rows("16x4")._3 && rows("16x4")._3 >= rows("8x8")._3)
+    assert(rows("32x2")._4 >= rows("16x4")._4 && rows("16x4")._4 >= rows("8x8")._4)
+    // the production config's verified pairs ARE dedup_minhash_lsh
+    assert(rows("16x4")._4 == Dedup.dedupMinhashLsh(spark, sf).count())
+  }
+
   test("sample_dsir equals a plain-Scala hashed-LLR replay; target domain ranks high") {
     val B = 4096L
     def md5hex(s: String): String =
