@@ -189,6 +189,7 @@ object BenchBaseline {
     "multimodal_phash" -> 0.17,
     "multimodal_phash_pairs" -> 0.41,
     "pipeline_e2e" -> 1.07,
+    "pipeline_mixture" -> 1.85,
     "q_abtest" -> 0.4,
     "q_anomaly" -> 0.28,
     "q_attribution" -> 0.38,

@@ -812,6 +812,62 @@ object Pipeline {
     * survivors — the price of a complete report, and it is the same
     * broadcast join either way.
     */
+  /** §2.3 #26u — mixture-drift audit of the e2e pipeline: per-source
+    * TOKEN share of the corpus before (ingest) and after
+    * ([[pipelineE2e]] survivors), with the signed drift — the "did my
+    * curation pass silently skew the training mixture" report that
+    * belongs next to every pipeline run (a quality filter that
+    * disproportionately drops one source shifts the mixture the
+    * sampler was supposed to set). Shares are exact integer ppm via
+    * the two-step split division (the temperatureRatePpm algebra —
+    * safe far past int64-naive bounds), so drift is exact and
+    * cross-engine stable.
+    *
+    * Scale shape: one token rollup per side (map-side combined), two
+    * 1-ROW total broadcasts (the q_zorder shape), survivors join back
+    * on doc_id. Output is |sources| rows.
+    */
+  def pipelineMixture(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast(LongType).as("toks"))
+    val keptIds = pipelineE2e(spark, dir).select(col("doc_id"))
+    val ingestAgg = toks.groupBy(col("source")).agg(sum(col("toks")).as("toks_ingest"))
+    val keptAgg = toks.join(keptIds, Seq("doc_id")).groupBy(col("source")).agg(sum(col("toks")).as("kt"))
+    val ti = ingestAgg.agg(sum(col("toks_ingest")).as("t_in"))
+    val tk = keptAgg.agg(sum(col("kt")).as("t_kept"))
+    ingestAgg.join(keptAgg, Seq("source"), "left")
+      .crossJoin(broadcast(ti)).crossJoin(broadcast(tk))
+      .withColumn("toks_kept", coalesce(col("kt"), lit(0L)))
+      .withColumn("share_before_ppm",
+        expr("((toks_ingest * 1000) div t_in) * 1000 + (((toks_ingest * 1000) % t_in) * 1000) div t_in"))
+      .withColumn("share_after_ppm",
+        expr("((toks_kept * 1000) div t_kept) * 1000 + (((toks_kept * 1000) % t_kept) * 1000) div t_kept"))
+      .select(col("source"), col("toks_ingest"), col("toks_kept"),
+        col("share_before_ppm"), col("share_after_ppm"),
+        (col("share_after_ppm") - col("share_before_ppm")).as("drift_ppm"))
+      .orderBy("source")
+  }
+
+  val pipelineMixtureSql: String =
+    s"""WITH pe AS (
+      |${pipelineE2eSql}
+      |), tok AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents
+      |), ingest AS (
+      |  SELECT source, CAST(sum(toks) AS BIGINT) AS toks_ingest FROM tok GROUP BY source
+      |), kept AS (
+      |  SELECT tok.source, CAST(sum(tok.toks) AS BIGINT) AS kt
+      |  FROM tok JOIN pe ON pe.doc_id = tok.doc_id GROUP BY tok.source
+      |), ti AS (SELECT CAST(sum(toks_ingest) AS BIGINT) AS t_in FROM ingest),
+      |tk AS (SELECT CAST(sum(kt) AS BIGINT) AS t_kept FROM kept)
+      |SELECT i.source, i.toks_ingest, coalesce(k.kt, 0) AS toks_kept,
+      |  ((i.toks_ingest * 1000) // t_in) * 1000 + (((i.toks_ingest * 1000) % t_in) * 1000) // t_in AS share_before_ppm,
+      |  ((coalesce(k.kt, 0) * 1000) // t_kept) * 1000 + (((coalesce(k.kt, 0) * 1000) % t_kept) * 1000) // t_kept AS share_after_ppm,
+      |  (((coalesce(k.kt, 0) * 1000) // t_kept) * 1000 + (((coalesce(k.kt, 0) * 1000) % t_kept) * 1000) // t_kept)
+      |    - (((i.toks_ingest * 1000) // t_in) * 1000 + (((i.toks_ingest * 1000) % t_in) * 1000) // t_in) AS drift_ppm
+      |FROM ingest i LEFT JOIN kept k USING (source), ti, tk
+      |ORDER BY i.source""".stripMargin
+
   def pipelineLineage(spark: SparkSession, dir: String): DataFrame = {
     val f = textFilterCols(docs(spark, dir).select(col("doc_id"), col("source"), col("text")))
       .withColumn("content_hash", md5(col("text")))
@@ -1239,6 +1295,7 @@ object Pipeline {
     "text_domain_cap" -> (textDomainCap _),
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_lineage" -> (pipelineLineage _),
+    "pipeline_mixture" -> (pipelineMixture _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_negatives" -> (sampleNegatives _),
     "dedup_clusters" -> (dedupClusters _),
@@ -1259,6 +1316,7 @@ object Pipeline {
     "text_domain_cap" -> textDomainCapSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_lineage" -> pipelineLineageSql,
+    "pipeline_mixture" -> pipelineMixtureSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "decontaminate" -> decontaminateSql,

@@ -122,6 +122,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_mixture: shares are exact partitions of unity, drift nets to ~zero") {
+    val rows = Pipeline.pipelineMixture(spark, sf).collect()
+    val n = rows.length
+    assert(n > 1)
+    val before = rows.map(_.getAs[Long]("share_before_ppm"))
+    val after = rows.map(_.getAs[Long]("share_after_ppm"))
+    // floor-division shares: each side sums to 1e6 minus at most one
+    // ppm of rounding per source
+    assert(before.sum <= 1000000L && before.sum >= 1000000L - n)
+    assert(after.sum <= 1000000L && after.sum >= 1000000L - n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("toks_kept") <= r.getAs[Long]("toks_ingest"))
+      assert(r.getAs[Long]("drift_ppm") ==
+        r.getAs[Long]("share_after_ppm") - r.getAs[Long]("share_before_ppm"))
+    }
+    // survivors' tokens replay from the e2e pipeline's own ids
+    val keptIds = Pipeline.pipelineE2e(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    val toks = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("t")))
+    val wantKept = toks.filter(t => keptIds(t._1)).groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("toks_kept") == wantKept.getOrElse(r.getAs[String]("source"), 0L))
+    }
+  }
+
   test("dedup_lsh_tune: configs nest, 16x4 row equals the named op, theory is the closed form") {
     val rows = Dedup.dedupLshTune(spark, sf).collect()
       .map(r => r.getAs[String]("cfg") ->

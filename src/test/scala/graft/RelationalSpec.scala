@@ -184,7 +184,10 @@ class PlanSpec extends AnyFunSuite {
       // decontaminate_semantic broadcasts the eval-benchmark suite
       // (fixed-size by nature) and scores corpus vectors map-side —
       // the ann_bruteforce contract
-      "decontaminate_semantic")
+      "decontaminate_semantic",
+      // pipeline_mixture cross-joins TWO broadcast 1-ROW token totals
+      // into the |sources|-row share table — the q_abtest shape
+      "pipeline_mixture")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
