@@ -1129,6 +1129,88 @@ object TextAnalysis {
       |FROM scored
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.5 #33x — adaptive per-source quality GATE: within every
+    * source, drop the bottom quartile of the quality distribution and
+    * report the per-source threshold + keep receipts. This is the
+    * SCALE twin of [[textQualityCalibrated]]: where the calibrated
+    * score ranks every document with a window over the fact table,
+    * the gate derives each source's cutoff from a compressed
+    * (source, score_ppm) HISTOGRAM — ≤ |sources| × 1e6 rows however
+    * large the corpus — then applies it as a broadcast-join map-side
+    * filter. No fact-table sort anywhere; at 100 TB the only wide
+    * stages are one map-side-combined histogram rollup and one
+    * per-source receipt rollup.
+    *
+    * The score is pure int64 ppm so both engines agree bit-for-bit:
+    * uniq_ratio · min(1, n_tokens/50) · 1e6 =
+    * n_uniq·1e6 div n_tokens when n_tokens ≥ 50, else n_uniq·20000
+    * (the n_tokens cancels — no division at all on the short branch).
+    * Threshold = smallest score_ppm whose cumulative count covers
+    * ceil(n/4) (4·cum ≥ n in int math); keep score_ppm ≥ threshold,
+    * so ties at the cut survive (kept share ≥ 75% by construction).
+    */
+  def textAdaptiveFilter(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(words).cast(LongType)
+    val nUniq = size(array_distinct(words)).cast(LongType)
+    val scorePpm = when(nTokens >= 50, expr(
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000 div size(split(text, ' '))"))
+      .otherwise(nUniq * lit(20000L))
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), col("source"), scorePpm.as("score_ppm"))
+    val hist = scored.groupBy(col("source"), col("score_ppm")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("score_ppm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n_total", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .where(col("cum") * 4 >= col("n_total"))
+      .groupBy(col("source"))
+      .agg(min(col("score_ppm")).as("threshold_ppm"), min(col("n_total")).as("n_total"))
+    scored.join(broadcast(thr), Seq("source"))
+      .where(col("score_ppm") >= col("threshold_ppm"))
+      .groupBy(col("source"))
+      .agg(
+        min(col("threshold_ppm")).as("threshold_ppm"),
+        min(col("n_total")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_id_sum"),
+      )
+      .withColumn("kept_share_ppm", expr(
+        "((n_kept * 1000) div n_total) * 1000 + ((n_kept * 1000 % n_total) * 1000) div n_total"))
+      .select(col("source"), col("threshold_ppm"), col("n_total"), col("n_kept"),
+        col("kept_share_ppm"), col("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  val textAdaptiveFilterSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(string_split(text, ' ')) >= 50
+      |      THEN CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000 // len(string_split(text, ' '))
+      |      ELSE CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 20000 END AS score_ppm
+      |  FROM documents
+      |), hist AS (
+      |  SELECT source, score_ppm, count(*) AS c FROM scored GROUP BY source, score_ppm
+      |), cum AS (
+      |  SELECT source, score_ppm, c,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY score_ppm
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_total
+      |  FROM hist
+      |), thr AS (
+      |  SELECT source, min(score_ppm) AS threshold_ppm, min(n_total) AS n_total
+      |  FROM cum WHERE cum * 4 >= n_total GROUP BY source
+      |)
+      |SELECT s.source, t.threshold_ppm, t.n_total,
+      |  count(*) AS n_kept,
+      |  CAST(((count(*) * 1000) // min(t.n_total)) * 1000
+      |    + ((count(*) * 1000 % min(t.n_total)) * 1000) // min(t.n_total) AS BIGINT) AS kept_share_ppm,
+      |  CAST(sum(s.doc_id) AS BIGINT) AS kept_id_sum
+      |FROM scored s JOIN thr t USING (source)
+      |WHERE s.score_ppm >= t.threshold_ppm
+      |GROUP BY s.source, t.threshold_ppm, t.n_total
+      |ORDER BY s.source""".stripMargin
+
   /** §2.5 #33u — inverted-index build: one row per vocabulary word
     * with document frequency, total term frequency, and the full
     * sorted posting list (verified through its md5 so the checked
@@ -1274,6 +1356,7 @@ object TextAnalysis {
     "text_entropy" -> (textEntropy _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_quality_calibrated" -> (textQualityCalibrated _),
+    "text_adaptive_filter" -> (textAdaptiveFilter _),
     "text_bigram" -> (textBigramSurprisal _),
     "text_surprisal" -> (textSurprisal _),
     "text_chunks" -> (textChunks _),
@@ -1302,6 +1385,7 @@ object TextAnalysis {
     "text_entropy" -> textEntropySql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_quality_calibrated" -> textQualityCalibratedSql,
+    "text_adaptive_filter" -> textAdaptiveFilterSql,
     "text_surprisal" -> textSurprisalSql,
     "text_chunks" -> textChunksSql,
     "text_normalize" -> textNormalizeSql,

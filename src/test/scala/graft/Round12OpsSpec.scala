@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round12OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("text_adaptive_filter: plain-Scala histogram-threshold replay, ≥75% kept everywhere") {
+    val corpus = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
+    def scorePpm(text: String): Long = {
+      val toks = text.split(' ')
+      val n = toks.length.toLong
+      val u = toks.distinct.length.toLong
+      if (n >= 50) u * 1000000L / n else u * 20000L
+    }
+    val bySource = corpus.groupBy(_._2)
+    val want = bySource.map { case (src, ds) =>
+      val scored = ds.map(d => (d._1, scorePpm(d._3)))
+      val n = scored.length.toLong
+      val sorted = scored.map(_._2).sorted
+      // smallest score whose cumulative count covers ceil(n/4)
+      val thr = sorted.zipWithIndex.collectFirst {
+        case (s, i) if (i + 1) * 4 >= n => s
+      }.get
+      val kept = scored.filter(_._2 >= thr)
+      src -> ((thr, n, kept.length.toLong, kept.map(_._1).sum))
+    }
+    val rows = TextAnalysis.textAdaptiveFilter(spark, sf).collect()
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (thr, n, nKept, idSum) = want(src)
+      assert(r.getAs[Long]("threshold_ppm") == thr, s"$src threshold")
+      assert(r.getAs[Long]("n_total") == n, s"$src n_total")
+      assert(r.getAs[Long]("n_kept") == nKept, s"$src n_kept")
+      assert(r.getAs[Long]("kept_id_sum") == idSum, s"$src kept_id_sum")
+      // the gate drops AT MOST a quartile (ties at the cut survive)
+      val share = r.getAs[Long]("kept_share_ppm")
+      assert(share >= 750000L && share <= 1000000L, s"$src share=$share")
+      // split-division share replay
+      val wantShare = (nKept * 1000 / n) * 1000 + (nKept * 1000 % n) * 1000 / n
+      assert(share == wantShare, s"$src share algebra")
+    }
+  }
+}
