@@ -155,6 +155,7 @@ object BenchBaseline {
     "q_bucket_join" -> 0.69,
     "text_bigram" -> 0.83,
     "text_adaptive_filter" -> 0.82,
+    "sample_curriculum" -> 0.75,
     "q_corrstats" -> 1.13,
     "sample_negatives" -> 0.41,
     "q12_priority" -> 1.11,

@@ -666,6 +666,69 @@ object Pipeline {
       |SELECT doc_id, source, w, priority FROM ranked WHERE rn <= 10
       |ORDER BY source, priority, doc_id""".stripMargin
 
+  /** §2.3 #26v — curriculum ordering: every document gets a GLOBAL
+    * training position (easy→hard by quality band, md5-shuffled
+    * within a band so each band streams in corpus-random order) and
+    * the contiguous shard that position lands in — the "sort the
+    * corpus into the order the trainer will consume it" step of a
+    * curriculum-learning data build.
+    *
+    * The naive formulation is `row_number() OVER (ORDER BY band, h)`
+    * — a GLOBAL sort window that funnels 100 TB through one
+    * partition. The scale path here computes the identical numbers
+    * with no global fact sort: bucket = the first two hex chars of
+    * the per-doc md5 draw (a PREFIX of the intra-band sort key, so
+    * (band, bucket, h) ordering ≡ (band, h) ordering), per-(band,
+    * bucket) counts roll up map-side to ≤ 10·256 metadata rows whose
+    * running sum yields each bucket's global offset (the only global
+    * window, bounded by construction), and a row_number within each
+    * (band, bucket) partition — 2,560 well-spread partitions — plus
+    * the broadcast offset reconstructs the exact global position.
+    * Shards of 64 consecutive positions inherit band contiguity, so
+    * shard files ARE the curriculum schedule.
+    */
+  def sampleCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val band = expr(
+      """9 - least(9, (CASE WHEN size(split(text, ' ')) >= 50
+        | THEN CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000 div size(split(text, ' '))
+        | ELSE CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 20000 END) div 100000)""".stripMargin)
+    val scored = docs(spark, dir).select(
+        col("doc_id"),
+        band.as("band"),
+        md5(concat(col("doc_id").cast(StringType), lit(":curriculum"))).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val counts = scored.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
+    // the ONLY global window: ≤ 10 bands × 256 hex buckets = 2,560
+    // metadata rows whatever the corpus size (bounded by construction
+    // — whitelisted in PlanSpec's boundedGlobalWindow audit)
+    val wOff = Window.orderBy(col("band"), col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("band"), col("bucket"), col("offset"))
+    val wIn = Window.partitionBy(col("band"), col("bucket")).orderBy(col("h"), col("doc_id"))
+    scored.join(broadcast(offsets), Seq("band", "bucket"))
+      .withColumn("global_pos", (col("offset") + row_number().over(wIn)).cast(LongType))
+      .withColumn("shard", expr("(global_pos - 1) div 64"))
+      .select(col("doc_id"), col("band"), col("global_pos"), col("shard"))
+      .orderBy("global_pos")
+  }
+
+  val sampleCurriculumSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    9 - least(9, (CASE WHEN len(string_split(text, ' ')) >= 50
+      |      THEN CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000 // len(string_split(text, ' '))
+      |      ELSE CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 20000 END) // 100000) AS band,
+      |    md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, band,
+      |  row_number() OVER (ORDER BY band, h, doc_id) AS global_pos,
+      |  (row_number() OVER (ORDER BY band, h, doc_id) - 1) // 64 AS shard
+      |FROM scored
+      |ORDER BY global_pos""".stripMargin
+
   /** §2.3 #26l — the full preprocessing pipeline as ONE declarative
     * plan: heuristic quality filter → exact dedup (min-id survivor
     * per content hash) → benchmark decontamination (eval docs
@@ -1297,6 +1360,7 @@ object Pipeline {
     "pipeline_lineage" -> (pipelineLineage _),
     "pipeline_mixture" -> (pipelineMixture _),
     "sample_weighted" -> (sampleWeighted _),
+    "sample_curriculum" -> (sampleCurriculum _),
     "sample_negatives" -> (sampleNegatives _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
@@ -1323,6 +1387,7 @@ object Pipeline {
     "sample_mix" -> sampleMixSql,
     "sample_negatives" -> sampleNegativesSql,
     "sample_weighted" -> sampleWeightedSql,
+    "sample_curriculum" -> sampleCurriculumSql,
     "sample_importance" -> sampleImportanceSql,
     "pack_sequences" -> packSequencesSql,
     "text_filter" -> textFilterSql,

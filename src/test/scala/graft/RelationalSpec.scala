@@ -251,7 +251,11 @@ class PlanSpec extends AnyFunSuite {
       // an audit table, not the corpus)
       "text_vocab_growth",
       // ranks over two ≤100-row retrieval shortlists and their fusion
-      "text_rrf")
+      "text_rrf",
+      // running sum over the (band, bucket) count rollup — ≤ 10·256
+      // rows whatever the corpus size; the fact table itself only sees
+      // per-(band,bucket)-partitioned windows
+      "sample_curriculum")
     spark.listenerManager.register(listener)
     try {
       val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1,11 +1,15 @@
 package graft
 
-import graft.operators.TextAnalysis
+import graft.operators.{Pipeline, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class Round12OpsSpec extends AnyFunSuite {
   import TestSpark._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 
   test("text_adaptive_filter: plain-Scala histogram-threshold replay, ≥75% kept everywhere") {
     val corpus = GraftSession.table(spark, sf, "documents")
@@ -45,5 +49,38 @@ class Round12OpsSpec extends AnyFunSuite {
       val wantShare = (nKept * 1000 / n) * 1000 + (nKept * 1000 % n) * 1000 / n
       assert(share == wantShare, s"$src share algebra")
     }
+  }
+
+  test("sample_curriculum: bucketed-offset positions equal the naive global sort") {
+    val corpus = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    def band(text: String): Long = {
+      val toks = text.split(' ')
+      val n = toks.length.toLong
+      val u = toks.distinct.length.toLong
+      val ppm = if (n >= 50) u * 1000000L / n else u * 20000L
+      9L - math.min(9L, ppm / 100000L)
+    }
+    // the naive formulation the distributed plan must reproduce exactly
+    val want = corpus
+      .map { case (id, text) => (id, band(text), md5hex(s"$id:curriculum")) }
+      .sortBy { case (id, b, h) => (b, h, id) }
+      .zipWithIndex
+      .map { case ((id, b, _), i) => id -> ((b, i + 1L, i.toLong / 64)) }
+      .toMap
+    val rows = Pipeline.sampleCurriculum(spark, sf).collect()
+    assert(rows.length == corpus.length, "every document gets a position")
+    rows.foreach { r =>
+      val (b, pos, shard) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("band") == b)
+      assert(r.getAs[Long]("global_pos") == pos)
+      assert(r.getAs[Long]("shard") == shard)
+    }
+    // curriculum invariants: contiguous positions, band monotone along them
+    val byPos = rows.sortBy(_.getAs[Long]("global_pos"))
+    assert(byPos.map(_.getAs[Long]("global_pos")).toSeq == (1L to corpus.length).toSeq)
+    val bands = byPos.map(_.getAs[Long]("band")).toSeq
+    assert(bands == bands.sorted, "training order must never regress to an easier band")
   }
 }
