@@ -2558,6 +2558,63 @@ object Relational {
       |ORDER BY c DESC, l_suppkey
       |LIMIT 10""".stripMargin
 
+  /** §2.2 #21bc — pre-execution join-SIZE estimation: before shuffling
+    * 100 TB into a many-many self-join on user_id (the
+    * `q_concurrency` / `q_copurchase` shape), predict its output
+    * cardinality. Exact size = Σ_k c(k)² needs the full per-key
+    * rollup; the 256-bucket sketch — bucket = md5-uniform(key) mod
+    * 256, n_b = Σ c(k) over the bucket — yields the AGM-style upper
+    * bound Σ_b n_b², a 256-row summary a cost-based planner can keep
+    * per table and join against ANY other table's sketch (Σ n_b·m_b
+    * bounds the two-table join the same way). The report carries both
+    * plus `over_ppm`, the sketch's relative overestimate — how much
+    * resolution 256 buckets lose on this key distribution.
+    *
+    * Pair counts aggregate in DECIMAL(38,0) (Spark) / HUGEINT→DECIMAL
+    * (DuckDB), exact to 10³⁸ — no int64 ceiling on a quadratic
+    * quantity. The ppm ratio uses the split two-step division; its
+    * intermediates stay exact while est_pairs ≤ 10³⁵.
+    */
+  def qJoinCard(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val exact = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("exact_pairs"))
+    val sketch = counts
+      .withColumn("h32",
+        conv(substring(md5(concat(col("user_id").cast(StringType), lit(":joincard"))), 1, 8), 16, 10)
+          .cast(LongType))
+      .withColumn("bucket", expr("h32 % 256"))
+      .groupBy(col("bucket")).agg(sum(col("c")).as("nb"))
+    val est = sketch.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(expr("CAST(nb AS DECIMAL(38,0)) * nb")).as("est_pairs"))
+    exact.crossJoin(broadcast(est))
+      .withColumn("over_ppm", expr(
+        """CAST(((est_pairs * 1000) div exact_pairs) * 1000
+          | + ((est_pairs * 1000 % exact_pairs) * 1000) div exact_pairs - 1000000 AS BIGINT)""".stripMargin))
+      .select(col("n_keys"), col("n_buckets"), col("exact_pairs"), col("est_pairs"), col("over_ppm"))
+  }
+
+  val qJoinCardSql: String =
+    """WITH counts AS (
+      |  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+      |), ex AS (
+      |  SELECT count(*) AS n_keys, sum(CAST(c AS HUGEINT) * c) AS ep FROM counts
+      |), bkt AS (
+      |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':joincard'), 1, 8))::BIGINT % 256 AS bucket,
+      |    CAST(sum(c) AS HUGEINT) AS nb
+      |  FROM counts GROUP BY 1
+      |), est AS (
+      |  SELECT count(*) AS n_buckets, sum(nb * nb) AS sp FROM bkt
+      |)
+      |SELECT n_keys, n_buckets,
+      |  CAST(ep AS DECIMAL(38,0)) AS exact_pairs,
+      |  CAST(sp AS DECIMAL(38,0)) AS est_pairs,
+      |  CAST((sp * 1000 // ep) * 1000 + ((sp * 1000 % ep) * 1000) // ep - 1000000 AS BIGINT) AS over_ppm
+      |FROM ex, est""".stripMargin
+
   /** §2.2 #21ap — ordered path aggregation: each customer's order
     * history as a priority "journey string" in (date, orderkey) order
     * — the funnel-path / clickstream-journey primitive. The ordering
@@ -4270,6 +4327,7 @@ object Relational {
     "q_ntile" -> (qNtile _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_skew_report" -> (qSkewReport _),
+    "q_join_card" -> (qJoinCard _),
     "q_orderpath" -> (qOrderpath _),
     "q_ivm_merge" -> (qIvmMerge _),
     "q_scd2" -> (qScd2 _),
@@ -4362,6 +4420,7 @@ object Relational {
     "q_ntile" -> qNtileSql,
     "q_bloom_prune" -> qBloomPruneSql,
     "q_skew_report" -> qSkewReportSql,
+    "q_join_card" -> qJoinCardSql,
     "q_orderpath" -> qOrderpathSql,
     "q_ivm_merge" -> qIvmMergeSql,
     "q_scd2" -> qScd2Sql,

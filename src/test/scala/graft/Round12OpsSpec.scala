@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Pipeline, TextAnalysis}
+import graft.operators.{Pipeline, Relational, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -82,5 +82,27 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(byPos.map(_.getAs[Long]("global_pos")).toSeq == (1L to corpus.length).toSeq)
     val bands = byPos.map(_.getAs[Long]("band")).toSeq
     assert(bands == bands.sorted, "training order must never regress to an easier band")
+  }
+
+  test("q_join_card: sketch replay, AGM upper bound, split-division ppm") {
+    val counts = GraftSession.table(spark, sf, "events")
+      .select(col("user_id")).collect().map(_.getAs[Long]("user_id"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exact = BigInt(counts.values.map(c => c * c).sum)
+    val byBucket = counts.toSeq
+      .groupBy { case (u, _) =>
+        java.lang.Long.parseLong(md5hex(s"$u:joincard").take(8), 16) % 256
+      }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val est = byBucket.values.map(nb => BigInt(nb) * BigInt(nb)).sum
+    val r = Relational.qJoinCard(spark, sf).collect().head
+    assert(r.getAs[Long]("n_keys") == counts.size.toLong)
+    assert(r.getAs[Long]("n_buckets") == byBucket.size.toLong)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("exact_pairs").toBigInteger) == exact)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("est_pairs").toBigInteger) == est)
+    // the bucketed product can only merge keys, never split them
+    assert(est >= exact, "sketch must upper-bound the true join size")
+    val wantPpm = ((est * 1000 / exact) * 1000 + (est * 1000 % exact) * 1000 / exact - 1000000).toLong
+    assert(r.getAs[Long]("over_ppm") == wantPpm)
   }
 }
