@@ -602,6 +602,118 @@ object Graph {
        |ORDER BY node_id""".stripMargin
   }
 
+  /** §2.8 — neighborhood function N(t) by Flajolet-Martin register
+    * propagation (Palmer et al.'s ANF, KDD'02; HyperBall's
+    * min-register idea with a single 64-bit FM register instead of an
+    * HLL array): every node carries a bitmask whose lowest set bit
+    * position is md5-uniform; each round ORs in the neighbors'
+    * masks, so after t rounds the mask summarizes the ≤t-hop
+    * neighborhood and Σ_v 2^(lowest zero bit) / 0.77351 estimates
+    * the total reachable-pair count N(t) — the curve whose knee is
+    * the graph's effective diameter, computed WITHOUT any per-pair
+    * work.
+    *
+    * Scale shape: per round = one edge⋈register shuffle join + one
+    * `bit_or` partial aggregation (map-side combinable — OR is
+    * associative/commutative/idempotent, the ideal combiner) + one
+    * left join back onto the node set; localCheckpoint cuts lineage
+    * per round like [[pageRank]]. All math is int64 bit algebra
+    * (h & -h isolates the init bit; (reg+1) & ~reg the lowest zero
+    * bit) so every register and every estimate replays bit-for-bit
+    * cross-engine; the /0.77351 correction is the exact split
+    * integer division. Production upgrade path at 100 TB: widen the
+    * register column to an HLL array (the `q_sketches` machinery) —
+    * identical plan, tighter variance; Σ2^b sums stay under int64
+    * for graphs below ~2^30 nodes (document bound, not a silent
+    * wrap: registers cap at bit 32).
+    */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct().transform(cut)
+    // node universe = src set (both-direction edge lists cover all)
+    val nodes = e.select(col("src").as("node_id")).dropDuplicates("node_id")
+    var reg = nodes
+      .withColumn("h",
+        conv(substring(md5(concat(col("node_id").cast(StringType), lit(":anf"))), 1, 8), 16, 10)
+          .cast(LongType))
+      .select(col("node_id"),
+        expr("CASE WHEN h = 0 THEN 4294967296 ELSE h & -h END").as("reg"))
+      .transform(cut)
+    def summarize(t: Int, r: DataFrame): DataFrame =
+      r.agg(sum(expr("(reg + 1) & ~reg")).as("sum_2b"))
+        .select(lit(t).as("t"), col("sum_2b"),
+          expr("(sum_2b div 77351) * 100000 + ((sum_2b % 77351) * 100000) div 77351")
+            .as("est_reach"))
+    var out = summarize(0, reg)
+    for (t <- 1 to rounds) {
+      val nbr = e.join(reg, col("node_id") === col("dst"))
+        .groupBy(col("src")).agg(expr("bit_or(reg)").as("o"))
+        .select(col("src").as("node_id"), col("o"))
+      reg = reg.join(nbr, Seq("node_id"), "left")
+        .select(col("node_id"), expr("reg | coalesce(o, CAST(0 AS BIGINT))").as("reg"))
+        .transform(cut)
+      out = out.unionAll(summarize(t, reg))
+    }
+    out.orderBy("t")
+  }
+
+  /** named query: N(0..4) of the undirected customer↔supplier trade
+    * graph (the [[qPagerank]] bipartite construction).
+    */
+  def qNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .transform(cut)
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    neighborhoodFunction(edges, 4)
+  }
+
+  val qNeighborhoodSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT r.node_id, (r.reg | coalesce(b.o, 0)) AS reg
+         |  FROM $prev r LEFT JOIN (
+         |    SELECT e.src AS node_id, bit_or(m.reg) AS o
+         |    FROM e JOIN $prev m ON m.node_id = e.dst GROUP BY e.src
+         |  ) b USING (node_id)
+         |)""".stripMargin
+    def summ(t: Int, rel: String): String =
+      s"""SELECT $t AS t, CAST(sum((reg + 1) & (~reg)) AS BIGINT) AS sum_2b FROM $rel"""
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |), e AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs
+       |), n AS (
+       |  SELECT DISTINCT src AS node_id FROM e
+       |), r0 AS (
+       |  SELECT node_id,
+       |    CASE WHEN h = 0 THEN 4294967296 ELSE h & (-h) END AS reg
+       |  FROM (
+       |    SELECT node_id,
+       |      ('0x' || substr(md5(CAST(node_id AS VARCHAR) || ':anf'), 1, 8))::BIGINT AS h
+       |    FROM n
+       |  )
+       |),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")},
+       |${round("r3", "r4")},
+       |s AS (
+       |  ${summ(0, "r0")} UNION ALL ${summ(1, "r1")} UNION ALL ${summ(2, "r2")}
+       |  UNION ALL ${summ(3, "r3")} UNION ALL ${summ(4, "r4")}
+       |)
+       |SELECT t, sum_2b,
+       |  (sum_2b // 77351) * 100000 + ((sum_2b % 77351) * 100000) // 77351 AS est_reach
+       |FROM s
+       |ORDER BY t""".stripMargin
+  }
+
   /** `rounds` of SYNCHRONOUS label propagation (Raghavan '07, made
     * deterministic): every node simultaneously adopts the most
     * frequent label among its neighbors, ties broken by the smaller
@@ -1079,6 +1191,7 @@ object Graph {
     "q_triangles" -> (qTriangles _),
     "q_components" -> (qComponents _),
     "q_hits" -> (qHits _),
+    "q_neighborhood" -> (qNeighborhood _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1092,5 +1205,6 @@ object Graph {
     "q_triangles" -> qTrianglesSql,
     "q_components" -> qComponentsSql,
     "q_hits" -> qHitsSql,
+    "q_neighborhood" -> qNeighborhoodSql,
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Pipeline, Relational, TextAnalysis}
+import graft.operators.{Graph, Pipeline, Relational, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -104,5 +104,45 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(est >= exact, "sketch must upper-bound the true join size")
     val wantPpm = ((est * 1000 / exact) * 1000 + (est * 1000 % exact) * 1000 / exact - 1000000).toLong
     assert(r.getAs[Long]("over_ppm") == wantPpm)
+  }
+
+  test("q_neighborhood: plain-Scala FM register propagation replays every round") {
+    val o = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("c"), r.getAs[Long]("s")))
+    val adj = (pairs.map(p => p._1 -> p._2) ++ pairs.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    def init(v: Long): Long = {
+      val h = java.lang.Long.parseLong(md5hex(s"$v:anf").take(8), 16)
+      if (h == 0L) 1L << 32 else h & -h
+    }
+    var reg: Map[Long, Long] = adj.keys.map(v => v -> init(v)).toMap
+    def estRow(t: Int): (Long, Long) = {
+      val sum2b = reg.valuesIterator.map(r => (r + 1) & ~r).sum
+      (sum2b, (sum2b / 77351) * 100000 + (sum2b % 77351) * 100000 / 77351)
+    }
+    var want = Vector(estRow(0))
+    for (_ <- 1 to 4) {
+      reg = reg.map { case (v, r) =>
+        v -> adj(v).foldLeft(r)((acc, w) => acc | reg(w))
+      }
+      want :+= estRow(want.length)
+    }
+    val rows = Graph.qNeighborhood(spark, sf).collect().sortBy(_.getAs[Int]("t"))
+    assert(rows.length == 5)
+    rows.zipWithIndex.foreach { case (r, t) =>
+      assert(r.getAs[Int]("t") == t)
+      assert(r.getAs[Long]("sum_2b") == want(t)._1, s"round $t register sum")
+      assert(r.getAs[Long]("est_reach") == want(t)._2, s"round $t estimate")
+    }
+    // neighborhoods only grow: N(t) is monotone until the graph saturates
+    val ests = rows.map(_.getAs[Long]("est_reach")).toSeq
+    assert(ests == ests.sorted, "neighborhood function must be non-decreasing")
+    assert(ests.last > ests.head, "4 hops must reach beyond the nodes themselves")
   }
 }
