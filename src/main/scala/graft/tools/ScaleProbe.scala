@@ -51,7 +51,8 @@ object ScaleProbe {
     */
   private val DefaultQueries = Seq(
     "q_hits", "q_pagerank", "q_components", "q_bfs", "q_ppr",
-    "q_kcore", "q_communities", "q_msf", "dedup_containment", "ann_recall")
+    "q_kcore", "q_communities", "q_msf", "dedup_containment", "ann_recall",
+    "q_neighborhood")
 
   private def buildScaled(spark: SparkSession, src: String, out: String): Unit = {
     idCols.foreach { case (name, ids) =>
