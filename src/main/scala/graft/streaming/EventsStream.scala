@@ -480,6 +480,60 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class MixHit(win_start: Long, source: String, toks: Long, ts: Timestamp)
+  final case class MixState(toks: Map[String, Long])
+  final case class MixOut(day: Timestamp, source: String, toks: Long, share_ppm: Long)
+
+  /** §2.7 — streaming MIXTURE MONITOR: per tumbling day window, each
+    * source's token share of that window's corpus in exact ppm — the
+    * live telemetry twin of the batch `pipeline_mixture` audit (is
+    * today's ingest drifting from the mixture the sampler was tuned
+    * for?). A share needs the window's TOTAL, so chained per-source +
+    * global aggregations are unsupported in append mode; instead the
+    * per-source token sums ride in flatMapGroupsWithState state keyed
+    * by window — bounded by |sources| per open window, not by
+    * documents — and the shares are computed once, on watermark close
+    * (the [[windowTopK]] EventTimeTimeout shape), with the same exact
+    * split two-step division as the batch op, so stream ≡ batch is
+    * testable to the last ppm.
+    */
+  def mixtureMonitor(docs: DataFrame, watermarkDelay: String = "1 hour"): Dataset[MixOut] = {
+    import docs.sparkSession.implicits._
+    val dayMs = 24L * 3600 * 1000
+
+    val hits = docs
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        (floor(unix_millis(col("ts")) / dayMs) * dayMs).as("win_start"),
+        col("source"),
+        col("toks"),
+        col("ts"),
+      )
+      .as[MixHit]
+
+    def fn(winStart: Long, it: Iterator[MixHit], state: GroupState[MixState]): Iterator[MixOut] = {
+      if (state.hasTimedOut) {
+        val m = state.getOption.map(_.toks).getOrElse(Map.empty)
+        state.remove()
+        val total = m.values.sum
+        return m.toSeq.sortBy(_._1).map { case (src, t) =>
+          MixOut(new Timestamp(winStart), src, t,
+            (t * 1000 / total) * 1000 + (t * 1000 % total) * 1000 / total)
+        }.iterator
+      }
+      val merged = it.foldLeft(state.getOption.map(_.toks).getOrElse(Map.empty)) { (m, h) =>
+        m.updated(h.source, m.getOrElse(h.source, 0L) + h.toks)
+      }
+      state.update(MixState(merged))
+      state.setTimeoutTimestamp(math.max(winStart + dayMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    hits
+      .groupByKey(_.win_start)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   final case class HHHit(win_start: Long, user_id: Long, ts: Timestamp)
   final case class HHState(counts: Map[Long, Long])
   final case class HHOut(day: Timestamp, user_id: Long, c_lower: Long)

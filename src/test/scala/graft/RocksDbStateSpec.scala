@@ -169,6 +169,35 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rocksdb: mixture monitor shares emit on watermark close identically") {
+    implicit val sc = rs.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    val input = stream.toDF().toDF("ts", "source", "toks")
+    val docs = for {
+      d <- 1 to 2; s <- Seq("web", "code"); i <- 1 to (d * 5 + s.length)
+    } yield (Timestamp.valueOf(f"2024-03-0$d ${9 + i % 10}%02d:00:00"), s, (i * 13 + s.length).toLong)
+    val q = EventsStream.mixtureMonitor(input)
+      .writeStream.format("memory").queryName("rdb_mix_out").outputMode("append").start()
+    try {
+      stream.addData(docs); q.processAllAvailable()
+      stream.addData(Seq((Timestamp.valueOf("2030-01-01 00:00:00"), "sentinel", 0L)))
+      q.processAllAvailable()
+      val got = rs.table("rdb_mix_out").filter(col("source") =!= "sentinel").collect()
+        .map(r => (r.getAs[Timestamp]("day"), r.getAs[String]("source")) ->
+          ((r.getAs[Long]("toks"), r.getAs[Long]("share_ppm")))).toMap
+      val want = docs.groupBy { case (ts, _, _) =>
+        Timestamp.valueOf(ts.toLocalDateTime.toLocalDate.atStartOfDay)
+      }.flatMap { case (day, ds) =>
+        val bySrc = ds.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+        val total = bySrc.values.sum
+        bySrc.map { case (src, t) =>
+          (day, src) -> ((t, (t * 1000 / total) * 1000 + (t * 1000 % total) * 1000 / total))
+        }
+      }
+      assert(got == want, "rocksdb mixture shares diverge from the batch replay")
+    } finally q.stop()
+  }
+
   test("rocksdb: the provider actually in use is RocksDB, not the default") {
     // guard against a silently-ignored conf: the session must report
     // the provider these tests claim to exercise

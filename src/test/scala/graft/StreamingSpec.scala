@@ -46,6 +46,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mixture monitor equals the batch per-day token shares to the last ppm") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    val input = stream.toDF().toDF("ts", "source", "toks")
+    // three days × skewed sources, sizes chosen so no share divides evenly
+    val docs = for {
+      d <- 1 to 3; s <- Seq("web", "code", "books"); i <- 1 to (d * 7 + s.length)
+    } yield (Timestamp.valueOf(f"2024-03-0$d ${8 + i % 12}%02d:00:00"), s, (i * 13 + s.length).toLong)
+
+    val q = EventsStream
+      .mixtureMonitor(input)
+      .writeStream.format("memory").queryName("mix_out").outputMode("append").start()
+    try {
+      stream.addData(docs)
+      q.processAllAvailable()
+      stream.addData(Seq((Timestamp.valueOf("2030-01-01 00:00:00"), "sentinel", 0L)))
+      q.processAllAvailable()
+
+      val got = spark.table("mix_out")
+        .filter(col("source") =!= "sentinel")
+        .collect()
+        .map(r => (r.getAs[Timestamp]("day"), r.getAs[String]("source")) ->
+          ((r.getAs[Long]("toks"), r.getAs[Long]("share_ppm")))).toMap
+      // batch replay: per-(day, source) sums + the split-division share
+      val byDay = docs.groupBy { case (ts, _, _) =>
+        Timestamp.valueOf(ts.toLocalDateTime.toLocalDate.atStartOfDay)
+      }
+      val want = byDay.flatMap { case (day, ds) =>
+        val bySrc = ds.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+        val total = bySrc.values.sum
+        bySrc.map { case (src, t) =>
+          (day, src) -> ((t, (t * 1000 / total) * 1000 + (t * 1000 % total) * 1000 / total))
+        }
+      }
+      assert(got == want, s"stream=${got.size} batch=${want.size}")
+      // floor-division shares partition unity within one ppm per source
+      byDay.keys.foreach { day =>
+        val shares = got.collect { case ((d, _), (_, p)) if d == day => p }
+        assert(shares.sum <= 1000000L && shares.sum >= 1000000L - shares.size)
+      }
+    } finally q.stop()
+  }
+
   test("streaming windowed top-k equals the batch per-day top-k with the same tie-break") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
