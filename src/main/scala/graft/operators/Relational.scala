@@ -1492,6 +1492,64 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** §2.2 #21co — grouped exact WEIGHTED quartiles from a compressed
+    * histogram: per return flag, the revenue-weighted p25/p50/p75 of
+    * quantity — "what quantity splits the money in half", the
+    * measure unweighted [[qMedian]] cannot answer (a million cheap
+    * one-unit rows and one huge bulk order weigh the same to
+    * row-median). Weighted selection has no row-rank shortcut, so
+    * the scale plan compresses first: one map-side-combined rollup
+    * to (flag, qty) weight sums — ≤ |flags|·|distinct qty| rows
+    * regardless of fact size — then a running-sum window over that
+    * histogram and a conditional-min pick of the smallest qty whose
+    * cumulative weight covers p·total (4·cum ≥ total, 2·cum ≥ total,
+    * 4·cum ≥ 3·total in int math). The fact table never sorts — the
+    * same histogram-quantile shape as `text_adaptive_filter`, here
+    * with int64-cent weights instead of unit counts.
+    */
+  def qWmedian(spark: SparkSession, dir: String): DataFrame = {
+    val hist = table(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(LongType).as("qty"),
+        (decP(col("l_extendedprice")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(sum(col("cents")).as("w"))
+    val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("w")).over(wcum))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("tot")).as("total_cents"),
+        min(when(col("cum") * 4 >= col("tot"), col("qty"))).as("wp25"),
+        min(when(col("cum") * 2 >= col("tot"), col("qty"))).as("wp50"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("qty"))).as("wp75"),
+      )
+      .orderBy("l_returnflag")
+  }
+
+  val qWmedianSql: String =
+    """WITH hist AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+      |), cum AS (
+      |  SELECT l_returnflag, qty, w,
+      |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      |  FROM hist
+      |)
+      |SELECT l_returnflag,
+      |  min(tot) AS total_cents,
+      |  min(CASE WHEN cum * 4 >= tot THEN qty END) AS wp25,
+      |  min(CASE WHEN cum * 2 >= tot THEN qty END) AS wp50,
+      |  min(CASE WHEN cum * 4 >= tot * 3 THEN qty END) AS wp75
+      |FROM cum
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** §2.2 #21bq — data drift report (the data-contract monitor): the
     * orders table split into an "old" and "new" half at the midpoint
     * of its date range, then per-column distribution statistics
@@ -4343,6 +4401,7 @@ object Relational {
     "q14_promo" -> (q14Promo _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q_median" -> (qMedian _),
+    "q_wmedian" -> (qWmedian _),
     "q_lateness" -> (qLateness _),
     "q_drift" -> (qDrift _),
     "q_chisq" -> (qChisq _),
@@ -4436,6 +4495,7 @@ object Relational {
     "q14_promo" -> q14PromoSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q_median" -> qMedianSql,
+    "q_wmedian" -> qWmedianSql,
     "q_lateness" -> qLatenessSql,
     "q_drift" -> qDriftSql,
     "q_chisq" -> qChisqSql,

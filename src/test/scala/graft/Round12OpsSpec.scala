@@ -145,4 +145,31 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(ests == ests.sorted, "neighborhood function must be non-decreasing")
     assert(ests.last > ests.head, "4 hops must reach beyond the nodes themselves")
   }
+
+  test("q_wmedian: plain-Scala weighted-quartile replay, quartiles ordered") {
+    val li = GraftSession.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("qty"), r.getAs[Long]("cents")))
+    val want = li.groupBy(_._1).map { case (flag, rows) =>
+      val hist = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = hist.map(_._2).sum
+      val cums = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2).tail)
+      def pick(num: Long, den: Long): Long =
+        cums.collectFirst { case (q, c) if c * den >= tot * num => q }.get
+      flag -> ((tot, pick(1, 4), pick(1, 2), pick(3, 4)))
+    }
+    val rows = Relational.qWmedian(spark, sf).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val (tot, p25, p50, p75) = want(flag)
+      assert(r.getAs[Long]("total_cents") == tot, s"$flag total")
+      assert(r.getAs[Long]("wp25") == p25, s"$flag wp25")
+      assert(r.getAs[Long]("wp50") == p50, s"$flag wp50")
+      assert(r.getAs[Long]("wp75") == p75, s"$flag wp75")
+      assert(p25 <= p50 && p50 <= p75, s"$flag quartiles must be ordered")
+    }
+  }
 }
