@@ -159,6 +159,7 @@ object BenchBaseline {
     "q_join_card" -> 0.38,
     "q_neighborhood" -> 3.91,
     "q_wmedian" -> 0.53,
+    "q_clustering" -> 1.01,
     "q_corrstats" -> 1.13,
     "sample_negatives" -> 0.41,
     "q12_priority" -> 1.11,

@@ -376,6 +376,80 @@ object Graph {
       .orderBy("nationkey")
   }
 
+  /** §2.8 — per-node LOCAL CLUSTERING COEFFICIENT over the
+    * [[qTriangles]] trade graph: cc(v) = triangles(v) / C(deg(v), 2)
+    * in exact ppm — how close each node's neighborhood is to a
+    * clique, the standard local density metric next to the global
+    * triangle count. Same oriented (u<v) edge enumeration and
+    * two-join triangle core as [[qTriangles]] (one deduped edge
+    * relation checkpointed and reused by all three legs + the degree
+    * rollup); degrees come from exploding each undirected edge to
+    * both endpoints — map-side combined — and the coefficient is one
+    * integer division of bounded ints (2·tri·10⁶ ≤ deg²·10⁶, no
+    * overflow below ~3M-degree hubs; salting the degree rollup is
+    * the knob past that). Nodes of degree < 2 have no defined
+    * coefficient and are excluded by construction.
+    */
+  def qClustering(spark: SparkSession, dir: String): DataFrame = {
+    val edges = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(
+        least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"),
+      )
+      .distinct()
+      .transform(cut)
+    val deg = edges
+      .select(explode(array(col("u"), col("v"))).as("nationkey"))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+    val e2 = edges.select(col("u").as("b2"), col("v").as("c2"))
+    val e3 = edges.select(col("u").as("a3"), col("v").as("c3"))
+    val tri = e1
+      .join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+      .select(col("a"), col("b"), col("c2").as("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("nationkey"))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("nationkey"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("cc_ppm", expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+      .select(col("nationkey"), col("deg"), col("n_tri"), col("cc_ppm"))
+      .orderBy("nationkey")
+  }
+
+  val qClusteringSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+      |    greatest(c.c_nationkey, s.s_nationkey) AS v
+      |  FROM orders o
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |), deg AS (
+      |  SELECT nationkey, count(*) AS deg FROM (
+      |    SELECT u AS nationkey FROM e UNION ALL SELECT v FROM e
+      |  ) GROUP BY nationkey HAVING count(*) >= 2
+      |), tri AS (
+      |  SELECT nationkey, count(*) AS n_tri FROM (
+      |    SELECT unnest([t.a, t.b, t.c]) AS nationkey FROM (
+      |      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |      FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      |    ) t
+      |  ) GROUP BY nationkey
+      |)
+      |SELECT d.nationkey, d.deg, coalesce(t.n_tri, 0) AS n_tri,
+      |  (2 * coalesce(t.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1)) AS cc_ppm
+      |FROM deg d LEFT JOIN tri t USING (nationkey)
+      |ORDER BY d.nationkey""".stripMargin
+
   val qTrianglesSql: String =
     """WITH edges AS (
       |  SELECT DISTINCT
@@ -1192,6 +1266,7 @@ object Graph {
     "q_components" -> (qComponents _),
     "q_hits" -> (qHits _),
     "q_neighborhood" -> (qNeighborhood _),
+    "q_clustering" -> (qClustering _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1206,5 +1281,6 @@ object Graph {
     "q_components" -> qComponentsSql,
     "q_hits" -> qHitsSql,
     "q_neighborhood" -> qNeighborhoodSql,
+    "q_clustering" -> qClusteringSql,
   )
 }

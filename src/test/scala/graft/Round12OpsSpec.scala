@@ -172,4 +172,38 @@ class Round12OpsSpec extends AnyFunSuite {
       assert(p25 <= p50 && p50 <= p75, s"$flag quartiles must be ordered")
     }
   }
+
+  test("q_clustering: coefficients replay from q_triangles' counts and plain-Scala degrees") {
+    def asL(r: org.apache.spark.sql.Row, c: String): Long = r.getAs[Number](c).longValue()
+    val triCounts = Graph.qTriangles(spark, sf).collect()
+      .map(r => asL(r, "nationkey") -> asL(r, "n_triangles")).toMap
+    // plain-Scala degree replay on the same deduped trade-graph edges
+    val o = GraftSession.table(spark, sf, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = GraftSession.table(spark, sf, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val c = GraftSession.table(spark, sf, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val s = GraftSession.table(spark, sf, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+      .distinct().collect()
+      .map(r => (asL(r, "u"), asL(r, "v")))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = Graph.qClustering(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(asL(_, "nationkey")).toSet == deg.filter(_._2 >= 2).keySet)
+    rows.foreach { r =>
+      val v = asL(r, "nationkey")
+      val d = deg(v)
+      val tri = triCounts.getOrElse(v, 0L)
+      assert(asL(r, "deg") == d, s"node $v degree")
+      assert(asL(r, "n_tri") == tri, s"node $v triangles")
+      val cc = asL(r, "cc_ppm")
+      assert(cc == 2 * tri * 1000000 / (d * (d - 1)), s"node $v cc")
+      assert(cc >= 0 && cc <= 1000000, s"node $v cc out of range")
+    }
+  }
 }
