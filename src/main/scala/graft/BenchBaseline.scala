@@ -160,6 +160,10 @@ object BenchBaseline {
     "q_neighborhood" -> 3.91,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
+    "text_zipf" -> 0.57,
+    "q_theilsen" -> 0.54,
+    "multimodal_scenes" -> 0.43,
+    "lake_delta_sync" -> 0.76,
     "q_corrstats" -> 1.13,
     "sample_negatives" -> 0.41,
     "q12_priority" -> 1.11,

@@ -645,7 +645,89 @@ object Multimodal {
       |FROM all_ GROUP BY stage, kind
       |ORDER BY stage, kind""".stripMargin
 
+  // ------------------------------------------------------ scene cuts
+
+  /** Inter-frame luma jump that counts as a shot boundary in
+    * [[multimodalScenes]]. The stub luma is a byte mean in [0, 255];
+    * 16 ≈ a 6% brightness jump.
+    */
+  val SceneCutThreshold = 16.0
+
+  /** §2.6 — shot-boundary detection + keyframe selection per video:
+    * the storyboard pass a video-training pipeline runs right after
+    * frame sampling (pick ONE representative frame per asset, count
+    * scene cuts as a motion/medley signal). A frame starts a new
+    * scene when its luma jumps more than [[SceneCutThreshold]] from
+    * the previous SAMPLED frame; the keyframe is the argmax-jump
+    * frame (first frame when only one sample exists), tie-broken by
+    * the earliest index so selection is deterministic.
+    *
+    * Scale shape: rides [[multimodalFrames]]'s bounded explode (≤
+    * [[MaxFrameSamples]] rows per video — decoded pixels never
+    * shuffle, only (doc_id, idx, luma) rows), then two doc-partitioned
+    * window passes over ≤ 8 rows per key. The luma delta compares
+    * IEEE doubles produced by identical integer divisions on both
+    * engines, so the cut decision is bit-identical cross-engine.
+    */
+  def multimodalScenes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = multimodalFrames(spark, dir)
+    val seq = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val scored = frames
+      .withColumn("delta", abs(col("luma") - lag(col("luma"), 1).over(seq)))
+    val pick = Window.partitionBy(col("doc_id"))
+      .orderBy(col("delta").desc_nulls_last, col("frame_idx"))
+    scored
+      .withColumn("rk", row_number().over(pick))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        (sum(when(col("delta") > SceneCutThreshold, 1L).otherwise(0L)) + 1L).as("n_scenes"),
+        max(when(col("rk") === 1, col("frame_idx"))).as("keyframe_idx"),
+        max(when(col("rk") === 1, coalesce(col("delta"), lit(0.0)))).as("keyframe_delta"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val multimodalScenesSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, text, CAST(1 + len(text) // 64 AS BIGINT) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), s AS (
+      |  SELECT doc_id, text, n_frames,
+      |    greatest(1, CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS BIGINT)) AS stride
+      |  FROM v
+      |), f AS (
+      |  SELECT doc_id, n_frames, unnest(range(0, n_frames, stride)) AS frame_idx, text FROM s
+      |), sl AS (
+      |  SELECT doc_id, frame_idx, n_frames,
+      |    substring(text, CAST(frame_idx * 64 + 1 AS INT), 64) AS sub
+      |  FROM f
+      |), lum AS (
+      |  SELECT doc_id, frame_idx, n_frames,
+      |    CASE WHEN len(sub) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(range(1, len(sub) + 1), i -> ord(substring(sub, CAST(i AS INT), 1)))) AS DOUBLE) / len(sub)
+      |    END AS luma
+      |  FROM sl
+      |), d AS (
+      |  SELECT doc_id, frame_idx, n_frames, luma,
+      |    abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+      |  FROM lum
+      |), rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY delta DESC NULLS LAST, frame_idx) AS rk
+      |  FROM d
+      |)
+      |SELECT doc_id, max(n_frames) AS n_frames, CAST(count(*) AS BIGINT) AS n_sampled,
+      |  CAST(sum(CASE WHEN delta > 16.0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes,
+      |  max(CASE WHEN rk = 1 THEN frame_idx END) AS keyframe_idx,
+      |  max(CASE WHEN rk = 1 THEN coalesce(delta, 0.0) END) AS keyframe_delta
+      |FROM rk
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_scenes" -> (multimodalScenes _),
     "multimodal_e2e" -> (multimodalE2e _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_audio" -> (multimodalAudio _),
@@ -658,6 +740,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "multimodal_scenes" -> multimodalScenesSql,
     "multimodal_e2e" -> multimodalE2eSql,
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_audio" -> multimodalAudioSql,

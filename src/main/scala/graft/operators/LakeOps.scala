@@ -373,7 +373,62 @@ object LakeOps {
       |SELECT status, CAST(n AS BIGINT) AS n, CAST(bytes AS BIGINT) AS bytes
       |FROM rep ORDER BY status""".stripMargin
 
+  /** Byte offset at which [[lakeDeltaSync]] plants its v2 edit. */
+  val DeltaEditOffset = 64
+
+  /** §2.1 — rsync-style delta-sync plan over CDC chunks: for each
+    * blob, version 2 is version 1 with a patch string inserted at
+    * byte [[DeltaEditOffset]]; both versions are content-defined
+    * chunked ([[lakeCdcSplit]]'s gear scan) and the plan reports what
+    * an incremental replication would actually ship — new chunks vs
+    * chunks the destination already holds by content address. This is
+    * the quantitative payoff of CDC over fixed-size splitting: the
+    * insertion shifts every downstream byte, yet boundaries re-sync
+    * within one chunk and the tail chunks keep their hashes, so
+    * bytes_new ≪ bytes_total for any blob larger than a few chunks.
+    *
+    * Scale shape: both chunkings are the map-side gear kernel + one
+    * doc-partitioned running-sum window each; the reuse check is an
+    * equi-join on (doc_id, chunk_hash) — co-keyed, no data movement
+    * beyond the chunk-metadata shuffle; payload bytes never leave the
+    * map side. Rows-only by design (the gear scan is not one SQL
+    * statement); the ScalaTest oracle replays both chunkings exactly.
+    */
+  def lakeDeltaSync(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def chunks(payloadExpr: org.apache.spark.sql.Column): DataFrame = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("part_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      docs(spark, dir)
+        .filter(octet_length(col("text")) > 0)
+        .select(col("doc_id"), payloadExpr.as("payload"),
+          graft.functions.ArrayExprs.gearCdcChunks(payloadExpr, 32, 6, 256).as("lens"))
+        .select(col("doc_id"), col("payload"),
+          posexplode(col("lens")).as(Seq("part_idx", "part_len")))
+        .withColumn("off", coalesce(sum(col("part_len")).over(w), lit(0)).cast(LongType))
+        .select(col("doc_id"), col("part_len").cast(LongType).as("part_len"),
+          sha2(expr("substring(payload, cast(off + 1 as int), part_len)"), 256).as("chunk_hash"))
+    }
+    val v1 = chunks(col("text").cast(BinaryType))
+    val v2 = chunks(
+      expr(s"CAST(concat(substring(text, 1, $DeltaEditOffset), ' patched-at-v2 ', substring(text, ${DeltaEditOffset + 1})) AS BINARY)"))
+    val have = v1.select(col("doc_id"), col("chunk_hash")).distinct()
+    v2.join(have.withColumn("reused", lit(true)), Seq("doc_id", "chunk_hash"), "left")
+      .withColumn("reused", coalesce(col("reused"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks_v2"),
+        sum(when(col("reused"), 1L).otherwise(0L)).as("n_reused"),
+        sum(col("part_len")).as("bytes_total"),
+        sum(when(!col("reused"), col("part_len")).otherwise(0L)).as("bytes_new"),
+      )
+      .withColumn("reuse_ppm",
+        expr("((bytes_total - bytes_new) * 1000000) div bytes_total"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_delta_sync" -> (lakeDeltaSync _),
     "lake_gc_plan" -> (lakeGcPlan _),
     "lake_replicate" -> (lakeReplicate _),
     "lake_cdc_split" -> (lakeCdcSplit _),

@@ -2199,6 +2199,82 @@ object Relational {
       .orderBy("cohort_day", "offset_week")
   }
 
+  /** §2.2 — cohort LTV (lifetime-value) curves: the revenue twin of
+    * [[qRetention]]'s activity triangle. Users cohort by first
+    * purchase day; each cohort's purchase revenue accumulates over
+    * age (weeks since first purchase), and the per-user column
+    * divides by the cohort's size — the "how much is a week-N user
+    * worth" curve growth teams read next to retention.
+    *
+    * Exactness: event values quantize to integer cents per ROW
+    * (floor(value·100) — one IEEE multiply+floor on the same double
+    * both engines read, then order-free int64 sums); the running sum
+    * is a cohort-partitioned window over the ≤|cohorts|×|weeks|
+    * rollup; per-user cents use integer division on positive ints.
+    *
+    * Scale shape: one corpus-wide purchase filter feeds the first-day
+    * groupBy (map-side combined) and a user-keyed join back — the
+    * same two shuffles as q_retention; everything after runs on the
+    * calendar-bounded (cohort, age) rollup.
+    */
+  def qLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val sized = firsts.groupBy(
+      datediff(col("first_day"), lit("2024-01-01").cast(DateType)).cast(LongType).as("cohort_day"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val aged = ev.join(firsts, "user_id")
+      .select(
+        col("user_id"), col("cents"),
+        datediff(col("first_day"), lit("2024-01-01").cast(DateType)).cast(LongType).as("cohort_day"),
+        (datediff(col("day"), col("first_day")).cast(LongType) / lit(7L)).cast(LongType).as("age_week"),
+      )
+      .groupBy(col("cohort_day"), col("age_week"))
+      .agg(countDistinct(col("user_id")).as("n_active"), sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sized), Seq("cohort_day"))
+      .select(col("cohort_day"), col("age_week"), col("n_active"), col("cohort_users"),
+        col("rev_cents"), col("cum_rev_cents"),
+        expr("cum_rev_cents div cohort_users").as("ltv_per_user_cents"))
+      .orderBy("cohort_day", "age_week")
+  }
+
+  val qLtvSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'
+      |), firsts AS (
+      |  SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id
+      |), sized AS (
+      |  SELECT CAST(date_diff('day', DATE '2024-01-01', first_day) AS BIGINT) AS cohort_day,
+      |    count(*) AS cohort_users
+      |  FROM firsts GROUP BY 1
+      |), aged AS (
+      |  SELECT CAST(date_diff('day', DATE '2024-01-01', first_day) AS BIGINT) AS cohort_day,
+      |    CAST(date_diff('day', first_day, day) // 7 AS BIGINT) AS age_week,
+      |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+      |    CAST(sum(cents) AS BIGINT) AS rev_cents
+      |  FROM ev e JOIN firsts USING (user_id)
+      |  GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT *, CAST(sum(rev_cents) OVER (
+      |    PARTITION BY cohort_day ORDER BY age_week
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+      |  FROM aged
+      |)
+      |SELECT c.cohort_day, c.age_week, c.n_active, s.cohort_users,
+      |  c.rev_cents, c.cum_rev_cents,
+      |  c.cum_rev_cents // s.cohort_users AS ltv_per_user_cents
+      |FROM cum c JOIN sized s USING (cohort_day)
+      |ORDER BY c.cohort_day, c.age_week""".stripMargin
+
   val qRetentionSql: String =
     """WITH ev AS (
       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
@@ -2352,6 +2428,74 @@ object Relational {
       .drop("dev")
       .orderBy("event_type", "day")
   }
+
+  /** §2.2 — Theil-Sen robust trend per event type: the median of all
+    * pairwise daily-volume slopes — the robust-statistics companion
+    * to [[qAnomaly]]'s mean/σ screen and the right trend estimator
+    * when up to ~29% of days are outliers (launch spikes, outages)
+    * that would drag an OLS line.
+    *
+    * Exactness: each pairwise slope quantizes to ppm/day with
+    * sign-symmetric truncation (negate-divide-negate keeps both
+    * engines on truncate-toward-zero semantics; the divisor is always
+    * positive), and the median is the lower-median row_number over
+    * (slope, day-pair) — a total integer order, so cross-engine
+    * hash-stable with no float comparison anywhere.
+    *
+    * Scale shape: the corpus collapses FIRST to a per-(type, day)
+    * rollup — metadata-bounded by calendar × |types|, not data size —
+    * and the O(|days|²) pair self-join runs on that rollup only (a
+    * year of days = ~66k pairs/type). The only corpus-wide op is the
+    * map-side-combined daily count.
+    */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("n_events").as("c1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("n_events").as("c2"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .withColumn("slope_ppm",
+        expr("""CASE WHEN c2 >= c1 THEN ((c2 - c1) * 1000000) div (d2 - d1)
+               |     ELSE -(((c1 - c2) * 1000000) div (d2 - d1)) END""".stripMargin))
+    val w = Window.partitionBy(col("event_type"))
+    val rk = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_ppm"), col("d1"), col("d2"))
+    pairs
+      .withColumn("n_pairs", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(rk).cast(LongType))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .join(
+        daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_ppm").as("ts_slope_ppm"))
+      .orderBy("event_type")
+  }
+
+  val qTheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.event_type, a.day AS d1, b.day AS d2,
+      |    CASE WHEN b.n_events >= a.n_events
+      |      THEN ((b.n_events - a.n_events) * 1000000) // (b.day - a.day)
+      |      ELSE -(((a.n_events - b.n_events) * 1000000) // (b.day - a.day)) END AS slope_ppm
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |), ranked AS (
+      |  SELECT event_type, slope_ppm,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY slope_ppm, d1, d2) AS BIGINT) AS rn
+      |  FROM pairs
+      |), nd AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+      |)
+      |SELECT r.event_type, nd.n_days, r.n_pairs, r.slope_ppm AS ts_slope_ppm
+      |FROM ranked r JOIN nd USING (event_type)
+      |WHERE rn = (n_pairs + 1) // 2
+      |ORDER BY event_type""".stripMargin
 
   val qAnomalySql: String =
     """WITH daily AS (
@@ -4421,6 +4565,8 @@ object Relational {
     "q_attribution" -> (qAttribution _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "q_anomaly" -> (qAnomaly _),
+    "q_theilsen" -> (qTheilSen _),
+    "q_ltv" -> (qLtv _),
     "q_abtest" -> (qAbtest _),
     "q_hopping" -> (qHopping _),
     "q_json" -> (qJson _),
@@ -4520,6 +4666,8 @@ object Relational {
     "q_attribution" -> qAttributionSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "q_anomaly" -> qAnomalySql,
+    "q_theilsen" -> qTheilSenSql,
+    "q_ltv" -> qLtvSql,
     "q_abtest" -> qAbtestSql,
     "q_hopping" -> qHoppingSql,
     "q_setops" -> qSetopsSql,

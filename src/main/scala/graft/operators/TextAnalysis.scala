@@ -1350,7 +1350,104 @@ object TextAnalysis {
       |ORDER BY score_ppm DESC, phrase
       |LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- zipf
+
+  /** Top-K vocabulary ranks entering the [[textZipf]] fit. */
+  val ZipfTopK = 100
+
+  /** §2.5 — per-source Zipf rank-frequency audit: fit
+    * ln(tf) ≈ a − s·ln(rank) over the top-[[ZipfTopK]] terms and report
+    * the slope magnitude `s` in exact ppm — the corpus-health number
+    * every curation run should publish. Natural language sits near
+    * s ≈ 1 (Zipf's law); s ≫ 1 means a few terms dominate
+    * (boilerplate/template leakage), s ≪ 1 means a suspiciously flat
+    * head (id/noise floods). The top-1 token share is the companion
+    * single-number version of the same diagnosis.
+    *
+    * Exactness: ln(rank)/ln(tf) are quantized to MILLI-nats
+    * (floor(ln·1e3) — the coarse cousin of the micro-nat convention,
+    * chosen so every moment stays int64: with x ≤ ln(100)·10³ and
+    * y ≤ ln(tf)·10³ the OLS numerator (Σx·Σy − n·Σxy)·10⁶ is
+    * ≤ ~1.3e18 even at tf = 10⁹). Ranks order by tf desc then term
+    * asc, so y is non-increasing in x and the negated numerator is
+    * provably ≥ 0 — the division never sees a negative operand, which
+    * keeps Spark's `div` and DuckDB's `//` semantics identical.
+    *
+    * Scale shape: ONE corpus explode feeds a map-side-combined
+    * (source, term) count; source totals roll up from that vocab
+    * relation (no second corpus scan); the rank window partitions by
+    * source over the Zipf-bounded vocab — the corpus itself never
+    * shuffles and nothing global-sorts.
+    */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("source"), explode(words).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy(col("source"))
+      .agg(sum(col("tf")).as("total_tf"))
+    val w = Window.partitionBy(col("source")).orderBy(col("tf").desc, col("term"))
+    val top = tf
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= ZipfTopK)
+      .withColumn("x", expr("CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT)"))
+      .withColumn("y", expr("CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000) AS BIGINT)"))
+    top
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        max(when(col("rk") === 1L, col("tf"))).as("top1_tf"),
+      )
+      .join(broadcast(tot), Seq("source"))
+      .filter(col("n_terms") >= 2L)
+      .select(
+        col("source"),
+        col("n_terms"),
+        col("total_tf"),
+        expr("(top1_tf * 1000000) div total_tf").as("top1_share_ppm"),
+        expr("((sx * sy - n_terms * sxy) * 1000000) div (n_terms * sxx - sx * sx)")
+          .as("zipf_slope_ppm"),
+      )
+      .orderBy("source")
+  }
+
+  val textZipfSql: String =
+    s"""WITH tf AS (
+      |  SELECT source, term, count(*) AS tf FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+      |  ) GROUP BY source, term
+      |), tot AS (
+      |  SELECT source, sum(tf) AS total_tf FROM tf GROUP BY source
+      |), top AS (
+      |  SELECT source, tf,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS BIGINT) AS rk
+      |  FROM tf
+      |  QUALIFY rk <= $ZipfTopK
+      |), pts AS (
+      |  SELECT source, rk, tf,
+      |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000) AS BIGINT) AS y
+      |  FROM top
+      |), fit AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+      |    max(CASE WHEN rk = 1 THEN tf END) AS top1_tf
+      |  FROM pts GROUP BY source
+      |)
+      |SELECT f.source, f.n_terms, CAST(t.total_tf AS BIGINT) AS total_tf,
+      |  CAST((f.top1_tf * 1000000) // t.total_tf AS BIGINT) AS top1_share_ppm,
+      |  CAST(((f.sx * f.sy - f.n_terms * f.sxy) * 1000000) // (f.n_terms * f.sxx - f.sx * f.sx) AS BIGINT)
+      |    AS zipf_slope_ppm
+      |FROM fit f JOIN tot t USING (source)
+      |WHERE f.n_terms >= 2
+      |ORDER BY f.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> (textZipf _),
     "text_inverted" -> (textInverted _),
     "text_pmi" -> (textPmi _),
     "text_entropy" -> (textEntropy _),
@@ -1379,6 +1476,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_zipf" -> textZipfSql,
     "text_inverted" -> textInvertedSql,
     "text_bigram" -> textBigramSurprisalSql,
     "text_pmi" -> textPmiSql,

@@ -187,7 +187,11 @@ class PlanSpec extends AnyFunSuite {
       "decontaminate_semantic",
       // pipeline_mixture cross-joins TWO broadcast 1-ROW token totals
       // into the |sources|-row share table — the q_abtest shape
-      "pipeline_mixture")
+      "pipeline_mixture",
+      // q_join_card cross-joins two 1-ROW aggregates (the exact-pairs
+      // rollup and the 256-bucket sketch summary) — the q_abtest
+      // two-anchor shape
+      "q_join_card")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
