@@ -2796,7 +2796,18 @@ object Relational {
       .withColumn("over_ppm", expr(
         """CAST(((est_pairs * 1000) div exact_pairs) * 1000
           | + ((est_pairs * 1000 % exact_pairs) * 1000) div exact_pairs - 1000000 AS BIGINT)""".stripMargin))
-      .select(col("n_keys"), col("n_buckets"), col("exact_pairs"), col("est_pairs"), col("over_ppm"))
+      .select(
+        col("n_keys"), col("n_buckets"),
+        // Strings, not DECIMAL(38,0) or DOUBLE: the pair counts are
+        // quadratic quantities that can exceed 2^53 (where double
+        // flattens), and the driver hashes the pandas materialization
+        // — decimal-typed parquet lands as object(Decimal) while the
+        // DuckDB side lands float64, diverging on representation.
+        // A decimal-exact STRING is identical in both engines at any
+        // magnitude.
+        col("exact_pairs").cast(StringType).as("exact_pairs"),
+        col("est_pairs").cast(StringType).as("est_pairs"),
+        col("over_ppm"))
   }
 
   val qJoinCardSql: String =
@@ -2812,8 +2823,83 @@ object Relational {
       |  SELECT count(*) AS n_buckets, sum(nb * nb) AS sp FROM bkt
       |)
       |SELECT n_keys, n_buckets,
-      |  CAST(ep AS DECIMAL(38,0)) AS exact_pairs,
-      |  CAST(sp AS DECIMAL(38,0)) AS est_pairs,
+      |  CAST(CAST(ep AS DECIMAL(38,0)) AS VARCHAR) AS exact_pairs,
+      |  CAST(CAST(sp AS DECIMAL(38,0)) AS VARCHAR) AS est_pairs,
+      |  CAST((sp * 1000 // ep) * 1000 + ((sp * 1000 % ep) * 1000) // ep - 1000000 AS BIGINT) AS over_ppm
+      |FROM ex, est""".stripMargin
+
+  /** §2.2 #21bc — CROSS-TABLE join-size estimation, the piece that
+    * makes [[qJoinCard]] a planner primitive rather than a self-join
+    * demo: estimate |events ⋈_{user_id=o_custkey} orders| from two
+    * independently-built 256-bucket sketches. Each relation keeps a
+    * per-table summary — bucket = md5-uniform(key) mod 256 (the SAME
+    * salted hash on both tables, so equal keys land in equal
+    * buckets), n_b / m_b = Σ c(k) over the bucket — and the planner
+    * joins the 256-row summaries on bucket: Σ_b n_b·m_b is an
+    * AGM-style upper bound on the true join cardinality
+    * Σ_k c_e(k)·c_o(k), with equality iff every bucket holds at most
+    * one distinct matching key ("pure"). A cost-based planner can
+    * keep one such sketch per table per key column and preflight ANY
+    * pairwise join without touching the data.
+    *
+    * Pair counts aggregate in DECIMAL(38,0) / HUGEINT (exact to
+    * 10³⁸) and are emitted as decimal-exact STRINGs (double would
+    * flatten above 2^53); the sketch join is a 256×256-row
+    * broadcast. JoinCardSpec pins the upper-bound property.
+    */
+  def qJoinCard2(spark: SparkSession, dir: String): DataFrame = {
+    def keyCounts(df: DataFrame, key: String) =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    def bucketed(counts: DataFrame) = counts
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("k").cast(StringType), lit(":joincard"))), 1, 8), 16, 10)
+          .cast(LongType) % 256)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("nb"), count(lit(1)).as("nk"))
+    val ce = keyCounts(table(spark, dir, "events"), "user_id")
+    val co = keyCounts(table(spark, dir, "orders"), "o_custkey")
+    val exact = ce.join(co.withColumnRenamed("c", "c2"), "k")
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c2")).as("exact_pairs"))
+    val se = bucketed(ce).withColumnRenamed("nk", "nk_e")
+    val so = bucketed(co).select(col("bucket"), col("nb").as("mb"), col("nk").as("nk_o"))
+    val est = se.join(broadcast(so), "bucket").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(expr("CAST(nb AS DECIMAL(38,0)) * mb")).as("est_pairs"),
+      sum(col("nk_e")).as("n_keys_e"),
+      sum(col("nk_o")).as("n_keys_o"))
+    exact.crossJoin(broadcast(est))
+      .withColumn("over_ppm", expr(
+        """CAST(((est_pairs * 1000) div exact_pairs) * 1000
+          | + ((est_pairs * 1000 % exact_pairs) * 1000) div exact_pairs - 1000000 AS BIGINT)""".stripMargin))
+      .select(
+        col("n_keys_e"), col("n_keys_o"), col("n_buckets"),
+        col("exact_pairs").cast(StringType).as("exact_pairs"),
+        col("est_pairs").cast(StringType).as("est_pairs"),
+        col("over_ppm"))
+  }
+
+  val qJoinCard2Sql: String =
+    """WITH ce AS (
+      |  SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1
+      |), co AS (
+      |  SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+      |), ex AS (
+      |  SELECT sum(CAST(ce.c AS HUGEINT) * co.c) AS ep FROM ce JOIN co USING (k)
+      |), se AS (
+      |  SELECT ('0x' || substr(md5(CAST(k AS VARCHAR) || ':joincard'), 1, 8))::BIGINT % 256 AS bucket,
+      |    CAST(sum(c) AS HUGEINT) AS nb, count(*) AS nk_e
+      |  FROM ce GROUP BY 1
+      |), so AS (
+      |  SELECT ('0x' || substr(md5(CAST(k AS VARCHAR) || ':joincard'), 1, 8))::BIGINT % 256 AS bucket,
+      |    CAST(sum(c) AS HUGEINT) AS mb, count(*) AS nk_o
+      |  FROM co GROUP BY 1
+      |), est AS (
+      |  SELECT count(*) AS n_buckets, sum(nb * mb) AS sp,
+      |    CAST(sum(nk_e) AS BIGINT) AS n_keys_e, CAST(sum(nk_o) AS BIGINT) AS n_keys_o
+      |  FROM se JOIN so USING (bucket)
+      |)
+      |SELECT n_keys_e, n_keys_o, n_buckets,
+      |  CAST(CAST(ep AS DECIMAL(38,0)) AS VARCHAR) AS exact_pairs,
+      |  CAST(CAST(sp AS DECIMAL(38,0)) AS VARCHAR) AS est_pairs,
       |  CAST((sp * 1000 // ep) * 1000 + ((sp * 1000 % ep) * 1000) // ep - 1000000 AS BIGINT) AS over_ppm
       |FROM ex, est""".stripMargin
 
@@ -4530,6 +4616,7 @@ object Relational {
     "q_bloom_prune" -> (qBloomPrune _),
     "q_skew_report" -> (qSkewReport _),
     "q_join_card" -> (qJoinCard _),
+    "q_join_card2" -> (qJoinCard2 _),
     "q_orderpath" -> (qOrderpath _),
     "q_ivm_merge" -> (qIvmMerge _),
     "q_scd2" -> (qScd2 _),
@@ -4626,6 +4713,7 @@ object Relational {
     "q_bloom_prune" -> qBloomPruneSql,
     "q_skew_report" -> qSkewReportSql,
     "q_join_card" -> qJoinCardSql,
+    "q_join_card2" -> qJoinCard2Sql,
     "q_orderpath" -> qOrderpathSql,
     "q_ivm_merge" -> qIvmMergeSql,
     "q_scd2" -> qScd2Sql,
