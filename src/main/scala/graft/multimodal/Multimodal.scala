@@ -560,7 +560,10 @@ object Multimodal {
       octet_length(col("payload")).cast(LongType).as("n_bytes"),
       sha2(col("payload"), 256).as("sha"),
       graft.functions.ArrayExprs.blockParityHash(col("payload")).as("phash"),
-    ).cache()
+    ) // no cache: the op returns a lazy plan, so a .cache() here could
+      // only be unpersisted by the caller and leaked executor memory
+      // for the session lifetime (r9 advisory); base is one scan +
+      // map-side hashing, cheap to recompute for its two consumers
     val winners = base.groupBy(col("sha")).agg(min(col("doc_id")).as("winner"))
     val tagged = base.join(winners, Seq("sha"))
     val surv1 = tagged.filter(col("doc_id") === col("winner"))

@@ -246,8 +246,10 @@ object Dedup {
       cand.unpersist()
       val theory = math.floor(
         (1 - math.pow(1 - math.pow(VerifyThreshold, r), b)) * 1e6 + 0.5).toLong
+      // zero candidates → NULL precision, not 1e6: an empty config
+      // must not read as perfect precision and rank best in the audit
       (s"${b}x$r", b.toLong, r.toLong, nCand, nVer,
-        if (nCand == 0) 1000000L else nVer * 1000000L / nCand, theory)
+        if (nCand == 0) None else Some(nVer * 1000000L / nCand), theory)
     }
     d.unpersist(); sigd.unpersist()
     import spark.implicits._

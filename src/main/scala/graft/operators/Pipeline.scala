@@ -904,7 +904,10 @@ object Pipeline {
       .withColumn("share_before_ppm",
         expr("((toks_ingest * 1000) div t_in) * 1000 + (((toks_ingest * 1000) % t_in) * 1000) div t_in"))
       .withColumn("share_after_ppm",
-        expr("((toks_kept * 1000) div t_kept) * 1000 + (((toks_kept * 1000) % t_kept) * 1000) div t_kept"))
+        // t_kept = 0 guard (zero survivors): Spark's div would return
+        // NULL shares while DuckDB's // raises — divergent engine
+        // behavior; an all-dropped corpus reads as 0 share everywhere
+        expr("CASE WHEN t_kept = 0 THEN 0 ELSE ((toks_kept * 1000) div t_kept) * 1000 + (((toks_kept * 1000) % t_kept) * 1000) div t_kept END"))
       .select(col("source"), col("toks_ingest"), col("toks_kept"),
         col("share_before_ppm"), col("share_after_ppm"),
         (col("share_after_ppm") - col("share_before_ppm")).as("drift_ppm"))
@@ -925,8 +928,8 @@ object Pipeline {
       |tk AS (SELECT CAST(sum(kt) AS BIGINT) AS t_kept FROM kept)
       |SELECT i.source, i.toks_ingest, coalesce(k.kt, 0) AS toks_kept,
       |  ((i.toks_ingest * 1000) // t_in) * 1000 + (((i.toks_ingest * 1000) % t_in) * 1000) // t_in AS share_before_ppm,
-      |  ((coalesce(k.kt, 0) * 1000) // t_kept) * 1000 + (((coalesce(k.kt, 0) * 1000) % t_kept) * 1000) // t_kept AS share_after_ppm,
-      |  (((coalesce(k.kt, 0) * 1000) // t_kept) * 1000 + (((coalesce(k.kt, 0) * 1000) % t_kept) * 1000) // t_kept)
+      |  CASE WHEN t_kept = 0 THEN 0 ELSE ((coalesce(k.kt, 0) * 1000) // t_kept) * 1000 + (((coalesce(k.kt, 0) * 1000) % t_kept) * 1000) // t_kept END AS share_after_ppm,
+      |  (CASE WHEN t_kept = 0 THEN 0 ELSE ((coalesce(k.kt, 0) * 1000) // t_kept) * 1000 + (((coalesce(k.kt, 0) * 1000) % t_kept) * 1000) // t_kept END)
       |    - (((i.toks_ingest * 1000) // t_in) * 1000 + (((i.toks_ingest * 1000) % t_in) * 1000) // t_in) AS drift_ppm
       |FROM ingest i LEFT JOIN kept k USING (source), ti, tk
       |ORDER BY i.source""".stripMargin

@@ -429,14 +429,35 @@ object VectorOps {
     * artifact instead of rebuilding the index inline.
     */
   def knnGraphTable(spark: SparkSession, dir: String, k: Int = 5, rounds: Int = 3): DataFrame = {
-    val path = s"${graft.sources.Ingest.scratchDir(spark)}/knn_graph_${k}_${rounds}_${Integer.toHexString(dir.hashCode)}"
-    if (knnGraphDone.add(path)) {
-      knnGraph(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")), k, rounds)
-        .write.mode("overwrite").parquet(path)
+    // Key the artifact on a sha-256 of the full corpus dir (a 32-bit
+    // hashCode could silently share one cached index between two
+    // colliding corpora), and publish build-then-rename: the graph is
+    // written to a scratch .tmp path, atomically renamed into place,
+    // and only THEN recorded as built — so a concurrent caller blocks
+    // on the per-path lock instead of reading a partial artifact, and
+    // a failed write leaves the guard unset (the next caller
+    // rebuilds) rather than poisoning the session.
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    val path = s"${graft.sources.Ingest.scratchDir(spark)}/knn_graph_${k}_${rounds}_$dirKey"
+    val lock = knnGraphLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!knnGraphDone.contains(path)) {
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        val dst = new org.apache.hadoop.fs.Path(path)
+        knnGraph(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")), k, rounds)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"knnGraphTable: rename $tmp -> $dst failed")
+        knnGraphDone.add(path)
+      }
     }
     spark.read.parquet(path)
   }
   private val knnGraphDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val knnGraphLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** named query: IVF seeds for the 20-query workload, 2-hop
     * expansion over the materialized 5-NN graph ([[knnGraphTable]] —

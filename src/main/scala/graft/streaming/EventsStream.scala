@@ -462,6 +462,15 @@ object EventsStream {
           .map { case ((t, c), i) => TopKOut(new Timestamp(winStart), i + 1L, t, c) }
           .iterator
       }
+      // flatMapGroupsWithState does NOT drop rows behind the
+      // watermark: a late row for a window that already closed (state
+      // emitted and removed) would re-create state and emit a second,
+      // partial row set for the same day on the next timeout. If the
+      // window end is behind the watermark and no state survives, the
+      // window was adjudicated — drop the late rows, exactly as the
+      // built-in windowed agg would.
+      if (state.getOption.isEmpty && winStart + dayMs <= state.getCurrentWatermarkMs())
+        return Iterator.empty
       val merged = it.foldLeft(state.getOption.map(_.counts).getOrElse(Map.empty)) { (m, h) =>
         m.updated(h.event_type, m.getOrElse(h.event_type, 0L) + 1L)
       }
@@ -521,6 +530,12 @@ object EventsStream {
             (t * 1000 / total) * 1000 + (t * 1000 % total) * 1000 / total)
         }.iterator
       }
+      // late-row guard — see windowTopK: a closed window must not be
+      // re-created by rows behind the watermark (a second partial
+      // share set for an already-reported day would be wrong twice:
+      // duplicate day rows AND shares of a fragment corpus)
+      if (state.getOption.isEmpty && winStart + dayMs <= state.getCurrentWatermarkMs())
+        return Iterator.empty
       val merged = it.foldLeft(state.getOption.map(_.toks).getOrElse(Map.empty)) { (m, h) =>
         m.updated(h.source, m.getOrElse(h.source, 0L) + h.toks)
       }
@@ -582,6 +597,10 @@ object EventsStream {
           .map { case (u, c) => HHOut(new Timestamp(winStart), u, c) }
           .iterator
       }
+      // late-row guard — see windowTopK: never re-create an emitted
+      // window's summary from rows behind the watermark
+      if (state.getOption.isEmpty && winStart + dayMs <= state.getCurrentWatermarkMs())
+        return Iterator.empty
       val merged = it.foldLeft(state.getOption.map(_.counts).getOrElse(Map.empty)) {
         (m, h) => mgAdd(m, h.user_id)
       }
@@ -700,7 +719,13 @@ object EventsStream {
       } else {
         var s = state.getOption.getOrElse(GrowthState(Long.MinValue, churnEmitted = false))
         val out = scala.collection.mutable.ListBuffer.empty[GrowthOut]
-        it.map(_.day).toSeq.distinct.sorted.foreach { d =>
+        // drop days the watermark already closed: flatMapGroupsWithState
+        // does not drop late rows itself, and a day the churn timeout
+        // may already have adjudicated must not be re-classified (a
+        // late day-6 row after "churned day 6" fired would otherwise
+        // emit a contradictory "retained day 6")
+        val wm = state.getCurrentWatermarkMs()
+        it.map(_.day).filter(d => (d + 1) * MsPerDay > wm).toSeq.distinct.sorted.foreach { d =>
           if (d > s.last) {
             if (s.last == Long.MinValue) out += GrowthOut(u, d, "new")
             else if (d == s.last + 1) out += GrowthOut(u, d, "retained")

@@ -157,7 +157,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach { case (_, (b, r, cand, ver, prec, theory)) =>
       assert(b * r == 64L, "every config bands the same 64-perm signature")
       assert(ver <= cand)
-      if (cand > 0) assert(prec == ver * 1000000L / cand)
+      // zero-candidate configs emit NULL precision (getAs[Long] reads
+      // null as 0 here) — never 1e6, which would rank an empty config
+      // as perfect
+      if (cand > 0) assert(prec == ver * 1000000L / cand) else assert(prec == 0L)
       assert(theory == math.floor((1 - math.pow(1 - math.pow(0.8, r.toDouble), b.toDouble)) * 1e6 + 0.5).toLong)
     }
     // band nesting: an 8-row match implies its 4-row halves match,
