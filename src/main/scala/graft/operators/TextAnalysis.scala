@@ -1149,23 +1149,68 @@ object TextAnalysis {
     * ceil(n/4) (4·cum ≥ n in int math); keep score_ppm ≥ threshold,
     * so ties at the cut survive (kept share ≥ 75% by construction).
     */
-  def textAdaptiveFilter(spark: SparkSession, dir: String): DataFrame = {
+  /** The adaptive gate's pure-int64 ppm quality score (see
+    * [[textAdaptiveFilter]]'s doc for the algebra) — shared by the
+    * batch gate and its stateless streaming twin [[adaptiveFilterOn]].
+    */
+  private def adaptiveScorePpm: Column = {
     val nTokens = size(words).cast(LongType)
     val nUniq = size(array_distinct(words)).cast(LongType)
-    val scorePpm = when(nTokens >= 50, expr(
+    when(nTokens >= 50, expr(
         "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000 div size(split(text, ' '))"))
       .otherwise(nUniq * lit(20000L))
-    val scored = docs(spark, dir)
-      .select(col("doc_id"), col("source"), scorePpm.as("score_ppm"))
+  }
+
+  /** Per-source bottom-quartile cutoff from the compressed
+    * (source, score_ppm) histogram — ≤ |sources| × 1e6 rows at any
+    * corpus size. Output: (source, threshold_ppm, n_total).
+    */
+  private def adaptiveThresholdTable(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy(col("source"), col("score_ppm")).agg(count(lit(1)).as("c"))
     val wcum = Window.partitionBy(col("source")).orderBy(col("score_ppm"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = hist
+    hist
       .withColumn("cum", sum(col("c")).over(wcum))
       .withColumn("n_total", sum(col("c")).over(Window.partitionBy(col("source"))))
       .where(col("cum") * 4 >= col("n_total"))
       .groupBy(col("source"))
       .agg(min(col("score_ppm")).as("threshold_ppm"), min(col("n_total")).as("n_total"))
+  }
+
+  /** The standing per-source gate thresholds frozen to a driver-side
+    * map — |sources| entries by construction (the dsirModel
+    * bounded-collect idiom), broadcast into [[adaptiveFilterOn]]'s
+    * row-local predicate.
+    */
+  def adaptiveThresholds(spark: SparkSession, dir: String): Map[String, Long] = {
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), col("source"), adaptiveScorePpm.as("score_ppm"))
+    adaptiveThresholdTable(scored).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("threshold_ppm")).toMap
+  }
+
+  /** §2.7 — stateless streaming twin of [[textAdaptiveFilter]]: each
+    * arriving document is scored with the SAME int64 ppm formula and
+    * gated against the FROZEN standing thresholds — the production
+    * shape (cutoffs derived from the standing corpus histogram,
+    * applied to the stream; re-deriving them is a batch concern, like
+    * [[graft.operators.Pipeline.dsirScoreOn]]'s frozen model). Pure
+    * row-local transform over a |sources|-entry literal map: no
+    * state, no shuffle, append-mode safe at any rate. A source absent
+    * from the standing map gates at threshold 0 (keep) — new sources
+    * pass until the next batch re-derivation covers them.
+    */
+  def adaptiveFilterOn(df: DataFrame, thresholds: Map[String, Long]): DataFrame = {
+    val thrMap = typedLit(thresholds)
+    df.select(col("doc_id"), col("source"), adaptiveScorePpm.as("score_ppm"))
+      .withColumn("threshold_ppm", coalesce(element_at(thrMap, col("source")), lit(0L)))
+      .withColumn("kept", col("score_ppm") >= col("threshold_ppm"))
+  }
+
+  def textAdaptiveFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), col("source"), adaptiveScorePpm.as("score_ppm"))
+    val thr = adaptiveThresholdTable(scored)
     scored.join(broadcast(thr), Seq("source"))
       .where(col("score_ppm") >= col("threshold_ppm"))
       .groupBy(col("source"))

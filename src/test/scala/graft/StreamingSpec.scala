@@ -441,6 +441,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming adaptive quality gate equals batch text_adaptive_filter (frozen thresholds)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val input = stream.toDF().toDF("doc_id", "source", "text")
+
+    val thresholds = operators.TextAnalysis.adaptiveThresholds(spark, sf)
+    assert(thresholds.nonEmpty)
+    val q = operators.TextAnalysis.adaptiveFilterOn(input, thresholds)
+      .writeStream.format("memory").queryName("adaptive_out").outputMode("append").start()
+    try {
+      val docs = GraftSession.table(spark, sf, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      // verdicts must not depend on micro-batch boundaries
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+
+      val got = spark.table("adaptive_out").collect()
+      assert(got.length == docs.length)
+      got.foreach { r =>
+        assert(r.getAs[Long]("threshold_ppm") == thresholds(r.getAs[String]("source")))
+        assert(r.getAs[Boolean]("kept") ==
+          (r.getAs[Long]("score_ppm") >= r.getAs[Long]("threshold_ppm")))
+      }
+      // the streamed keep receipts aggregate to the batch gate's rows
+      val keptAgg = got.filter(_.getAs[Boolean]("kept"))
+        .groupBy(_.getAs[String]("source"))
+        .map { case (src, rs) =>
+          src -> ((rs.size.toLong, rs.map(_.getAs[Long]("doc_id")).sum)) }
+      val want = operators.TextAnalysis.textAdaptiveFilter(spark, sf).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("threshold_ppm"), r.getAs[Long]("n_kept"), r.getAs[Long]("kept_id_sum")))).toMap
+      assert(keptAgg.keySet == want.keySet)
+      keptAgg.foreach { case (src, (nKept, idSum)) =>
+        val (thr, wantN, wantSum) = want(src)
+        assert(thresholds(src) == thr)
+        assert(nKept == wantN, s"$src kept count diverges from batch")
+        assert(idSum == wantSum, s"$src kept id-sum diverges from batch")
+      }
+      // an unseen source gates at threshold 0: always kept
+      stream.addData(Seq((999999L, "brand_new_source", "tiny doc")))
+      q.processAllAvailable()
+      val novel = spark.table("adaptive_out").filter(col("source") === "brand_new_source").collect()
+      assert(novel.length == 1 && novel.head.getAs[Long]("threshold_ppm") == 0L
+        && novel.head.getAs[Boolean]("kept"))
+    } finally q.stop()
+  }
+
   test("streaming importance sampling equals batch sample_importance (stateless reuse)") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, String, String)]
