@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Relational
+import graft.operators.{Graph, Relational}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -69,5 +69,78 @@ class Round14OpsSpec extends AnyFunSuite {
     val clash = (65L to 5000L).find(j => bucketOf(j) == bucketOf(k0)).get
     val (iex, ies) = estOf(pa + (clash -> 3L), pb + (clash -> 2L))
     assert(ies > iex, "an impure bucket ⇒ strict overestimate")
+  }
+
+  test("q_neighborhood_k: 32-register replay is bit-exact and beats the 1-register error vs exact BFS") {
+    val K = 32
+    val pairs = GraftSession.table(spark, sf, "orders")
+      .join(GraftSession.table(spark, sf, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("c"), r.getAs[Long]("s")))
+    val adj = (pairs.map(p => p._1 -> p._2) ++ pairs.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val nodes = adj.keys.toVector.sorted
+
+    // ---- plain-Scala register replay (same md5 init, same OR rounds)
+    def init(v: Long, j: Int): Long = {
+      val h = java.lang.Long.parseLong(md5hex(s"$v:anf:$j").take(8), 16)
+      if (h == 0L) 1L << 32 else h & -h
+    }
+    var reg: Map[(Long, Int), Long] =
+      (for (v <- nodes; j <- 0 until K) yield (v, j) -> init(v, j)).toMap
+    def estRow: (Long, Long) = {
+      val q = nodes.iterator.map { v =>
+        val sv = (0 until K).map { j =>
+          val m = reg((v, j)); java.lang.Long.bitCount(((m + 1) & ~m) - 1).toLong
+        }.sum
+        math.floor(math.pow(2.0, sv.toDouble / K) * 1024.0).toLong
+      }.sum
+      (q, (q / 79207424L) * 100000L + (q % 79207424L) * 100000L / 79207424L)
+    }
+    var want = Vector(estRow)
+    for (_ <- 1 to 4) {
+      reg = reg.map { case ((v, j), m) =>
+        (v, j) -> adj(v).foldLeft(m)((acc, u) => acc | reg((u, j)))
+      }
+      want :+= estRow
+    }
+    val rows = Graph.qNeighborhoodK(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.zipWithIndex.foreach { case (r, t) =>
+      assert(r.getAs[Int]("t") == t)
+      assert(r.getAs[Long]("sum_q10") == want(t)._1, s"round $t register sum diverges")
+      assert(r.getAs[Long]("est_reach") == want(t)._2, s"round $t estimate diverges")
+    }
+
+    // ---- exact N(t) by BFS ball growth (BitSet per node)
+    val idx = nodes.zipWithIndex.toMap
+    var ball = nodes.map { v =>
+      val b = new java.util.BitSet(nodes.length); b.set(idx(v)); b
+    }.toArray
+    def exactN: Long = ball.iterator.map(_.cardinality().toLong).sum
+    var exact = Vector(exactN)
+    for (_ <- 1 to 4) {
+      ball = nodes.map { v =>
+        val b = ball(idx(v)).clone().asInstanceOf[java.util.BitSet]
+        adj(v).foreach(u => b.or(ball(idx(u))))
+        b
+      }.toArray
+      exact :+= exactN
+    }
+
+    // ---- √k variance reduction must show up as a tighter curve:
+    // total relative error (ppm, t=1..4) of the 32-register estimate
+    // is below the 1-register one's
+    val est1 = Graph.qNeighborhood(spark, sf).collect()
+      .map(r => r.getAs[Int]("t") -> r.getAs[Long]("est_reach")).toMap
+    def relErrPpm(est: Long, ex: Long): Long = math.abs(est - ex) * 1000000L / ex
+    val errK = (1 to 4).map(t => relErrPpm(want(t)._2, exact(t))).sum
+    val err1 = (1 to 4).map(t => relErrPpm(est1(t), exact(t))).sum
+    assert(errK < err1,
+      s"32-register total error $errK ppm should beat 1-register $err1 ppm")
+    // and it should be a genuinely good estimate, not just less bad
+    (1 to 4).foreach(t => assert(relErrPpm(want(t)._2, exact(t)) < 250000L,
+      s"round $t error ${relErrPpm(want(t)._2, exact(t))} ppm exceeds 25%"))
   }
 }
