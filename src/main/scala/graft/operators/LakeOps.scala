@@ -146,6 +146,70 @@ object LakeOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.1 #4b — join-size PREFLIGHT for the reassembly join: the
+    * manifest⋈store equi-join behind [[lakeGetBlob]] is the lake's
+    * biggest shuffle, and this is the `q_join_card2` planner
+    * primitive pointed at it — two 256-bucket sketches over the
+    * chunk_hash key (bucket = the [[lakeBucketHist]] hex-prefix
+    * arithmetic, identical both engines), manifest side n_b = Σ
+    * references, store side m_b = distinct content addresses (the
+    * idempotent-put invariant makes the store key-unique), joined on
+    * bucket: Σ_b n_b·m_b upper-bounds the true join output Σ_k
+    * refs(k)·1 = \|manifest\|. The deliberately-reported `over_ppm`
+    * is the sketch's resolution loss on a KEY-UNIQUE probe side —
+    * ≈ u/B for u distinct chunks over B buckets — which is exactly
+    * the number a planner reads to size its bucket count (the
+    * reference keeps its index bucket count prime and
+    * data-proportional for the same reason — helpers/sieve.rs:4's
+    * get_le_prime analog here is B, a knob, not a constant).
+    * Pair counts in DECIMAL(38,0)/HUGEINT, emitted as decimal-exact
+    * strings; over_ppm BIGINT by split division.
+    */
+  def lakeJoinPreflight(spark: SparkSession, dir: String): DataFrame = {
+    val refs = chunkSplit(spark, dir)
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("c"))
+    val bucketed = refs.withColumn("bucket",
+      expr(
+        "CAST(((locate(substring(chunk_hash,1,1), '0123456789abcdef') - 1) * 16 + " +
+          "locate(substring(chunk_hash,2,1), '0123456789abcdef') - 1) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("nb"), count(lit(1)).as("mb"))
+    val exact = refs.agg(
+      count(lit(1)).as("n_unique_chunks"),
+      sum(expr("CAST(c AS DECIMAL(38,0))")).as("exact_rows"))
+    val est = bucketed.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(expr("CAST(nb AS DECIMAL(38,0)) * mb")).as("est_rows"))
+    exact.crossJoin(broadcast(est))
+      .withColumn("over_ppm", expr(
+        """CAST(((est_rows * 1000) div exact_rows) * 1000
+          | + ((est_rows * 1000 % exact_rows) * 1000) div exact_rows - 1000000 AS BIGINT)""".stripMargin))
+      .select(
+        col("n_unique_chunks"), col("n_buckets"),
+        col("exact_rows").cast(StringType).as("exact_rows"),
+        col("est_rows").cast(StringType).as("est_rows"),
+        col("over_ppm"))
+  }
+
+  val lakeJoinPreflightSql: String =
+    s"""$oracleChunkCte, refs AS (
+      |  SELECT chunk_hash, count(*) AS c FROM chunks GROUP BY chunk_hash
+      |), bucketed AS (
+      |  SELECT ((strpos('0123456789abcdef', substring(chunk_hash,1,1)) - 1) * 16 +
+      |          strpos('0123456789abcdef', substring(chunk_hash,2,1)) - 1) AS bucket,
+      |    CAST(sum(c) AS HUGEINT) AS nb, count(*) AS mb
+      |  FROM refs GROUP BY 1
+      |), ex AS (
+      |  SELECT count(*) AS n_unique_chunks, sum(CAST(c AS HUGEINT)) AS ep FROM refs
+      |), est AS (
+      |  SELECT count(*) AS n_buckets, sum(nb * mb) AS sp FROM bucketed
+      |)
+      |SELECT n_unique_chunks, n_buckets,
+      |  CAST(CAST(ep AS DECIMAL(38,0)) AS VARCHAR) AS exact_rows,
+      |  CAST(CAST(sp AS DECIMAL(38,0)) AS VARCHAR) AS est_rows,
+      |  CAST((sp * 1000 // ep) * 1000 + ((sp * 1000 % ep) * 1000) // ep - 1000000 AS BIGINT) AS over_ppm
+      |FROM ex, est""".stripMargin
+
   /** §2.1 #5 — hash-prefix bucket histogram (index-modulo analog).
     * Bucket derived from the first two hex chars via a
     * portable char-position trick (identical arithmetic in DuckDB).
@@ -436,6 +500,7 @@ object LakeOps {
     "lake_chunk_split" -> (lakeChunkSplit _),
     "lake_dedup_stats" -> (lakeDedupStats _),
     "lake_get_blob" -> (lakeGetBlob _),
+    "lake_preflight" -> (lakeJoinPreflight _),
     "lake_bucket_hist" -> (lakeBucketHist _),
     "lake_convergent" -> (lakeConvergent _),
   )
@@ -447,6 +512,7 @@ object LakeOps {
     "lake_chunk_split" -> lakeChunkSplitSql,
     "lake_dedup_stats" -> lakeDedupStatsSql,
     "lake_get_blob" -> lakeGetBlobSql,
+    "lake_preflight" -> lakeJoinPreflightSql,
     "lake_bucket_hist" -> lakeBucketHistSql,
     "lake_convergent" -> lakeConvergentSql,
   )
