@@ -4580,6 +4580,194 @@ object Relational {
       |FROM a
       |ORDER BY table_name""".stripMargin
 
+  /** §2.2 #21cp — Gini concentration of customer spend per market
+    * segment: the one-number inequality audit next to [[qPareto]]'s
+    * cumulative-share tiers (a corpus pipeline runs the same statistic
+    * over per-source token counts to quantify mixture concentration).
+    *
+    * Exact WITHOUT a per-row sort OR a per-segment single-task
+    * window. Ranks come from the value histogram (segment, cents, c):
+    * for a value block of size c starting after C predecessors the
+    * rank sum Σi·x is cents·(c·C + c·(c+1)/2) in closed form. But
+    * per-customer spend is near-UNIQUE, so unlike q_median's quantity
+    * histogram this one is ~|customers| rows and a window partitioned
+    * only by the 5-value segment would sort it in 5 giant tasks — the
+    * q_median trick alone does NOT transfer. The cumulative count C
+    * is therefore built with the two-level prefix sum that
+    * sample_curriculum uses for exact global row_number: cents div
+    * 2²⁰ is a RANGE-MONOTONE bucket (bounded by the value range, not
+    * the row count), the per-(segment, bucket) totals take the only
+    * segment-wide window — over metadata-sized bucket rows — and the
+    * fact-sized window runs per (segment, bucket), so its task size
+    * is one bucket's distinct values, never one segment's customers.
+    * Gini_ppm = (2·Σi·x − (n+1)·Σx)·10⁶ / (n·Σx), all DECIMAL(38,0)
+    * integer algebra until one integral divide — bit-identical
+    * cross-engine. Zero-spend customers are included (LEFT join from
+    * customer), which is what makes the statistic honest for sparse
+    * segments.
+    */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val spend = table(spark, dir, "orders")
+      .select(col("o_custkey"), (decP(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("cents"))
+    val per = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val hist = per.groupBy(col("c_mktsegment"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("cents div 1048576"))
+    val wb = Window.partitionBy(col("c_mktsegment")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = hist.groupBy(col("c_mktsegment"), col("bkt"))
+      .agg(sum(col("c")).as("bc"))
+      .withColumn("boff", coalesce(sum(col("bc")).over(wb), lit(0L)))
+      .drop("bc")
+    val wv = Window.partitionBy(col("c_mktsegment"), col("bkt")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .join(boff, Seq("c_mktsegment", "bkt"))
+      .withColumn("cum", col("boff") + coalesce(sum(col("c")).over(wv), lit(0L)))
+      // block rank-sum factor c·C + c(c+1)/2 stays in int64 (counts
+      // are ≤ segment size, so the product is ≤ n² ≤ 2^63 far past
+      // this workload); the cents multiply is where 38-digit headroom
+      // is actually needed
+      .withColumn("rfac", expr("c * cum + (c * (c + 1)) div 2"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("c")).as("n_customers"),
+        sum(col("c").cast(d38) * col("cents").cast(d38)).as("sx"),
+        sum(col("cents").cast(d38) * col("rfac").cast(d38)).as("srx"),
+      )
+      .select(
+        col("c_mktsegment"), col("n_customers"),
+        col("sx").cast(LongType).as("total_cents"),
+        expr("(CAST(2 AS DECIMAL(38,0)) * srx - CAST(n_customers + 1 AS DECIMAL(38,0)) * sx) * CAST(1000000 AS DECIMAL(38,0)) div (CAST(n_customers AS DECIMAL(38,0)) * sx)")
+          .as("gini_ppm"),
+      )
+      .orderBy("c_mktsegment")
+  }
+
+  val qGiniSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+      |  FROM orders GROUP BY o_custkey
+      |), per AS (
+      |  SELECT c_mktsegment, coalesce(s.cents, 0) AS cents
+      |  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+      |), hist AS (
+      |  SELECT c_mktsegment, cents, count(*) AS c, cents // 1048576 AS bkt
+      |  FROM per GROUP BY 1, 2
+      |), boff AS (
+      |  SELECT c_mktsegment, bkt,
+      |    coalesce(sum(bc) OVER (PARTITION BY c_mktsegment ORDER BY bkt
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
+      |  FROM (SELECT c_mktsegment, bkt, sum(c) AS bc FROM hist GROUP BY 1, 2)
+      |), cum AS (
+      |  SELECT h.c_mktsegment, h.cents, h.c,
+      |    b.boff + coalesce(sum(h.c) OVER (PARTITION BY h.c_mktsegment, h.bkt
+      |      ORDER BY h.cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM hist h JOIN boff b ON h.c_mktsegment = b.c_mktsegment AND h.bkt = b.bkt
+      |), m AS (
+      |  SELECT c_mktsegment, sum(c) AS n_customers,
+      |    sum(CAST(c AS HUGEINT) * cents) AS sx,
+      |    sum(CAST(cents AS HUGEINT) * (c * cum + (c * (c + 1)) // 2)) AS srx
+      |  FROM cum GROUP BY c_mktsegment
+      |)
+      |SELECT c_mktsegment, CAST(n_customers AS BIGINT) AS n_customers,
+      |  CAST(sx AS BIGINT) AS total_cents,
+      |  CAST((2 * srx - CAST(n_customers + 1 AS HUGEINT) * sx) * 1000000
+      |    // (CAST(n_customers AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+      |FROM m
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** §2.2 #21cq — lag-1..7 autocorrelation of the daily event-count
+    * series per event type: the seasonality detector that reads the
+    * SAME weekly signal [[qForecast]] exploits (a high acf at lag 7
+    * is what justifies the seasonal-naive backtest) and [[qStlLite]]
+    * decomposes. Computed over the DENSE day grid — missing days are
+    * real zeros, and skipping them (a sparse self-join like
+    * qForecast's) would silently bias the correlation toward
+    * activity bursts.
+    *
+    * Shape: one groupBy to daily counts, the 1-row global day span
+    * broadcast-crossed into a per-type `sequence()` explode (the
+    * q_gapfill idiom — the grid is |types|·|days|, metadata-sized,
+    * NOT fact-sized), one equi-join of the grid with itself shifted
+    * by the exploded lag (shuffle key (type, day) both sides), and
+    * integer moment sums à la [[qCorrstats]]: counts are int64, so
+    * n·Σxy − Σx·Σy is exact in DECIMAL(38,0) on both engines and the
+    * single final double division is IEEE-identical.
+    */
+  def qAcf(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val x = grid.select(col("event_type"),
+        explode(sequence(lit(1), lit(7))).as("lag"),
+        (col("day") + col("lag")).as("day"), col("c").as("x"))
+    val m = x.join(grid.withColumnRenamed("c", "y"), Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"),
+      )
+    val n = col("n_pairs").cast(DoubleType)
+    def d(c: String): Column = col(c).cast(DoubleType)
+    m.select(
+        col("event_type"), col("lag").cast(LongType).as("lag"), col("n_pairs"),
+        ((n * d("sxy") - d("sx") * d("sy"))
+          / sqrt((n * d("sxx") - d("sx") * d("sx")) * (n * d("syy") - d("sy") * d("sy"))))
+          .as("acf"),
+      )
+      .orderBy("event_type", "lag")
+  }
+
+  val qAcfSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+      |), daily AS (
+      |  SELECT event_type, day, count(*) AS c FROM ev GROUP BY 1, 2
+      |), span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |grid AS (
+      |  SELECT t.event_type, g.day, coalesce(d.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN span
+      |  CROSS JOIN LATERAL (SELECT unnest(range(d0, d1 + 1)) AS day) g
+      |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
+      |), pairs AS (
+      |  SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+      |  FROM grid a
+      |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      |  JOIN grid b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+      |), m AS (
+      |  SELECT event_type, lag, count(*) AS n_pairs,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pairs GROUP BY 1, 2
+      |)
+      |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+      |FROM m
+      |ORDER BY event_type, lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_erasure_audit" -> (qErasureAudit _),
     "q_runsum_floor" -> (qRunsumFloor _),
@@ -4594,6 +4782,8 @@ object Relational {
     "q_streaks" -> (qStreaks _),
     "q_decay" -> (qDecay _),
     "q_benford" -> (qBenford _),
+    "q_gini" -> (qGini _),
+    "q_acf" -> (qAcf _),
     "q_skyline" -> (qSkyline _),
     "q_winsorize" -> (qWinsorize _),
     "q_rolling_dau" -> (qRollingDau _),
@@ -4689,6 +4879,8 @@ object Relational {
     "q_rolling_dau" -> qRollingDauSql,
     "q_decay" -> qDecaySql,
     "q_benford" -> qBenfordSql,
+    "q_gini" -> qGiniSql,
+    "q_acf" -> qAcfSql,
     "q_streaks" -> qStreaksSql,
     "q_growth" -> qGrowthSql,
     "q_basket_lift" -> qBasketLiftSql,

@@ -1491,8 +1491,89 @@ object TextAnalysis {
       |WHERE f.n_terms >= 2
       |ORDER BY f.source""".stripMargin
 
+  /** §2.5 #33ab — pairwise source corpus-overlap matrix: exact 3-gram
+    * shingle Jaccard (and both containments) between every source
+    * pair. This is the corpus-level companion of the per-document
+    * near-dup ops — the number a mixture designer reads before
+    * weighting two crawls (near-identical sources double-count their
+    * tokens under any per-source mixing scheme) and the honest
+    * denominator for the incremental-dedup decision ("is the new
+    * source actually new?").
+    *
+    * Shape: per source the distinct shingle set collapses map-side
+    * (groupBy (source, gram) — the fact-sized step, one shuffle);
+    * pair counts come from ONE more gram-keyed aggregation that
+    * collect_sets each gram's ≤|sources| owners and explodes the
+    * sorted pairs map-side AFTER the agg — no self-join, so the
+    * deduped gram relation shuffles once, not twice, and a gram's
+    * fan-out is bounded by the SOURCE count (s(s-1)/2; 20 sources cap
+    * it at 190), never the corpus. Set sizes (20 rows) broadcast-cross
+    * onto the 190-row pair grid so zero-overlap pairs report 0 rather
+    * than vanish. All counts int64; the Jaccard/containment ppm are
+    * single integral divides — exact cross-engine.
+    */
+  def textOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.ArrayExprs.wordNgrams(words, 3)).as("gram"))
+      .distinct()
+      .cache()
+    val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))))
+      .filter(col("src_a") < col("src_b"))
+    val inter = g.groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(posexplode(col("srcs")).as(Seq("i", "src_a")), col("srcs"))
+      .select(col("src_a"),
+        explode(slice(col("srcs"), col("i") + lit(2), size(col("srcs")))).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(
+        col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        expr("coalesce(n_inter, 0L) * 1000000L div (n_a + n_b - coalesce(n_inter, 0L))")
+          .as("jaccard_ppm"),
+        expr("coalesce(n_inter, 0L) * 1000000L div n_a").as("contain_a_ppm"),
+        expr("coalesce(n_inter, 0L) * 1000000L div n_b").as("contain_b_ppm"),
+      )
+    graft.GraftSession.materialized(out, Seq("src_a", "src_b"), g)
+  }
+
+  val textOverlapSql: String = {
+    val terms = (0 until 3).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT source, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, gram FROM (
+      |    SELECT source, unnest(
+      |      CASE WHEN len(ws) >= 3
+      |        THEN list_transform(range(1, len(ws) - 1), i -> $terms)
+      |        ELSE [text] END) AS gram
+      |    FROM w
+      |  )
+      |), sizes AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+      |  FROM sizes a CROSS JOIN sizes b WHERE a.source < b.source
+      |), inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.src_a, p.src_b, CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+      |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |  CAST(coalesce(i.n_inter, 0) * 1000000 // (p.n_a + p.n_b - coalesce(i.n_inter, 0)) AS BIGINT) AS jaccard_ppm,
+      |  CAST(coalesce(i.n_inter, 0) * 1000000 // p.n_a AS BIGINT) AS contain_a_ppm,
+      |  CAST(coalesce(i.n_inter, 0) * 1000000 // p.n_b AS BIGINT) AS contain_b_ppm
+      |FROM pairs p LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
+      |ORDER BY p.src_a, p.src_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_zipf" -> (textZipf _),
+    "text_overlap" -> (textOverlap _),
     "text_inverted" -> (textInverted _),
     "text_pmi" -> (textPmi _),
     "text_entropy" -> (textEntropy _),
@@ -1522,6 +1603,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_zipf" -> textZipfSql,
+    "text_overlap" -> textOverlapSql,
     "text_inverted" -> textInvertedSql,
     "text_bigram" -> textBigramSurprisalSql,
     "text_pmi" -> textPmiSql,

@@ -41,6 +41,7 @@ object Scratch {
       try time(n)(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable => println(s"ERROR $n: ${e.getMessage}"); e.printStackTrace() }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     spark.stop()
   }

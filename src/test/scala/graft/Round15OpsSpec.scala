@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{Relational, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 additions: plain-Scala replays for the session's new
+  * operators (SURVEY §2 rows 21cp q_gini, 21cq q_acf, 33ac
+  * text_overlap). Each test recomputes the statistic from the raw
+  * tables with the NAIVE definition — per-customer rank sums, a dense
+  * day-grid Pearson, literal shingle sets — so the distributed
+  * compressed-histogram / moment-sum / self-join formulations are
+  * pinned to the textbook semantics, not just to the DuckDB oracle's
+  * identical algebra.
+  */
+class Round15OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_gini: compressed-histogram Gini equals the naive per-customer rank-sum definition") {
+    val spend = GraftSession.table(spark, sf, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val per = GraftSession.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), coalesce(col("cents"), lit(0L)).as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    val want = per.groupBy(_._1).view.mapValues { xs =>
+      val sorted = xs.map(_._2).sorted // naive: sort EVERY customer, rank 1..n
+      val n = BigInt(sorted.length)
+      val sx = sorted.map(BigInt(_)).sum
+      val srx = sorted.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
+      ((BigInt(2) * srx - (n + 1) * sx) * 1000000 / (n * sx)).toLong
+    }.toMap
+
+    val got = Relational.qGini(spark, sf).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("gini_ppm"))).toMap
+    assert(got.keySet == want.keySet)
+    val nPer = per.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    for ((seg, (n, gini)) <- got) {
+      assert(n == nPer(seg), s"$seg customer count")
+      assert(gini == want(seg), s"$seg gini_ppm: got $gini want ${want(seg)}")
+      assert(gini >= 0L && gini < 1000000L, s"$seg gini in [0, 1)")
+    }
+  }
+
+  test("q_acf: moment-sum ACF equals a naive dense-grid Pearson (exact BigInt moments)") {
+    val ev = GraftSession.table(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min
+    val d1 = ev.map(_._2).max
+    val counts = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = ev.map(_._1).distinct.sorted
+
+    def acfWant(t: String, lag: Int): (Long, Double) = {
+      val series = (d0 to d1).map(d => counts.getOrElse((t, d), 0L))
+      val pairs = series.dropRight(lag).zip(series.drop(lag))
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxy = pairs.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val sxx = pairs.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val syy = pairs.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val den = math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      (pairs.length.toLong, num / den)
+    }
+
+    val got = Relational.qAcf(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    assert(got.keySet == types.flatMap(t => (1L to 7L).map(t -> _)).toSet)
+    for (t <- types; lag <- 1 to 7) {
+      val (wn, wa) = acfWant(t, lag)
+      val (gn, ga) = got((t, lag.toLong))
+      assert(gn == wn, s"($t, $lag) n_pairs")
+      // exact integer moments feed one double expression on both
+      // sides; same inputs, same IEEE ops => bit-identical result
+      assert(ga == wa, s"($t, $lag) acf: got $ga want $wa")
+      assert(ga >= -1.0000001 && ga <= 1.0000001, s"($t, $lag) acf in [-1, 1]")
+    }
+  }
+
+  test("text_overlap: self-join pair counts equal literal shingle-set intersections") {
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val ws = text.split(" ", -1)
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(_.iterator.flatMap(d => shingles(d._2)).toSet).toMap
+    val sources = bySource.keys.toSeq.sorted
+
+    val got = TextAnalysis.textOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_inter"),
+          r.getAs[Long]("jaccard_ppm"))).toMap
+    val wantPairs = for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield (sources(i), sources(j))
+    assert(got.keySet == wantPairs.toSet, "all source pairs present, including zero-overlap ones")
+    for ((a, b) <- wantPairs) {
+      val (sa, sb) = (bySource(a), bySource(b))
+      val inter = (sa intersect sb).size.toLong
+      val (gna, gnb, gi, gj) = got((a, b))
+      assert(gna == sa.size.toLong && gnb == sb.size.toLong, s"($a,$b) set sizes")
+      assert(gi == inter, s"($a,$b) intersection")
+      assert(gj == inter * 1000000L / (sa.size + sb.size - inter), s"($a,$b) jaccard_ppm")
+    }
+  }
+}
