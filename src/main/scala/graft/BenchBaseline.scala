@@ -123,13 +123,19 @@ object BenchBaseline {
     "text_tokens" -> 0.295,
     "text_vocab" -> 0.308,
     "text_winnow_pairs" -> 1.097,
-    "ann_pq" -> 1.59,
+    // re-frozen r10: 0.77 on an idle-box cold run (the 1.59 r9 window
+    // was contention; the PQ plan is unchanged)
+    "ann_pq" -> 0.77,
     "q10_returns" -> 1.10,
     "q13_custdist" -> 1.01,
     "q_rolling" -> 1.03,
     "q_zorder" -> 1.05,
     "q_integrity" -> 1.39,
-    "profile_table" -> 1.23,
+    // re-frozen r10: 0.93 idle-box cold — the r8→r9 "creep" (0.97 →
+    // 1.23 → 1.78) never was a plan change (PLANS.json shape identical
+    // since introduction: 12 shuffles = 6 fixed column branches × 2
+    // distinct-agg exchanges); it was shared-box contention
+    "profile_table" -> 0.93,
     "q7_volume" -> 1.32,
     "q8_share" -> 1.41,
     "text_chunks" -> 0.41,
@@ -156,8 +162,18 @@ object BenchBaseline {
     "text_bigram" -> 0.83,
     "text_adaptive_filter" -> 0.82,
     "sample_curriculum" -> 0.75,
-    "q_join_card" -> 0.38,
+    "q_join_card" -> 0.27,
     "q_neighborhood" -> 3.91,
+    // r10 additions: first honest idle-box cold sf0.1 measurements
+    // (235-query zero-regression zero-error run, total 207.0 s)
+    "q_ltv" -> 0.57,
+    "q_join_card2" -> 0.59,
+    "lake_preflight" -> 0.29,
+    "q_neighborhood_k" -> 7.18,
+    "q_gini" -> 0.66,
+    "q_acf" -> 0.52,
+    "text_overlap" -> 1.96,
+    "text_js" -> 1.79,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

@@ -1571,9 +1571,115 @@ object TextAnalysis {
       |ORDER BY p.src_a, p.src_b""".stripMargin
   }
 
+  /** §2.5 #33ad — pairwise source Jensen-Shannon divergence over
+    * unigram distributions: the DISTRIBUTIONAL companion of
+    * [[textOverlap]]'s syntactic shingle Jaccard (two crawls can share
+    * few exact 3-grams yet be near-identical distributions, and vice
+    * versa — a mixture designer wants both numbers). JS is symmetric,
+    * bounded [0, ln 2], and zero iff identical — the standard corpus
+    * drift/similarity metric.
+    *
+    * Decomposition that makes it one-shuffle scalable: terms PRIVATE
+    * to either source contribute in closed form — Σ_{A only} ½p·ln2 =
+    * ½ln2·(1 − Sp) with Sp = Σ_{shared} p — so only SHARED terms need
+    * pairwise work. Those ride the textOverlap idiom: one term-keyed
+    * collect_list of (source, tf) owners, sorted pairs exploded
+    * map-side AFTER the agg (fan-out ≤ s(s−1)/2 per term, never the
+    * corpus), per-source totals broadcast twice. Per shared term the
+    * contribution p·ln(2p/(p+q)) + q·ln(2q/(p+q)) quantizes to
+    * PICO-nats per term (floor·10¹², the textSurprisal micro-nat trick
+    * one scale down — contributions are tiny) so the pair aggregation
+    * is an order-free int64 sum; shared-mass numerators Σtf stay
+    * integer. The final js_nats combines one int sum + two exact
+    * integer ratios + ln 2 — the same IEEE doubles on both engines.
+    * Zero-overlap pairs correctly report the JS maximum ln 2 via the
+    * broadcast-crossed 190-row pair grid.
+    */
+  def textJs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("source"), explode(words).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val tot = tf.groupBy(col("source")).agg(sum(col("tf")).as("tot"))
+    val shared = tf
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("source").as("s"), col("tf").as("t")))).as("st"))
+      .filter(size(col("st")) >= 2)
+      .select(posexplode(col("st")).as(Seq("i", "a")), col("st"))
+      .select(col("a"), explode(slice(col("st"), col("i") + lit(2), size(col("st")))).as("b"))
+      .select(
+        col("a.s").as("src_a"), col("a.t").as("tf_a"),
+        col("b.s").as("src_b"), col("b.t").as("tf_b"))
+      .join(broadcast(tot.select(col("source").as("src_a"), col("tot").as("tot_a"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("tot").as("tot_b"))), Seq("src_b"))
+      .withColumn("pa", expr("CAST(tf_a AS DOUBLE) / CAST(tot_a AS DOUBLE)"))
+      .withColumn("pb", expr("CAST(tf_b AS DOUBLE) / CAST(tot_b AS DOUBLE)"))
+      .withColumn("c", expr(
+        "CAST(floor((pa * ln(2.0D * pa / (pa + pb)) + pb * ln(2.0D * pb / (pa + pb))) * 1e12) AS BIGINT)"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(
+        count(lit(1)).as("n_shared"),
+        sum(col("tf_a")).as("stf_a"),
+        sum(col("tf_b")).as("stf_b"),
+        sum(col("c")).as("c"))
+    val grid = tot.select(col("source").as("src_a"), col("tot").as("tot_a"))
+      .crossJoin(broadcast(tot.select(col("source").as("src_b"), col("tot").as("tot_b"))))
+      .filter(col("src_a") < col("src_b"))
+    val out = grid.join(shared, Seq("src_a", "src_b"), "left")
+      .select(
+        col("src_a"), col("src_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        expr("0.5D * coalesce(c, 0L) / 1e12" +
+          " + 0.5D * ln(2.0D) * (1.0D - CAST(coalesce(stf_a, 0L) AS DOUBLE) / CAST(tot_a AS DOUBLE))" +
+          " + 0.5D * ln(2.0D) * (1.0D - CAST(coalesce(stf_b, 0L) AS DOUBLE) / CAST(tot_b AS DOUBLE))")
+          .as("js_nats"))
+      .withColumn("js_norm_ppm",
+        expr("CAST(floor(js_nats / ln(2.0D) * 1e6) AS BIGINT)"))
+    graft.GraftSession.materialized(out, Seq("src_a", "src_b"), tf)
+  }
+
+  val textJsSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT source, CAST(sum(tf) AS BIGINT) AS tot FROM tf GROUP BY source
+      |), shared AS (
+      |  SELECT src_a, src_b, count(*) AS n_shared,
+      |    CAST(sum(tf_a) AS BIGINT) AS stf_a, CAST(sum(tf_b) AS BIGINT) AS stf_b,
+      |    CAST(sum(CAST(floor((pa * ln(2.0 * pa / (pa + pb)) + pb * ln(2.0 * pb / (pa + pb))) * 1e12) AS BIGINT)) AS BIGINT) AS c
+      |  FROM (
+      |    SELECT a.source AS src_a, b.source AS src_b, a.tf AS tf_a, b.tf AS tf_b,
+      |      CAST(a.tf AS DOUBLE) / CAST(ta.tot AS DOUBLE) AS pa,
+      |      CAST(b.tf AS DOUBLE) / CAST(tb.tot AS DOUBLE) AS pb
+      |    FROM tf a
+      |    JOIN tf b ON a.term = b.term AND a.source < b.source
+      |    JOIN tot ta ON ta.source = a.source
+      |    JOIN tot tb ON tb.source = b.source
+      |  )
+      |  GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT a.source AS src_a, a.tot AS tot_a, b.source AS src_b, b.tot AS tot_b
+      |  FROM tot a CROSS JOIN tot b WHERE a.source < b.source
+      |), j AS (
+      |  SELECT g.src_a, g.src_b,
+      |    CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+      |    0.5 * coalesce(s.c, 0) / 1e12
+      |      + 0.5 * ln(2.0) * (1.0 - CAST(coalesce(s.stf_a, 0) AS DOUBLE) / CAST(g.tot_a AS DOUBLE))
+      |      + 0.5 * ln(2.0) * (1.0 - CAST(coalesce(s.stf_b, 0) AS DOUBLE) / CAST(g.tot_b AS DOUBLE)) AS js_nats
+      |  FROM grid g LEFT JOIN shared s ON g.src_a = s.src_a AND g.src_b = s.src_b
+      |)
+      |SELECT src_a, src_b, n_shared, js_nats,
+      |  CAST(floor(js_nats / ln(2.0) * 1e6) AS BIGINT) AS js_norm_ppm
+      |FROM j
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_zipf" -> (textZipf _),
     "text_overlap" -> (textOverlap _),
+    "text_js" -> (textJs _),
     "text_inverted" -> (textInverted _),
     "text_pmi" -> (textPmi _),
     "text_entropy" -> (textEntropy _),
@@ -1604,6 +1710,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_zipf" -> textZipfSql,
     "text_overlap" -> textOverlapSql,
+    "text_js" -> textJsSql,
     "text_inverted" -> textInvertedSql,
     "text_bigram" -> textBigramSurprisalSql,
     "text_pmi" -> textPmiSql,

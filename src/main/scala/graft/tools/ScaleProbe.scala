@@ -46,13 +46,17 @@ object ScaleProbe {
     "region" -> Seq(),
   )
 
-  /** The default probe set: the 10 heaviest floors (graph family +
-    * the two corpus-quadratic-risk ops).
+  /** The default probe set: the heaviest floors (graph family + the
+    * corpus-quadratic-risk ops) plus the r10 additions whose scale
+    * story deserves measurement, not just argument: the packed
+    * 32-register ANF loop (widest rows in the repo), text_overlap's
+    * gram-keyed pair fan-out, and q_gini's two-level prefix-sum
+    * ranking over near-unique values.
     */
   private val DefaultQueries = Seq(
     "q_hits", "q_pagerank", "q_components", "q_bfs", "q_ppr",
     "q_kcore", "q_communities", "q_msf", "dedup_containment", "ann_recall",
-    "q_neighborhood")
+    "q_neighborhood", "q_neighborhood_k", "text_overlap", "q_gini")
 
   private def buildScaled(spark: SparkSession, src: String, out: String): Unit = {
     idCols.foreach { case (name, ids) =>

@@ -191,7 +191,25 @@ class PlanSpec extends AnyFunSuite {
       // q_join_card cross-joins two 1-ROW aggregates (the exact-pairs
       // rollup and the 256-bucket sketch summary) — the q_abtest
       // two-anchor shape
-      "q_join_card")
+      "q_join_card",
+      // q_join_card2 joins two ≤256-ROW bucket sketches plus 1-row
+      // summary anchors — the q_join_card shape with the sketch⋈sketch
+      // equi-join riding a bounded broadcast
+      "q_join_card2",
+      // lake_preflight points the q_join_card2 two-sketch algebra at
+      // the manifest⋈store join — the same ≤256-row bounded shape
+      "lake_preflight",
+      // q_acf cross-joins a broadcast 1-ROW global day-span aggregate
+      // into the per-type grid explode — the q_zorder shape
+      "q_acf",
+      // text_overlap crosses the TWO ≤|sources|-row (20) shingle-set
+      // size tables on a non-equi (src_a < src_b) predicate to build
+      // the 190-row pair grid — the q_theta_sets bounded-both-sides
+      // shape; the fact-sized work is all equi-keyed
+      "text_overlap",
+      // text_js: the same ≤|sources|-row pair grid (totals × totals,
+      // src_a < src_b) — the text_overlap shape
+      "text_js")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

@@ -86,6 +86,51 @@ class Round15OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_js: closed-form private-mass decomposition equals a naive full-vocabulary JS") {
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tf: Map[String, Map[String, Long]] = docs.groupBy(_._1).view.mapValues { ds =>
+      ds.iterator.flatMap(_._2.split(" ", -1)).toSeq
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val sources = tf.keys.toSeq.sorted
+
+    // naive reference: full-vocabulary JS with NO decomposition and NO
+    // quantization — ½Σ p·ln(p/m) + ½Σ q·ln(q/m) over the term union
+    def jsNaive(a: String, b: String): Double = {
+      val (ta, tb) = (tf(a), tf(b))
+      val (na, nb) = (ta.values.sum.toDouble, tb.values.sum.toDouble)
+      (ta.keySet ++ tb.keySet).iterator.map { t =>
+        val p = ta.getOrElse(t, 0L) / na
+        val q = tb.getOrElse(t, 0L) / nb
+        val m = (p + q) / 2
+        (if (p > 0) p * math.log(p / m) else 0.0) / 2 +
+          (if (q > 0) q * math.log(q / m) else 0.0) / 2
+      }.sum
+    }
+
+    val got = graft.operators.TextAnalysis.textJs(spark, sf).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("js_nats"))).toMap
+    val wantPairs = for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield (sources(i), sources(j))
+    assert(got.keySet == wantPairs.toSet)
+    val ln2 = math.log(2.0)
+    for ((a, b) <- wantPairs) {
+      val (n, js) = got((a, b))
+      val shared = tf(a).keySet.intersect(tf(b).keySet)
+      assert(n == shared.size.toLong, s"($a,$b) shared-term count")
+      assert(js >= -1e-12 && js <= ln2 + 1e-12, s"($a,$b) JS in [0, ln 2]: $js")
+      // the engine quantizes shared contributions to pico-nats; with
+      // ≤ n_shared terms the total quantization error is < n·1e-12
+      val tol = (shared.size + 1) * 1e-12
+      assert(math.abs(js - jsNaive(a, b)) <= tol,
+        s"($a,$b) js: got $js naive ${jsNaive(a, b)} tol $tol")
+    }
+  }
+
   test("text_overlap: self-join pair counts equal literal shingle-set intersections") {
     val docs = GraftSession.table(spark, sf, "documents")
       .select(col("source"), col("text")).collect()
