@@ -122,9 +122,22 @@ object ScaleProbe {
       spark.catalog.clearCache()
       dt
     }
+    // retry-on-spike, mirroring Bench's retry-on-regression: the
+    // shared box shows episodic multi-second stalls on unchanged
+    // plans (q_neighborhood_k measured 34 s and 113 s at sf1 in two
+    // back-to-back probes of identical code+data), so a first-pass
+    // ratio over the gate gets up to two fresh re-timings of BOTH
+    // sides (min kept) before it stands — a surviving flag spans
+    // three separate windows and means real superlinearity.
     val rows = names.map { n =>
-      val t01 = timed(n, src)
-      val t1 = timed(n, out)
+      var t01 = timed(n, src)
+      var t1 = timed(n, out)
+      var tries = 0
+      while (t1 / math.max(0.001, t01) > Factor && tries < 2) {
+        t01 = math.min(t01, timed(n, src))
+        t1 = math.min(t1, timed(n, out))
+        tries += 1
+      }
       val ratio = t1 / math.max(0.001, t01)
       println(f"[scaleprobe] $n%-20s sf0.1 $t01%7.2fs   sf1 $t1%7.2fs   ratio ${ratio}%5.2fx")
       (n, t01, t1, ratio)
