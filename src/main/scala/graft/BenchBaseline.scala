@@ -174,6 +174,7 @@ object BenchBaseline {
     "q_acf" -> 0.52,
     "text_overlap" -> 1.96,
     "text_js" -> 1.79,
+    "text_overlap_sketch" -> 2.42,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

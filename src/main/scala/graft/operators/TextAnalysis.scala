@@ -1639,6 +1639,91 @@ object TextAnalysis {
     graft.GraftSession.materialized(out, Seq("src_a", "src_b"), tf)
   }
 
+  /** Permutation count for [[textOverlapSketch]] — 128 gives a
+    * Jaccard-estimate standard error ≤ √(J(1−J)/128) ≈ 0.044.
+    */
+  private val SketchK = 128
+
+  /** §2.5 #33ae — corpus-overlap matrix by MinHash SKETCH: the 100 TB
+    * scale path for [[textOverlap]]. The exact matrix must shuffle the
+    * full distinct-gram relation; this one collapses each source to a
+    * K=128-slot MinHash signature in ONE pass — per source, the k-th
+    * slot is min over grams of the k-th affine permutation of the
+    * gram hash (Broder '97), and P(slot_a = slot_b) = Jaccard(A, B),
+    * so matches/K estimates the whole matrix from 20 signature rows.
+    *
+    * The 128 permutations ride PACKED as 128 min-aggregate columns in
+    * ONE map-side-combinable HashAggregate (the q_neighborhood_k
+    * layout lesson: exploding to (gram, k) rows would multiply the
+    * fact shuffle ×128), and the pair stage is a 20×20 bounded
+    * broadcast cross of signature rows with a 128-term match-count
+    * fold. Everything is integer: the gram hash is the md5-hex-prefix
+    * parse (the q_join_card bucket idiom), permutations are
+    * (a·h + b) mod 4294967311 in DECIMAL(38,0)/HUGEINT — so the
+    * estimate hash-matches DuckDB exactly, estimator randomness and
+    * all. Round15OpsSpec pins the estimate against the exact matrix
+    * within the binomial error bound.
+    */
+  def textOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    val js = 0 until SketchK
+    val g = docs(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.ArrayExprs.wordNgrams(words, 3)).as("gram"))
+      .distinct()
+      // 8 hex digits → h ∈ [0, 2^32); a ≤ 255, so a·h + b ≤ 1.1·10¹²
+      // — the whole permutation stays in native int64, no decimals
+      .withColumn("h", expr("CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT)"))
+    val sig = g.groupBy(col("source"))
+      .agg(
+        min(expr(s"pmod(1 * h + 0, 4294967311L)")).as("m0"),
+        js.tail.map(j =>
+          min(expr(s"pmod(${2 * j + 1} * h + $j, 4294967311L)")).as(s"m$j")): _*)
+      .cache()
+    val a = sig.select(col("source").as("src_a") +: js.map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sig.select(col("source").as("src_b") +: js.map(j => col(s"m$j").as(s"b$j")): _*)
+    val matches = js.map(j => expr(s"IF(a$j = b$j, 1L, 0L)")).reduce(_ + _)
+    val out = a.crossJoin(broadcast(b))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), matches.as("n_matches"))
+      .withColumn("est_jaccard_ppm", expr(s"n_matches * 1000000L div ${SketchK}L"))
+    graft.GraftSession.materialized(out, Seq("src_a", "src_b"), sig)
+  }
+
+  val textOverlapSketchSql: String = {
+    val terms = (0 until 3).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    val js = 0 until SketchK
+    val mins = js.map(j =>
+      s"CAST((${2 * j + 1} * h + $j) % 4294967311 AS BIGINT) AS p$j").mkString(",\n      |    ")
+    val aggs = js.map(j => s"min(p$j) AS m$j").mkString(", ")
+    // balanced chunks of 16: DuckDB's binder recurses per `+` node and
+    // caps at depth 128, so a left-deep 128-term chain fails to bind
+    val eqs = js.map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+      .grouped(16).map(_.mkString("(", " + ", ")")).mkString(" + ")
+    s"""WITH w AS (SELECT source, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, gram FROM (
+      |    SELECT source, unnest(
+      |      CASE WHEN len(ws) >= 3
+      |        THEN list_transform(range(1, len(ws) - 1), i -> $terms)
+      |        ELSE [text] END) AS gram
+      |    FROM w
+      |  )
+      |), hh AS (
+      |  SELECT source, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM g
+      |), perms AS (
+      |  SELECT source,
+      |    $mins
+      |  FROM hh
+      |), sig AS (
+      |  SELECT source, $aggs FROM perms GROUP BY source
+      |)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST($eqs AS BIGINT) AS n_matches,
+      |  CAST(($eqs) * 1000000 // ${SketchK} AS BIGINT) AS est_jaccard_ppm
+      |FROM sig a JOIN sig b ON a.source < b.source
+      |ORDER BY src_a, src_b""".stripMargin
+  }
+
   val textJsSql: String =
     """WITH tok AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
@@ -1680,6 +1765,7 @@ object TextAnalysis {
     "text_zipf" -> (textZipf _),
     "text_overlap" -> (textOverlap _),
     "text_js" -> (textJs _),
+    "text_overlap_sketch" -> (textOverlapSketch _),
     "text_inverted" -> (textInverted _),
     "text_pmi" -> (textPmi _),
     "text_entropy" -> (textEntropy _),
@@ -1711,6 +1797,7 @@ object TextAnalysis {
     "text_zipf" -> textZipfSql,
     "text_overlap" -> textOverlapSql,
     "text_js" -> textJsSql,
+    "text_overlap_sketch" -> textOverlapSketchSql,
     "text_inverted" -> textInvertedSql,
     "text_bigram" -> textBigramSurprisalSql,
     "text_pmi" -> textPmiSql,

@@ -209,7 +209,11 @@ class PlanSpec extends AnyFunSuite {
       "text_overlap",
       // text_js: the same ≤|sources|-row pair grid (totals × totals,
       // src_a < src_b) — the text_overlap shape
-      "text_js")
+      "text_js",
+      // text_overlap_sketch crosses the TWO ≤|sources|-row (20)
+      // MinHash signature tables on the same non-equi predicate —
+      // the text_overlap bounded-both-sides shape
+      "text_overlap_sketch")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil

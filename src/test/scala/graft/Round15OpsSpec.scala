@@ -131,6 +131,29 @@ class Round15OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_overlap_sketch: MinHash estimate tracks the exact Jaccard matrix") {
+    val exact = graft.operators.TextAnalysis.textOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Long]("jaccard_ppm")).toMap
+    val est = graft.operators.TextAnalysis.textOverlapSketch(spark, sf).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("est_jaccard_ppm"))).toMap
+    assert(est.keySet == exact.keySet, "sketch covers every source pair")
+    var sumAbsErr = 0.0
+    for ((pair, (m, e)) <- est) {
+      assert(m >= 0L && m <= 128L)
+      assert(e == m * 1000000L / 128L)
+      // per-pair: 5σ binomial bound, σ = √(J(1−J)/K) ≤ 0.0442 at K=128
+      val err = math.abs(e - exact(pair)) / 1e6
+      assert(err <= 0.25, s"$pair estimate off by $err (exact ${exact(pair)} est $e)")
+      sumAbsErr += err
+    }
+    // and in aggregate the estimator must actually track the matrix,
+    // not just stay inside a loose per-pair cap
+    assert(sumAbsErr / est.size <= 0.06,
+      s"mean |error| ${sumAbsErr / est.size} exceeds the K=128 expectation")
+  }
+
   test("text_overlap: self-join pair counts equal literal shingle-set intersections") {
     val docs = GraftSession.table(spark, sf, "documents")
       .select(col("source"), col("text")).collect()
