@@ -154,6 +154,47 @@ class Round15OpsSpec extends AnyFunSuite {
       s"mean |error| ${sumAbsErr / est.size} exceeds the K=128 expectation")
   }
 
+  test("text_overlap_sketch: signatures replay bit-exactly in plain Scala and merge by element-wise min") {
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val ws = text.split(" ", -1)
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val P = 4294967311L
+    def sigOf(grams: Set[String]): Array[Long] = {
+      val hs = grams.toArray.map(g => java.lang.Long.parseLong(md5hex(g).take(8), 16))
+      Array.tabulate(128)(j => hs.map(h => ((2L * j + 1) * h + j) % P).min)
+    }
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(ds => ds.iterator.flatMap(d => shingles(d._2)).toSet).toMap
+    val sigs = bySource.view.mapValues(sigOf).toMap
+    val sources = sigs.keys.toSeq.sorted
+
+    val got = graft.operators.TextAnalysis.textOverlapSketch(spark, sf).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Long]("n_matches")).toMap
+    for (i <- sources.indices; j <- (i + 1) until sources.length) {
+      val (a, b) = (sources(i), sources(j))
+      val want = (0 until 128).count(k => sigs(a)(k) == sigs(b)(k)).toLong
+      assert(got((a, b)) == want, s"($a,$b) match count replay")
+    }
+
+    // mergeability — the property that makes the sketch an
+    // incremental-corpus primitive: sig(A ∪ B) is the element-wise
+    // min of sig(A) and sig(B), so appending a batch never needs the
+    // old corpus, only its 128-slot signature
+    val (sa, sb) = (sources.head, sources.last)
+    val merged = sigOf(bySource(sa) ++ bySource(sb))
+    val elementMin = Array.tabulate(128)(k => math.min(sigs(sa)(k), sigs(sb)(k)))
+    assert(merged.sameElements(elementMin), "signature of union == element-wise min")
+  }
+
   test("text_overlap: self-join pair counts equal literal shingle-set intersections") {
     val docs = GraftSession.table(spark, sf, "documents")
       .select(col("source"), col("text")).collect()
