@@ -1642,7 +1642,7 @@ object TextAnalysis {
   /** Permutation count for [[textOverlapSketch]] — 128 gives a
     * Jaccard-estimate standard error ≤ √(J(1−J)/128) ≈ 0.044.
     */
-  private val SketchK = 128
+  private[graft] val SketchK = 128
 
   /** §2.5 #33ae — corpus-overlap matrix by MinHash SKETCH: the 100 TB
     * scale path for [[textOverlap]]. The exact matrix must shuffle the

@@ -808,4 +808,32 @@ object EventsStream {
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** §2.7 — streaming MinHash signature maintenance: the incremental
+    * half of [[graft.operators.TextAnalysis.textOverlapSketch]]. The
+    * per-source 128-slot signature is a bag of MINIMA, and min is
+    * idempotent and mergeable — so the twin needs NO custom state
+    * function, no dedup, and no watermark: a plain streaming
+    * groupBy(source) with 128 built-in `min` aggregates (update mode)
+    * converges to exactly the batch signature regardless of how the
+    * corpus splits into micro-batches or how often a gram repeats.
+    * State is |sources|·K int64s — bounded by construction. Downstream,
+    * each update can re-estimate the overlap matrix from the standing
+    * ≤|sources| signature rows (the batch op's bounded pair stage),
+    * which is how a mixture monitor tracks cross-source duplication
+    * live. StreamingSpec pins the converged rows bit-exactly against
+    * the plain-Scala signature replay that also pins the batch op.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val js = 0 until graft.operators.TextAnalysis.SketchK
+    docs
+      .select(col("source"),
+        explode(graft.functions.ArrayExprs.wordNgrams(split(col("text"), " "), 3)).as("gram"))
+      .withColumn("h", expr("CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(
+        min(expr(s"pmod(1 * h + 0, 4294967311L)")).as("m0"),
+        js.tail.map(j =>
+          min(expr(s"pmod(${2 * j + 1} * h + $j, 4294967311L)")).as(s"m$j")): _*)
+  }
 }

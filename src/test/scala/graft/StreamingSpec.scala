@@ -948,4 +948,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(("drift", 3L))._3 || got(("drift", 4L))._3, "drift must alarm within 2 days")
     } finally q.stop()
   }
+
+  test("streaming MinHash signatures converge to the batch signature across splits") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val input = stream.toDF().toDF("source", "text")
+
+    val q = EventsStream.minhashSignatures(input)
+      .writeStream.format("memory").queryName("mh_out").outputMode("update").start()
+    try {
+      val docs = GraftSession.table(spark, sf, "documents")
+        .select(col("source"), col("text")).as[(String, String)].collect().toSeq
+      // arrival order decorrelated from source: hash-sliced batches
+      val b = docs.groupBy(d => (d._2.hashCode & Int.MaxValue) % 3)
+      stream.addData(b.getOrElse(0, Nil)); q.processAllAvailable()
+      stream.addData(b.getOrElse(1, Nil)); q.processAllAvailable()
+      stream.addData(b.getOrElse(2, Nil)); q.processAllAvailable()
+
+      // last emission per source = the converged signature
+      val K = graft.operators.TextAnalysis.SketchK
+      val rows = spark.table("mh_out").collect()
+      val got = rows.groupBy(_.getString(0)).view.mapValues { rs =>
+        // rows arrive in emission order within the memory sink; the
+        // converged value of every slot is its minimum across
+        // emissions (min only ever decreases)
+        Array.tabulate(K)(j => rs.map(_.getLong(j + 1)).min)
+      }.toMap
+
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      def shingles(text: String): Set[String] = {
+        val ws = text.split(" ", -1)
+        if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+        else Set(ws.mkString(" "))
+      }
+      val P = 4294967311L
+      val want = docs.groupBy(_._1).view.mapValues { ds =>
+        val hs = ds.iterator.flatMap(d => shingles(d._2)).toSet.toArray
+          .map((g: String) => java.lang.Long.parseLong(md5hex(g).take(8), 16))
+        Array.tabulate(K)(j => hs.map(h => ((2L * j + 1) * h + j) % P).min)
+      }.toMap
+
+      assert(got.keySet == want.keySet)
+      for (s <- want.keySet)
+        assert(got(s).sameElements(want(s)), s"signature diverges for $s")
+      // bounded state: one row per source per emission, never per doc
+      assert(rows.length <= want.size * 3)
+    } finally q.stop()
+  }
 }
