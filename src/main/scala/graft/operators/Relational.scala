@@ -4644,7 +4644,9 @@ object Relational {
       .select(
         col("c_mktsegment"), col("n_customers"),
         col("sx").cast(LongType).as("total_cents"),
-        expr("(CAST(2 AS DECIMAL(38,0)) * srx - CAST(n_customers + 1 AS DECIMAL(38,0)) * sx) * CAST(1000000 AS DECIMAL(38,0)) div (CAST(n_customers AS DECIMAL(38,0)) * sx)")
+        // sx = 0 (a segment where no customer ever spent) must emit 0,
+        // not engine-divergent div-by-zero (Spark NULL vs DuckDB error)
+        expr("CASE WHEN sx = 0 THEN 0L ELSE (CAST(2 AS DECIMAL(38,0)) * srx - CAST(n_customers + 1 AS DECIMAL(38,0)) * sx) * CAST(1000000 AS DECIMAL(38,0)) div (CAST(n_customers AS DECIMAL(38,0)) * sx) END")
           .as("gini_ppm"),
       )
       .orderBy("c_mktsegment")
@@ -4678,8 +4680,9 @@ object Relational {
       |)
       |SELECT c_mktsegment, CAST(n_customers AS BIGINT) AS n_customers,
       |  CAST(sx AS BIGINT) AS total_cents,
-      |  CAST((2 * srx - CAST(n_customers + 1 AS HUGEINT) * sx) * 1000000
-      |    // (CAST(n_customers AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+      |  CAST(CASE WHEN sx = 0 THEN 0 ELSE
+      |    (2 * srx - CAST(n_customers + 1 AS HUGEINT) * sx) * 1000000
+      |      // (CAST(n_customers AS HUGEINT) * sx) END AS BIGINT) AS gini_ppm
       |FROM m
       |ORDER BY c_mktsegment""".stripMargin
 
