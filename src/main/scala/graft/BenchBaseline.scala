@@ -172,9 +172,12 @@ object BenchBaseline {
     "q_neighborhood_k" -> 7.18,
     "q_gini" -> 0.66,
     "q_acf" -> 0.52,
-    "text_overlap" -> 1.96,
+    // re-frozen r11: 1.82 / 2.28 idle-box cold after dropping the
+    // sketch's redundant pre-aggregate distinct() (r10 verdict #2) —
+    // the signature build is now the one map-side HashAggregate
+    "text_overlap" -> 1.82,
     "text_js" -> 1.79,
-    "text_overlap_sketch" -> 2.42,
+    "text_overlap_sketch" -> 2.28,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

@@ -4724,16 +4724,27 @@ object Relational {
         count(lit(1)).as("n_pairs"),
         sum(col("x").cast(d38)).as("sx"),
         sum(col("y").cast(d38)).as("sy"),
-        sum((col("x") * col("y")).cast(d38)).as("sxy"),
-        sum((col("x") * col("x")).cast(d38)).as("sxx"),
-        sum((col("y") * col("y")).cast(d38)).as("syy"),
+        // factor-first widening: cast EACH factor to DECIMAL(38,0)
+        // before the multiply (the qGini cents idiom) so the product
+        // is exact decimal arithmetic like the oracle's HUGEINT —
+        // an int64 x*y pre-cast would silently wrap above ~3e9 daily
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"),
       )
     val n = col("n_pairs").cast(DoubleType)
     def d(c: String): Column = col(c).cast(DoubleType)
+    // zero-variance guard, decided in EXACT integer arithmetic on both
+    // engines (a double-side guard could disagree at the boundary): a
+    // constant series — possible at high lags where n_pairs is tiny —
+    // has varx = n·sxx − sx² = 0 and the acf is undefined → NULL
+    val varX = col("n_pairs").cast(d38) * col("sxx") - col("sx") * col("sx")
+    val varY = col("n_pairs").cast(d38) * col("syy") - col("sy") * col("sy")
     m.select(
         col("event_type"), col("lag").cast(LongType).as("lag"), col("n_pairs"),
-        ((n * d("sxy") - d("sx") * d("sy"))
-          / sqrt((n * d("sxx") - d("sx") * d("sx")) * (n * d("syy") - d("sy") * d("sy"))))
+        when(varX === lit(0) || varY === lit(0), lit(null).cast(DoubleType))
+          .otherwise((n * d("sxy") - d("sx") * d("sy"))
+            / sqrt((n * d("sxx") - d("sx") * d("sx")) * (n * d("syy") - d("sy") * d("sy"))))
           .as("acf"),
       )
       .orderBy("event_type", "lag")
@@ -4765,9 +4776,10 @@ object Relational {
       |  FROM pairs GROUP BY 1, 2
       |)
       |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
-      |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0 THEN NULL
+      |  ELSE (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+      |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS acf
       |FROM m
       |ORDER BY event_type, lag""".stripMargin
 

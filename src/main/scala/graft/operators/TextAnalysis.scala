@@ -1534,10 +1534,19 @@ object TextAnalysis {
       .select(
         col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         coalesce(col("n_inter"), lit(0L)).as("n_inter"),
-        expr("coalesce(n_inter, 0L) * 1000000L div (n_a + n_b - coalesce(n_inter, 0L))")
+        // Zero-denominator guards are defense-in-depth: every source in
+        // `pairs` comes from `sizes` (count ≥ 1 by construction — even a
+        // one-word doc yields its whole-text gram via WordNgrams'
+        // short-doc fallback), so n_a, n_b and the union size are all
+        // ≥ 1 on any reachable input. Guarded anyway so a future
+        // shingle definition without the fallback can't turn a
+        // degenerate corpus into an ANSI DIVIDE_BY_ZERO; identical
+        // CASE in the oracle keeps the engines aligned.
+        expr("IF(n_a + n_b - coalesce(n_inter, 0L) = 0, 0L, " +
+          "coalesce(n_inter, 0L) * 1000000L div (n_a + n_b - coalesce(n_inter, 0L)))")
           .as("jaccard_ppm"),
-        expr("coalesce(n_inter, 0L) * 1000000L div n_a").as("contain_a_ppm"),
-        expr("coalesce(n_inter, 0L) * 1000000L div n_b").as("contain_b_ppm"),
+        expr("IF(n_a = 0, 0L, coalesce(n_inter, 0L) * 1000000L div n_a)").as("contain_a_ppm"),
+        expr("IF(n_b = 0, 0L, coalesce(n_inter, 0L) * 1000000L div n_b)").as("contain_b_ppm"),
       )
     graft.GraftSession.materialized(out, Seq("src_a", "src_b"), g)
   }
@@ -1564,9 +1573,10 @@ object TextAnalysis {
       |)
       |SELECT p.src_a, p.src_b, CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
       |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
-      |  CAST(coalesce(i.n_inter, 0) * 1000000 // (p.n_a + p.n_b - coalesce(i.n_inter, 0)) AS BIGINT) AS jaccard_ppm,
-      |  CAST(coalesce(i.n_inter, 0) * 1000000 // p.n_a AS BIGINT) AS contain_a_ppm,
-      |  CAST(coalesce(i.n_inter, 0) * 1000000 // p.n_b AS BIGINT) AS contain_b_ppm
+      |  CAST(CASE WHEN p.n_a + p.n_b - coalesce(i.n_inter, 0) = 0 THEN 0
+      |    ELSE coalesce(i.n_inter, 0) * 1000000 // (p.n_a + p.n_b - coalesce(i.n_inter, 0)) END AS BIGINT) AS jaccard_ppm,
+      |  CAST(CASE WHEN p.n_a = 0 THEN 0 ELSE coalesce(i.n_inter, 0) * 1000000 // p.n_a END AS BIGINT) AS contain_a_ppm,
+      |  CAST(CASE WHEN p.n_b = 0 THEN 0 ELSE coalesce(i.n_inter, 0) * 1000000 // p.n_b END AS BIGINT) AS contain_b_ppm
       |FROM pairs p LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
       |ORDER BY p.src_a, p.src_b""".stripMargin
   }
@@ -1591,7 +1601,14 @@ object TextAnalysis {
     * one scale down — contributions are tiny) so the pair aggregation
     * is an order-free int64 sum; shared-mass numerators Σtf stay
     * integer. The final js_nats combines one int sum + two exact
-    * integer ratios + ln 2 — the same IEEE doubles on both engines.
+    * integer ratios + ln 2. Caveat: unlike the pure-integer ops, the
+    * per-term quantization here goes through ln(), which is NOT
+    * correctly rounded in either engine's libm — floor(·1e12) can in
+    * principle flip by one ulp-boundary count on a different
+    * platform/corpus. On this box the engines agree exactly (the gate
+    * passes); treat the cross-engine equality as empirical, not
+    * proven, and allow a |Δc| ≤ n_shared per-pair slack if a future
+    * platform diverges.
     * Zero-overlap pairs correctly report the JS maximum ln 2 via the
     * broadcast-crossed 190-row pair grid.
     */
@@ -1666,10 +1683,16 @@ object TextAnalysis {
     */
   def textOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
     val js = 0 until SketchK
+    // NO distinct on the exploded gram relation: min is
+    // duplicate-insensitive, so repeated grams collapse inside the
+    // map-side partial aggregate for free — a pre-dedup would be a
+    // second fact-wide shuffle paying exactly the cost the sketch
+    // exists to avoid (the oracle keeps its DISTINCT; the signatures
+    // are provably identical either way). The streaming twin
+    // (EventsStream minhash maintenance) relies on the same property.
     val g = docs(spark, dir)
       .select(col("source"),
         explode(graft.functions.ArrayExprs.wordNgrams(words, 3)).as("gram"))
-      .distinct()
       // 8 hex digits → h ∈ [0, 2^32); a ≤ 255, so a·h + b ≤ 1.1·10¹²
       // — the whole permutation stays in native int64, no decimals
       .withColumn("h", expr("CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT)"))

@@ -56,7 +56,8 @@ object ScaleProbe {
   private val DefaultQueries = Seq(
     "q_hits", "q_pagerank", "q_components", "q_bfs", "q_ppr",
     "q_kcore", "q_communities", "q_msf", "dedup_containment", "ann_recall",
-    "q_neighborhood", "q_neighborhood_k", "text_overlap", "q_gini")
+    "q_neighborhood", "q_neighborhood_k", "text_overlap",
+    "text_overlap_sketch", "q_gini")
 
   private def buildScaled(spark: SparkSession, src: String, out: String): Unit = {
     idCols.foreach { case (name, ids) =>
@@ -126,15 +127,18 @@ object ScaleProbe {
     // shared box shows episodic multi-second stalls on unchanged
     // plans (q_neighborhood_k measured 34 s and 113 s at sf1 in two
     // back-to-back probes of identical code+data), so a first-pass
-    // ratio over the gate gets up to two fresh re-timings of BOTH
-    // sides (min kept) before it stands — a surviving flag spans
-    // three separate windows and means real superlinearity.
+    // ratio over the gate gets up to two fresh re-timings of the sf1
+    // side (min kept) before it stands — a surviving flag spans three
+    // separate windows and means real superlinearity. Only the sf1
+    // side is re-timed: a contention spike on the sf0.1 side LOWERS
+    // the ratio (never triggers the gate), while re-timing it keeps
+    // the min and can only inflate the ratio further — paying an
+    // extra heavy run to make the flag stickier, not fairer.
     val rows = names.map { n =>
-      var t01 = timed(n, src)
+      val t01 = timed(n, src)
       var t1 = timed(n, out)
       var tries = 0
       while (t1 / math.max(0.001, t01) > Factor && tries < 2) {
-        t01 = math.min(t01, timed(n, src))
         t1 = math.min(t1, timed(n, out))
         tries += 1
       }
