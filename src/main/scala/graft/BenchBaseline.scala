@@ -178,6 +178,9 @@ object BenchBaseline {
     "text_overlap" -> 1.82,
     "text_js" -> 1.79,
     "text_overlap_sketch" -> 2.28,
+    // r11 addition, first honest idle-box cold measurement (0.71/0.72
+    // across two targeted runs)
+    "q_avro_roundtrip" -> 0.71,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

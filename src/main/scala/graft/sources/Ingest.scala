@@ -32,6 +32,7 @@ object Ingest {
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet")) spark.read.parquet(path)
     else if (lower.endsWith(".orc")) spark.read.orc(path)
+    else if (lower.endsWith(".avro")) AvroBridge.readAvro(spark, path)
     else if (lower.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) spark.read.json(path)
@@ -48,7 +49,12 @@ object Ingest {
     if (lower.endsWith(".csv")) w.option("header", "true").csv(path)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) w.json(path)
     else if (lower.endsWith(".orc")) w.orc(path)
-    else w.parquet(path)
+    else if (lower.endsWith(".avro")) {
+      // AvroBridge has no partitionBy leg (no connector in this env);
+      // partitioned avro exports repartition upstream instead
+      require(partitionBy.isEmpty, "avro sink does not support partitionBy")
+      AvroBridge.writeAvro(df, path)
+    } else w.parquet(path)
   }
 
   /** Fixed per-session scratch root: one dir per Spark application
@@ -94,6 +100,34 @@ object Ingest {
 
   val qOrcRoundtripSql: String =
     """SELECT doc_id, source, md5(text) AS text_md5, CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** named query: Avro sink+source round-trip — `documents` is written
+    * as Avro object container files via [[AvroBridge]] (the public
+    * `org.apache.avro` API; the spark-avro connector module is absent
+    * in this environment) and read back distributed; the projection
+    * must equal reading the parquet original (the DuckDB oracle). The
+    * md5 pins that Avro's UTF-8 string encoding round-trips the text
+    * byte-exactly, and nullable-union columns survive (every testdata
+    * column is nullable).
+    */
+  def qAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir(spark) + "/documents.avro"
+    writeAuto(graft.GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars")), tmp)
+    readAuto(spark, tmp)
+      .select(
+        col("doc_id"),
+        col("source"),
+        md5(col("text")).as("text_md5"),
+        col("n_chars"),
+      )
+      .orderBy("doc_id")
+  }
+
+  val qAvroRoundtripSql: String =
+    """SELECT doc_id, source, md5(text) AS text_md5, n_chars
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -480,6 +514,7 @@ object Ingest {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_avro_roundtrip" -> (qAvroRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
@@ -492,6 +527,7 @@ object Ingest {
 
   val oracles: Map[String, String] = Map(
     "q_orc_roundtrip" -> qOrcRoundtripSql,
+    "q_avro_roundtrip" -> qAvroRoundtripSql,
     "q_jsonl_roundtrip" -> qJsonlRoundtripSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_xml_roundtrip" -> qXmlRoundtripSql,
