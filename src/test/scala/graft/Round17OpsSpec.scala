@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 pins: the vector-index delete path (`ann_delete` +
+  * [[VectorOps.annIvfLive]]) — the shrink half of IVF maintenance
+  * next to `ann_incremental`'s grow half.
+  */
+class Round17OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def corpus = GraftSession.table(spark, sf, "embeddings")
+    .select(col("vec_id").as("id"), col("embedding"))
+
+  test("ann_delete: per-list conservation, ppm/flag arithmetic, determinism") {
+    val e = corpus
+    val nTotal = e.count()
+    val nDead = e.filter(col("id") % 7 === 3).count()
+    assert(nDead > 0 && nDead < nTotal)
+    val rep = VectorOps.annDelete(spark, sf).collect()
+    assert(rep.map(_.getAs[Long]("n_total")).sum == nTotal, "every vector lands in exactly one list")
+    assert(rep.map(_.getAs[Long]("n_deleted")).sum == nDead, "every tombstone is accounted once")
+    rep.foreach { r =>
+      val (t, d, l) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_deleted"), r.getAs[Long]("n_live"))
+      val ppm = r.getAs[Long]("deleted_ppm")
+      assert(l == t - d)
+      assert(ppm == d * 1000000L / t, "floor-division ppm")
+      assert(r.getAs[Boolean]("compact") == (ppm >= 300000L), "30% dead-fraction trigger")
+    }
+    val again = VectorOps.annDelete(spark, sf).collect()
+    assert(rep.map(_.toSeq.toVector).toVector == again.map(_.toSeq.toVector).toVector,
+      "frozen-quantizer report is deterministic")
+  }
+
+  test("tombstone-aware read: no corpse surfaces; undeleted queries keep recall; empty tombstones = plain index") {
+    val e = corpus
+    val tomb = e.select(col("id")).filter(col("id") % 7 === 3)
+    // quantizer frozen on the FULL corpus (the production state at
+    // delete time: centroids were trained before the rows died)
+    val cs = VectorOps.kmeansCentroids(e, 16)
+    val queries = e.filter(col("id") < 30 && !(col("id") % 7 === 3))
+    val got = VectorOps.annIvfLive(e, tomb, queries, 5, cs).collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(_.getAs[Long]("neighbor_id") % 7 == 3),
+      "a tombstoned vector must never surface in query results")
+
+    // recall on undeleted queries vs exact brute force over the LIVE
+    // corpus — the suite-wide 0.7 floor the other indexes pin
+    val live = e.join(tomb, Seq("id"), "left_anti")
+    val truth = VectorOps.annBruteforce(live, queries, 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .count(truth.contains)
+    assert(hits.toDouble / truth.size >= 0.7,
+      s"recall@5 after deletes: $hits/${truth.size}")
+
+    // the anti-join read path is a no-op under an empty tombstone set
+    val none = tomb.filter(lit(false))
+    val a = VectorOps.annIvfLive(e, none, queries, 5, cs).collect().map(_.toSeq.toVector).toSet
+    val b = VectorOps.annIvf(e, queries, 5, 8, cs).collect().map(_.toSeq.toVector).toSet
+    assert(a == b, "empty tombstones must reproduce the plain index read exactly")
+  }
+}
