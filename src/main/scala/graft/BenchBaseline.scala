@@ -185,6 +185,9 @@ object BenchBaseline {
     // warm-up predecessor; cost is dominated by the full-corpus
     // quantizer train, the ann_ivf class)
     "ann_delete" -> 1.42,
+    // r11 addition: 2.06/1.96 across two warm-predecessor runs — the
+    // op is a genuine full-payload rewrite (shuffle + write + readback)
+    "q_compact_exec" -> 1.96,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

@@ -381,6 +381,86 @@ object TableFormat {
       .orderBy("source", "bin")
   }
 
+  /** §2.2 #21bs2 — compaction EXECUTION: [[qCompactPlan]] plans the
+    * bins; this op actually rewrites the table into them and proves
+    * the rewrite faithful. The row→bin assignment is the plan's own
+    * cumulative-sum window; the rewrite is ONE hash repartition on
+    * (source, bin) — every row of a bin lands in exactly one task, so
+    * `partitionBy(source, bin)` emits EXACTLY ONE physical parquet
+    * file per planned bin (the bucketedCopy pay-the-layout-once
+    * idiom: the shuffle is the price of the layout, paid once).
+    * `sortWithinPartitions(..., doc_id)` keeps every output file a
+    * doc_id-sorted contiguous key range, so clustering survives the
+    * rewrite — the property that makes post-OPTIMIZE zone maps work.
+    *
+    * The output report is read back from the REWRITTEN files — per
+    * physical file: row count, byte total, [first, last] key range,
+    * and the distinct-physical-file count per bin. The DuckDB oracle
+    * replays the plan arithmetic from the original table and emits a
+    * literal `1 AS n_phys_files`: hash-matching it proves conservation
+    * (counts and bytes per bin), faithful key ranges, and the
+    * one-file-per-bin contract, all from the actual rewritten layout.
+    *
+    * Scale shape: one wide exchange over the payload (unavoidable —
+    * compaction IS a rewrite), metadata-sized everything else. At
+    * 100 TB OPTIMIZE runs per partition predicate; bins cap output
+    * file size so no task writes unboundedly.
+    */
+  /** Bin target for [[qCompactExec]] — 64 KB so the rewrite actually
+    * CONSOLIDATES (tens of output files at the test SFs). The 1000-byte
+    * [[CompactTarget]] is right for the plan op's per-document manifest
+    * demo but would execute as one physical file per document — the
+    * first cut measured 28 s at sf0.1 writing ~5000 tiny files, i.e.
+    * the small-file problem compaction exists to FIX. A production
+    * OPTIMIZE targets 128 MB–1 GB.
+    */
+  private val CompactExecTarget = 65536L
+
+  def qCompactExec(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars").as("bytes"), col("text"))
+      .withColumn("cum_bytes", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_bytes div $CompactExecTarget"))
+      .select(col("source"), col("bin"), col("doc_id"), col("bytes"), col("text"))
+    val out = s"${graft.sources.Ingest.scratchDir(spark)}/documents_compacted_${Integer.toHexString(dir.hashCode)}"
+    binned
+      .repartition(col("source"), col("bin"))
+      .sortWithinPartitions("source", "bin", "doc_id")
+      .write.mode("overwrite").partitionBy("source", "bin").parquet(out)
+    spark.read.parquet(out)
+      // projected BEFORE the agg: Spark (correctly) rejects the
+      // nondeterministic input_file_name() inside an aggregate arg
+      .withColumn("phys_file", input_file_name())
+      .groupBy(col("source"), col("bin").cast(LongType).as("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bytes")).as("bin_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        countDistinct(col("phys_file")).as("n_phys_files"),
+      )
+      .orderBy("source", "bin")
+  }
+
+  val qCompactExecSql: String =
+    """WITH files AS (
+      |  SELECT source, doc_id, n_chars AS bytes FROM documents
+      |), binned AS (
+      |  SELECT source, doc_id, bytes,
+      |    coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 65536 AS bin
+      |  FROM files
+      |)
+      |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+      |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |  CAST(1 AS BIGINT) AS n_phys_files
+      |FROM binned
+      |GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
   val qCompactPlanSql: String =
     """WITH files AS (
       |  SELECT source, doc_id, n_chars AS bytes FROM documents
@@ -472,6 +552,7 @@ object TableFormat {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compact_plan" -> (qCompactPlan _),
+    "q_compact_exec" -> (qCompactExec _),
     "q_time_travel" -> (qTimeTravel _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_txn_conflict" -> (qTxnConflict _),
@@ -482,6 +563,7 @@ object TableFormat {
 
   val oracles: Map[String, String] = Map(
     "q_compact_plan" -> qCompactPlanSql,
+    "q_compact_exec" -> qCompactExecSql,
     "q_time_travel" -> qTimeTravelSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_txn_conflict" -> qTxnConflictSql,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.VectorOps
+import graft.operators.{TableFormat, VectorOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -63,5 +63,62 @@ class Round17OpsSpec extends AnyFunSuite {
     val a = VectorOps.annIvfLive(e, none, queries, 5, cs).collect().map(_.toSeq.toVector).toSet
     val b = VectorOps.annIvf(e, queries, 5, 8, cs).collect().map(_.toSeq.toVector).toSet
     assert(a == b, "empty tombstones must reproduce the plain index read exactly")
+  }
+
+  test("q_compact_exec: payload conserved, one file per bin, files are sorted contiguous key ranges") {
+    val rep = TableFormat.qCompactExec(spark, sf).collect()
+    // the exec op's own 64 KB consolidation target (qCompactPlan's
+    // 1000-byte demo target would mean one file per document)
+    val plan = TableFormat.compactPlanOn(
+      GraftSession.table(spark, sf, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").as("bytes")),
+      65536L).collect()
+
+    // the executed layout must reproduce the plan bin-for-bin:
+    // same (source, bin) set, same counts/bytes/key ranges
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[Long]("bin"))
+    val planBy = plan.map(r => key(r) ->
+      (r.getAs[Long]("n_files"), r.getAs[Long]("bin_bytes"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toMap
+    assert(rep.length == plan.length, "file count = bin count")
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_phys_files") == 1L, s"bin ${key(r)} spans multiple files")
+      val p = planBy(key(r))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("bin_bytes"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")) == p,
+        s"bin ${key(r)} diverged from the plan")
+    }
+    // non-overlapping contiguous ranges per source
+    rep.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bin"))
+      sorted.sliding(2).foreach {
+        case Array(a2, b2) =>
+          assert(a2.getAs[Long]("last_doc") < b2.getAs[Long]("first_doc"),
+            "key ranges must not overlap across output files")
+        case _ => ()
+      }
+    }
+
+    // payload conservation + within-file clustering, read from the
+    // actual rewritten files
+    val out = {
+      // same deterministic path the op writes (scratch + dir hash)
+      val scratch = graft.sources.Ingest.scratchDir(spark)
+      s"$scratch/documents_compacted_${Integer.toHexString(sf.hashCode)}"
+    }
+    val orig = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val back = spark.read.parquet(out).select(col("doc_id"), md5(col("text")).as("h"))
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty,
+      "compaction must conserve every payload byte")
+    val files = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("doc_id")).collect()
+      .groupBy(_.getString(0)).values
+    files.foreach { rows =>
+      val ids = rows.map(_.getLong(1)).toVector
+      assert(ids == ids.sorted, "within-file doc_id order must survive (clustering preserved)")
+    }
   }
 }
