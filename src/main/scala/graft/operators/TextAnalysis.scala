@@ -1702,14 +1702,25 @@ object TextAnalysis {
         js.tail.map(j =>
           min(expr(s"pmod(${2 * j + 1} * h + $j, 4294967311L)")).as(s"m$j")): _*)
       .cache()
+    graft.GraftSession.materialized(overlapFromSignatures(sig), Seq("src_a", "src_b"), sig)
+  }
+
+  /** The bounded pair stage of [[textOverlapSketch]], factored out so
+    * the streaming monitor (EventsStream.overlapMatrixMonitor) can
+    * re-estimate the matrix from the standing signature rows with the
+    * SAME code path the batch op uses — the stream≡batch pin is then
+    * an equality of outputs, not of two reimplementations. Input:
+    * (source, m0..m{K-1}); output ≤|sources|² rows.
+    */
+  private[graft] def overlapFromSignatures(sig: DataFrame): DataFrame = {
+    val js = 0 until SketchK
     val a = sig.select(col("source").as("src_a") +: js.map(j => col(s"m$j").as(s"a$j")): _*)
     val b = sig.select(col("source").as("src_b") +: js.map(j => col(s"m$j").as(s"b$j")): _*)
     val matches = js.map(j => expr(s"IF(a$j = b$j, 1L, 0L)")).reduce(_ + _)
-    val out = a.crossJoin(broadcast(b))
+    a.crossJoin(broadcast(b))
       .filter(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"), matches.as("n_matches"))
       .withColumn("est_jaccard_ppm", expr(s"n_matches * 1000000L div ${SketchK}L"))
-    graft.GraftSession.materialized(out, Seq("src_a", "src_b"), sig)
   }
 
   val textOverlapSketchSql: String = {

@@ -836,4 +836,52 @@ object EventsStream {
         js.tail.map(j =>
           min(expr(s"pmod(${2 * j + 1} * h + $j, 4294967311L)")).as(s"m$j")): _*)
   }
+
+  /** §2.7 #48e (consumer half) — LIVE corpus-overlap matrix: the
+    * mixture monitor that [[minhashSignatures]] exists to feed. The
+    * update-mode signature stream goes through `foreachBatch` (the
+    * documented consumer shape for update-mode aggregates): each
+    * micro-batch delivers the CHANGED signature rows, which merge
+    * slot-wise-min into a standing latest-signature store (≤|sources|
+    * rows of K int64s — the only state, bounded by construction), and
+    * the full estimated matrix is re-published from that store via
+    * [[graft.operators.TextAnalysis.overlapFromSignatures]] — the SAME
+    * pair-stage code the batch sketch runs, so stream≡batch is an
+    * equality of code paths, not of two reimplementations. Published
+    * matrices are ≤|sources|² rows per trigger; after any prefix of
+    * the corpus the matrix is exactly the batch sketch of that prefix
+    * (min-merge makes arrival order irrelevant).
+    *
+    * The slot-wise min merge (not replace) makes the standing store
+    * idempotent under foreachBatch's at-least-once replay contract: a
+    * replayed batch can only re-apply minima that already won.
+    */
+  def overlapMatrixMonitor(docs: DataFrame)(
+      publish: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val K = graft.operators.TextAnalysis.SketchK
+    val standing = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    minhashSignatures(docs)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // changed signature rows: ≤|sources| per trigger
+        batch.collect().foreach { r =>
+          val sig = Array.tabulate(K)(j => r.getLong(j + 1))
+          standing.merge(r.getString(0), sig, (a, b) =>
+            Array.tabulate(K)(j => math.min(a(j), b(j))))
+        }
+        import scala.jdk.CollectionConverters._
+        val rows = standing.entrySet().asScala.toSeq.map { e =>
+          org.apache.spark.sql.Row.fromSeq(e.getKey +: e.getValue.toSeq)
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType) +:
+            (0 until K).map(j => org.apache.spark.sql.types.StructField(
+              s"m$j", org.apache.spark.sql.types.LongType)))
+        val sigDf = spark.createDataFrame(rows.asJava, schema)
+        publish(batchId,
+          graft.operators.TextAnalysis.overlapFromSignatures(sigDf)
+            .orderBy("src_a", "src_b"))
+      }
+  }
 }

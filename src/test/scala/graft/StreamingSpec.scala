@@ -997,4 +997,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.length <= want.size * 3)
     } finally q.stop()
   }
+
+  test("live overlap-matrix monitor republishes on update and converges to the batch sketch matrix") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val input = stream.toDF().toDF("source", "text")
+
+    val published = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[(String, String, Long, Long)])]
+    val q = EventsStream.overlapMatrixMonitor(input) { (id, matrix) =>
+      published += ((id, matrix.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))))
+    }.start()
+    try {
+      val docs = GraftSession.table(spark, sf, "documents")
+        .select(col("source"), col("text")).as[(String, String)].collect().toSeq
+      val nSources = docs.map(_._1).distinct.size
+      val b = docs.groupBy(d => (d._2.hashCode & Int.MaxValue) % 3)
+      stream.addData(b.getOrElse(0, Nil)); q.processAllAvailable()
+      stream.addData(b.getOrElse(1, Nil)); q.processAllAvailable()
+      // duplicate replay of split 0: min-merge must absorb it
+      stream.addData(b.getOrElse(0, Nil)); q.processAllAvailable()
+      stream.addData(b.getOrElse(2, Nil)); q.processAllAvailable()
+
+      assert(published.nonEmpty, "every trigger republishes the matrix")
+      // bounded publish: never more than the full pair grid
+      published.foreach { case (_, m) =>
+        assert(m.length <= nSources * (nSources - 1) / 2)
+      }
+      // converged matrix ≡ the batch sketch op on the same corpus,
+      // bit-exactly (same signature arithmetic, same pair-stage code)
+      val want = graft.operators.TextAnalysis.textOverlapSketch(spark, sf)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toVector
+      assert(published.last._2.toVector == want,
+        "live matrix after the full corpus must equal the batch sketch matrix")
+    } finally q.stop()
+  }
 }
