@@ -188,6 +188,9 @@ object BenchBaseline {
     // r11 addition: 2.06/1.96 across two warm-predecessor runs — the
     // op is a genuine full-payload rewrite (shuffle + write + readback)
     "q_compact_exec" -> 1.96,
+    // r11 addition: 0.87/0.93 across two targeted runs; steady-state
+    // read against the session-materialized IVF index artifact
+    "ann_ivf_indexed" -> 0.87,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

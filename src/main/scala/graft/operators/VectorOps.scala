@@ -893,6 +893,99 @@ object VectorOps {
     annIvf(e, e.filter(col("id") < 20), 5)
   }
 
+  /** Materialized IVF index — the physical layout behind the "IVF
+    * lists are partition-pruned reads" scale story. The inverted
+    * lists (id, qv, norm, centroid_id) are written ONCE per (session,
+    * corpus) to scratch parquet PARTITIONED BY centroid_id, and the
+    * trained centroid table is persisted next to them so every later
+    * consumer probes against the exact frozen quantizer that built
+    * the lists (the knnGraphTable pay-the-layout-once + sha-keyed
+    * atomic-rename idiom). Returns (lists, centroids), both read from
+    * the artifact.
+    */
+  def ivfIndexTable(spark: SparkSession, dir: String,
+      numCentroids: Int = 16): (DataFrame, DataFrame) = {
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    val path = s"${graft.sources.Ingest.scratchDir(spark)}/ivf_index_${numCentroids}_$dirKey"
+    val lock = knnGraphLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!knnGraphDone.contains(path)) {
+        val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+        val cents = kmeansCentroids(e, numCentroids)
+        val assigned = prep(e)
+          .join(broadcast(cents), lit(true))
+          .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
+          .groupBy(col("id"))
+          .agg(
+            max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"),
+            first(col("qv")).as("qv"),
+            first(col("norm")).as("norm"),
+          )
+          .select(col("id"), col("qv"), col("norm"), (-col("m.nid")).cast(IntegerType).as("centroid_id"))
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        val dst = new org.apache.hadoop.fs.Path(path)
+        assigned.write.mode("overwrite")
+          .partitionBy("centroid_id").parquet(s"$tmp/lists")
+        cents.write.mode("overwrite").parquet(s"$tmp/centroids")
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"ivfIndexTable: rename $tmp -> $dst failed")
+        knnGraphDone.add(path)
+      }
+    }
+    (spark.read.parquet(s"$path/lists"), spark.read.parquet(s"$path/centroids"))
+  }
+
+  /** §2.4 #29q — ANN over the MATERIALIZED IVF index: the steady-state
+    * production read. The union of probed list ids for the batch —
+    * AT MOST numCentroids values, bounded by construction, the
+    * whitelisted bounded-driver-collect class — is pushed into the
+    * lists scan as a STATIC partition predicate, so "probe 8 of 16
+    * lists" reads ONLY the probed `centroid_id=` directories: at
+    * 100 TB the index read is proportional to the probed fraction,
+    * not the corpus. (Joining on the partition column and leaning on
+    * dynamic partition pruning was tried first: Spark planned
+    * `dynamicpruningexpression(true)` — considered, then elided — so
+    * the scan read every list; the explicit ≤numCentroids-value IN
+    * predicate prunes deterministically and is plan-pinned by
+    * Round17OpsSpec, along with exact result equality with the
+    * inline [[annIvf]] under the same frozen centroids.) Build is
+    * amortized across query batches; [[annIvfLive]]'s tombstone anti
+    * join composes on top unchanged.
+    */
+  def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val queries = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+      .filter(col("id") < 20)
+    annIvfIndexed(spark, dir, queries, 5, 8)
+  }
+
+  /** Parameterized core of [[annIvfIndexed(spark:*]]. */
+  def annIvfIndexed(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nProbes: Int): DataFrame = {
+    val (lists, cents) = ivfIndexTable(spark, dir)
+    val cs = broadcast(cents)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("centroid_id"))
+    val probes = prep(queries)
+      .select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"))
+      .join(cs, lit(true))
+      .withColumn("cos", pairCos(col("qa"), col("cv"), col("na"), col("cnorm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbes)
+      .select(col("query_id"), col("qa"), col("na"), col("centroid_id"))
+      .cache()
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scored = probes
+      .join(lists.filter(col("centroid_id").isin(probedIds.map(Integer.valueOf): _*)),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        pairCos(col("qa"), col("qv"), col("na"), col("norm")).as("cosine"))
+    topK(scored, k)
+  }
+
   // ------------------------------------------------------- filtered ANN
 
   /** §2.4 #29c — metadata-filtered similarity search: top-k neighbors
@@ -1749,6 +1842,7 @@ object VectorOps {
     "ann_recall" -> (annRecall _),
     "ann_incremental" -> (annIncremental _),
     "ann_delete" -> (annDelete _),
+    "ann_ivf_indexed" -> (annIvfIndexed _),
     "emb_kmeans" -> (embKmeans(_: SparkSession, _: String)),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_outliers" -> (embOutliers _),

@@ -169,6 +169,10 @@ class PlanSpec extends AnyFunSuite {
       // 16-centroid table (ann_ivf quantizer shape); the tombstone
       // join is a broadcast equi-join, not part of the BNLJ
       "ann_delete",
+      // ann_ivf_indexed probes the broadcast persisted centroid table
+      // (the ann_ivf quantizer shape); the list read is an equi-join
+      // on the partition column
+      "ann_ivf_indexed",
       // q11_important cross-joins a broadcast 1-ROW nation-total
       // aggregate into the per-part stock rollup — the q22_idle shape
       "q11_important",

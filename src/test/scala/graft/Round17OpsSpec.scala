@@ -65,6 +65,52 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(a == b, "empty tombstones must reproduce the plain index read exactly")
   }
 
+  test("ann_ivf_indexed: partition-pruned list read, results equal the inline IVF under the same frozen centroids") {
+    val e = corpus
+    val (lists, cents) = VectorOps.ivfIndexTable(spark, sf)
+    // the artifact is physically partitioned by list
+    val scratch = graft.sources.Ingest.scratchDir(spark)
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sf.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    val listDirs = new java.io.File(s"$scratch/ivf_index_16_$dirKey/lists")
+      .listFiles().map(_.getName).filter(_.startsWith("centroid_id="))
+    assert(listDirs.length == cents.count(), "one directory per inverted list")
+
+    val got = VectorOps.annIvfIndexed(spark, sf)
+    // the probed-list IN predicate must land as a STATIC partition
+    // filter (INSET) on the lists scan — the read is the probed
+    // fraction of the index, not the corpus. A 1-query 4-probe batch
+    // must prune to at most 4 of the 16 list directories.
+    def listScanFilters(df: org.apache.spark.sql.DataFrame): String = {
+      val s = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val ls = s.linesIterator.toVector
+      ls.zipWithIndex.collect {
+        case (l, i) if l.contains("PartitionFilters") &&
+          ls.take(i).reverse.find(_.contains("Location")).exists(_.contains("/lists")) => l
+      }.mkString("\n")
+    }
+    val narrow = VectorOps.annIvfIndexed(spark, sf, e.filter(col("id") === 0), 5, 4)
+    val nf = listScanFilters(narrow)
+    // Spark renders a small set as `IN (a,b,...)`, a large one as
+    // `INSET a, b, ...` — accept either, then count the values
+    val inset =
+      "\\bIN \\(([^)]*)\\)".r.findFirstMatchIn(nf)
+        .map(_.group(1).split(",").count(t => t.trim.nonEmpty && t.trim.forall(_.isDigit)))
+        .orElse("INSET ([^\\]]*)".r.findFirstMatchIn(nf)
+          .map(_.group(1).split(", ").count(t => t.nonEmpty && t.forall(_.isDigit))))
+        .getOrElse(-1)
+    assert(inset >= 1 && inset <= 4, s"1-query 4-probe batch must read <= 4 lists, got $inset:\n$nf")
+
+    // same frozen centroids → identical candidates → identical top-k
+    val queries = e.filter(col("id") < 20)
+    val want = VectorOps.annIvf(e, queries, 5, 8, cents)
+      .collect().map(_.toSeq.toVector).toVector
+    assert(got.collect().map(_.toSeq.toVector).toVector == want,
+      "indexed read must equal the inline IVF bit-for-bit")
+    assert(lists.count() == e.count(), "every vector in exactly one list")
+  }
+
   test("q_compact_exec: payload conserved, one file per bin, files are sorted contiguous key ranges") {
     val rep = TableFormat.qCompactExec(spark, sf).collect()
     // the exec op's own 64 KB consolidation target (qCompactPlan's
