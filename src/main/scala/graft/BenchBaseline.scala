@@ -191,6 +191,8 @@ object BenchBaseline {
     // r11 addition: 0.87/0.93 across two targeted runs; steady-state
     // read against the session-materialized IVF index artifact
     "ann_ivf_indexed" -> 0.87,
+    // r11 addition: 1.12/1.12 across two targeted runs
+    "multimodal_afp" -> 1.12,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

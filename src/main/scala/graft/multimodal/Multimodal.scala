@@ -529,6 +529,167 @@ object Multimodal {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- audio fingerprint
+
+  /** Typed landmark row leaving the (stub) fingerprint extractor:
+    * one constellation hash anchored at frame `t` of `doc_id`.
+    */
+  final case class AudioLandmark(doc_id: Long, hash: Long, t: Long)
+
+  /** Samples per fingerprint frame (shorter than the VAD frame so a
+    * few-KB asset still yields a usable constellation).
+    */
+  val AfpFrameSamples = 64
+
+  /** Frequency bands per frame (a real extractor FFTs; the stub's
+    * band b = samples at j % 4 == b, a deterministic stand-in with
+    * the same shape).
+    */
+  val AfpBands = 4
+
+  /** Landmarks per hash above which the hash is a STOP HASH — too
+    * common to discriminate (the audio twin of stop-words; standard
+    * in constellation matching). This is the scale guard: the
+    * hash-keyed self-join can never exceed `cap²`/hash.
+    */
+  val AfpStopHashCap = 64L
+
+  /** Minimum offset-aligned landmark count for a match. */
+  val AfpMinAligned = 4L
+
+  /** STUB fingerprint extraction (Shazam-style constellation,
+    * Wang '03): frames → per-band integer mean energy → peak band +
+    * log2-bucketed magnitude per frame → landmark hashes pairing
+    * each frame's peak with its next two frames' peaks. All integer
+    * (band mean = Σs² div n; magnitude bucket = bit length of
+    * mean+1, i.e. DuckDB `length(bin(mean+1))`), so the entire
+    * pipeline is DuckDB-oracle-checkable. A real extractor swaps the
+    * band energies for FFT magnitudes; hashing, target zone, stop
+    * hashes, and offset-histogram matching are unchanged.
+    */
+  def fingerprintBatch(batch: Seq[MediaRow]): Seq[AudioLandmark] =
+    batch.filter(m => m.kind == "aud" && m.payload.nonEmpty).flatMap { m =>
+      val peaks = m.payload.grouped(AfpFrameSamples).map { fr =>
+        val e = Array.fill(AfpBands)(0L)
+        val n = Array.fill(AfpBands)(0L)
+        var j = 0
+        while (j < fr.length) {
+          val v = (fr(j) & 0xff) - 128L
+          e(j % AfpBands) += v * v
+          n(j % AfpBands) += 1
+          j += 1
+        }
+        val means = Array.tabulate(AfpBands)(b => if (n(b) == 0) 0L else e(b) / n(b))
+        // peak band: max mean, tie -> lowest band (deterministic)
+        var pb = 0
+        var bi = 1
+        while (bi < AfpBands) { if (means(bi) > means(pb)) pb = bi; bi += 1 }
+        val eq = math.min(15L, 64L - java.lang.Long.numberOfLeadingZeros(means(pb) + 1))
+        (pb.toLong, eq)
+      }.toVector
+      for {
+        i <- peaks.indices
+        dt <- 1 to 2
+        if i + dt < peaks.length
+      } yield {
+        val (b1, e1) = peaks(i)
+        val (b2, e2) = peaks(i + dt)
+        AudioLandmark(m.doc_id,
+          (((b1 * AfpBands + b2) * 2 + (dt - 1)) * 16 + e1) * 16 + e2, i.toLong)
+      }
+    }
+
+  /** §2.6 #35f — audio near-dup by constellation fingerprint: the
+    * audio leg of the dedup family (pHash covers images; exact sha
+    * covers byte-identical media). Landmarks from the batched stub
+    * extractor, stop hashes dropped corpus-wide, then the classic
+    * offset-histogram match: two assets sharing ≥ [[AfpMinAligned]]
+    * landmarks at ONE CONSISTENT time offset are near-dups — the
+    * offset alignment is what separates real overlap (a clip, a
+    * re-encode, a silence-padded copy) from coincidental hash hits.
+    *
+    * Scale shape: extraction is map-side batched (no per-byte
+    * explode); the only wide ops are the hash-keyed self-join —
+    * bounded per hash by the stop-hash cap, the dedup_minhash_lsh
+    * band-bucket pattern — and two metadata-sized rollups. Output is
+    * the matched-pair report (best offset, aligned count, total
+    * cross hits), fully integer → DuckDB-hash-oracled.
+    */
+  def multimodalAfp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lm = mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(b => fingerprintBatch(b.toSeq)))
+      .toDF()
+    val stop = lm.groupBy(col("hash")).count().filter(col("count") > AfpStopHashCap)
+      .select(col("hash"))
+    val keep = lm.join(broadcast(stop), Seq("hash"), "left_anti")
+    val a = keep.select(col("hash"), col("doc_id").as("doc_a"), col("t").as("ta"))
+    val b = keep.select(col("hash"), col("doc_id").as("doc_b"), col("t").as("tb"))
+    a.join(b, Seq("hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), (col("ta") - col("tb")).as("offset"))
+      .agg(count(lit(1)).as("aligned"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        // best offset: max aligned count, tie -> smallest offset
+        max(struct(col("aligned"), (-col("offset")).as("no"))).as("m"),
+        sum(col("aligned")).as("n_cross"),
+      )
+      .select(col("doc_a"), col("doc_b"),
+        col("m.aligned").as("n_aligned"), (-col("m.no")).as("best_offset"),
+        col("n_cross"))
+      .filter(col("n_aligned") >= AfpMinAligned)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val multimodalAfpSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, unnest(range(0, len(text))) AS j, text
+      |  FROM documents WHERE doc_id % 3 = 1 AND len(text) > 0
+      |), v AS (
+      |  SELECT doc_id, j // 64 AS frame, CAST(j % 4 AS BIGINT) AS band,
+      |    CAST(ord(substring(text, CAST(j + 1 AS INT), 1)) - 128 AS BIGINT) AS s
+      |  FROM a
+      |), be AS (
+      |  SELECT doc_id, frame, band, sum(s * s) // count(*) AS mean_e
+      |  FROM v GROUP BY 1, 2, 3
+      |), pk AS (
+      |  SELECT doc_id, frame, band AS pb,
+      |    least(15, length(bin(mean_e + 1))) AS eq
+      |  FROM (
+      |    SELECT doc_id, frame, band, mean_e,
+      |      row_number() OVER (PARTITION BY doc_id, frame ORDER BY mean_e DESC, band) AS rk
+      |    FROM be
+      |  ) WHERE rk = 1
+      |), lm AS (
+      |  SELECT p1.doc_id,
+      |    (((p1.pb * 4 + p2.pb) * 2 + (p2.frame - p1.frame - 1)) * 16 + p1.eq) * 16 + p2.eq AS hash,
+      |    p1.frame AS t
+      |  FROM pk p1 JOIN pk p2
+      |    ON p1.doc_id = p2.doc_id AND p2.frame - p1.frame IN (1, 2)
+      |), keep AS (
+      |  SELECT * FROM lm WHERE hash NOT IN (
+      |    SELECT hash FROM lm GROUP BY hash HAVING count(*) > 64
+      |  )
+      |), hits AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.t - y.t AS off_t
+      |  FROM keep x JOIN keep y ON x.hash = y.hash AND x.doc_id < y.doc_id
+      |), ag AS (
+      |  SELECT doc_a, doc_b, off_t, count(*) AS aligned
+      |  FROM hits GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(aligned AS BIGINT) AS n_aligned,
+      |  CAST(off_t AS BIGINT) AS best_offset,
+      |  CAST(n_cross AS BIGINT) AS n_cross
+      |FROM (
+      |  SELECT doc_a, doc_b, off_t, aligned,
+      |    sum(aligned) OVER (PARTITION BY doc_a, doc_b) AS n_cross,
+      |    row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY aligned DESC, off_t) AS rk
+      |  FROM ag
+      |) WHERE rk = 1 AND aligned >= 4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** §2.6 #36 — end-to-end multimodal curation pipeline as ONE
     * declarative plan (the media twin of `pipeline_e2e`), over the
     * realistic dirty corpus ([[phashCorpus]]: payloads plus
@@ -734,6 +895,7 @@ object Multimodal {
     "multimodal_e2e" -> (multimodalE2e _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_audio" -> (multimodalAudio _),
+    "multimodal_afp" -> (multimodalAfp _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -747,6 +909,7 @@ object Multimodal {
     "multimodal_e2e" -> multimodalE2eSql,
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_audio" -> multimodalAudioSql,
+    "multimodal_afp" -> multimodalAfpSql,
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_phash_pairs" -> multimodalPhashPairsSql,
     "multimodal_meta" -> multimodalMetaSql,

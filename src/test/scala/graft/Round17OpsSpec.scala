@@ -111,6 +111,37 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(lists.count() == e.count(), "every vector in exactly one list")
   }
 
+  test("multimodal_afp: a planted time-shifted copy matches at the exact frame offset; unrelated audio does not") {
+    import spark.implicits._
+    // doc ids ≡ 1 (mod 3) are 'aud'. Base: 12 frames of varied bytes.
+    // Copy: the SAME bytes prepended with exactly 2 frames of padding —
+    // every landmark shifts by 2 frames, so the offset histogram piles
+    // up at base−copy = −2. Unrelated: disjoint content.
+    val base = (0 until 768).map(i => ('a' + (i * 7 + i * i % 13) % 26).toChar).mkString
+    val copy = (" " * (2 * graft.multimodal.Multimodal.AfpFrameSamples)) + base
+    val other = (0 until 768).map(i => ('A' + (i * 11 + 3) % 26).toChar).mkString
+    val df = Seq((1L, base, "s"), (4L, copy, "s"), (7L, other, "s"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("afp").toString
+    try {
+      df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val rows = graft.multimodal.Multimodal.multimodalAfp(spark, tmp).collect()
+      val hit = rows.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 4L)
+      assert(hit.isDefined, s"planted copy must match: ${rows.toSeq}")
+      assert(hit.get.getAs[Long]("best_offset") == -2L,
+        "offset histogram must recover the exact 2-frame shift")
+      assert(hit.get.getAs[Long]("n_aligned") >= 10L,
+        "most of the copy's landmarks align at the true offset")
+      assert(!rows.exists(r => r.getAs[Long]("doc_b") == 7L || r.getAs[Long]("doc_a") == 7L),
+        "unrelated audio must not reach the aligned threshold")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("q_compact_exec: payload conserved, one file per bin, files are sorted contiguous key ranges") {
     val rep = TableFormat.qCompactExec(spark, sf).collect()
     // the exec op's own 64 KB consolidation target (qCompactPlan's
