@@ -193,6 +193,9 @@ object BenchBaseline {
     "ann_ivf_indexed" -> 0.87,
     // r11 addition: 1.12/1.12 across two targeted runs
     "multimodal_afp" -> 1.12,
+    // r11 addition: first targeted measurement (DuckDB sweep sharing
+    // the box — an upper bound, revisit downward if a full run beats it)
+    "q_kanon" -> 0.47,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

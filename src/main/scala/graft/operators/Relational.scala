@@ -4580,6 +4580,64 @@ object Relational {
       |FROM a
       |ORDER BY table_name""".stripMargin
 
+  /** §2.2 #21cr — k-anonymity audit over quasi-identifiers: the
+    * re-identification risk read a compliance pipeline runs BEFORE
+    * releasing a training table. Records grouped by their
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * band — the columns an adversary could link against an external
+    * dataset) form equivalence classes; a record in a class of size
+    * < k is re-identifiable. The report is the class-size profile —
+    * classes and records per clamped size band 1..5+ with exact
+    * record shares in ppm — so "what fraction of rows sit in
+    * singleton classes" is one lookup.
+    *
+    * Scale shape: one map-side-combinable groupBy on the QI tuple
+    * (class relation ≤ |QI domain|, metadata-sized by construction),
+    * one ≤5-row rollup, one broadcast 1-ROW total cross join (the
+    * q_zorder anchor shape). The balance band uses floor-then-integer
+    * `div` so both engines bucket identically.
+    */
+  def qKanon(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val classes = table(spark, dir, "customer")
+      .select(
+        col("c_nationkey"), col("c_mktsegment"),
+        // +100000 keeps the dividend positive (acctbal can be
+        // negative): Spark's `div` truncates toward zero while
+        // DuckDB's `//` floors — they agree only on non-negatives
+        expr("(CAST(floor(c_acctbal) AS BIGINT) + 100000) div 1000").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    val total = classes.agg(sum(col("n")).as("n_total"))
+    classes
+      .select(least(col("n"), lit(K.toLong)).as("k_class"), col("n"))
+      .groupBy(col("k_class"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_records"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("k_class"), col("n_classes"), col("n_records"),
+        expr("n_records * 1000000L div n_total").as("records_ppm"),
+        (col("k_class") < K).as("at_risk"),
+      )
+      .orderBy("k_class")
+  }
+
+  val qKanonSql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    (CAST(floor(c_acctbal) AS BIGINT) + 100000) // 1000 AS bal_band,
+      |    count(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3
+      |), t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM classes)
+      |SELECT least(n, 5) AS k_class,
+      |  count(*) AS n_classes,
+      |  CAST(sum(n) AS BIGINT) AS n_records,
+      |  CAST(sum(n) * 1000000 // n_total AS BIGINT) AS records_ppm,
+      |  least(n, 5) < 5 AS at_risk
+      |FROM classes, t
+      |GROUP BY least(n, 5), n_total
+      |ORDER BY k_class""".stripMargin
+
   /** §2.2 #21cp — Gini concentration of customer spend per market
     * segment: the one-number inequality audit next to [[qPareto]]'s
     * cumulative-share tiers (a corpus pipeline runs the same statistic
@@ -4785,6 +4843,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_erasure_audit" -> (qErasureAudit _),
+    "q_kanon" -> (qKanon _),
     "q_runsum_floor" -> (qRunsumFloor _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_dist_rank" -> (qDistRank _),
@@ -4903,6 +4962,7 @@ object Relational {
     "q_dist_rank" -> qDistRankSql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_erasure_audit" -> qErasureAuditSql,
+    "q_kanon" -> qKanonSql,
     "q_skyline" -> qSkylineSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,
