@@ -856,29 +856,55 @@ object EventsStream {
     * idempotent under foreachBatch's at-least-once replay contract: a
     * replayed batch can only re-apply minima that already won.
     */
-  def overlapMatrixMonitor(docs: DataFrame)(
+  def overlapMatrixMonitor(docs: DataFrame, stateDir: Option[String] = None)(
       publish: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val K = graft.operators.TextAnalysis.SketchK
+    import scala.jdk.CollectionConverters._
     val standing = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType) +:
+        (0 until K).map(j => org.apache.spark.sql.types.StructField(
+          s"m$j", org.apache.spark.sql.types.LongType)))
+    // Restart semantics: the streaming agg replays only CHANGED rows
+    // after a restart, so a source that never updates again would be
+    // missing from an in-memory-only store forever. With `stateDir`
+    // the ≤|sources|-row store is reloaded at monitor construction
+    // and re-persisted (write-tmp-then-rename, idempotent) after
+    // every merge — min-merge makes the load/merge order irrelevant.
+    def merge(src: String, sig: Array[Long]): Unit = {
+      standing.merge(src, sig, (a, b) =>
+        Array.tabulate(K)(j => math.min(a(j), b(j)))): Unit
+    }
+    stateDir.foreach { d =>
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(new org.apache.hadoop.fs.Path(d)))
+        docs.sparkSession.read.parquet(d).collect().foreach { r =>
+          merge(r.getString(0), Array.tabulate(K)(j => r.getLong(j + 1)))
+        }
+    }
     minhashSignatures(docs)
       .writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // changed signature rows: ≤|sources| per trigger
         batch.collect().foreach { r =>
-          val sig = Array.tabulate(K)(j => r.getLong(j + 1))
-          standing.merge(r.getString(0), sig, (a, b) =>
-            Array.tabulate(K)(j => math.min(a(j), b(j))))
+          merge(r.getString(0), Array.tabulate(K)(j => r.getLong(j + 1)))
         }
-        import scala.jdk.CollectionConverters._
         val rows = standing.entrySet().asScala.toSeq.map { e =>
           org.apache.spark.sql.Row.fromSeq(e.getKey +: e.getValue.toSeq)
         }
-        val schema = org.apache.spark.sql.types.StructType(
-          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType) +:
-            (0 until K).map(j => org.apache.spark.sql.types.StructField(
-              s"m$j", org.apache.spark.sql.types.LongType)))
         val sigDf = spark.createDataFrame(rows.asJava, schema)
+        stateDir.foreach { d =>
+          val fs = new org.apache.hadoop.fs.Path(d)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val tmp = new org.apache.hadoop.fs.Path(d + ".inprogress")
+          sigDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val dst = new org.apache.hadoop.fs.Path(d)
+          if (fs.exists(dst)) fs.delete(dst, true)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"overlapMatrixMonitor: rename $tmp -> $dst failed")
+        }
         publish(batchId,
           graft.operators.TextAnalysis.overlapFromSignatures(sigDf)
             .orderBy("src_a", "src_b"))

@@ -1033,4 +1033,35 @@ class StreamingSpec extends AnyFunSuite {
         "live matrix after the full corpus must equal the batch sketch matrix")
     } finally q.stop()
   }
+
+  test("overlap monitor with persisted state survives a restart: second run sees only new data, matrix still converges") {
+    implicit val sc = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("ovstate").toString + "/sigs"
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect().toSeq
+    val b = docs.groupBy(d => (d._2.hashCode & Int.MaxValue) % 2)
+
+    def runOnce(data: Seq[(String, String)]): Array[(String, String, Long, Long)] = {
+      val stream = MemoryStream[(String, String)]
+      var last: Array[(String, String, Long, Long)] = Array.empty
+      val q = EventsStream.overlapMatrixMonitor(
+        stream.toDF().toDF("source", "text"), Some(stateDir)) { (_, matrix) =>
+        last = matrix.collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      }.start()
+      try { stream.addData(data); q.processAllAvailable() } finally q.stop()
+      last
+    }
+
+    runOnce(b.getOrElse(0, Nil))
+    // "restart": a FRESH query and stream — no checkpoint, no shared
+    // memory — fed ONLY the remaining half; the persisted store must
+    // carry the first half's signature minima across the boundary
+    val after = runOnce(b.getOrElse(1, Nil))
+    val want = graft.operators.TextAnalysis.textOverlapSketch(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toVector
+    assert(after.toVector == want,
+      "restarted monitor must converge to the batch sketch matrix from only the new data")
+  }
 }
