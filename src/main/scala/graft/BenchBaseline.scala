@@ -196,6 +196,8 @@ object BenchBaseline {
     // r11 addition: first targeted measurement (DuckDB sweep sharing
     // the box — an upper bound, revisit downward if a full run beats it)
     "q_kanon" -> 0.47,
+    // r11 addition: first targeted measurement
+    "q_dp_counts" -> 0.49,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

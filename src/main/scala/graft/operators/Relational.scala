@@ -4638,6 +4638,70 @@ object Relational {
       |GROUP BY least(n, 5), n_total
       |ORDER BY k_class""".stripMargin
 
+  /** §2.2 #21cs — differentially-private noisy counts (the release
+    * mechanism next to [[qKanon]]'s risk audit): per-(nation, segment)
+    * customer counts published under the two-sided GEOMETRIC mechanism
+    * (Ghosh-Roughgarden-Sundararajan '09) — the integer-exact discrete
+    * sibling of Laplace noise. With ratio α = 1/2 the mechanism is
+    * ε-DP for sensitivity-1 counts at ε = ln 2: P(|noise| = k) ∝ 2^-k.
+    * Noise is drawn from the md5 hash of the group key — sign from one
+    * bit, magnitude = trailing-zero count of the hash (geometric with
+    * p = 1/2), both exactly computable in Spark AND DuckDB, so the
+    * released table hash-matches the oracle bit-for-bit (the
+    * engineering point: the mechanism's plumbing is deterministic and
+    * testable; production swaps the per-release secret seed into the
+    * hash input, changing nothing else). True counts are NOT emitted —
+    * only the noisy release, clamped at 0, plus the mechanism params.
+    *
+    * Scale shape: one map-side-combinable groupBy; noise is a
+    * per-group column expression over the released (metadata-sized)
+    * relation. No fact-side cost beyond the count itself.
+    */
+  def qDpCounts(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_true"))
+      // 15 hex digits < 2^60: a full 16-digit parse can overflow
+      // int64; 60 bits is plenty for sign + trailing-zero magnitude
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat_ws('|', 'dpseed1', c_nationkey, c_mktsegment)), 1, 15), 16, 10) AS BIGINT)"))
+      // magnitude = trailing-zero count of (h | 2^48): geometric with
+      // P(mag = k) = 2^-(k+1); the OR caps it at 48 so a degenerate
+      // hash can't blow up. Trailing zeros in pure integer arithmetic
+      // both engines share: lowest set bit = h & -h, then integer
+      // log2 = binary-string length - 1.
+      .withColumn("noise_mag", expr(
+        "CAST(length(bin((h | 281474976710656L) & -(h | 281474976710656L))) - 1 AS BIGINT)"))
+      // sign from bit 49 — disjoint from the magnitude bits
+      .withColumn("noise", when(expr("(h div 562949953421312L) % 2 = 0"),
+        col("noise_mag")).otherwise(-col("noise_mag")))
+      .select(
+        col("c_nationkey"), col("c_mktsegment"),
+        greatest(col("n_true") + col("noise"), lit(0L)).as("n_noisy"),
+        lit("two_sided_geometric").as("mechanism"),
+        lit(693147L).as("epsilon_micronat"),
+      )
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  val qDpCountsSql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n_true,
+      |    CAST(('0x' || substr(md5('dpseed1' || '|' || c_nationkey || '|' || c_mktsegment), 1, 15)) AS BIGINT) AS h
+      |  FROM customer GROUP BY 1, 2
+      |), n AS (
+      |  SELECT c_nationkey, c_mktsegment, n_true,
+      |    CAST(length(bin((h | 281474976710656) & -(h | 281474976710656))) - 1 AS BIGINT) AS noise_mag,
+      |    (h // 562949953421312) % 2 = 0 AS pos
+      |  FROM g
+      |)
+      |SELECT c_nationkey, c_mktsegment,
+      |  greatest(n_true + CASE WHEN pos THEN noise_mag ELSE -noise_mag END, 0) AS n_noisy,
+      |  'two_sided_geometric' AS mechanism,
+      |  CAST(693147 AS BIGINT) AS epsilon_micronat
+      |FROM n
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   /** §2.2 #21cp — Gini concentration of customer spend per market
     * segment: the one-number inequality audit next to [[qPareto]]'s
     * cumulative-share tiers (a corpus pipeline runs the same statistic
@@ -4844,6 +4908,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_erasure_audit" -> (qErasureAudit _),
     "q_kanon" -> (qKanon _),
+    "q_dp_counts" -> (qDpCounts _),
     "q_runsum_floor" -> (qRunsumFloor _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_dist_rank" -> (qDistRank _),
@@ -4963,6 +5028,7 @@ object Relational {
     "q_mad_outliers" -> qMadOutliersSql,
     "q_erasure_audit" -> qErasureAuditSql,
     "q_kanon" -> qKanonSql,
+    "q_dp_counts" -> qDpCountsSql,
     "q_skyline" -> qSkylineSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,

@@ -142,6 +142,39 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dp_counts: exact mechanism replay, zero-clamp, and geometric noise distribution") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def noise(key: String): Long = {
+      val h = java.lang.Long.parseLong(md5hex("dpseed1|" + key).take(15), 16)
+      val or = h | (1L << 48)
+      val mag = 63 - java.lang.Long.numberOfLeadingZeros(or & -or) // log2 of lowest set bit
+      if ((h >> 49) % 2 == 0) mag.toLong else -mag.toLong
+    }
+    // full mechanism replay against the released table
+    val truth = GraftSession.table(spark, sf, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    val rel = graft.operators.Relational.qDpCounts(spark, sf).collect()
+    assert(rel.length == truth.size)
+    rel.foreach { r =>
+      val k = (r.getInt(0), r.getString(1))
+      val want = math.max(truth(k) + noise(s"${k._1}|${k._2}"), 0L)
+      assert(r.getAs[Long]("n_noisy") == want, s"mechanism replay diverges for $k")
+    }
+    // the mechanism is two-sided geometric(1/2): over many keys,
+    // P(|noise| = 0) -> 1/2 and mean |noise| -> 1
+    val ns = (0 until 20000).map(i => noise(s"k$i"))
+    val p0 = ns.count(_ == 0).toDouble / ns.size
+    assert(math.abs(p0 - 0.5) < 0.02, s"P(noise=0) = $p0")
+    val meanAbs = ns.map(math.abs).sum.toDouble / ns.size
+    assert(math.abs(meanAbs - 1.0) < 0.05, s"E|noise| = $meanAbs")
+    val pPos = ns.count(_ > 0).toDouble / ns.filter(_ != 0).size
+    assert(math.abs(pPos - 0.5) < 0.03, s"sign balance = $pPos")
+  }
+
   test("q_compact_exec: payload conserved, one file per bin, files are sorted contiguous key ranges") {
     val rep = TableFormat.qCompactExec(spark, sf).collect()
     // the exec op's own 64 KB consolidation target (qCompactPlan's
