@@ -198,6 +198,9 @@ object BenchBaseline {
     "q_kanon" -> 0.47,
     // r11 addition: first targeted measurement
     "q_dp_counts" -> 0.49,
+    // r11 addition: first targeted measurement (absorbed the run's
+    // warm-up — revisit downward)
+    "q_bitemporal" -> 1.61,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

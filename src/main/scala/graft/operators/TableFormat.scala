@@ -84,6 +84,82 @@ object TableFormat {
       |GROUP BY version
       |ORDER BY version""".stripMargin
 
+  /** §2.2 #21bk2 — BITEMPORAL as-of read (valid time × transaction
+    * time, the Snodgrass model): [[qTimeTravel]] answers "what did
+    * the table say at commit T"; this answers "at commit T, what did
+    * the table say was true AT WORLD TIME V" — the distinction that
+    * matters the moment a correction arrives late. The demo log
+    * asserts three commits: a full load (tx 10, valid from day 0), a
+    * RETROACTIVE +10% re-price of every 7th key (tx 30, valid from
+    * day 15 — known later, true earlier), and a delete of every 11th
+    * key effective day 40 (tx 50). Effective record at (T, V): among
+    * assertions with tx ≤ T and valid_from ≤ V, latest valid_from
+    * wins, transaction order breaking ties; deletes hide. The 5-point
+    * audit grid pins both axes — e.g. (T=40, V=10) must NOT apply the
+    * correction even though its commit is visible, because the world
+    * time asked about precedes its validity.
+    *
+    * Scale shape: the grid explode is map-side (5 literal points per
+    * assertion, filtered before the shuffle); one latest-wins window
+    * per (grid point, key) — the q_upsert plan ×5; 5-row report. A
+    * production point read does ONE grid point with the tx predicate
+    * pruning commits (the time-travel partition story).
+    */
+  def qBitemporal(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"),
+        floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"))
+    val a1 = o.select(col("key"), lit(10L).as("tx"), lit(0L).as("vf"),
+      lit("upsert").as("op"), col("cents"))
+    val a2 = o.filter(col("key") % 7 === 0)
+      .select(col("key"), lit(30L).as("tx"), lit(15L).as("vf"),
+        lit("upsert").as("op"), (col("cents") + expr("cents DIV 10")).as("cents"))
+    val a3 = o.filter(col("key") % 11 === 0)
+      .select(col("key"), lit(50L).as("tx"), lit(40L).as("vf"),
+        lit("delete").as("op"), lit(0L).as("cents"))
+    val log = a1.unionByName(a2).unionByName(a3)
+    val grid = "array(struct(20L AS t, 20L AS v), struct(40L AS t, 10L AS v), " +
+      "struct(40L AS t, 20L AS v), struct(60L AS t, 20L AS v), struct(60L AS t, 45L AS v))"
+    val wK = Window.partitionBy(col("tx_asof"), col("valid_asof"), col("key"))
+      .orderBy(col("vf").desc, col("tx").desc)
+    log
+      .withColumn("g", explode(expr(grid)))
+      .select(col("key"), col("tx"), col("vf"), col("op"), col("cents"),
+        col("g.t").as("tx_asof"), col("g.v").as("valid_asof"))
+      .filter(col("tx") <= col("tx_asof") && col("vf") <= col("valid_asof"))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") === 1 && col("op") === "upsert")
+      .groupBy(col("tx_asof"), col("valid_asof"))
+      .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+      .orderBy("tx_asof", "valid_asof")
+  }
+
+  val qBitemporalSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS key,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |), log AS (
+      |  SELECT key, CAST(10 AS BIGINT) AS tx, CAST(0 AS BIGINT) AS vf, 'upsert' AS op, cents FROM o
+      |  UNION ALL
+      |  SELECT key, 30, 15, 'upsert', cents + cents // 10 FROM o WHERE key % 7 = 0
+      |  UNION ALL
+      |  SELECT key, 50, 40, 'delete', 0 FROM o WHERE key % 11 = 0
+      |), grid AS (
+      |  SELECT CAST(t AS BIGINT) AS tx_asof, CAST(v AS BIGINT) AS valid_asof
+      |  FROM (VALUES (20, 20), (40, 10), (40, 20), (60, 20), (60, 45)) AS g(t, v)
+      |), eff AS (
+      |  SELECT tx_asof, valid_asof, key, op, cents,
+      |    row_number() OVER (PARTITION BY tx_asof, valid_asof, key
+      |      ORDER BY vf DESC, tx DESC) AS rn
+      |  FROM log JOIN grid ON tx <= tx_asof AND vf <= valid_asof
+      |)
+      |SELECT tx_asof, valid_asof, count(*) AS n_live,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM eff WHERE rn = 1 AND op = 'upsert'
+      |GROUP BY tx_asof, valid_asof
+      |ORDER BY tx_asof, valid_asof""".stripMargin
+
   /** §2.2 #21bo — snapshot diff (CDC "table_changes" read): what
     * changed between two versions of the [[qTimeTravel]] commit log —
     * every key classified as inserted / updated / deleted / unchanged
@@ -553,6 +629,7 @@ object TableFormat {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compact_plan" -> (qCompactPlan _),
     "q_compact_exec" -> (qCompactExec _),
+    "q_bitemporal" -> (qBitemporal _),
     "q_time_travel" -> (qTimeTravel _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_txn_conflict" -> (qTxnConflict _),
@@ -564,6 +641,7 @@ object TableFormat {
   val oracles: Map[String, String] = Map(
     "q_compact_plan" -> qCompactPlanSql,
     "q_compact_exec" -> qCompactExecSql,
+    "q_bitemporal" -> qBitemporalSql,
     "q_time_travel" -> qTimeTravelSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_txn_conflict" -> qTxnConflictSql,

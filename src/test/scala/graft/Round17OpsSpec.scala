@@ -142,6 +142,33 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bitemporal: the two time axes are independent (retroactive corrections and effective-dated deletes)") {
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val rows = graft.operators.TableFormat.qBitemporal(spark, sf).collect()
+      .map(r => (r.getAs[Long]("tx_asof"), r.getAs[Long]("valid_asof")) ->
+        (r.getAs[Long]("n_live"), r.getAs[Long]("sum_cents"))).toMap
+    val o = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val base = o.map(_._2).sum
+    val corr = o.filter(_._1 % 7 == 0).map(t => t._2 / 10).sum
+    val delSum = o.filter(_._1 % 11 == 0)
+      .map(t => t._2 + (if (t._1 % 7 == 0) t._2 / 10 else 0L)).sum
+    val n = o.length.toLong
+    val nDel = o.count(_._1 % 11 == 0).toLong
+    // T=20: correction commit not yet visible (tx axis)
+    assert(rows((20L, 20L)) == (n, base))
+    // T=40, V=10: commit visible but world-time precedes its validity
+    assert(rows((40L, 10L)) == (n, base))
+    // T=40, V=20: correction applies
+    assert(rows((40L, 20L)) == (n, base + corr))
+    // T=60, V=20: delete commit visible but effective only from day 40
+    assert(rows((60L, 20L)) == (n, base + corr))
+    // T=60, V=45: deletes hide their keys (corrected cents where both hit)
+    assert(rows((60L, 45L)) == (n - nDel, base + corr - delSum))
+  }
+
   test("q_dp_counts: exact mechanism replay, zero-clamp, and geometric noise distribution") {
     import org.apache.spark.sql.functions.{col, count, lit}
     def md5hex(s: String): String =
