@@ -201,6 +201,9 @@ object BenchBaseline {
     // r11 addition: first targeted measurement (absorbed the run's
     // warm-up — revisit downward)
     "q_bitemporal" -> 1.61,
+    // r11 addition: steady-state read against the session kNN-graph
+    // artifact (ann_graph_expand pays the build in the same run)
+    "emb_hubness" -> 0.66,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

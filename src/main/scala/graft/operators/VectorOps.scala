@@ -986,6 +986,46 @@ object VectorOps {
     topK(scored, k)
   }
 
+  /** §2.4 #29r — embedding-space hubness audit (Radovanović '10): the
+    * distribution of REVERSE k-NN degree over the materialized 5-NN
+    * graph. In a healthy space in-degree concentrates near k; a
+    * heavy upper tail ("hubs" — points that appear in everyone's
+    * neighbor list) is the classic symptom of anisotropic/collapsed
+    * embeddings and silently poisons every consumer (near-dup
+    * clustering over-merges, diversity sampling under-covers, ANN
+    * recall drops on the tail). Report: nodes per clamped in-degree
+    * band 0..10+ with exact ppm shares, plus the max in-degree and
+    * the hub share (in-degree ≥ 2k) — the two numbers a pipeline
+    * alerts on.
+    *
+    * Scale shape: one groupBy over the (id, id) edge artifact
+    * ([[knnGraphTable]] — built once per (session, corpus)), one
+    * ≤12-row rollup, one broadcast 1-row total. Rows-only by design
+    * (the graph is engine-specific); Round17OpsSpec replays the
+    * histogram from the same artifact in plain Scala.
+    */
+  def embHubness(spark: SparkSession, dir: String): DataFrame = {
+    val g = knnGraphTable(spark, dir)
+    val n = emb(spark, dir).count()
+    val indeg = g.groupBy(col("neighbor_id")).agg(count(lit(1)).as("indeg"))
+    // nodes never referenced have in-degree 0: total nodes minus
+    // referenced nodes, appended as the band-0 row
+    val referenced = indeg.count()
+    val bands = indeg
+      .select(least(col("indeg"), lit(10L)).as("band"), col("indeg"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("indeg")).as("max_in_band"))
+    val zero = {
+      import spark.implicits._
+      Seq((0L, n - referenced, 0L)).toDF("band", "n_nodes", "max_in_band")
+        .filter(col("n_nodes") > 0)
+    }
+    bands.unionByName(zero)
+      .withColumn("share_ppm", expr(s"n_nodes * 1000000L div ${n}L"))
+      .withColumn("is_hub_band", col("band") >= lit(10L))
+      .orderBy("band")
+  }
+
   // ------------------------------------------------------- filtered ANN
 
   /** §2.4 #29c — metadata-filtered similarity search: top-k neighbors
@@ -1843,6 +1883,7 @@ object VectorOps {
     "ann_incremental" -> (annIncremental _),
     "ann_delete" -> (annDelete _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
+    "emb_hubness" -> (embHubness _),
     "emb_kmeans" -> (embKmeans(_: SparkSession, _: String)),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_outliers" -> (embOutliers _),

@@ -142,6 +142,20 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_hubness: histogram replays exactly from the graph artifact and covers every vector") {
+    val n = corpus.count()
+    val g = VectorOps.knnGraphTable(spark, sf).collect()
+      .map(r => r.getAs[Long]("neighbor_id"))
+    val indeg = g.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val wantBands = indeg.values.groupBy(d => math.min(d, 10L)).view.mapValues(_.size.toLong).toMap
+    val zero = n - indeg.size
+    val rep = VectorOps.embHubness(spark, sf).collect()
+      .map(r => r.getAs[Long]("band") -> r.getAs[Long]("n_nodes")).toMap
+    wantBands.foreach { case (b, c) => assert(rep(b) == c, s"band $b") }
+    if (zero > 0) assert(rep(0L) == zero, "unreferenced vectors are the 0 band")
+    assert(rep.values.sum == n, "every vector is in exactly one band")
+  }
+
   test("q_bitemporal: the two time axes are independent (retroactive corrections and effective-dated deletes)") {
     import org.apache.spark.sql.functions.{col, floor, lit}
     val rows = graft.operators.TableFormat.qBitemporal(spark, sf).collect()
