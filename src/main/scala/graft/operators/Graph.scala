@@ -831,6 +831,14 @@ object Graph {
   def neighborhoodFunctionK(edges: DataFrame, rounds: Int, k: Int = 16): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    // Tried and rejected (r11): pre-clustering e by dst to make the
+    // loop's edge⋈register join co-partitioned measured WORSE at
+    // sf0.1 (110 MiB / 19.6 s vs 100.6 MiB / 12.0 s) — the register
+    // side's HashPartitioning does not survive the rename/left-join
+    // chain, so the join re-exchanged anyway and the upfront
+    // repartition was pure cost. Revisit only with an explicit
+    // bucketed edge TABLE (bucketedCopy) if the per-round e exchange
+    // ever dominates a profile.
     val e = edges.select(col("src"), col("dst")).distinct().transform(cut)
     val nodes = e.select(col("src").as("node_id")).dropDuplicates("node_id")
     val js = 0 until k
