@@ -204,6 +204,8 @@ object BenchBaseline {
     // r11 addition: steady-state read against the session kNN-graph
     // artifact (ann_graph_expand pays the build in the same run)
     "emb_hubness" -> 0.66,
+    // r11 addition: first targeted measurement
+    "lake_rebalance" -> 0.64,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

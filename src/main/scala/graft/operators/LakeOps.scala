@@ -237,6 +237,78 @@ object LakeOps {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** §2.1 #5b — bucket-resize rebalance plan: what an index-modulo
+    * store (the reference's bucketing scheme) PAYS to change its
+    * bucket count. A chunk lives in bucket h mod B; resizing to B'
+    * moves every chunk whose `h mod B'` lands elsewhere. The plan
+    * quantifies two candidate resizes of the 64-bucket layout:
+    * doubling to 128 (h mod 128 agrees with h mod 64 for exactly the
+    * chunks whose 7th bit is 0 — HALF the store stays put, the
+    * consistent-growth story) and a prime 97 (the reference keeps
+    * its index count prime for probe quality — but a prime resize
+    * keeps a chunk only by arithmetic coincidence; on this store's
+    * 8-bit prefix domain that is ~25% stay vs the doubling's exact
+    * 50%, and the gap widens with the hash domain). One row per
+    * candidate: chunks moved, exact
+    * moved_ppm, and the new layout's max/min bucket load (the skew
+    * the resize buys). The decision this feeds: growing by doubling
+    * is an O(half-store) migration; growing to "a nicer number" is a
+    * full rewrite — plan accordingly.
+    *
+    * Scale shape: one chunk scan, both candidate assignments as
+    * map-side columns, two metadata-sized rollups (≤B' rows each).
+    * All integer → hash-oracled.
+    */
+  def lakeRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val h = chunkSplit(spark, dir)
+      .withColumn("h", expr(
+        "CAST((locate(substring(chunk_hash,1,1), '0123456789abcdef') - 1) * 16 + " +
+          "locate(substring(chunk_hash,2,1), '0123456789abcdef') - 1 AS BIGINT)"))
+      .select(col("h"), expr("h % 64").as("b_old"))
+    def plan(bNew: Int): DataFrame = {
+      val loads = h.withColumn("b_new", expr(s"h % $bNew"))
+        .groupBy(col("b_new"))
+        .agg(count(lit(1)).as("load"),
+          sum(when(expr(s"h % 64 = h % $bNew"), 0L).otherwise(1L)).as("moved"))
+      loads.agg(
+        count(lit(1)).as("n_buckets_used"),
+        sum(col("load")).as("n_chunks"),
+        sum(col("moved")).as("n_moved"),
+        max(col("load")).as("max_load"),
+        min(col("load")).as("min_load"),
+      ).select(
+        lit(bNew.toLong).as("new_buckets"),
+        col("n_buckets_used"), col("n_chunks"), col("n_moved"),
+        expr("n_moved * 1000000L div n_chunks").as("moved_ppm"),
+        col("max_load"), col("min_load"),
+      )
+    }
+    plan(128).unionByName(plan(97)).orderBy("new_buckets")
+  }
+
+  val lakeRebalanceSql: String =
+    s"""$oracleChunkCte, hh AS (
+      |  SELECT CAST((strpos('0123456789abcdef', substring(chunk_hash,1,1)) - 1) * 16 +
+      |              strpos('0123456789abcdef', substring(chunk_hash,2,1)) - 1 AS BIGINT) AS h
+      |  FROM chunks
+      |), plans AS (
+      |  SELECT CAST(b AS BIGINT) AS new_buckets, h % 64 AS b_old, h % b AS b_new
+      |  FROM hh, (SELECT unnest([128, 97]) AS b)
+      |), loads AS (
+      |  SELECT new_buckets, b_new, count(*) AS load,
+      |    sum(CASE WHEN b_old = b_new THEN 0 ELSE 1 END) AS moved
+      |  FROM plans GROUP BY 1, 2
+      |)
+      |SELECT new_buckets, count(*) AS n_buckets_used,
+      |  CAST(sum(load) AS BIGINT) AS n_chunks,
+      |  CAST(sum(moved) AS BIGINT) AS n_moved,
+      |  CAST(sum(moved) * 1000000 // sum(load) AS BIGINT) AS moved_ppm,
+      |  CAST(max(load) AS BIGINT) AS max_load,
+      |  CAST(min(load) AS BIGINT) AS min_load
+      |FROM loads
+      |GROUP BY new_buckets
+      |ORDER BY new_buckets""".stripMargin
+
   /** §2.1 #6 — convergent encryption roundtrip. The oracle hashes the
     * original text: equality proves decrypt(encrypt(x)) == x for every
     * document. enc_len pins the GCM layout (12 B IV + payload + 16 B tag).
@@ -502,6 +574,7 @@ object LakeOps {
     "lake_get_blob" -> (lakeGetBlob _),
     "lake_preflight" -> (lakeJoinPreflight _),
     "lake_bucket_hist" -> (lakeBucketHist _),
+    "lake_rebalance" -> (lakeRebalance _),
     "lake_convergent" -> (lakeConvergent _),
   )
 
@@ -514,6 +587,7 @@ object LakeOps {
     "lake_get_blob" -> lakeGetBlobSql,
     "lake_preflight" -> lakeJoinPreflightSql,
     "lake_bucket_hist" -> lakeBucketHistSql,
+    "lake_rebalance" -> lakeRebalanceSql,
     "lake_convergent" -> lakeConvergentSql,
   )
 }
