@@ -206,6 +206,8 @@ object BenchBaseline {
     "emb_hubness" -> 0.66,
     // r11 addition: first targeted measurement
     "lake_rebalance" -> 0.64,
+    // r11 addition: first targeted measurement
+    "q_freshness" -> 0.58,
     "q_wmedian" -> 0.53,
     "q_clustering" -> 1.01,
     "text_zipf" -> 0.57,

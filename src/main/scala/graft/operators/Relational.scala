@@ -4638,6 +4638,46 @@ object Relational {
       |GROUP BY least(n, 5), n_total
       |ORDER BY k_class""".stripMargin
 
+  /** §2.2 #21ct — data-freshness / staleness audit: per event stream,
+    * when did it last emit and how far behind the freshest stream is
+    * it — the SLA read an ingestion pipeline alerts on (a stream that
+    * quietly stops is invisible to row-count checks: its totals stay
+    * plausible for days). Per event_type: last event micros, exact
+    * lag behind the corpus max in µs and whole hours, row count, and
+    * the stale flag at a 48 h threshold.
+    *
+    * Scale shape: one map-side-combinable max/count groupBy (the
+    * per-type relation is metadata-sized), one broadcast 1-ROW
+    * corpus-max cross (the q_zorder anchor shape). All integer µs.
+    */
+  def qFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("event_type"))
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("n_events"))
+    val anchor = per.agg(max(col("last_us")).as("corpus_max_us"))
+    per.crossJoin(broadcast(anchor))
+      .select(
+        col("event_type"), col("last_us"), col("n_events"),
+        (col("corpus_max_us") - col("last_us")).as("lag_us"),
+        expr("(corpus_max_us - last_us) div 3600000000L").as("lag_hours"),
+        (col("corpus_max_us") - col("last_us") > lit(48L * 3600L * 1000000L)).as("stale"),
+      )
+      .orderBy("event_type")
+  }
+
+  val qFreshnessSql: String =
+    """WITH per AS (
+      |  SELECT event_type, max(epoch_us(ts)) AS last_us, count(*) AS n_events
+      |  FROM events GROUP BY 1
+      |), a AS (SELECT max(last_us) AS corpus_max_us FROM per)
+      |SELECT event_type, last_us, n_events,
+      |  corpus_max_us - last_us AS lag_us,
+      |  (corpus_max_us - last_us) // 3600000000 AS lag_hours,
+      |  corpus_max_us - last_us > CAST(48 AS BIGINT) * 3600 * 1000000 AS stale
+      |FROM per, a
+      |ORDER BY event_type""".stripMargin
+
   /** §2.2 #21cs — differentially-private noisy counts (the release
     * mechanism next to [[qKanon]]'s risk audit): per-(nation, segment)
     * customer counts published under the two-sided GEOMETRIC mechanism
@@ -4909,6 +4949,7 @@ object Relational {
     "q_erasure_audit" -> (qErasureAudit _),
     "q_kanon" -> (qKanon _),
     "q_dp_counts" -> (qDpCounts _),
+    "q_freshness" -> (qFreshness _),
     "q_runsum_floor" -> (qRunsumFloor _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_dist_rank" -> (qDistRank _),
@@ -5029,6 +5070,7 @@ object Relational {
     "q_erasure_audit" -> qErasureAuditSql,
     "q_kanon" -> qKanonSql,
     "q_dp_counts" -> qDpCountsSql,
+    "q_freshness" -> qFreshnessSql,
     "q_skyline" -> qSkylineSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_seasonality" -> qSeasonalitySql,

@@ -213,6 +213,9 @@ class PlanSpec extends AnyFunSuite {
       // q_kanon cross-joins a broadcast 1-ROW record total into the
       // <=5-row class-size rollup — the q_zorder shape
       "q_kanon",
+      // q_freshness cross-joins a broadcast 1-ROW corpus-max anchor
+      // into the per-type rollup — the q_decay shape
+      "q_freshness",
       // text_overlap crosses the TWO ≤|sources|-row (20) shingle-set
       // size tables on a non-equi (src_a < src_b) predicate to build
       // the 190-row pair grid — the q_theta_sets bounded-both-sides
