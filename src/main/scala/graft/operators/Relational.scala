@@ -4682,39 +4682,58 @@ object Relational {
     * mechanism next to [[qKanon]]'s risk audit): per-(nation, segment)
     * customer counts published under the two-sided GEOMETRIC mechanism
     * (Ghosh-Roughgarden-Sundararajan '09) — the integer-exact discrete
-    * sibling of Laplace noise. With ratio α = 1/2 the mechanism is
-    * ε-DP for sensitivity-1 counts at ε = ln 2: P(|noise| = k) ∝ 2^-k.
-    * Noise is drawn from the md5 hash of the group key — sign from one
-    * bit, magnitude = trailing-zero count of the hash (geometric with
-    * p = 1/2), both exactly computable in Spark AND DuckDB, so the
-    * released table hash-matches the oracle bit-for-bit (the
-    * engineering point: the mechanism's plumbing is deterministic and
-    * testable; production swaps the per-release secret seed into the
-    * hash input, changing nothing else). True counts are NOT emitted —
-    * only the noisy release, clamped at 0, plus the mechanism params.
+    * sibling of Laplace noise. Noise is the DIFFERENCE of two
+    * independent geometric(p = 1/2) draws X − Y, which is exactly the
+    * two-sided geometric with ratio α = 1/2: P(noise = z) =
+    * (1/3)·2^−|z|, so every adjacent-output ratio is
+    * P(z)/P(z±1) = 2 and the mechanism is ε-DP for sensitivity-1
+    * counts at ε = ln 2 (the sign-bit-times-magnitude shortcut has
+    * P(0) = 1/2 and only satisfies ε = ln 4 — the GRS construction
+    * needs P(0) = 1/3, which one draw plus a sign bit cannot hit).
+    * X and Y are trailing-zero counts of two DISJOINT 28-bit fields of
+    * md5(seed | group key) — pure integer arithmetic both Spark and
+    * DuckDB share, so the released table hash-matches the oracle
+    * bit-for-bit under the oracle's fixed test seed. DEPLOYMENT
+    * CONTRACT: `seed` must be a secret, per-release value (the noise
+    * is a pure function of seed + public group key; with a public seed
+    * an adversary replays it exactly and ε is void). The test harness
+    * pins seed = "dpseed1" only so DuckDB can reproduce the draw.
+    * True counts are NOT emitted — only the noisy release, clamped at
+    * 0, plus the mechanism params.
     *
     * Scale shape: one map-side-combinable groupBy; noise is a
     * per-group column expression over the released (metadata-sized)
     * relation. No fact-side cost beyond the count itself.
     */
-  def qDpCounts(spark: SparkSession, dir: String): DataFrame = {
+  def qDpCounts(spark: SparkSession, dir: String): DataFrame =
+    qDpCountsSeeded(spark, dir, "dpseed1")
+
+  /** [[qDpCounts]] with the per-release secret seed as an argument —
+    * the production entry point. The 2-arg form exists only to give
+    * the oracle harness a fixed, replayable draw.
+    */
+  def qDpCountsSeeded(spark: SparkSession, dir: String, seed: String): DataFrame = {
     table(spark, dir, "customer")
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_true"))
       // 15 hex digits < 2^60: a full 16-digit parse can overflow
-      // int64; 60 bits is plenty for sign + trailing-zero magnitude
-      .withColumn("h", expr(
-        "CAST(conv(substring(md5(concat_ws('|', 'dpseed1', c_nationkey, c_mktsegment)), 1, 15), 16, 10) AS BIGINT)"))
-      // magnitude = trailing-zero count of (h | 2^48): geometric with
-      // P(mag = k) = 2^-(k+1); the OR caps it at 48 so a degenerate
-      // hash can't blow up. Trailing zeros in pure integer arithmetic
-      // both engines share: lowest set bit = h & -h, then integer
-      // log2 = binary-string length - 1.
-      .withColumn("noise_mag", expr(
-        "CAST(length(bin((h | 281474976710656L) & -(h | 281474976710656L))) - 1 AS BIGINT)"))
-      // sign from bit 49 — disjoint from the magnitude bits
-      .withColumn("noise", when(expr("(h div 562949953421312L) % 2 = 0"),
-        col("noise_mag")).otherwise(-col("noise_mag")))
+      // int64; 60 bits cover the two disjoint 28-bit noise fields.
+      // The seed enters ONLY here, as a Column literal (never
+      // interpolated into an expr string).
+      .withColumn("h",
+        conv(substring(md5(concat_ws("|", lit(seed), col("c_nationkey"),
+          col("c_mktsegment")).cast("binary")), 1, 15), 16, 10).cast("long"))
+      // X, Y = trailing-zero counts of bits [0,28) and [28,56) of h,
+      // each OR'd with 2^28 so the count caps at 28 (truncation mass
+      // 2^-29 — immaterial). Geometric with P(k) = 2^-(k+1) each, and
+      // independent because the fields are disjoint. Trailing zeros in
+      // integer arithmetic both engines share: lowest set bit =
+      // v & -v, then log2 = binary-string length - 1.
+      .withColumn("x", expr(
+        "CAST(length(bin(((h % 268435456L) | 268435456L) & -((h % 268435456L) | 268435456L))) - 1 AS BIGINT)"))
+      .withColumn("y", expr(
+        "CAST(length(bin((((h div 268435456L) % 268435456L) | 268435456L) & -(((h div 268435456L) % 268435456L) | 268435456L))) - 1 AS BIGINT)"))
+      .withColumn("noise", col("x") - col("y"))
       .select(
         col("c_nationkey"), col("c_mktsegment"),
         greatest(col("n_true") + col("noise"), lit(0L)).as("n_noisy"),
@@ -4731,12 +4750,12 @@ object Relational {
       |  FROM customer GROUP BY 1, 2
       |), n AS (
       |  SELECT c_nationkey, c_mktsegment, n_true,
-      |    CAST(length(bin((h | 281474976710656) & -(h | 281474976710656))) - 1 AS BIGINT) AS noise_mag,
-      |    (h // 562949953421312) % 2 = 0 AS pos
+      |    CAST(length(bin(((h % 268435456) | 268435456) & -((h % 268435456) | 268435456))) - 1 AS BIGINT)
+      |      - CAST(length(bin((((h // 268435456) % 268435456) | 268435456) & -(((h // 268435456) % 268435456) | 268435456))) - 1 AS BIGINT) AS noise
       |  FROM g
       |)
       |SELECT c_nationkey, c_mktsegment,
-      |  greatest(n_true + CASE WHEN pos THEN noise_mag ELSE -noise_mag END, 0) AS n_noisy,
+      |  greatest(n_true + noise, 0) AS n_noisy,
       |  'two_sided_geometric' AS mechanism,
       |  CAST(693147 AS BIGINT) AS epsilon_micronat
       |FROM n

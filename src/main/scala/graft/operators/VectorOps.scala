@@ -983,7 +983,11 @@ object VectorOps {
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         pairCos(col("qa"), col("qv"), col("na"), col("norm")).as("cosine"))
-    topK(scored, k)
+    // materialize-then-release: probes is read twice (the driver-side
+    // probed-id collect above and the list join); leaving it cached
+    // past the call would leak a block-manager entry per query batch
+    // for the session lifetime
+    graft.GraftSession.materialized(topK(scored, k), Seq("query_id", "rank"), probes)
   }
 
   /** §2.4 #29r — embedding-space hubness audit (Radovanović '10): the

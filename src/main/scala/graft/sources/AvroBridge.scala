@@ -21,12 +21,16 @@ import org.apache.spark.sql.types._
   * Scale shape, both directions distributed with NO driver funnel:
   *  - WRITE: one container file per partition via `foreachPartition`,
   *    streamed through the Hadoop FileSystem API (works on local FS and
-  *    HDFS-compatible stores alike). Files are written to a
-  *    `.inprogress` name and renamed on success, so a failed/zombie
-  *    task attempt can never be confused for committed output — the
-  *    read glob matches only `part-*.avro`. Target file size is
-  *    whatever the upstream partitioning gives; repartition the input
-  *    to size container files (~128 MB) for a 100 TB sink.
+  *    HDFS-compatible stores alike). Files are written to an
+  *    attempt-unique `.inprogress` name and renamed on success onto a
+  *    partitionId-only final name, first-committer-wins: a speculative
+  *    or retried attempt can neither be confused for committed output
+  *    nor commit a duplicate file for its partition, and a failed
+  *    rename fails the task (Spark retries) instead of silently
+  *    dropping the partition. The read glob matches only
+  *    `part-*.avro`. Target file size is whatever the upstream
+  *    partitioning gives; repartition the input to size container
+  *    files (~128 MB) for a 100 TB sink.
   *  - READ: the schema comes from ONE container header read on the
   *    driver (a few hundred bytes), then `binaryFile` lists and reads
   *    the files as a distributed scan and `mapPartitions` decodes
@@ -34,8 +38,9 @@ import org.apache.spark.sql.types._
   *    spark-avro granularity for unsplittable-compressed containers.
   *
   * Type bridge (both directions): long/int/string/double/float/
-  * boolean/bytes plus timestamp-micros logical longs; nullable columns
-  * map to `["null", T]` unions. That covers every column type the
+  * boolean/bytes plus timestamp-micros (instant) and
+  * local-timestamp-micros (zoneless, TimestampNTZType) logical longs;
+  * nullable columns map to `["null", T]` unions. That covers every column type the
   * testdata tables and the lake's blob relations use; anything else
   * fails loudly at schema-conversion time rather than corrupting data.
   */
@@ -53,9 +58,16 @@ object AvroBridge {
         case FloatType => Schema.create(Schema.Type.FLOAT)
         case BooleanType => Schema.create(Schema.Type.BOOLEAN)
         case BinaryType => Schema.create(Schema.Type.BYTES)
-        case TimestampType | TimestampNTZType =>
+        case TimestampType =>
           val s = Schema.create(Schema.Type.LONG)
           s.addProp("logicalType", "timestamp-micros")
+          s
+        case TimestampNTZType =>
+          // wall-clock (zoneless) semantics need the NTZ logical type,
+          // or the round-trip silently rebrands the column as an
+          // instant (and shifts its value in non-UTC sessions)
+          val s = Schema.create(Schema.Type.LONG)
+          s.addProp("logicalType", "local-timestamp-micros")
           s
         case other =>
           throw new IllegalArgumentException(
@@ -81,8 +93,11 @@ object AvroBridge {
         case s => (s, false)
       }
       val dt = s.getType match {
-        case Schema.Type.LONG =>
-          if (s.getProp("logicalType") == "timestamp-micros") TimestampType else LongType
+        case Schema.Type.LONG => s.getProp("logicalType") match {
+          case "timestamp-micros" => TimestampType
+          case "local-timestamp-micros" => TimestampNTZType
+          case _ => LongType
+        }
         case Schema.Type.INT => IntegerType
         case Schema.Type.STRING => StringType
         case Schema.Type.DOUBLE => DoubleType
@@ -128,9 +143,16 @@ object AvroBridge {
         // conf through a broadcast instead
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val name = f"part-${tc.partitionId()}%05d-a${tc.taskAttemptId()}"
-        val tmp = new org.apache.hadoop.fs.Path(path, s"$name.inprogress")
-        val fin = new org.apache.hadoop.fs.Path(path, s"$name.avro")
+        // commit protocol: the tmp name is attempt-unique (two live
+        // attempts never clobber each other's stream) but the FINAL
+        // name is partitionId-only, so a retried or speculative
+        // attempt can never commit a SECOND file for the same
+        // partition — the read glob would silently duplicate rows.
+        // First-committer wins; a later attempt seeing the final file
+        // discards its own output (identical rows by determinism).
+        val partName = f"part-${tc.partitionId()}%05d"
+        val tmp = new org.apache.hadoop.fs.Path(path, s"$partName-a${tc.taskAttemptId()}.inprogress")
+        val fin = new org.apache.hadoop.fs.Path(path, s"$partName.avro")
         val out = fs.create(tmp, true)
         val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
         writer.create(schema, out)
@@ -152,7 +174,18 @@ object AvroBridge {
           writer.append(rec)
         }
         writer.close() // closes the stream; container footer flushed
-        fs.rename(tmp, fin): Unit
+        if (fs.exists(fin)) {
+          // another attempt already committed this partition
+          fs.delete(tmp, false): Unit
+        } else if (!fs.rename(tmp, fin)) {
+          // rename can legitimately fail only because a racing attempt
+          // committed between the exists check and the rename; any
+          // other false means the partition's data would silently
+          // vanish from the sink — fail the task so Spark retries
+          if (fs.exists(fin)) fs.delete(tmp, false): Unit
+          else throw new java.io.IOException(
+            s"AvroBridge: rename $tmp -> $fin failed and no committed file exists")
+        }
       }
     }
   }
@@ -199,6 +232,14 @@ object AvroBridge {
                   java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
                     Math.floorDiv(l.longValue(), 1000000L),
                     Math.floorMod(l.longValue(), 1000000L) * 1000L))
+                case l: java.lang.Long if target.fields(i).dataType == TimestampNTZType =>
+                  // NTZ's external type is always LocalDateTime; the
+                  // UTC interpretation here mirrors toMicros, so the
+                  // wall-clock value round-trips exactly
+                  java.time.LocalDateTime.ofEpochSecond(
+                    Math.floorDiv(l.longValue(), 1000000L),
+                    (Math.floorMod(l.longValue(), 1000000L) * 1000L).toInt,
+                    java.time.ZoneOffset.UTC)
                 case v => v
               }
             })

@@ -869,8 +869,11 @@ object EventsStream {
     // after a restart, so a source that never updates again would be
     // missing from an in-memory-only store forever. With `stateDir`
     // the ≤|sources|-row store is reloaded at monitor construction
-    // and re-persisted (write-tmp-then-rename, idempotent) after
-    // every merge — min-merge makes the load/merge order irrelevant.
+    // and re-persisted after every merge via write-tmp, demote the
+    // live store to `.old`, promote tmp, drop `.old` — a crash at any
+    // step leaves a complete store for the loader's fallback.
+    // Min-merge makes the load/merge order irrelevant (re-applying an
+    // older surviving copy is absorbed).
     def merge(src: String, sig: Array[Long]): Unit = {
       standing.merge(src, sig, (a, b) =>
         Array.tabulate(K)(j => math.min(a(j), b(j)))): Unit
@@ -878,10 +881,21 @@ object EventsStream {
     stateDir.foreach { d =>
       val fs = new org.apache.hadoop.fs.Path(d)
         .getFileSystem(new org.apache.hadoop.conf.Configuration())
-      if (fs.exists(new org.apache.hadoop.fs.Path(d)))
-        docs.sparkSession.read.parquet(d).collect().foreach { r =>
+      // crash-safe load: prefer the live store; if a crash hit the
+      // persist window after the old store was demoted but before the
+      // new one was promoted, the `.old` copy is the survivor — a
+      // store MUST exist whenever one ever existed, or sources that
+      // never emit again silently vanish from every future matrix
+      val live = new org.apache.hadoop.fs.Path(d)
+      val old = new org.apache.hadoop.fs.Path(d + ".old")
+      val src = if (fs.exists(live)) Some(d)
+        else if (fs.exists(old)) Some(d + ".old")
+        else None
+      src.foreach { p =>
+        docs.sparkSession.read.parquet(p).collect().foreach { r =>
           merge(r.getString(0), Array.tabulate(K)(j => r.getLong(j + 1)))
         }
+      }
     }
     minhashSignatures(docs)
       .writeStream.outputMode("update")
@@ -901,9 +915,18 @@ object EventsStream {
           val tmp = new org.apache.hadoop.fs.Path(d + ".inprogress")
           sigDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           val dst = new org.apache.hadoop.fs.Path(d)
-          if (fs.exists(dst)) fs.delete(dst, true)
+          val old = new org.apache.hadoop.fs.Path(d + ".old")
+          // promote via demote-then-rename so a crash at ANY point
+          // leaves at least one complete store on disk: the old copy
+          // is renamed aside (not deleted) before the new one takes
+          // the live name, and only then discarded. Load prefers the
+          // live name and falls back to `.old`.
+          if (fs.exists(old)) fs.delete(old, true)
+          if (fs.exists(dst) && !fs.rename(dst, old))
+            throw new java.io.IOException(s"overlapMatrixMonitor: demote $dst -> $old failed")
           if (!fs.rename(tmp, dst))
             throw new java.io.IOException(s"overlapMatrixMonitor: rename $tmp -> $dst failed")
+          if (fs.exists(old)) fs.delete(old, true): Unit
         }
         publish(batchId,
           graft.operators.TextAnalysis.overlapFromSignatures(sigDf)

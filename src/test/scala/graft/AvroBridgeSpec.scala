@@ -78,6 +78,37 @@ class AvroBridgeSpec extends AnyFunSuite {
     }
   }
 
+  test("TimestampNTZ round-trips as local-timestamp-micros: type AND wall-clock value survive") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ntz", TimestampNTZType)))
+    val wall = java.time.LocalDateTime.parse("2021-06-01T12:34:56.123456")
+    val rows = Seq(Row(1L, wall), Row(2L, null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    withTmp { tmp =>
+      AvroBridge.writeAvro(df, s"$tmp/ntz.avro")
+      val back = AvroBridge.readAvro(spark, s"$tmp/ntz.avro")
+      assert(back.schema("ntz").dataType == TimestampNTZType,
+        "NTZ must come back as NTZ, not rebranded as an instant")
+      val got = back.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(got(1L).contains(wall), s"wall-clock value must survive: ${got(1L)}")
+      assert(got(2L).isEmpty)
+    }
+  }
+
+  test("committed file names are partitionId-only — a retried attempt can never add a duplicate part file") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id")).repartition(3)
+    withTmp { tmp =>
+      AvroBridge.writeAvro(docs, s"$tmp/d.avro")
+      val names = new java.io.File(s"$tmp/d.avro").listFiles().map(_.getName).filter(_.endsWith(".avro"))
+      // the final name must not embed the attempt id: the read glob
+      // dedups by construction only if each partition maps to ONE name
+      assert(names.forall(_.matches("part-\\d{5}\\.avro")), s"attempt-id leaked into final names: ${names.toSeq}")
+      assert(names.distinct.length == 3)
+    }
+  }
+
   test("q_avro_roundtrip matches the q_orc_roundtrip relation on the same corpus") {
     val sf = "/root/testdata/sf0.001"
     val avro = Ingest.qAvroRoundtrip(spark, sf).select("doc_id", "source", "text_md5")

@@ -183,18 +183,21 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(rows((60L, 45L)) == (n - nDel, base + corr - delSum))
   }
 
-  test("q_dp_counts: exact mechanism replay, zero-clamp, and geometric noise distribution") {
+  test("q_dp_counts: exact mechanism replay, zero-clamp, geometric-difference noise, seed sensitivity") {
     import org.apache.spark.sql.functions.{col, count, lit}
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-    def noise(key: String): Long = {
-      val h = java.lang.Long.parseLong(md5hex("dpseed1|" + key).take(15), 16)
-      val or = h | (1L << 48)
-      val mag = 63 - java.lang.Long.numberOfLeadingZeros(or & -or) // log2 of lowest set bit
-      if ((h >> 49) % 2 == 0) mag.toLong else -mag.toLong
+    // trailing-zero count of a 28-bit field, capped at 28 by the OR
+    def geo(v: Long): Long = {
+      val x = (v % 268435456L) | 268435456L
+      (63 - java.lang.Long.numberOfLeadingZeros(x & -x)).toLong
     }
-    // full mechanism replay against the released table
+    def noise(seed: String, key: String): Long = {
+      val h = java.lang.Long.parseLong(md5hex(seed + "|" + key).take(15), 16)
+      geo(h) - geo(h / 268435456L)
+    }
+    // full mechanism replay against the released table (test seed)
     val truth = GraftSession.table(spark, sf, "customer")
       .groupBy(col("c_nationkey"), col("c_mktsegment")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
@@ -202,18 +205,39 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(rel.length == truth.size)
     rel.foreach { r =>
       val k = (r.getInt(0), r.getString(1))
-      val want = math.max(truth(k) + noise(s"${k._1}|${k._2}"), 0L)
+      val want = math.max(truth(k) + noise("dpseed1", s"${k._1}|${k._2}"), 0L)
       assert(r.getAs[Long]("n_noisy") == want, s"mechanism replay diverges for $k")
     }
-    // the mechanism is two-sided geometric(1/2): over many keys,
-    // P(|noise| = 0) -> 1/2 and mean |noise| -> 1
-    val ns = (0 until 20000).map(i => noise(s"k$i"))
+    // the mechanism is the TRUE two-sided geometric(alpha=1/2),
+    // P(z) = (1/3)2^-|z| (difference of two iid geometric(1/2)
+    // draws): over many keys P(noise=0) -> 1/3, E|noise| -> 4/3,
+    // signs balanced. P(0)=1/3 is the load-bearing check — the old
+    // sign-bit construction had P(0)=1/2 and only satisfied eps=ln 4.
+    val ns = (0 until 20000).map(i => noise("dpseed1", s"k$i"))
     val p0 = ns.count(_ == 0).toDouble / ns.size
-    assert(math.abs(p0 - 0.5) < 0.02, s"P(noise=0) = $p0")
+    assert(math.abs(p0 - 1.0 / 3) < 0.02, s"P(noise=0) = $p0")
     val meanAbs = ns.map(math.abs).sum.toDouble / ns.size
-    assert(math.abs(meanAbs - 1.0) < 0.05, s"E|noise| = $meanAbs")
+    assert(math.abs(meanAbs - 4.0 / 3) < 0.05, s"E|noise| = $meanAbs")
     val pPos = ns.count(_ > 0).toDouble / ns.filter(_ != 0).size
     assert(math.abs(pPos - 0.5) < 0.03, s"sign balance = $pPos")
+    // adjacent-output ratio: for every z in the observable range,
+    // count(z)/count(z+1) must hover near 2, never near 4 — the
+    // distributional form of the eps = ln 2 claim
+    val byZ = ns.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    (-2 to 1).foreach { z =>
+      val ratio = byZ(z.toLong) / byZ(z.toLong + 1)
+      val want = if (z >= 0) 2.0 else 0.5
+      assert(math.abs(ratio / want - 1.0) < 0.2, s"P($z)/P(${z + 1}) = $ratio, want ~$want")
+    }
+    // seed sensitivity: a different seed changes the draw for at
+    // least one group; the same seed replays bit-exactly
+    val again = graft.operators.Relational.qDpCounts(spark, sf).collect()
+    assert(rel.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
+      "same seed must replay exactly")
+    val other = graft.operators.Relational.qDpCountsSeeded(spark, sf, "release-2026-08").collect()
+    val a = rel.map(r => ((r.getInt(0), r.getString(1)), r.getAs[Long]("n_noisy"))).toMap
+    val diffs = other.count(r => a((r.getInt(0), r.getString(1))) != r.getAs[Long]("n_noisy"))
+    assert(diffs > 0, "a different seed must change the released noise")
   }
 
   test("q_compact_exec: payload conserved, one file per bin, files are sorted contiguous key ranges") {

@@ -1064,4 +1064,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.toVector == want,
       "restarted monitor must converge to the batch sketch matrix from only the new data")
   }
+
+  test("overlap monitor store persist is crash-safe: a crash between demote and promote still restores from .old") {
+    implicit val sc = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("ovcrash").toString + "/sigs"
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect().toSeq
+    val b = docs.groupBy(d => (d._2.hashCode & Int.MaxValue) % 2)
+
+    def runOnce(data: Seq[(String, String)]): Array[(String, String, Long, Long)] = {
+      val stream = MemoryStream[(String, String)]
+      var last: Array[(String, String, Long, Long)] = Array.empty
+      val q = EventsStream.overlapMatrixMonitor(
+        stream.toDF().toDF("source", "text"), Some(stateDir)) { (_, matrix) =>
+        last = matrix.collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      }.start()
+      try { stream.addData(data); q.processAllAvailable() } finally q.stop()
+      last
+    }
+
+    runOnce(b.getOrElse(0, Nil))
+    // simulate the mid-persist crash: the live store was demoted to
+    // `.old` but the new one never took the live name
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(stateDir),
+      new org.apache.hadoop.fs.Path(stateDir + ".old")), "test setup: demote live store")
+    val after = runOnce(b.getOrElse(1, Nil))
+    val want = graft.operators.TextAnalysis.textOverlapSketch(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toVector
+    assert(after.toVector == want,
+      "monitor restarted from the .old fallback must still converge to the batch matrix")
+  }
 }
