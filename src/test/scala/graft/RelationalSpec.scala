@@ -173,6 +173,9 @@ class PlanSpec extends AnyFunSuite {
       // (the ann_ivf quantizer shape); the list read is an equi-join
       // on the partition column
       "ann_ivf_indexed",
+      // ann_ivfpq probes the same broadcast persisted centroid table;
+      // the compressed-list read and the re-rank are equi-joins
+      "ann_ivfpq",
       // q11_important cross-joins a broadcast 1-ROW nation-total
       // aggregate into the per-part stock rollup — the q22_idle shape
       "q11_important",

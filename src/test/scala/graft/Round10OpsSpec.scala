@@ -314,6 +314,7 @@ class Round10OpsSpec extends AnyFunSuite {
       "lsh" -> VectorOps.annLsh(spark, sf),
       "ivf" -> VectorOps.annIvf(spark, sf),
       "pq" -> VectorOps.annPq(spark, sf),
+      "ivfpq" -> VectorOps.annIvfPq(spark, sf),
     ).map { case (m, df) =>
       m -> df.select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
@@ -322,7 +323,7 @@ class Round10OpsSpec extends AnyFunSuite {
       r.getAs[String]("method") -> ((r.getAs[Long]("n_truth"),
         r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm")))
     }.toMap
-    assert(got.keySet == Set("lsh", "ivf", "pq"))
+    assert(got.keySet == Set("lsh", "ivf", "pq", "ivfpq"))
     got.foreach { case (m, (nT, nH, ppm)) =>
       assert(nT == truth.size.toLong)
       assert(nH == (byMethod(m) intersect truth).size.toLong, s"$m hit count diverges")
@@ -332,6 +333,7 @@ class Round10OpsSpec extends AnyFunSuite {
     // (lsh raised 0.5 → 0.7 when 4-probe multi-probe landed; measures
     // ≈0.98 on this corpus)
     assert(got("lsh")._3 >= 700000L && got("ivf")._3 >= 700000L && got("pq")._3 >= 700000L)
+    assert(got("ivfpq")._3 >= 700000L, "composed-index recall floor")
   }
 
   // --------------------------------------------------------- q_runsum_floor
