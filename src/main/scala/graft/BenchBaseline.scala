@@ -195,6 +195,10 @@ object BenchBaseline {
     // runs; steady-state compressed-list read of the composed IVF-PQ
     // artifact (same amortize-the-build convention as ann_ivf_indexed)
     "ann_ivfpq" -> 1.30,
+    // r12 addition: 3.31/3.31/3.47 across three targeted idle-box
+    // runs; the store rewrite (128-way chunk exchange + partitioned
+    // write + post-state rollup from the files) dominates
+    "lake_rebalance_exec" -> 3.31,
     // r11 addition: 1.12/1.12 across two targeted runs
     "multimodal_afp" -> 1.12,
     // r11 addition: first targeted measurement (DuckDB sweep sharing

@@ -309,6 +309,73 @@ object LakeOps {
       |GROUP BY new_buckets
       |ORDER BY new_buckets""".stripMargin
 
+  /** §2.1 #5c — bucket-resize rebalance EXECUTION: [[lakeRebalance]]
+    * plans the B=64 → B′=128 migration; this op PERFORMS it on a
+    * scratch store and reports the post-state FROM THE REWRITTEN
+    * FILES — the q_compact_exec plan-then-execute pattern applied to
+    * the index-modulo store. The store holds one physical copy per
+    * content address (idempotent-put semantics), so the migration
+    * routes the UNIQUE chunk set: each chunk to directory
+    * `bucket = h mod 128`, one physical file per bucket
+    * (repartition-by-bucket before the partitioned write), with its
+    * old-bucket membership carried as data so the moved count is
+    * derived from what actually landed on disk, not from the plan.
+    * The oracle recomputes the expected post-state from the source
+    * table — a hash match proves the executed layout IS the plan
+    * (doubling moves exactly the bit-6-set half; every stayed chunk's
+    * directory equals its old bucket).
+    *
+    * Scale shape: one exchange of the unique chunk set keyed on the
+    * new bucket (the migration is a rewrite — that shuffle IS the
+    * work, and it is the O(store) floor any resize pays), then a
+    * metadata-sized per-bucket rollup of the rewritten files. At
+    * 100 TB the doubling variant can instead move ONLY the bit-6-set
+    * half (stayed chunks keep their directories); this op rewrites
+    * all buckets so the post-state report covers the full layout.
+    */
+  def lakeRebalanceExec(spark: SparkSession, dir: String): DataFrame = {
+    val uniq = chunkSplit(spark, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("part_len")).as("bytes"), count(lit(1)).as("n_refs"))
+      .withColumn("h", expr(
+        "CAST((locate(substring(chunk_hash,1,1), '0123456789abcdef') - 1) * 16 + " +
+          "locate(substring(chunk_hash,2,1), '0123456789abcdef') - 1 AS BIGINT)"))
+      .withColumn("moved", expr("CAST(h % 64 != h % 128 AS BIGINT)"))
+      .select(col("chunk_hash"), col("bytes"), col("n_refs"), col("moved"),
+        expr("h % 128").as("bucket"))
+    val out = s"${graft.sources.Ingest.scratchDir(spark)}/store_rebalanced_128_${Integer.toHexString(dir.hashCode)}"
+    uniq.repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "chunk_hash")
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    spark.read.parquet(out)
+      .withColumn("phys_file", input_file_name())
+      .groupBy(col("bucket").cast(LongType).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_refs")).as("n_refs"),
+        sum(col("bytes")).as("bucket_bytes"),
+        sum(col("moved")).as("n_moved"),
+        countDistinct(col("phys_file")).as("n_phys_files"),
+      )
+      .orderBy("bucket")
+  }
+
+  val lakeRebalanceExecSql: String =
+    s"""$oracleChunkCte, uniq AS (
+      |  SELECT chunk_hash, min(part_len) AS bytes, count(*) AS n_refs,
+      |    CAST((strpos('0123456789abcdef', substring(chunk_hash,1,1)) - 1) * 16 +
+      |         strpos('0123456789abcdef', substring(chunk_hash,2,1)) - 1 AS BIGINT) AS h
+      |  FROM chunks GROUP BY chunk_hash
+      |)
+      |SELECT h % 128 AS bucket, count(*) AS n_chunks,
+      |  CAST(sum(n_refs) AS BIGINT) AS n_refs,
+      |  CAST(sum(bytes) AS BIGINT) AS bucket_bytes,
+      |  CAST(sum(CASE WHEN h % 64 = h % 128 THEN 0 ELSE 1 END) AS BIGINT) AS n_moved,
+      |  CAST(1 AS BIGINT) AS n_phys_files
+      |FROM uniq
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   /** §2.1 #6 — convergent encryption roundtrip. The oracle hashes the
     * original text: equality proves decrypt(encrypt(x)) == x for every
     * document. enc_len pins the GCM layout (12 B IV + payload + 16 B tag).
@@ -575,6 +642,7 @@ object LakeOps {
     "lake_preflight" -> (lakeJoinPreflight _),
     "lake_bucket_hist" -> (lakeBucketHist _),
     "lake_rebalance" -> (lakeRebalance _),
+    "lake_rebalance_exec" -> (lakeRebalanceExec _),
     "lake_convergent" -> (lakeConvergent _),
   )
 
@@ -588,6 +656,7 @@ object LakeOps {
     "lake_preflight" -> lakeJoinPreflightSql,
     "lake_bucket_hist" -> lakeBucketHistSql,
     "lake_rebalance" -> lakeRebalanceSql,
+    "lake_rebalance_exec" -> lakeRebalanceExecSql,
     "lake_convergent" -> lakeConvergentSql,
   )
 }

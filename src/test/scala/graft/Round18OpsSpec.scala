@@ -73,6 +73,49 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(inset >= 1 && inset <= 4, s"1-query 4-probe batch must read <= 4 lists, got $inset:\n$nf")
   }
 
+  test("lake_rebalance_exec: conservation, the exact bit-6 moved set, plan agreement, one file per bucket") {
+    import graft.operators.LakeOps
+    val rep = LakeOps.lakeRebalanceExec(spark, sf).collect()
+
+    // independent ground truth from the corpus: unique chunk hashes,
+    // their h, refs, and the bit-6 property that decides movement
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0)).filter(_.getBytes("UTF-8").length > 64)
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // mirror chunkSplit exactly: byte-length part count, CHARACTER
+    // substring windows (identical on this ASCII corpus, and the
+    // sf-level oracle hash-match covers the general agreement)
+    val refs = docs.flatMap { t =>
+      val n = (t.getBytes("UTF-8").length + 255) / 256
+      (0 until n).map { i =>
+        sha(t.substring(math.min(i * 256, t.length), math.min((i + 1) * 256, t.length)))
+      }
+    }
+    val uniq = refs.distinct
+    def hOf(hash: String): Long =
+      ("0123456789abcdef".indexOf(hash(0)) * 16 + "0123456789abcdef".indexOf(hash(1))).toLong
+
+    assert(rep.map(_.getAs[Long]("n_chunks")).sum == uniq.length, "every unique chunk in exactly one bucket")
+    assert(rep.map(_.getAs[Long]("n_refs")).sum == refs.length, "reference counts conserved")
+    // h mod 128 != h mod 64 exactly when bit 6 of h is set — the
+    // doubling migration moves exactly that set, nothing else
+    val wantMoved = uniq.count(h => (hOf(h) & 64L) != 0L)
+    assert(rep.map(_.getAs[Long]("n_moved")).sum == wantMoved, "moved set must be exactly the bit-6-set chunks")
+    // the execution agrees with the lake_rebalance PLAN's B'=128 row
+    // (plan counts references, exec counts unique physical chunks —
+    // compare on the shared invariant: which h values move)
+    val planRow = LakeOps.lakeRebalance(spark, sf).collect()
+      .find(_.getAs[Long]("new_buckets") == 128L).get
+    assert(planRow.getAs[Long]("n_moved") == refs.count(h => (hOf(h) & 64L) != 0L),
+      "plan's moved refs must be the bit-6 set over references")
+    // physical layout: the migration consolidated each bucket into ONE file
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_phys_files") == 1L, s"bucket ${r.getAs[Long]("bucket")} spans multiple files")
+      assert(r.getAs[Long]("bucket") >= 0L && r.getAs[Long]("bucket") < 128L)
+    }
+  }
+
   test("ann_ivfpq: recall@5 vs brute force, determinism, and containment in the probed candidate space") {
     import spark.implicits._
     val bf = VectorOps.annBruteforce(spark, sf)
