@@ -172,12 +172,16 @@ object BenchBaseline {
     "q_neighborhood_k" -> 7.18,
     "q_gini" -> 0.66,
     "q_acf" -> 0.52,
-    // re-frozen r11: 1.82 / 2.28 idle-box cold after dropping the
-    // sketch's redundant pre-aggregate distinct() (r10 verdict #2) —
-    // the signature build is now the one map-side HashAggregate
-    "text_overlap" -> 1.82,
+    // re-frozen r12: 1.52 / 1.37 idle-box (three targeted runs:
+    // exact 1.52/2.04/1.81, sketch 1.54/1.53/1.37) after the fused
+    // MinHashGramSig kernel replaced the exploded md5-hex + 128-pmod
+    // column formulation — the sketch's wall crossover vs the exact
+    // matrix has now ARRIVED at sf0.1 (and at sf1: 2.02 vs 3.00,
+    // ratio 0.92x per 10x). Signatures bit-identical (oracle
+    // re-matched at both SFs).
+    "text_overlap" -> 1.52,
     "text_js" -> 1.79,
-    "text_overlap_sketch" -> 2.28,
+    "text_overlap_sketch" -> 1.37,
     // r11 addition, first honest idle-box cold measurement (0.71/0.72
     // across two targeted runs)
     "q_avro_roundtrip" -> 0.71,

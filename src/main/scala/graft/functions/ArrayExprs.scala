@@ -29,6 +29,12 @@ object ArrayExprs {
   def minhashSig(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), as, bs, p))
 
+  /** Fused gram-hash + k-perm MinHash signature of an array<string>
+    * of grams (see [[MinHashGramSig]]).
+    */
+  def minhashGramSig(grams: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
+    ColumnBridge.column(MinHashGramSig(ColumnBridge.expression(grams), as, bs, p))
+
   /** 62-bit SimHash of an array<long> of element hashes. */
   def simhash62(hs: Column): Column =
     ColumnBridge.column(SimHash62(ColumnBridge.expression(hs)))
@@ -406,6 +412,88 @@ case class LongArrayDot(left: Expression, right: Expression) extends BinaryExpre
   * Empty input yields p (the identity of min mod p), matching
   * array_min of an empty transform = null avoided upstream.
   */
+/** Shared md5-prefix gram hash for the MinHash sketch family: the
+  * first 8 hex chars of md5(utf8-bytes) parsed as an unsigned int64 —
+  * bit-identical to `conv(substring(md5(gram), 1, 8), 16, 10)`, the
+  * form the DuckDB oracle computes, but straight from the digest's
+  * first 4 bytes with no hex-string materialization or string parse.
+  */
+object MinHashKernel {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def h32(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get(); d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xFFL) << 24) | ((b(1) & 0xFFL) << 16) | ((b(2) & 0xFFL) << 8) | (b(3) & 0xFFL)
+  }
+}
+
+/** Fused gram-hash + k-permutation MinHash signature of one document:
+  * array<string> grams → array<long> of k slot minima, where slot j =
+  * min over grams of `(as(j)·h32(gram) + bs(j)) % p` (all operands
+  * non-negative, so `%` ≡ `pmod`). Exists as a kernel because the
+  * column formulation — explode the grams, md5 to a hex STRING,
+  * substring, conv-parse, then k separate pmod min-aggregate
+  * expressions — pays a per-gram string round-trip and k disjoint
+  * codegen statements for what is one tight two-level loop here; the
+  * per-source signature then aggregates from |docs| rows instead of
+  * |gram occurrences| rows (min-of-mins ≡ global min, duplicates
+  * absorbed at both levels). An empty gram array yields all-`p`
+  * sentinel slots, absorbed by any real gram downstream.
+  */
+case class MinHashGramSig(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val gs = in.asInstanceOf[ArrayData]
+    val k = as.length
+    val mins = Array.fill(k)(p)
+    var i = 0
+    val n = gs.numElements()
+    while (i < n) {
+      val h = MinHashKernel.h32(gs.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, gs => {
+      // freshName'd locals — see WinnowFingerprints.doGenCode.
+      val k = ctx.freshName("k"); val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      s"""
+         |int $k = $asRef.length;
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, ${p}L);
+         |int $n = $gs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = graft.functions.MinHashKernel.h32($gs.getUTF8String($i));
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($asRef[$j] * $h + $bsRef[$j]) % ${p}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

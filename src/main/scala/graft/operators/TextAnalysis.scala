@@ -1660,6 +1660,17 @@ object TextAnalysis {
     * Jaccard-estimate standard error ≤ √(J(1−J)/128) ≈ 0.044.
     */
   private[graft] val SketchK = 128
+  private[graft] val SketchP = 4294967311L
+  private[graft] val SketchAs: Array[Long] = Array.tabulate(SketchK)(j => (2 * j + 1).toLong)
+  private[graft] val SketchBs: Array[Long] = Array.tabulate(SketchK)(j => j.toLong)
+
+  /** Per-doc fused signature column (array<long>, K slots) — the
+    * [[graft.functions.MinHashGramSig]] kernel over the doc's 3-gram
+    * array, shared by the batch sketch and the streaming twin.
+    */
+  private[graft] def sketchSigCol(wordsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ArrayExprs.minhashGramSig(
+      graft.functions.ArrayExprs.wordNgrams(wordsCol, 3), SketchAs, SketchBs, SketchP)
 
   /** §2.5 #33ae — corpus-overlap matrix by MinHash SKETCH: the 100 TB
     * scale path for [[textOverlap]]. The exact matrix must shuffle the
@@ -1672,35 +1683,27 @@ object TextAnalysis {
     * The 128 permutations ride PACKED as 128 min-aggregate columns in
     * ONE map-side-combinable HashAggregate (the q_neighborhood_k
     * layout lesson: exploding to (gram, k) rows would multiply the
-    * fact shuffle ×128), and the pair stage is a 20×20 bounded
-    * broadcast cross of signature rows with a 128-term match-count
-    * fold. Everything is integer: the gram hash is the md5-hex-prefix
-    * parse (the q_join_card bucket idiom), permutations are
-    * (a·h + b) mod 4294967311 in DECIMAL(38,0)/HUGEINT — so the
-    * estimate hash-matches DuckDB exactly, estimator randomness and
-    * all. Round15OpsSpec pins the estimate against the exact matrix
-    * within the binomial error bound.
+    * fact shuffle ×128), computed per DOC by the fused
+    * [[graft.functions.MinHashGramSig]] kernel — md5 + all 128
+    * (a·h + b) mod 4294967311 permutations in one two-level JIT loop,
+    * straight off the digest bytes (no hex-string materialization, no
+    * conv parse, no gram explode: min-of-per-doc-mins ≡ the global
+    * min, and repeated grams are absorbed at both levels). The agg
+    * input is |docs| rows, not |gram occurrences| rows. The pair
+    * stage is a 20×20 bounded broadcast cross of signature rows with
+    * a 128-term match-count fold. Everything is integer — the kernel
+    * hash is bit-identical to the oracle's md5-hex-prefix parse, so
+    * the estimate hash-matches DuckDB exactly, estimator randomness
+    * and all. Round15OpsSpec pins the estimate against the exact
+    * matrix within the binomial error bound.
     */
   def textOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
     val js = 0 until SketchK
-    // NO distinct on the exploded gram relation: min is
-    // duplicate-insensitive, so repeated grams collapse inside the
-    // map-side partial aggregate for free — a pre-dedup would be a
-    // second fact-wide shuffle paying exactly the cost the sketch
-    // exists to avoid (the oracle keeps its DISTINCT; the signatures
-    // are provably identical either way). The streaming twin
-    // (EventsStream minhash maintenance) relies on the same property.
-    val g = docs(spark, dir)
-      .select(col("source"),
-        explode(graft.functions.ArrayExprs.wordNgrams(words, 3)).as("gram"))
-      // 8 hex digits → h ∈ [0, 2^32); a ≤ 255, so a·h + b ≤ 1.1·10¹²
-      // — the whole permutation stays in native int64, no decimals
-      .withColumn("h", expr("CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT)"))
-    val sig = g.groupBy(col("source"))
+    val perDoc = docs(spark, dir).select(col("source"), sketchSigCol(words).as("s"))
+    val sig = perDoc.groupBy(col("source"))
       .agg(
-        min(expr(s"pmod(1 * h + 0, 4294967311L)")).as("m0"),
-        js.tail.map(j =>
-          min(expr(s"pmod(${2 * j + 1} * h + $j, 4294967311L)")).as(s"m$j")): _*)
+        min(element_at(col("s"), 1)).as("m0"),
+        js.tail.map(j => min(element_at(col("s"), j + 1)).as(s"m$j")): _*)
       .cache()
     graft.GraftSession.materialized(overlapFromSignatures(sig), Seq("src_a", "src_b"), sig)
   }

@@ -826,15 +826,16 @@ object EventsStream {
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val js = 0 until graft.operators.TextAnalysis.SketchK
+    // the per-doc fused kernel (shared with the batch sketch) keeps
+    // this a stateless projection + a plain mergeable streaming min
+    // agg — update-mode semantics and bounded state are unchanged
     docs
       .select(col("source"),
-        explode(graft.functions.ArrayExprs.wordNgrams(split(col("text"), " "), 3)).as("gram"))
-      .withColumn("h", expr("CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT)"))
+        graft.operators.TextAnalysis.sketchSigCol(split(col("text"), " ")).as("s"))
       .groupBy(col("source"))
       .agg(
-        min(expr(s"pmod(1 * h + 0, 4294967311L)")).as("m0"),
-        js.tail.map(j =>
-          min(expr(s"pmod(${2 * j + 1} * h + $j, 4294967311L)")).as(s"m$j")): _*)
+        min(element_at(col("s"), 1)).as("m0"),
+        js.tail.map(j => min(element_at(col("s"), j + 1)).as(s"m$j")): _*)
   }
 
   /** §2.7 #48e (consumer half) — LIVE corpus-overlap matrix: the

@@ -103,6 +103,32 @@ class ArrayExprsSpec extends AnyFunSuite {
     assert(d(2) == (1L << 62) - 1, "all-ones hashes set all 62 bits")
   }
 
+  test("MinHashGramSig equals the exploded md5-hex-conv + pmod column formulation bit-for-bit") {
+    val as = Array.tabulate(8)(j => (2 * j + 1).toLong)
+    val bs = Array.tabulate(8)(j => j.toLong)
+    val p = 4294967311L
+    val rows = Seq(
+      Seq("the quick fox", "quick fox jumps", "fox jumps over"),
+      Seq("héllo wörld x"), // non-ASCII: byte-level md5 must match
+      Seq(""),              // the empty gram a short doc produces
+      Seq.empty[String],    // no grams: all-p sentinel slots
+    ).toDF("grams")
+    val got = rows.select(ArrayExprs.minhashGramSig(col("grams"), as, bs, p).as("s"))
+      .as[Seq[Long]].collect()
+    // reference: the old column path — per-gram md5 hex prefix parse,
+    // per-perm pmod, min over grams
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = Seq(
+      Seq("the quick fox", "quick fox jumps", "fox jumps over"),
+      Seq("héllo wörld x"), Seq(""), Seq.empty[String],
+    ).map { grams =>
+      val hs = grams.map(g => java.lang.Long.parseLong(md5hex(g).take(8), 16))
+      (0 until 8).map(j => if (hs.isEmpty) p else hs.map(h => (as(j) * h + bs(j)) % p).min)
+    }
+    assert(got.toSeq.map(_.toSeq) == want.map(_.toSeq))
+  }
+
   test("RefSetHitCount equals size(array_intersect) on distinct arrays and counts repeats") {
     val ref = Set("b", "c", "zz")
     val rows = Seq(
