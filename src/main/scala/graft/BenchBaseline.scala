@@ -203,6 +203,8 @@ object BenchBaseline {
     // runs; the store rewrite (128-way chunk exchange + partitioned
     // write + post-state rollup from the files) dominates
     "lake_rebalance_exec" -> 3.31,
+    // r12 addition: 0.62/0.67/0.63 across three targeted idle-box runs
+    "pipeline_incremental" -> 0.62,
     // r11 addition: 1.12/1.12 across two targeted runs
     "multimodal_afp" -> 1.12,
     // r11 addition: first targeted measurement (DuckDB sweep sharing

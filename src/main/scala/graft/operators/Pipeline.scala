@@ -1354,7 +1354,91 @@ object Pipeline {
       |FROM ranked
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.5 #26v — INCREMENTAL re-curation (the production run mode: a
+    * 100 TB pipeline is not recomputed from scratch per crawl — it
+    * joins the new snapshot against the previous run's per-doc state
+    * and recomputes ONLY new/changed documents). The previous state is
+    * keyed by content hash: per doc (sha256(text), derived stats); a
+    * v2 doc whose hash matches reuses its cached state verbatim, a
+    * changed/new doc is recomputed. The v1 snapshot is simulated
+    * deterministically (docs ≡ 0 mod 10 absent = "new in v2"; docs ≡
+    * 0 mod 7 carry a ' legacy-rev' suffix in v1 = "edited since"), so
+    * both engines derive identical v1 state and the whole report
+    * hash-matches. Emitted per source: new/changed/unchanged counts,
+    * recompute_ppm (the cost fraction an incremental run pays —
+    * O(delta), not O(corpus)), and the incremental token total next
+    * to the recomputed-token count. The invariant that makes reuse
+    * SAFE — unchanged hash ⇒ cached stats equal recomputed stats —
+    * is pinned by ScalaTest (incremental total ≡ full recompute).
+    *
+    * Scale shape: one doc_id equi-join of snapshot vs state (both
+    * fact-sized, co-keyed — bucket both by doc_id at scale and the
+    * join is shuffle-free), map-side hashing/classification, one
+    * per-source rollup. All integer.
+    */
+  def pipelineIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val v1 = d.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text_v1",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" legacy-rev")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), sha2(col("text_v1"), 256).as("h1"),
+        size(split(col("text_v1"), " ")).cast(LongType).as("tok1"))
+    val v2 = d.select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h2"),
+      size(split(col("text"), " ")).cast(LongType).as("tok2"))
+    v2.join(v1, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("h1").isNull, lit("new"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(when(col("status") === "unchanged", col("tok1")).otherwise(col("tok2"))).as("tokens_total"),
+        sum(when(col("status") =!= "unchanged", col("tok2")).otherwise(0L)).as("tokens_recomputed"),
+      )
+      .withColumn("recompute_ppm", expr("(n_new + n_changed) * 1000000L div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_new"), col("n_changed"),
+        col("n_unchanged"), col("recompute_ppm"), col("tokens_total"),
+        col("tokens_recomputed"))
+      .orderBy("source")
+  }
+
+  val pipelineIncrementalSql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id,
+      |    sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' legacy-rev' ELSE text END) AS h1,
+      |    CAST(len(string_split(CASE WHEN doc_id % 7 = 0 THEN text || ' legacy-rev' ELSE text END, ' ')) AS BIGINT) AS tok1
+      |  FROM documents WHERE doc_id % 10 != 0
+      |), v2 AS (
+      |  SELECT doc_id, source, sha256(text) AS h2,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok2
+      |  FROM documents
+      |), j AS (
+      |  SELECT v2.source,
+      |    CASE WHEN v1.h1 IS NULL THEN 'new'
+      |         WHEN v1.h1 != v2.h2 THEN 'changed'
+      |         ELSE 'unchanged' END AS status,
+      |    v1.tok1, v2.tok2
+      |  FROM v2 LEFT JOIN v1 ON v1.doc_id = v2.doc_id
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      |  CAST((sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) +
+      |   sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT) AS recompute_ppm,
+      |  CAST(sum(CASE WHEN status = 'unchanged' THEN tok1 ELSE tok2 END) AS BIGINT) AS tokens_total,
+      |  CAST(sum(CASE WHEN status != 'unchanged' THEN tok2 ELSE 0 END) AS BIGINT) AS tokens_recomputed
+      |FROM j
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_incremental" -> (pipelineIncremental _),
     "sample_dsir" -> (sampleDsir _),
     "sample_temperature" -> (sampleTemperature _),
     "q_split_holdout" -> (qSplitHoldout _),
@@ -1377,6 +1461,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_incremental" -> pipelineIncrementalSql,
     "sample_dsir" -> sampleDsirSql,
     "sample_temperature" -> sampleTemperatureSql,
     "q_split_holdout" -> qSplitHoldoutSql,

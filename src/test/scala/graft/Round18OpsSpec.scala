@@ -116,6 +116,40 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_incremental: reuse is safe (incremental total == full recompute) and the delta classification is exact") {
+    import graft.operators.Pipeline
+    val rep = Pipeline.pipelineIncremental(spark, sf).collect()
+    val d = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
+
+    // the invariant that makes hash-keyed reuse SAFE: summing cached
+    // stats for unchanged docs + recomputed stats for the delta must
+    // equal the full recompute, exactly
+    val fullBySrc = d.groupBy(_._2).view.mapValues(_.map(_._3.split(" ", -1).length.toLong).sum).toMap
+    rep.foreach { r =>
+      assert(r.getAs[Long]("tokens_total") == fullBySrc(r.getAs[String]("source")),
+        s"incremental total diverges from full recompute for ${r.getAs[String]("source")}")
+    }
+    // exact delta classification: new = absent from v1 (id % 10 == 0),
+    // changed = present with an edited v1 text (id % 7 == 0), else
+    // unchanged — replayed per source
+    val bySrc = d.groupBy(_._2)
+    rep.foreach { r =>
+      val ds = bySrc(r.getAs[String]("source"))
+      val nNew = ds.count(_._1 % 10 == 0).toLong
+      val nChanged = ds.count(t => t._1 % 10 != 0 && t._1 % 7 == 0).toLong
+      assert(r.getAs[Long]("n_new") == nNew)
+      assert(r.getAs[Long]("n_changed") == nChanged)
+      assert(r.getAs[Long]("n_unchanged") == ds.length - nNew - nChanged)
+      assert(r.getAs[Long]("recompute_ppm") == (nNew + nChanged) * 1000000L / ds.length)
+      // the recomputed-token count covers exactly the delta set
+      val wantRecomp = ds.filter(t => t._1 % 10 == 0 || t._1 % 7 == 0)
+        .map(_._3.split(" ", -1).length.toLong).sum
+      assert(r.getAs[Long]("tokens_recomputed") == wantRecomp)
+    }
+  }
+
   test("ann_ivfpq: recall@5 vs brute force, determinism, and containment in the probed candidate space") {
     import spark.implicits._
     val bf = VectorOps.annBruteforce(spark, sf)
