@@ -205,6 +205,9 @@ object BenchBaseline {
     "lake_rebalance_exec" -> 3.31,
     // r12 addition: 0.62/0.67/0.63 across three targeted idle-box runs
     "pipeline_incremental" -> 0.62,
+    // r12 addition: 1.47/1.63/1.53 across three targeted idle-box runs
+    // (the ann_ivfpq read + the broadcast tombstone anti join)
+    "ann_ivfpq_live" -> 1.47,
     // r11 addition: 1.12/1.12 across two targeted runs
     "multimodal_afp" -> 1.12,
     // r11 addition: first targeted measurement (DuckDB sweep sharing

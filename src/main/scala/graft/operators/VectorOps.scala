@@ -1068,8 +1068,15 @@ object VectorOps {
     */
   def annIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nProbes: Int, numSub: Int = 16, ksub: Int = 16,
-      shortlistFactor: Int = 8): DataFrame = {
-    val (lists, cents, cb) = ivfPqIndexTable(spark, dir, numSub = numSub, ksub = ksub)
+      shortlistFactor: Int = 8, tombstones: Option[DataFrame] = None): DataFrame = {
+    val (lists0, cents, cb) = ivfPqIndexTable(spark, dir, numSub = numSub, ksub = ksub)
+    // tombstone-aware read (the annIvfLive contract on the composed
+    // index): the broadcast anti join filters the PROBED compressed
+    // lists before the ADC scan, so corpses never enter the shortlist
+    // and never cost a re-rank lookup — the merge-on-read delete
+    // model with the compressed scan as the read tax's lower bound
+    val lists = tombstones.fold(lists0)(t =>
+      lists0.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti"))
     val cs = broadcast(cents)
     val qprep = prep(queries)
       .select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"))
@@ -1123,6 +1130,19 @@ object VectorOps {
     // recovers the in-list ADC approximation loss entirely (recall
     // 0.71 → 0.76 at sf0.001 = ann_ivf's probe ceiling at 8/16)
     annIvfPq(spark, dir, queries, 5, 8, shortlistFactor = 16)
+  }
+
+  /** named query: the composed index under the standing tombstone set
+    * (ids ≡ 3 mod 7, [[annDelete]]'s delete feed) read by undeleted
+    * queries — the steady-state production read between compactions.
+    * Rows-only; Round18OpsSpec pins no-corpse-surfaces and
+    * empty-tombstones ≡ plain composed read.
+    */
+  def annIvfPqLive(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    val tomb = e.select(col("id")).filter(col("id") % 7 === 3)
+    val queries = e.filter(col("id") < 20 && col("id") % 7 =!= 3)
+    annIvfPq(spark, dir, queries, 5, 8, shortlistFactor = 16, tombstones = Some(tomb))
   }
 
   /** §2.4 #29r — embedding-space hubness audit (Radovanović '10): the
@@ -2025,6 +2045,7 @@ object VectorOps {
     "ann_delete" -> (annDelete _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ann_ivfpq" -> (annIvfPq(_: SparkSession, _: String)),
+    "ann_ivfpq_live" -> (annIvfPqLive _),
     "emb_hubness" -> (embHubness _),
     "emb_kmeans" -> (embKmeans(_: SparkSession, _: String)),
     "emb_matryoshka" -> (embMatryoshka _),

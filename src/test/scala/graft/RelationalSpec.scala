@@ -176,6 +176,9 @@ class PlanSpec extends AnyFunSuite {
       // ann_ivfpq probes the same broadcast persisted centroid table;
       // the compressed-list read and the re-rank are equi-joins
       "ann_ivfpq",
+      // ann_ivfpq_live adds only a broadcast tombstone ANTI equi-join
+      // on top of the ann_ivfpq shape
+      "ann_ivfpq_live",
       // q11_important cross-joins a broadcast 1-ROW nation-total
       // aggregate into the per-part stock rollup — the q22_idle shape
       "q11_important",

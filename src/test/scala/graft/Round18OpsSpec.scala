@@ -116,6 +116,24 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivfpq_live: no corpse surfaces, undeleted queries only, empty tombstones equals the plain composed read") {
+    import spark.implicits._
+    val live = VectorOps.annIvfPqLive(spark, sf).collect()
+    assert(live.nonEmpty)
+    live.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") % 7 != 3, "a tombstoned vector surfaced as a neighbor")
+      assert(r.getAs[Long]("query_id") % 7 != 3, "a tombstoned vector was used as a query")
+    }
+    // empty tombstone set reproduces the plain composed read exactly
+    val e = corpus
+    val q = e.filter(col("id") < 20)
+    val none = e.select(col("id")).filter(org.apache.spark.sql.functions.lit(false))
+    val a = VectorOps.annIvfPq(spark, sf, q, 5, 8, shortlistFactor = 16, tombstones = Some(none))
+      .collect().map(_.toSeq.toVector).toVector
+    val b = VectorOps.annIvfPq(spark, sf).collect().map(_.toSeq.toVector).toVector
+    assert(a == b, "empty tombstones must reproduce the plain composed index read")
+  }
+
   test("pipeline_incremental: reuse is safe (incremental total == full recompute) and the delta classification is exact") {
     import graft.operators.Pipeline
     val rep = Pipeline.pipelineIncremental(spark, sf).collect()
