@@ -208,6 +208,9 @@ object BenchBaseline {
     // r12 addition: 1.47/1.63/1.53 across three targeted idle-box runs
     // (the ann_ivfpq read + the broadcast tombstone anti join)
     "ann_ivfpq_live" -> 1.47,
+    // r12 addition: 3.67/4.02/3.51 across three targeted idle-box runs
+    // (the 16-round BPE trainer dominates, as in text_bpe_encode)
+    "text_fertility" -> 3.51,
     // r11 addition: 1.12/1.12 across two targeted runs
     "multimodal_afp" -> 1.12,
     // r11 addition: first targeted measurement (DuckDB sweep sharing

@@ -183,9 +183,69 @@ object Bpe {
   private def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(spark, dir)
 
+  /** §2.5 #33nb — tokenizer fertility audit per source: the
+    * mixture-weighting diagnostic a training pipeline publishes
+    * before setting sampling rates, because budgets are spent in
+    * TOKENS, not docs or bytes — two sources with equal byte counts
+    * can differ ×2 in token cost under the same tokenizer. Per
+    * source: doc/word/BPE-token/byte totals, fertility_ppm
+    * (BPE tokens per word — high = the vocabulary fits this source
+    * poorly, its text is "expensive"), and bytes_per_token_ppm (the
+    * budget-planning number: how many corpus bytes one training
+    * token buys). Uses the same trained 16-merge BPE and the same
+    * [[graft.functions.BpeEncodeCount]] codegen kernel as
+    * [[bpeEncode]], so the audit measures the actual tokenizer, not
+    * a proxy.
+    *
+    * Scale shape: training is vocabulary-bounded, the encoder runs
+    * once per DISTINCT word, the occurrence join-back shuffles on the
+    * word key, and the report is one map-side-combined per-source
+    * rollup. Rows-only (iterative BPE trainer); ScalaTest replays the
+    * whole audit with the shared plain-Scala [[encodeWord]].
+    */
+  def textFertility(spark: SparkSession, dir: String, numMerges: Int = 16): DataFrame = {
+    import spark.implicits._
+    val wf = table(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val merges = bpeTrain(wf, numMerges)
+      .orderBy("merge_idx")
+      .select(col("left"), col("right"))
+      .as[(String, String)]
+      .collect()
+    val occurrences = table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val wordTokens = occurrences.select(col("word")).distinct()
+      .withColumn("n_tok",
+        graft.functions.ArrayExprs.bpeEncodeCount(col("word"), merges.map(_._1), merges.map(_._2)))
+    val perSrc = occurrences.join(wordTokens, "word")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_tokens"),
+      )
+    val bytes = table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(octet_length(col("text")).cast(LongType)).as("n_bytes"))
+    perSrc.join(bytes, "source")
+      .select(
+        col("source"), col("n_docs"), col("n_words"), col("n_bpe_tokens"), col("n_bytes"),
+        expr("n_bpe_tokens * 1000000L div n_words").as("fertility_ppm"),
+        expr("n_bytes * 1000000L div n_bpe_tokens").as("bytes_per_token_ppm"),
+      )
+      .orderBy("source")
+  }
+
+  private def textFertilityQuery(spark: SparkSession, dir: String): DataFrame =
+    textFertility(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe" -> (textBpe _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_fertility" -> (textFertilityQuery _),
   )
 
   val oracles: Map[String, String] = Map.empty // declared rows-only + ScalaTest replay

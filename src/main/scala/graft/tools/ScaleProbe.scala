@@ -57,7 +57,11 @@ object ScaleProbe {
     "q_hits", "q_pagerank", "q_components", "q_bfs", "q_ppr",
     "q_kcore", "q_communities", "q_msf", "dedup_containment", "ann_recall",
     "q_neighborhood", "q_neighborhood_k", "text_overlap",
-    "text_overlap_sketch", "q_gini")
+    "text_overlap_sketch", "q_gini",
+    // r12 additions: the store rewrite (O(store) exchange — the one
+    // op whose cost SHOULD be exactly linear) and the composed-index
+    // read (must stay at the probed fraction as the corpus grows)
+    "lake_rebalance_exec", "ann_ivfpq")
 
   private def buildScaled(spark: SparkSession, src: String, out: String): Unit = {
     idCols.foreach { case (name, ids) =>

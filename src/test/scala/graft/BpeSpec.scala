@@ -62,6 +62,41 @@ class BpeSpec extends AnyFunSuite {
     got.sliding(2).foreach { case Seq(a, b) => assert(b._5 <= a._5); case _ => }
   }
 
+  test("text_fertility equals the plain-Scala per-source replay with the shared encodeWord") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Bpe.textFertility(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+
+    // replay: same trained merges (via the Spark trainer — the
+    // trainer itself is pinned by the suites above), same encodeWord
+    val wf = GraftSession.table(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val merges = Bpe.bpeTrain(wf, 16).orderBy("merge_idx")
+      .select("left", "right").as[(String, String)].collect()
+    val (ls, rs) = (merges.map(_._1), merges.map(_._2))
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val tokCache = scala.collection.mutable.Map[String, Long]()
+    def nTok(w: String): Long =
+      tokCache.getOrElseUpdate(w, Bpe.encodeWord(w, ls, rs).length.toLong)
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val wordsAll = ds.flatMap(_._3.toLowerCase.split(" ").filter(_.nonEmpty))
+      val nWords = wordsAll.length.toLong
+      val nBpe = wordsAll.map(nTok).sum
+      val nBytes = ds.map(_._3.getBytes("UTF-8").length.toLong).sum
+      val r = got(src)
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_words") == nWords, s"$src words")
+      assert(r.getAs[Long]("n_bpe_tokens") == nBpe, s"$src bpe tokens")
+      assert(r.getAs[Long]("n_bytes") == nBytes, s"$src bytes")
+      assert(r.getAs[Long]("fertility_ppm") == nBpe * 1000000L / nWords)
+      assert(r.getAs[Long]("bytes_per_token_ppm") == nBytes * 1000000L / nBpe)
+    }
+  }
+
   test("overlapping merges collapse left-to-right: aaaa + (a,a) -> [aa, aa]") {
     val wf = Seq(("aaaa", 1L)).toDF("word", "freq")
     val got = Bpe.bpeTrain(wf, 2).as[(Long, String, String, String, Long)].collect().toSeq
