@@ -996,8 +996,9 @@ object VectorOps {
     * product codes compress what the lists hold). [[ivfIndexTable]]
     * keeps raw vectors in its lists, so a probed read is
     * raw-vector-sized; here a list row is (id, codes, norm) —
-    * numSub bytes of code vs 8·dim of vector, a ~16× smaller probed
-    * read at any corpus size. The coarse quantizer, the PQ
+    * numSub bytes of code vs 8·dim of vector: rows ~16× narrower,
+    * measured 5.7× smaller on disk after parquet encoding
+    * (Round18OpsSpec), at any corpus size. The coarse quantizer, the PQ
     * codebooks, and the encoded lists are all frozen into one
     * sha-keyed atomic-rename artifact so every later consumer scores
     * against the exact quantizers that built it. Codes encode the RAW

@@ -42,6 +42,24 @@ class Round18OpsSpec extends AnyFunSuite {
       val got = r.getSeq[Int](r.fieldIndex("codes")).toList
       assert(got == encode(qv(id)).toList, s"stored codes diverge from the PQ encode for vec $id")
     }
+
+    // the scale claim, measured: the compressed lists are a fraction
+    // of the raw-vector lists ON DISK (same corpus, same partitioning,
+    // both parquet-encoded) — the probed read shrinks by this factor
+    VectorOps.ivfIndexTable(spark, sf)
+    val scratch = graft.sources.Ingest.scratchDir(spark)
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sf.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    def duBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(p))
+    }
+    val rawBytes = duBytes(s"$scratch/ivf_index_16_$dirKey/lists")
+    val pqBytes = duBytes(s"$scratch/ivfpq_index_16_16_16_$dirKey/lists")
+    info(s"probed-list bytes: raw IVF $rawBytes, IVF-PQ $pqBytes (${rawBytes.toDouble / pqBytes}x smaller)")
+    assert(pqBytes * 3 < rawBytes, s"compressed lists must be well under a third of the raw lists: $pqBytes vs $rawBytes")
   }
 
   test("ann_ivfpq: probed-list partition pruning — the compressed scan reads only the probed directories") {
