@@ -1065,6 +1065,45 @@ class StreamingSpec extends AnyFunSuite {
       "restarted monitor must converge to the batch sketch matrix from only the new data")
   }
 
+  test("streaming incremental curation reproduces the batch pipeline_incremental delta classification exactly") {
+    implicit val sc = spark.sqlContext
+    import EventsStream.{CurationOut, DocVersion}
+    val stream = MemoryStream[DocVersion]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Array[CurationOut]]
+    val q = EventsStream.incrementalCurationStream(stream.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[CurationOut], batchId: Long) =>
+        perBatch += b.collect(): Unit
+      }
+      .start()
+    try {
+      val docs = GraftSession.table(spark, sf, "documents")
+        .select(col("doc_id"), col("source"), col("text")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
+      // batch 1: the simulated v1 snapshot pipeline_incremental derives
+      val v1 = docs.filter(_._1 % 10 != 0).map { case (id, src, t) =>
+        DocVersion(id, src, if (id % 7 == 0) t + " legacy-rev" else t)
+      }
+      stream.addData(v1.toSeq); q.processAllAvailable()
+      // batch 2: the v2 corpus (current text)
+      stream.addData(docs.map(d => DocVersion(d._1, d._2, d._3)).toSeq); q.processAllAvailable()
+
+      assert(perBatch.head.forall(_.status == "new"), "an empty manifest classifies everything new")
+      // the v2 batch must reproduce the batch operator's report
+      val got = perBatch(1).groupBy(_.source).map { case (src, rs) =>
+        src -> ((rs.count(_.status == "new").toLong, rs.count(_.status == "changed").toLong,
+          rs.count(_.status == "unchanged").toLong, rs.map(_.n_tokens).sum,
+          rs.filter(_.status != "unchanged").map(_.n_tokens).sum))
+      }
+      val want = graft.operators.Pipeline.pipelineIncremental(spark, sf).collect().map { r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("n_new"), r.getAs[Long]("n_changed"),
+          r.getAs[Long]("n_unchanged"), r.getAs[Long]("tokens_total"),
+          r.getAs[Long]("tokens_recomputed")))
+      }.toMap
+      assert(got == want, s"stream delta report diverges from batch:\n$got\nvs\n$want")
+    } finally q.stop()
+  }
+
   test("overlap monitor store persist is crash-safe: a crash between demote and promote still restores from .old") {
     implicit val sc = spark.sqlContext
     val stateDir = java.nio.file.Files.createTempDirectory("ovcrash").toString + "/sigs"
