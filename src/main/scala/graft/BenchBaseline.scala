@@ -310,7 +310,12 @@ object BenchBaseline {
     "q_mad_outliers" -> 0.81,
     "q_runsum_floor" -> 0.33,
     "multimodal_resize" -> 0.3,
-    "ann_recall" -> 3.02,
+    // re-frozen r12 (3.02 → 5.62, idle-box 5.62/6.90/5.91): the audit
+    // now sweeps FOUR indexes — the composed ann_ivfpq (build + read)
+    // joined lsh/ivf/pq in r12 — so the op's work changed, not its
+    // plan quality. The pre-multi-probe 3.02 tripwire convention ends
+    // here: the floor tracks the current 4-index sweep.
+    "ann_recall" -> 5.62,
     // r10 batch — first honest sf0.1 cold-run numbers (zero-error,
     // zero-regression bench on the round-7 continuation box)
     "dedup_profile" -> 0.28,
