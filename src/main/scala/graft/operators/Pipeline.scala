@@ -1356,60 +1356,104 @@ object Pipeline {
 
   /** §2.5 #26v — INCREMENTAL re-curation (the production run mode: a
     * 100 TB pipeline is not recomputed from scratch per crawl — it
-    * joins the new snapshot against the previous run's per-doc state
-    * and recomputes ONLY new/changed documents). The previous state is
-    * keyed by content hash: per doc (sha256(text), derived stats); a
-    * v2 doc whose hash matches reuses its cached state verbatim, a
-    * changed/new doc is recomputed. The v1 snapshot is simulated
-    * deterministically (docs ≡ 0 mod 10 absent = "new in v2"; docs ≡
-    * 0 mod 7 carry a ' legacy-rev' suffix in v1 = "edited since"), so
-    * both engines derive identical v1 state and the whole report
-    * hash-matches. Emitted per source: new/changed/unchanged counts,
-    * recompute_ppm (the cost fraction an incremental run pays —
-    * O(delta), not O(corpus)), and the incremental token total next
-    * to the recomputed-token count. The invariant that makes reuse
-    * SAFE — unchanged hash ⇒ cached stats equal recomputed stats —
-    * is pinned by ScalaTest (incremental total ≡ full recompute).
+    * joins the new snapshot against the previous run's per-doc
+    * manifest and recomputes ONLY new/changed documents). This is the
+    * classify stage, the production contract (r12 verdict item 3):
+    * an ARBITRARY new snapshot against an ARBITRARY previous-run
+    * manifest — the batch twin of
+    * [[graft.streaming.EventsStream.incrementalCurationStream]]'s
+    * per-doc state join, with the same reuse rule.
     *
-    * Scale shape: one doc_id equi-join of snapshot vs state (both
+    * `prev` is the previous run's manifest: (doc_id, source,
+    * content_hash, n_tokens) — exactly what [[incrementalManifest]]
+    * emits, so runs CHAIN: run N's manifest is run N+1's `prev`.
+    * `next` is the new snapshot: (doc_id, source, text). Full-outer
+    * on doc_id: absent from prev ⇒ `new`; absent from next ⇒
+    * `deleted` (the manifest row is dropped on the next chain step);
+    * hash differs ⇒ `changed` (stats recomputed); hash equal ⇒
+    * `unchanged` (cached stats REUSED — the O(delta) property).
+    * `n_tokens` carries the per-status correct value: cached for
+    * unchanged/deleted (last-known), recomputed for new/changed.
+    *
+    * Scale shape: one doc_id equi-join of snapshot vs manifest (both
     * fact-sized, co-keyed — bucket both by doc_id at scale and the
-    * join is shuffle-free), map-side hashing/classification, one
-    * per-source rollup. All integer.
+    * join is shuffle-free), map-side hashing/classification.
     */
-  def pipelineIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val v1 = d.filter(col("doc_id") % 10 =!= 0)
-      .withColumn("text_v1",
-        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" legacy-rev")))
-          .otherwise(col("text")))
-      .select(col("doc_id"), sha2(col("text_v1"), 256).as("h1"),
-        size(split(col("text_v1"), " ")).cast(LongType).as("tok1"))
-    val v2 = d.select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h2"),
+  def incrementalClassify(prev: DataFrame, next: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), col("source").as("src_prev"),
+      col("content_hash").as("h1"), col("n_tokens").cast(LongType).as("tok1"))
+    val n = next.select(col("doc_id"), col("source").as("src_next"),
+      sha2(col("text"), 256).as("h2"),
       size(split(col("text"), " ")).cast(LongType).as("tok2"))
-    v2.join(v1, Seq("doc_id"), "left")
-      .withColumn("status",
-        when(col("h1").isNull, lit("new"))
-          .when(col("h1") =!= col("h2"), lit("changed"))
-          .otherwise(lit("unchanged")))
+    val status = when(col("h1").isNull, lit("new"))
+      .when(col("h2").isNull, lit("deleted"))
+      .when(col("h1") =!= col("h2"), lit("changed"))
+      .otherwise(lit("unchanged"))
+    p.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("src_next"), col("src_prev")).as("source"),
+        status.as("status"),
+        coalesce(col("h2"), col("h1")).as("content_hash"),
+        when(status.isin("unchanged", "deleted"), col("tok1"))
+          .otherwise(col("tok2")).as("n_tokens"))
+  }
+
+  /** The updated manifest after applying `next` — feed it back as the
+    * next run's `prev` (deleted docs drop out of the chain). */
+  def incrementalManifest(prev: DataFrame, next: DataFrame): DataFrame =
+    incrementalClassify(prev, next)
+      .filter(col("status") =!= "deleted")
+      .select(col("doc_id"), col("source"), col("content_hash"), col("n_tokens"))
+
+  /** Per-source delta report over [[incrementalClassify]]: live doc
+    * counts by status, the recompute cost fraction an incremental run
+    * pays (ppm of live docs), and the incremental token total next to
+    * the recomputed-token count. The invariant that makes reuse SAFE —
+    * unchanged hash ⇒ cached stats equal recomputed stats — is pinned
+    * by ScalaTest (incremental total ≡ full recompute).
+    */
+  def pipelineIncremental(prev: DataFrame, next: DataFrame): DataFrame =
+    incrementalClassify(prev, next)
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_docs"),
+        sum(when(col("status") =!= "deleted", 1L).otherwise(0L)).as("n_docs"),
         sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
         sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
         sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
-        sum(when(col("status") === "unchanged", col("tok1")).otherwise(col("tok2"))).as("tokens_total"),
-        sum(when(col("status") =!= "unchanged", col("tok2")).otherwise(0L)).as("tokens_recomputed"),
+        sum(when(col("status") === "deleted", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(col("status") =!= "deleted", col("n_tokens")).otherwise(0L)).as("tokens_total"),
+        sum(when(col("status").isin("new", "changed"), col("n_tokens")).otherwise(0L)).as("tokens_recomputed"),
       )
-      .withColumn("recompute_ppm", expr("(n_new + n_changed) * 1000000L div n_docs"))
+      .withColumn("recompute_ppm",
+        expr("CASE WHEN n_docs = 0 THEN 0L ELSE (n_new + n_changed) * 1000000L div n_docs END"))
       .select(col("source"), col("n_docs"), col("n_new"), col("n_changed"),
-        col("n_unchanged"), col("recompute_ppm"), col("tokens_total"),
-        col("tokens_recomputed"))
+        col("n_unchanged"), col("n_deleted"), col("recompute_ppm"),
+        col("tokens_total"), col("tokens_recomputed"))
+
+  /** The named-query demo wrapper: derives the deterministic simulated
+    * v1 manifest (docs ≡ 0 mod 10 absent = "new in v2"; docs ≡ 0 mod 7
+    * carry a ' legacy-rev' suffix in v1 = "edited since") so both
+    * engines see identical inputs and the report hash-matches. The
+    * demo never deletes (v2 ⊇ v1) — the deleted path is exercised by
+    * the ScalaTest driving the (prev, next) API with an arbitrary
+    * two-version corpus.
+    */
+  def pipelineIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val prev = d.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text_v1",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" legacy-rev")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source"),
+        sha2(col("text_v1"), 256).as("content_hash"),
+        size(split(col("text_v1"), " ")).cast(LongType).as("n_tokens"))
+    pipelineIncremental(prev, d.select(col("doc_id"), col("source"), col("text")))
       .orderBy("source")
   }
 
   val pipelineIncrementalSql: String =
     """WITH v1 AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |    sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' legacy-rev' ELSE text END) AS h1,
       |    CAST(len(string_split(CASE WHEN doc_id % 7 = 0 THEN text || ' legacy-rev' ELSE text END, ' ')) AS BIGINT) AS tok1
       |  FROM documents WHERE doc_id % 10 != 0
@@ -1418,27 +1462,32 @@ object Pipeline {
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok2
       |  FROM documents
       |), j AS (
-      |  SELECT v2.source,
+      |  SELECT coalesce(v2.source, v1.source) AS source,
       |    CASE WHEN v1.h1 IS NULL THEN 'new'
+      |         WHEN v2.h2 IS NULL THEN 'deleted'
       |         WHEN v1.h1 != v2.h2 THEN 'changed'
       |         ELSE 'unchanged' END AS status,
       |    v1.tok1, v2.tok2
-      |  FROM v2 LEFT JOIN v1 ON v1.doc_id = v2.doc_id
+      |  FROM v2 FULL JOIN v1 ON v1.doc_id = v2.doc_id
       |)
-      |SELECT source, count(*) AS n_docs,
+      |SELECT source,
+      |  CAST(sum(CASE WHEN status != 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
       |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
       |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
       |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      |  CAST(sum(CASE WHEN status = 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
       |  CAST((sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) +
-      |   sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT) AS recompute_ppm,
-      |  CAST(sum(CASE WHEN status = 'unchanged' THEN tok1 ELSE tok2 END) AS BIGINT) AS tokens_total,
-      |  CAST(sum(CASE WHEN status != 'unchanged' THEN tok2 ELSE 0 END) AS BIGINT) AS tokens_recomputed
+      |   sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)) * 1000000
+      |   // sum(CASE WHEN status != 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS recompute_ppm,
+      |  CAST(sum(CASE WHEN status = 'unchanged' THEN tok1
+      |           WHEN status = 'deleted' THEN 0 ELSE tok2 END) AS BIGINT) AS tokens_total,
+      |  CAST(sum(CASE WHEN status IN ('new', 'changed') THEN tok2 ELSE 0 END) AS BIGINT) AS tokens_recomputed
       |FROM j
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_incremental" -> (pipelineIncremental _),
+    "pipeline_incremental" -> ((s, d) => pipelineIncremental(s, d)),
     "sample_dsir" -> (sampleDsir _),
     "sample_temperature" -> (sampleTemperature _),
     "q_split_holdout" -> (qSplitHoldout _),

@@ -906,6 +906,32 @@ object EventsStream {
     * idempotent under foreachBatch's at-least-once replay contract: a
     * replayed batch can only re-apply minima that already won.
     */
+  /** Crash-safe store promote: tmp → live, demoting any existing live
+    * copy to `.old` first and discarding `.old` only after the new
+    * live store is in place. Invariant: if a complete store existed
+    * before the call, a complete store (live or `.old`) exists after
+    * a crash at ANY point inside it. `.old` is cleared ONLY when a
+    * live store needs demoting into its place: in the recovery state
+    * where `.old` is the sole survivor (a prior crash landed between
+    * demote and promote), deleting it up front would open a window
+    * with NO complete store — a crash before the tmp→dst rename would
+    * silently drop every never-again-emitting source.
+    */
+  private[graft] def promoteStore(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(dst)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(dst, old))
+        throw new java.io.IOException(s"overlapMatrixMonitor: demote $dst -> $old failed")
+    }
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"overlapMatrixMonitor: rename $tmp -> $dst failed")
+    if (fs.exists(old)) fs.delete(old, true): Unit
+  }
+
   def overlapMatrixMonitor(docs: DataFrame, stateDir: Option[String] = None)(
       publish: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val K = graft.operators.TextAnalysis.SketchK
@@ -964,19 +990,8 @@ object EventsStream {
             .getFileSystem(new org.apache.hadoop.conf.Configuration())
           val tmp = new org.apache.hadoop.fs.Path(d + ".inprogress")
           sigDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val dst = new org.apache.hadoop.fs.Path(d)
-          val old = new org.apache.hadoop.fs.Path(d + ".old")
-          // promote via demote-then-rename so a crash at ANY point
-          // leaves at least one complete store on disk: the old copy
-          // is renamed aside (not deleted) before the new one takes
-          // the live name, and only then discarded. Load prefers the
-          // live name and falls back to `.old`.
-          if (fs.exists(old)) fs.delete(old, true)
-          if (fs.exists(dst) && !fs.rename(dst, old))
-            throw new java.io.IOException(s"overlapMatrixMonitor: demote $dst -> $old failed")
-          if (!fs.rename(tmp, dst))
-            throw new java.io.IOException(s"overlapMatrixMonitor: rename $tmp -> $dst failed")
-          if (fs.exists(old)) fs.delete(old, true): Unit
+          promoteStore(fs, tmp, new org.apache.hadoop.fs.Path(d),
+            new org.apache.hadoop.fs.Path(d + ".old"))
         }
         publish(batchId,
           graft.operators.TextAnalysis.overlapFromSignatures(sigDf)

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.{GraftSession, SparkEntry}
+import graft.{BenchBaseline, GraftSession, SparkEntry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -133,13 +133,26 @@ object ScaleProbe {
     // back-to-back probes of identical code+data), so a first-pass
     // ratio over the gate gets up to two fresh re-timings of the sf1
     // side (min kept) before it stands — a surviving flag spans three
-    // separate windows and means real superlinearity. Only the sf1
-    // side is re-timed: a contention spike on the sf0.1 side LOWERS
-    // the ratio (never triggers the gate), while re-timing it keeps
-    // the min and can only inflate the ratio further — paying an
-    // extra heavy run to make the flag stickier, not fairer.
+    // separate windows and means real superlinearity.
+    //
+    // BOTH sides are spike-guarded (r12 verdict item 2): a spiked
+    // sf0.1 DENOMINATOR can't trigger the gate (it deflates the
+    // ratio) but it corrupts the artifact — BENCH_sf1 once recorded
+    // q_communities at sf0.1 = 24.78 s against a 2.59 s bench read,
+    // a nonsense 0.43x ratio in the permanent scale-evidence record,
+    // and symmetrically inflates a twin's ratio. So an sf0.1 reading
+    // above 2x its frozen floor (BenchBaseline.sf01Floors — itself a
+    // best-honest-cold sf0.1 measurement) gets up to two re-timings
+    // (min kept) before the ratio is formed. Queries without a floor
+    // (none today) skip the denominator guard.
     val rows = names.map { n =>
-      val t01 = timed(n, src)
+      var t01 = timed(n, src)
+      val floor = BenchBaseline.sf01Floors.get(n)
+      var denomTries = 0
+      while (floor.exists(f => t01 > 2 * f + 0.25) && denomTries < 2) {
+        t01 = math.min(t01, timed(n, src))
+        denomTries += 1
+      }
       var t1 = timed(n, out)
       var tries = 0
       while (t1 / math.max(0.001, t01) > Factor && tries < 2) {

@@ -1137,4 +1137,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.toVector == want,
       "monitor restarted from the .old fallback must still converge to the batch matrix")
   }
+
+  test("promoteStore never deletes a sole-survivor .old before the new store is live") {
+    // the r12 ADVICE scenario: recovery state (only `.old` exists —
+    // a prior crash landed between demote and promote), and THIS
+    // persist fails before tmp→dst. The old code deleted `.old` up
+    // front, so the failure left zero loadable stores; the fix only
+    // clears `.old` to make room for a demote.
+    val base = java.nio.file.Files.createTempDirectory("promote").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$base/$s")
+    def mk(s: String): Unit = {
+      fs.mkdirs(p(s))
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/$s/part-0"))
+      out.writeBytes(s); out.close()
+    }
+
+    // 1) recovery state + failing promote (tmp absent → rename fails):
+    //    must throw AND leave `.old` untouched
+    mk("sigs.old")
+    intercept[java.io.IOException] {
+      EventsStream.promoteStore(fs, p("sigs.inprogress"), p("sigs"), p("sigs.old"))
+    }
+    assert(fs.exists(p("sigs.old")),
+      "failed promote from the recovery state must preserve the sole-survivor .old")
+    assert(!fs.exists(p("sigs")), "failed promote must not fabricate a live store")
+
+    // 2) recovery state + valid tmp: promote lands, `.old` discarded
+    mk("sigs.inprogress")
+    EventsStream.promoteStore(fs, p("sigs.inprogress"), p("sigs"), p("sigs.old"))
+    assert(fs.exists(p("sigs")) && !fs.exists(p("sigs.old")) && !fs.exists(p("sigs.inprogress")),
+      "successful promote must leave exactly the live store")
+
+    // 3) steady state (live + stale .old from a crash after promote):
+    //    demote replaces .old, new store takes the live name
+    mk("sigs.old"); mk("sigs.inprogress")
+    EventsStream.promoteStore(fs, p("sigs.inprogress"), p("sigs"), p("sigs.old"))
+    assert(fs.exists(p("sigs")) && !fs.exists(p("sigs.old")),
+      "steady-state promote must rotate the stores")
+  }
 }
