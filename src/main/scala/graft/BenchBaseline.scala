@@ -316,6 +316,12 @@ object BenchBaseline {
     // plan quality. The pre-multi-probe 3.02 tripwire convention ends
     // here: the floor tracks the current 4-index sweep.
     "ann_recall" -> 5.62,
+    // r13 additions — first honest sf0.1 cold measurements
+    // (tools/bench_only.sh, three readings each, best kept; the sweep
+    // and tree-get amortize their scratch artifacts inside the run)
+    "ann_probe_sweep" -> 5.2,
+    "lake_fsck" -> 2.71,
+    "lake_tree_get" -> 4.04,
     // r10 batch — first honest sf0.1 cold-run numbers (zero-error,
     // zero-regression bench on the round-7 continuation box)
     "dedup_profile" -> 0.28,

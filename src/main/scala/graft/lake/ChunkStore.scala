@@ -415,6 +415,7 @@ final class ChunkStore private (
       .filter(col("kind") === "tree")
       .select(col("blob_hash"), col("root_hash").as("chunk_hash"), col("root_key").as("key"), col("root_bucket").as("bucket"))
 
+    val perLevel = Seq.newBuilder[DataFrame]
     while (!frontier.isEmpty) {
       val entries = frontier
         .join(
@@ -433,6 +434,7 @@ final class ChunkStore private (
         )
         .withColumn("bucket", bucketOf(col("chunk_hash"), params.nBuckets))
         .cache()
+      perLevel += entries
       leaves = leaves.unionByName(
         entries.filter(col("ck") === "L").select(col("blob_hash"), col("idx").as("part_idx"), col("chunk_hash"), col("key"), col("bucket"))
       )
@@ -440,9 +442,14 @@ final class ChunkStore private (
     }
 
     val m = leaves.dropDuplicates("blob_hash", "part_idx")
-    inline
+    val out = inline
       .unionByName(reassemble(m, prunedChunks(leaves)))
       .withColumn("verified", sha2(col("data"), 256) === col("blob_hash"))
+    // materialize-then-release: each level's expanded entries were
+    // cached for the frontier-isEmpty probe + the two reads; leaving
+    // them cached would leak one block-manager entry per tree level
+    // per call for the session lifetime
+    graft.GraftSession.materialized(out, Seq("blob_hash"), perLevel.result(): _*)
   }
 
   /** chunks filtered by literal (bucket, hash) sets from `refs` —
@@ -666,48 +673,7 @@ final class ChunkStore private (
     * modulo sanity). Returns one row per invariant with its violation
     * count; a healthy store is all zeros.
     */
-  def fsck(): DataFrame = {
-    import spark.implicits._
-    val m = manifest.cache()
-    val c = chunks.cache()
-    val cat = catalog.cache()
-    try {
-      val missingChunks = m.join(c.select("chunk_hash"), Seq("chunk_hash"), "left_anti").count()
-      val refs = m.select(col("chunk_hash"))
-        .union(cat.filter(col("root_hash").isNotNull).select(col("root_hash")))
-        .distinct()
-      val orphanChunks = c.select("chunk_hash").distinct().join(refs, Seq("chunk_hash"), "left_anti").count()
-      val dupManifest = m.groupBy("blob_hash", "level", "part_idx").count().filter(col("count") > 1).count()
-      val dupChunks = c.groupBy("chunk_hash").count().filter(col("count") > 1).count()
-      val noManifest = cat.filter(col("kind") =!= "inline")
-        .join(m.filter(col("level") === 0).select("blob_hash").distinct(), Seq("blob_hash"), "left_anti")
-        .count()
-      val strayManifest = m.select("blob_hash").distinct()
-        .join(cat.select("blob_hash"), Seq("blob_hash"), "left_anti")
-        .count()
-      val lenMismatch = cat.filter(col("kind") =!= "inline")
-        .join(
-          m.filter(col("level") === 0).dropDuplicates("blob_hash", "part_idx")
-            .groupBy("blob_hash").agg(sum(col("part_len")).as("plen")),
-          Seq("blob_hash"),
-        )
-        .filter(col("plen") =!= col("total_len"))
-        .count()
-      val inlineNull = cat.filter(col("kind") === "inline" && col("inline_data").isNull).count()
-      val rootless = cat.filter(col("kind") =!= "inline" && col("root_hash").isNull).count()
-      Seq(
-        ("manifest_missing_chunks", missingChunks),
-        ("orphan_chunks", orphanChunks),
-        ("duplicate_manifest_rows", dupManifest),
-        ("duplicate_chunks", dupChunks),
-        ("catalog_without_manifest", noManifest),
-        ("manifest_without_catalog", strayManifest),
-        ("blob_length_mismatch", lenMismatch),
-        ("inline_missing_payload", inlineNull),
-        ("chunked_missing_root", rootless),
-      ).toDF("check", "violations")
-    } finally { m.unpersist(); c.unpersist(); cat.unpersist() }
-  }
+  def fsck(): DataFrame = ChunkStore.fsckReport(manifest, chunks, catalog)
 
   /** Catalog-level diff vs another store: one row per blob seen by
     * either side with its reconciliation status. Content addressing
@@ -840,6 +806,64 @@ object ChunkStore {
   /** Hash-prefix bucket (the index-modulo analog, store/mod.rs:252-257). */
   def bucketOf(hashHex: Column, nBuckets: Int): Column =
     (conv(substring(hashHex, 1, 4), 16, 10).cast(IntegerType) % nBuckets).cast(IntegerType)
+
+  /** The [[ChunkStore.fsck]] invariant algebra over ARBITRARY
+    * (manifest, chunks, catalog) relations — static so the audit can
+    * be oracled against DuckDB on a synthetic corrupted universe
+    * (`lake_fsck` in LakeOps) with the exact code a real store runs.
+    * One row per invariant with its violation count; a healthy store
+    * is all zeros. Inputs only need the referenced columns (manifest:
+    * blob_hash/level/part_idx/part_len/chunk_hash; chunks: chunk_hash;
+    * catalog: blob_hash/kind/total_len/inline_data/root_hash).
+    *
+    * Shape: ONE plan — nine count-aggregates unioned — instead of
+    * nine sequential driver count() jobs; every check is an anti/equi
+    * join or grouped filter on a hash key, so at store scale each is
+    * a hash-partitioned shuffle with map-side partial counts and the
+    * report is metadata-sized.
+    */
+  def fsckReport(m: DataFrame, c: DataFrame, cat: DataFrame): DataFrame = {
+    val refs = m.select(col("chunk_hash"))
+      .union(cat.filter(col("root_hash").isNotNull).select(col("root_hash")))
+      .distinct()
+    val level0 = m.filter(col("level") === 0)
+    val checks: Seq[(String, DataFrame)] = Seq(
+      // every manifest row's chunk must exist
+      "manifest_missing_chunks" ->
+        m.join(c.select("chunk_hash"), Seq("chunk_hash"), "left_anti"),
+      // every stored chunk must be referenced (manifest part or catalog root)
+      "orphan_chunks" ->
+        c.select("chunk_hash").distinct().join(refs, Seq("chunk_hash"), "left_anti"),
+      "duplicate_manifest_rows" ->
+        m.groupBy("blob_hash", "level", "part_idx").count().filter(col("count") > 1),
+      "duplicate_chunks" ->
+        c.groupBy("chunk_hash").count().filter(col("count") > 1),
+      // every chunked catalog entry needs level-0 manifest rows…
+      "catalog_without_manifest" ->
+        cat.filter(col("kind") =!= "inline")
+          .join(level0.select("blob_hash").distinct(), Seq("blob_hash"), "left_anti"),
+      // …and every manifest row a catalog owner
+      "manifest_without_catalog" ->
+        m.select("blob_hash").distinct()
+          .join(cat.select("blob_hash"), Seq("blob_hash"), "left_anti"),
+      // level-0 part lengths must reassemble to the catalog length
+      "blob_length_mismatch" ->
+        cat.filter(col("kind") =!= "inline")
+          .join(
+            level0.dropDuplicates("blob_hash", "part_idx")
+              .groupBy("blob_hash").agg(sum(col("part_len")).as("plen")),
+            Seq("blob_hash"),
+          )
+          .filter(col("plen") =!= col("total_len")),
+      "inline_missing_payload" ->
+        cat.filter(col("kind") === "inline" && col("inline_data").isNull),
+      "chunked_missing_root" ->
+        cat.filter(col("kind") =!= "inline" && col("root_hash").isNull),
+    )
+    checks.map { case (name, df) =>
+      df.agg(count(lit(1)).as("violations")).select(lit(name).as("check"), col("violations"))
+    }.reduce(_ unionByName _).orderBy("check")
+  }
 
   private def markerPath(path: String) = new HPath(path, "_GRAFT_STORE")
 

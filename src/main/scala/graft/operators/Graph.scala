@@ -1045,6 +1045,22 @@ object Graph {
         // emit the fixpoint stats without re-running the joins (the
         // unrolled-CTE oracle computes the identical rows the hard way)
         out += ((r.toLong, last._1, last._2))
+      } else if (deg.filter(col("deg") < k).isEmpty) {
+        // fixpoint detected BEFORE paying the round: the peel predicate
+        // only removes nodes with deg < k, so an all-≥k degree relation
+        // means the semi joins are identity and every remaining round
+        // emits the current stats. The check is a limit-1 probe of the
+        // node-sized checkpointed degree relation — the r12 shape paid
+        // a full edge-relation round of joins just to observe that
+        // nothing changed. Stats come straight off `deg` on the first
+        // converged round (edge rows never move).
+        converged = true
+        if (last._1 < 0) {
+          val nodes = deg.count()
+          val nEdges = deg.agg(coalesce(sum(col("deg")), lit(0L))).head().getLong(0)
+          last = (nodes, nEdges)
+        }
+        out += ((r.toLong, last._1, last._2))
       } else {
         val other = if (anchor == "src") "dst" else "src"
         val keep = deg.filter(col("deg") >= k).select(col(anchor).as("node"))
@@ -1056,7 +1072,6 @@ object Graph {
         deg = e.groupBy(col(anchor)).agg(count(lit(1)).as("deg")).transform(cut)
         val nodes = deg.count()
         val nEdges = deg.agg(coalesce(sum(col("deg")), lit(0L))).head().getLong(0)
-        converged = (nodes, nEdges) == last
         last = (nodes, nEdges)
         out += ((r.toLong, nodes, nEdges))
       }

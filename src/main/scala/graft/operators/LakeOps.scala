@@ -576,6 +576,239 @@ object LakeOps {
       |SELECT status, CAST(n AS BIGINT) AS n, CAST(bytes AS BIGINT) AS bytes
       |FROM rep ORDER BY status""".stripMargin
 
+  /** §2.1 — the [[graft.lake.ChunkStore.fsck]] consistency audit as
+    * oracled algebra (the lake_gc_plan treatment): a synthetic store
+    * universe is derived from the documents table at content-hash
+    * grain — catalog (ladder kind, length, root ref, inline payload),
+    * level-0 manifest (256-byte chunk split), chunk set — and NINE
+    * deterministic corruptions are planted, each keyed to a disjoint
+    * `min_id mod p` class (p prime, so classes overlap rarely and
+    * every invariant fires at sf0.01):
+    *   - chunks whose hash starts '0' dropped     → manifest_missing_chunks
+    *   - sha256("orphan-"+doc_id), id ≡ 0 mod 17  → orphan_chunks
+    *   - manifest rows doubled, min_id ≡ 2 mod 19 → duplicate_manifest_rows
+    *   - chunk rows doubled, hash starts 'f'      → duplicate_chunks
+    *   - manifests dropped, min_id ≡ 3 mod 23     → catalog_without_manifest
+    *   - catalog rows dropped, min_id ≡ 4 mod 29  → manifest_without_catalog
+    *   - total_len inflated +1, min_id ≡ 5 mod 31 → blob_length_mismatch
+    *   - inline payload nulled, min_id ≡ 6 mod 11 → inline_missing_payload
+    *   - root ref nulled, min_id ≡ 7 mod 37       → chunked_missing_root
+    * The report runs through the EXACT static audit a real store runs
+    * ([[graft.lake.ChunkStore.fsckReport]] — one union-of-aggregates
+    * plan, every check an anti/equi join or grouped filter on a hash
+    * key), and DuckDB replays universe + algebra. The on-disk audit
+    * against real healthy/corrupted stores stays pinned in LakeSpec;
+    * this query pins the algebra's COUNTS against an independent
+    * engine. Root refs in the synthetic catalog point at the part-0
+    * chunk (fsck treats root_hash purely as a chunk reference, which
+    * part-0 satisfies; real tree roots are node chunks).
+    */
+  def lakeFsck(spark: SparkSession, dir: String): DataFrame = {
+    val ChunkChars = 256
+    val blobs = docs(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("blob_hash"))
+      .agg(
+        min(col("doc_id")).as("min_id"),
+        max(col("text")).as("text"),
+        max(octet_length(col("text"))).cast(LongType).as("true_len"),
+      )
+      .withColumn("kind", ChunkStore.kindOf(col("true_len"), P))
+    val catalog = blobs
+      .filter(col("min_id") % 29 =!= 4)
+      .select(
+        col("blob_hash"), col("kind"),
+        (col("true_len") +
+          when(col("min_id") % 31 === 5 && col("kind") =!= "inline", 1L).otherwise(0L))
+          .as("total_len"),
+        when(col("kind") === "inline" && col("min_id") % 11 =!= 6, col("text"))
+          .otherwise(lit(null).cast(StringType)).as("inline_data"),
+        when(col("kind") =!= "inline" && col("min_id") % 37 =!= 7,
+          sha2(expr(s"substring(text, 1, $ChunkChars)"), 256))
+          .otherwise(lit(null).cast(StringType)).as("root_hash"),
+      )
+    val manifest0 = blobs
+      .filter(col("kind") =!= "inline")
+      .withColumn("part_idx",
+        explode(sequence(lit(0L), expr(s"(true_len + ${ChunkChars - 1}) DIV $ChunkChars") - 1)))
+      .withColumn("part",
+        expr(s"substring(text, cast(part_idx * $ChunkChars + 1 as int), $ChunkChars)"))
+      .select(col("blob_hash"), col("min_id"), lit(0).as("level"), col("part_idx"),
+        octet_length(col("part")).cast(LongType).as("part_len"),
+        sha2(col("part"), 256).as("chunk_hash"))
+    val mKept = manifest0.filter(col("min_id") % 23 =!= 3)
+    val manifest = mKept.unionAll(mKept.filter(col("min_id") % 19 === 2))
+      .drop("min_id")
+    val cKept = manifest0.select(col("chunk_hash")).distinct()
+      .filter(substring(col("chunk_hash"), 1, 1) =!= "0")
+    val chunks = cKept
+      .unionAll(cKept.filter(substring(col("chunk_hash"), 1, 1) === "f"))
+      .unionAll(docs(spark, dir).filter(col("doc_id") % 17 === 0)
+        .select(sha2(concat(lit("orphan-"), col("doc_id").cast(StringType)), 256).as("chunk_hash")))
+    ChunkStore.fsckReport(manifest, chunks, catalog)
+  }
+
+  val lakeFsckSql: String =
+    """WITH blobs AS (
+      |  SELECT sha256(text) AS blob_hash, min(doc_id) AS min_id, max(text) AS text,
+      |    CAST(max(strlen(text)) AS BIGINT) AS true_len
+      |  FROM documents GROUP BY sha256(text)
+      |), b2 AS (
+      |  SELECT *, CASE WHEN true_len <= 64 THEN 'inline'
+      |                 WHEN true_len <= 256 THEN 'single' ELSE 'tree' END AS kind
+      |  FROM blobs
+      |), cat AS (
+      |  SELECT blob_hash, kind,
+      |    true_len + (CASE WHEN min_id % 31 = 5 AND kind <> 'inline' THEN 1 ELSE 0 END) AS total_len,
+      |    CASE WHEN kind = 'inline' AND min_id % 11 <> 6 THEN text END AS inline_data,
+      |    CASE WHEN kind <> 'inline' AND min_id % 37 <> 7 THEN sha256(substring(text, 1, 256)) END AS root_hash
+      |  FROM b2 WHERE min_id % 29 <> 4
+      |), m0 AS (
+      |  SELECT blob_hash, min_id, part_idx,
+      |    CAST(strlen(substring(text, CAST(part_idx * 256 + 1 AS INT), 256)) AS BIGINT) AS part_len,
+      |    sha256(substring(text, CAST(part_idx * 256 + 1 AS INT), 256)) AS chunk_hash
+      |  FROM (SELECT blob_hash, min_id, text,
+      |          unnest(range((true_len + 255) // 256)) AS part_idx
+      |        FROM b2 WHERE kind <> 'inline')
+      |), mkept AS (SELECT * FROM m0 WHERE min_id % 23 <> 3),
+      |m AS (
+      |  SELECT blob_hash, part_idx, part_len, chunk_hash FROM mkept
+      |  UNION ALL
+      |  SELECT blob_hash, part_idx, part_len, chunk_hash FROM mkept WHERE min_id % 19 = 2
+      |), ckept AS (
+      |  SELECT DISTINCT chunk_hash FROM m0 WHERE substring(chunk_hash, 1, 1) <> '0'
+      |), c AS (
+      |  SELECT chunk_hash FROM ckept
+      |  UNION ALL SELECT chunk_hash FROM ckept WHERE substring(chunk_hash, 1, 1) = 'f'
+      |  UNION ALL SELECT sha256('orphan-' || CAST(doc_id AS VARCHAR)) FROM documents WHERE doc_id % 17 = 0
+      |), refs AS (
+      |  SELECT DISTINCT chunk_hash FROM (
+      |    SELECT chunk_hash FROM m
+      |    UNION ALL SELECT root_hash FROM cat WHERE root_hash IS NOT NULL)
+      |), rep AS (
+      |  SELECT 'manifest_missing_chunks' AS chk, count(*) AS violations
+      |    FROM m WHERE chunk_hash NOT IN (SELECT chunk_hash FROM c)
+      |  UNION ALL
+      |  SELECT 'orphan_chunks', count(*) FROM (
+      |    SELECT DISTINCT chunk_hash FROM c) d
+      |    WHERE d.chunk_hash NOT IN (SELECT chunk_hash FROM refs)
+      |  UNION ALL
+      |  SELECT 'duplicate_manifest_rows', count(*) FROM (
+      |    SELECT blob_hash, part_idx FROM m GROUP BY blob_hash, part_idx HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'duplicate_chunks', count(*) FROM (
+      |    SELECT chunk_hash FROM c GROUP BY chunk_hash HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'catalog_without_manifest', count(*) FROM cat
+      |    WHERE kind <> 'inline' AND blob_hash NOT IN (SELECT DISTINCT blob_hash FROM m)
+      |  UNION ALL
+      |  SELECT 'manifest_without_catalog', count(*) FROM (
+      |    SELECT DISTINCT blob_hash FROM m) d
+      |    WHERE d.blob_hash NOT IN (SELECT blob_hash FROM cat)
+      |  UNION ALL
+      |  SELECT 'blob_length_mismatch', count(*) FROM cat
+      |    JOIN (SELECT blob_hash, sum(part_len) AS plen FROM (
+      |            SELECT DISTINCT blob_hash, part_idx, part_len FROM m)
+      |          GROUP BY blob_hash) p USING (blob_hash)
+      |    WHERE cat.kind <> 'inline' AND p.plen <> cat.total_len
+      |  UNION ALL
+      |  SELECT 'inline_missing_payload', count(*) FROM cat
+      |    WHERE kind = 'inline' AND inline_data IS NULL
+      |  UNION ALL
+      |  SELECT 'chunked_missing_root', count(*) FROM cat
+      |    WHERE kind <> 'inline' AND root_hash IS NULL
+      |)
+      |SELECT chk AS "check", CAST(violations AS BIGINT) AS violations
+      |FROM rep ORDER BY chk""".stripMargin
+
+  /** Tiny ladder for the deep-tree point-read demo: 128-byte chunks
+    * and fanout 8 force every multi-KB blob into a depth ≥ 2 LongHkey
+    * tree at all test SFs (production would be 1 MiB / 4096 — the
+    * DEPTH arithmetic, not the constants, is what the query times).
+    */
+  private val TreeP = LakeParams(inlineMax = 32, chunkMax = 128, nBuckets = 16, treeFanout = 8)
+
+  private val treeStoreLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private val treeStoreDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]
+
+  /** The 8 deterministic demo blobs: each doc_id mod 8 class's texts,
+    * newline-joined in doc_id order — multi-KB payloads (≈150 parts
+    * each at sf0.1) that exercise the recursive manifest for real.
+    */
+  private def treePayloads(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy((col("doc_id") % 8).as("g"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          e => e.getField("text")),
+        "\n").cast(BinaryType).as("data"))
+
+  /** Deep-tree store, built ONCE per (session, corpus) into sha-keyed
+    * scratch with an atomic tmp→dst rename (the ivfIndexTable idiom)
+    * so repeat calls and the bench pay only the read.
+    */
+  private[graft] def treeStore(spark: SparkSession, dir: String): ChunkStore = {
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    val path = s"${graft.sources.Ingest.scratchDir(spark)}/tree_store_$dirKey"
+    val lock = treeStoreLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!treeStoreDone.contains(path)) {
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        val dst = new org.apache.hadoop.fs.Path(path)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val building = ChunkStore.init(spark, tmp.toString, params = TreeP)
+        building.putBlobsDf(treePayloads(spark, dir).select(col("data"))).count()
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"treeStore: rename $tmp -> $dst failed")
+        treeStoreDone.add(path)
+      }
+    }
+    ChunkStore.load(spark, path, readonly = true, params = TreeP)
+  }
+
+  /** §2.1 — point reads through the RECURSIVE manifest tree
+    * ([[graft.lake.ChunkStore.getBlobsByHashes]], the reference's
+    * LongHkey expansion): three of the eight demo blobs are fetched by
+    * content address, walking root → node → leaf with literal
+    * (bucket, hash) predicates so every chunk scan statically prunes
+    * to its hash-prefix partitions — the walk reads O(log_fanout n)
+    * pruned pages, never the chunk table (`lake_get_blob` times the
+    * complementary FLAT bulk reassembly). Report: (blob_hash,
+    * total_len, verified) per fetched blob. The oracle recomputes the
+    * same three payloads directly from the documents table — if any
+    * level of the walk or the final reassembly broke, hash, length,
+    * and the verify-on-read flag all diverge. The store build is
+    * amortized once per (session, corpus); steady-state cost is the
+    * walk itself. Round20OpsSpec pins the bucket-partition pruning in
+    * the executed plan and depth ≥ 2 of the walked trees.
+    */
+  def lakeTreeGet(spark: SparkSession, dir: String): DataFrame = {
+    val store = treeStore(spark, dir)
+    val want = treePayloads(spark, dir)
+      .filter(col("g").isin(0L, 3L, 6L))
+      .select(sha2(col("data"), 256).as("h"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    store.getBlobsByHashes(want)
+      .select(col("blob_hash"),
+        octet_length(col("data")).cast(LongType).as("total_len"),
+        col("verified"))
+      .orderBy("blob_hash")
+  }
+
+  val lakeTreeGetSql: String =
+    """WITH grp AS (
+      |  SELECT doc_id % 8 AS g, string_agg(text, chr(10) ORDER BY doc_id) AS data
+      |  FROM documents GROUP BY doc_id % 8
+      |)
+      |SELECT sha256(data) AS blob_hash,
+      |       CAST(strlen(data) AS BIGINT) AS total_len,
+      |       TRUE AS verified
+      |FROM grp WHERE g IN (0, 3, 6)
+      |ORDER BY blob_hash""".stripMargin
+
   /** Byte offset at which [[lakeDeltaSync]] plants its v2 edit. */
   val DeltaEditOffset = 64
 
@@ -632,6 +865,8 @@ object LakeOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_delta_sync" -> (lakeDeltaSync _),
+    "lake_fsck" -> (lakeFsck _),
+    "lake_tree_get" -> (lakeTreeGet _),
     "lake_gc_plan" -> (lakeGcPlan _),
     "lake_replicate" -> (lakeReplicate _),
     "lake_cdc_split" -> (lakeCdcSplit _),
@@ -647,6 +882,8 @@ object LakeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_fsck" -> lakeFsckSql,
+    "lake_tree_get" -> lakeTreeGetSql,
     "lake_gc_plan" -> lakeGcPlanSql,
     "lake_replicate" -> lakeReplicateSql,
     "lake_put_blob" -> lakePutBlobSql,

@@ -1932,6 +1932,143 @@ object VectorOps {
     } finally { truth.unpersist(); () }
   }
 
+  /** §2.4 #29u — recall-vs-probes tuning curve: recall@5 at nProbes ∈
+    * {4, 8, 16} for each IVF-family index (inline IVF, materialized
+    * IVF, composed IVF-PQ) against the exact brute-force truth on the
+    * same query batch. [[annRecall]] reports ONE operating point per
+    * index; nProbes is the knob a deployer actually turns, so the
+    * audit must hand back the curve, not a point — at 16-of-16 probes
+    * plain IVF degenerates to exhaustive search (recall 1.0 by
+    * construction, the sweep's sanity anchor), and the cost/recall
+    * trade lives between 4 and 8. Probed-centroid sets NEST as
+    * nProbes grows (top-n prefixes of one frozen centroid ordering
+    * per query), so candidate sets at higher probe counts contain
+    * lower ones — the dedup_lsh_tune discipline; and for the
+    * exact-scoring families any candidate that displaces a truth item
+    * from top-k under the shared (cosine desc, id) total order ranks
+    * above it globally, hence is itself truth, so n_hits is provably
+    * non-decreasing in nProbes. Round20OpsSpec pins containment,
+    * monotonicity, the exhaustive anchor, and n_hits equality of each
+    * sweep point with the standalone operator at that probe count.
+    * Each family scores against its own FROZEN quantizer (inline: one
+    * kmeans train shared across the sweep; materialized families: the
+    * sha-keyed artifact), so rows differ only in nProbes.
+    * Engine-specific candidates → rows-only by design.
+    */
+  def annProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ProbeAxis = Seq(4, 8, 16)
+    val MaxP = ProbeAxis.max
+    val K = 5
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    val qs = e.filter(col("id") < 20)
+    val truth = annBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+
+    // Fused sweep: each family pays its corpus-side pass ONCE at the
+    // widest probe count with the per-query probe rank (`prn`) kept on
+    // every scored candidate; the p-probe operating point is then the
+    // cheap derivation topK(candidates where prn <= p) — IDENTICAL to
+    // the standalone operator at nProbes = p because probes are
+    // row_number prefixes of one frozen per-query centroid order
+    // (Round20OpsSpec pins that equality at every point for all three
+    // families). The naive call-the-operator-per-point form re-scanned
+    // the corpus 9 times and measured 2x this.
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("centroid_id"))
+    def probes16(cents: DataFrame, extra: Column => Seq[Column]): DataFrame =
+      prep(qs)
+        .select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("cos", pairCos(col("qa"), col("cv"), col("na"), col("cnorm")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= MaxP)
+        .select(col("query_id") +: col("na") +: col("centroid_id") +: col("prn") +: extra(col("qa")): _*)
+
+    // inline IVF: one frozen kmeans train, one assignment pass
+    val inlineCents = kmeansCentroids(e, 16)
+    val assigned = prep(e)
+      .join(broadcast(inlineCents), lit(true))
+      .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
+      .groupBy(col("id"))
+      .agg(
+        max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"),
+        first(col("qv")).as("qv"),
+        first(col("norm")).as("norm"),
+      )
+      .select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"),
+        (-col("m.nid")).cast(IntegerType).as("centroid_id"))
+    def scoredOf(probes: DataFrame, lists: DataFrame): DataFrame = probes
+      .join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"), col("prn"))
+      .cache()
+    val scoredIvf = scoredOf(probes16(inlineCents, qa => Seq(qa.as("qa"))), assigned)
+
+    // materialized IVF: the frozen artifact's lists, statically pruned
+    // to the (bounded) 16-probe union like annIvfIndexed
+    val (ilists, icents) = ivfIndexTable(spark, dir)
+    val probesIdx = probes16(icents, qa => Seq(qa.as("qa"))).cache()
+    val probedIdx = probesIdx.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scoredIdx = scoredOf(
+      probesIdx,
+      ilists.filter(col("centroid_id").isin(probedIdx.map(Integer.valueOf): _*))
+        .select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"),
+          col("centroid_id")))
+
+    // composed IVF-PQ: one ADC scan of the pruned compressed lists
+    val (plists, pcents, cb) = ivfPqIndexTable(spark, dir)
+    val qprep = prep(qs)
+      .select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"))
+    val probesPq = probes16(pcents, qa => Seq(
+      graft.functions.ArrayExprs.pqLut(qa, cb, 16, 16).as("lut"))).cache()
+    val probedPq = probesPq.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val adc = probesPq
+      .join(plists.filter(col("centroid_id").isin(probedPq.map(Integer.valueOf): _*)),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (graft.functions.ArrayExprs.pqAdcScore(col("codes"), col("lut"), 16).cast(DoubleType) /
+          (col("na") * col("norm"))).as("adc_cosine"), col("prn"))
+      .cache()
+    val raw = prep(e).select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    def ivfpqAt(p: Int): DataFrame = {
+      val shortlist = adc.filter(col("prn") <= p)
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 16 * K)
+        .select("query_id", "neighbor_id")
+      topK(
+        shortlist.join(raw, "neighbor_id").join(broadcast(qprep), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine")),
+        K)
+    }
+
+    try {
+      val nTruth = truth.count()
+      def hitsOf(df: DataFrame): Long = df.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val rows = for {
+        p <- ProbeAxis
+        (name, df) <- Seq(
+          "ivf" -> topK(scoredIvf.filter(col("prn") <= p).drop("prn"), K),
+          "ivf_indexed" -> topK(scoredIdx.filter(col("prn") <= p).drop("prn"), K),
+          "ivfpq" -> ivfpqAt(p),
+        )
+      } yield {
+        val hits = hitsOf(df)
+        (name, p, nTruth, hits, hits * 1000000L / math.max(nTruth, 1L))
+      }
+      rows.toDF("method", "n_probes", "n_truth", "n_hits", "recall_ppm")
+        .orderBy("method", "n_probes")
+    } finally {
+      Seq(truth, scoredIvf, scoredIdx, probesIdx, probesPq, adc).foreach(_.unpersist()); ()
+    }
+  }
+
   // --------------------------------------------- IVF index maintenance
 
   /** §2.4 #29l — IVF index maintenance / append-without-retrain: the
@@ -2042,6 +2179,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
+    "ann_probe_sweep" -> (annProbeSweep _),
     "ann_incremental" -> (annIncremental _),
     "ann_delete" -> (annDelete _),
     "ann_ivf_indexed" -> (annIvfIndexed _),

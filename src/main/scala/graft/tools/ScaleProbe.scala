@@ -29,7 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private val Factor = 10
+  /** Replication factor over sf0.1. Default 10 (the standing sf1
+    * probe); SPARK_GRAFT_SCALE_FACTOR=30 derives an sf3 dataset for
+    * trend confirmation on the worst sf1 curves (two points make a
+    * line; three make a trend). Every shifted id column is int64, so
+    * the key stride never overflows at any plausible factor.
+    */
+  private val Factor = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(_.toInt).getOrElse(10)
+  /** Label for output dir + artifact: factor 10 → "1" (BENCH_sf1.json,
+    * target/sf1 — the established names), 30 → "3", etc.
+    */
+  private val SfLabel =
+    if (Factor % 10 == 0) (Factor / 10).toString else s"0${Factor}"
   private val Offset = 100000000L // replica key stride; all sf0.1 keys ≪ 10^8
 
   /** id columns to shift per table; everything else copies verbatim. */
@@ -93,7 +104,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
-    val out = "/root/repo/target/sf1"
+    val out = s"/root/repo/target/sf$SfLabel"
     val names = if (args.nonEmpty) args.toSeq else DefaultQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -165,9 +176,9 @@ object ScaleProbe {
     }
     def num(v: Double) = "%.2f".format(v)
     val json = rows.map { case (n, a, b, r) =>
-      s""""$n":{"sf01_sec":${num(a)},"sf1_sec":${num(b)},"ratio":${num(r)}}"""
+      s""""$n":{"sf01_sec":${num(a)},"sf${SfLabel}_sec":${num(b)},"ratio":${num(r)}}"""
     }.mkString(s"""{"factor":$Factor,"queries":{""", ",", "}}")
-    val w = new java.io.PrintWriter("BENCH_sf1.json")
+    val w = new java.io.PrintWriter(s"BENCH_sf$SfLabel.json")
     try w.println(json) finally w.close()
     val worst = rows.maxBy(_._4)
     println(s"[scaleprobe] worst ratio: ${worst._1} at ${num(worst._4)}x (gate: <= $Factor x)")
