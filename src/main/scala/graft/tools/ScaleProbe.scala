@@ -171,7 +171,7 @@ object ScaleProbe {
         tries += 1
       }
       val ratio = t1 / math.max(0.001, t01)
-      println(f"[scaleprobe] $n%-20s sf0.1 $t01%7.2fs   sf1 $t1%7.2fs   ratio ${ratio}%5.2fx")
+      println(f"[scaleprobe] $n%-20s sf0.1 $t01%7.2fs   sf$SfLabel%s $t1%7.2fs   ratio ${ratio}%5.2fx")
       (n, t01, t1, ratio)
     }
     def num(v: Double) = "%.2f".format(v)
