@@ -322,6 +322,9 @@ object BenchBaseline {
     "ann_probe_sweep" -> 5.2,
     "lake_fsck" -> 2.71,
     "lake_tree_get" -> 4.04,
+    // one map-side scan of the chunk table; the deep-tree store build
+    // amortizes out under Bench's min-of-two-runs timing
+    "lake_scrub" -> 0.16,
     // r10 batch — first honest sf0.1 cold-run numbers (zero-error,
     // zero-regression bench on the round-7 continuation box)
     "dedup_profile" -> 0.28,

@@ -442,8 +442,20 @@ final class ChunkStore private (
     }
 
     val m = leaves.dropDuplicates("blob_hash", "part_idx")
+    // Leaf fetch: node levels are fanout-bounded so literal (bucket,
+    // hash) predicates are right for them, but the LEAF set of a big
+    // blob is parts-sized — thousands of hash literals make the scan
+    // predicate itself the cost (measured ~5 s for 3×1500-part blobs
+    // at sf0.1). Keep the partition pruning (bucket IN, ≤ nBuckets
+    // literals) and do the hash membership as a broadcast semi join.
+    val leafBuckets = leaves.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val leafChunks =
+      if (leafBuckets.isEmpty) chunks.limit(0)
+      else chunks.filter(col("bucket").isin(leafBuckets.map(Integer.valueOf): _*))
+        .join(broadcast(leaves.select(col("chunk_hash")).distinct()), Seq("chunk_hash"), "left_semi")
     val out = inline
-      .unionByName(reassemble(m, prunedChunks(leaves)))
+      .unionByName(reassemble(m, leafChunks))
       .withColumn("verified", sha2(col("data"), 256) === col("blob_hash"))
     // materialize-then-release: each level's expanded entries were
     // cached for the frontier-isEmpty probe + the two reads; leaving
@@ -674,6 +686,44 @@ final class ChunkStore private (
     * count; a healthy store is all zeros.
     */
   def fsck(): DataFrame = ChunkStore.fsckReport(manifest, chunks, catalog)
+
+  /** Payload scrub — the bit-rot half of the integrity story
+    * ([[fsck]] audits STRUCTURE across the three relations; scrub
+    * audits the BYTES at rest). Chunks are addressed by the hash of
+    * what is actually stored (ciphertext or raw — encryptParts), so
+    * re-hashing every payload against its address detects any flipped
+    * bit with no key material and no decryption: the scheduled-scrub
+    * pass an object store runs, here ONE map-side scan of the chunk
+    * table (conditional int64 sums, no shuffle beyond the final 1-row
+    * combine) rolled up to one row per invariant:
+    *  - `payload_hash_mismatch` — sha256(data) ≠ chunk_hash (bit rot)
+    *  - `size_mismatch` — recorded size ≠ octet_length(data)
+    *    (truncated or padded write)
+    *  - `misplaced_bucket` — bucket ≠ hash-prefix bucket: the chunk
+    *    EXISTS but every pruned point read ([[getBlobsByHashes]])
+    *    looks in the wrong partition and misses it — invisible
+    *    corruption to the read path, only a scrub finds it
+    *  - `missing_payload` — null data cell
+    * plus `scanned_chunks` so an empty scan can't read as a clean
+    * store. A healthy store is all-zero.
+    */
+  def scrub(): DataFrame = {
+    import spark.implicits._
+    val agg = chunks.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(sha2(col("data"), 256) =!= col("chunk_hash"), 1L).otherwise(0L)), lit(0L)).as("h"),
+      coalesce(sum(when(col("size") =!= octet_length(col("data")).cast(LongType), 1L).otherwise(0L)), lit(0L)).as("s"),
+      coalesce(sum(when(col("bucket") =!= ChunkStore.bucketOf(col("chunk_hash"), params.nBuckets), 1L).otherwise(0L)), lit(0L)).as("b"),
+      coalesce(sum(when(col("data").isNull, 1L).otherwise(0L)), lit(0L)).as("m"),
+    ).head()
+    Seq(
+      ("misplaced_bucket", agg.getLong(3)),
+      ("missing_payload", agg.getLong(4)),
+      ("payload_hash_mismatch", agg.getLong(1)),
+      ("scanned_chunks", agg.getLong(0)),
+      ("size_mismatch", agg.getLong(2)),
+    ).toDF("check", "violations")
+  }
 
   /** Catalog-level diff vs another store: one row per blob seen by
     * either side with its reconciliation status. Content addressing

@@ -798,6 +798,23 @@ object LakeOps {
       .orderBy("blob_hash")
   }
 
+  /** §2.1 — scheduled payload scrub ([[graft.lake.ChunkStore.scrub]])
+    * over the session's deep-tree demo store: every at-rest chunk
+    * payload (leaf AND tree-node, ciphertext and raw alike) re-hashed
+    * against its content address in one map-side scan — bit rot,
+    * truncation, misfiled buckets (a chunk every pruned point read
+    * would MISS while a full scan still sees it), and null payload
+    * cells, each as a violation count next to `scanned_chunks`. The
+    * structural audit is `lake_fsck`; this is the bytes-at-rest half
+    * an object store runs on a schedule. Rows-only by design (the
+    * chunk population includes engine-internal tree-node blobs);
+    * Round20OpsSpec pins all-zero health here and plants bit-flip /
+    * misfile / truncation / null corruption in a scratch store and
+    * asserts each lands in exactly its own counter.
+    */
+  def lakeScrub(spark: SparkSession, dir: String): DataFrame =
+    treeStore(spark, dir).scrub()
+
   val lakeTreeGetSql: String =
     """WITH grp AS (
       |  SELECT doc_id % 8 AS g, string_agg(text, chr(10) ORDER BY doc_id) AS data
@@ -866,6 +883,7 @@ object LakeOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_delta_sync" -> (lakeDeltaSync _),
     "lake_fsck" -> (lakeFsck _),
+    "lake_scrub" -> (lakeScrub _),
     "lake_tree_get" -> (lakeTreeGet _),
     "lake_gc_plan" -> (lakeGcPlan _),
     "lake_replicate" -> (lakeReplicate _),

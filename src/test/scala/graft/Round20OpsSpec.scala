@@ -240,6 +240,41 @@ class Round20OpsSpec extends AnyFunSuite {
     assert(minDepth >= 2, s"walk must be at least two levels deep, got $minDepth")
   }
 
+  test("lake_scrub: healthy store all-zero; planted bit-rot/misfile/truncation/null each land in their own counter") {
+    val named = LakeOps.lakeScrub(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(named("scanned_chunks") > 0, "scrub must actually scan the tree store")
+    assert(Seq("payload_hash_mismatch", "size_mismatch", "misplaced_bucket", "missing_payload")
+      .forall(named(_) == 0L), s"healthy tree store must scrub clean: $named")
+
+    // plant one corruption per invariant in a scratch store's chunk table
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrub").toString
+    val store = ChunkStore.init(spark, dir)
+    import spark.implicits._
+    store.putBlobs(Seq((java.util.UUID.nameUUIDFromBytes("scrub".getBytes).toString * 60)
+      .getBytes("UTF-8")).toDF("data"))
+    val rows = store.chunks.collect()
+    assert(rows.length >= 4, s"need >= 4 chunks to plant 4 distinct corruptions, got ${rows.length}")
+    val mutated = rows.zipWithIndex.map { case (r, i) =>
+      var sz = r.getLong(1)
+      var data = r.getAs[Array[Byte]](3)
+      var b = r.getInt(4)
+      if (i == 0) { data = data.clone(); data(0) = (data(0) ^ 0x7f).toByte } // bit rot
+      else if (i == 1) sz += 1                                              // truncation record
+      else if (i == 2) b = (b + 1) % 64                                     // misfiled
+      else if (i == 3) data = null                                          // lost cell
+      (r.getString(0), sz, r.getString(2), data, b)
+    }.toSeq
+    mutated.toDF("chunk_hash", "size", "enc", "data", "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/chunks")
+    val broken = store.scrub().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(broken("payload_hash_mismatch") == 1L, s"bit flip: $broken")
+    assert(broken("size_mismatch") == 1L, s"size: $broken")
+    assert(broken("misplaced_bucket") == 1L, s"misfile: $broken")
+    assert(broken("missing_payload") == 1L, s"null cell: $broken")
+    assert(broken("scanned_chunks") == rows.length.toLong)
+  }
+
   test("lake_tree_get: every chunk read during the walk is a bucket-pruned scan") {
     val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
