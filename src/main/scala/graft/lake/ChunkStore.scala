@@ -722,7 +722,7 @@ final class ChunkStore private (
       ("payload_hash_mismatch", agg.getLong(1)),
       ("scanned_chunks", agg.getLong(0)),
       ("size_mismatch", agg.getLong(2)),
-    ).toDF("check", "violations")
+    ).toDF("check", "violations").orderBy("check")
   }
 
   /** Catalog-level diff vs another store: one row per blob seen by
