@@ -44,6 +44,11 @@ object Bench {
 
     spark.catalog.clearCache()
     def timedRun(n: String): (Double, Option[String]) = {
+      // name the active query on stderr BEFORE running it: any log4j
+      // WARN (e.g. WindowExec's single-partition warning) then lands
+      // under its query in the bench log instead of floating
+      // unattributed at the tail
+      System.err.println(s"[bench] $n")
       val t0 = System.nanoTime()
       // a failing query must surface in the JSON, not bench as a fast
       // no-op: record the error instead of swallowing it

@@ -39,6 +39,18 @@ final case class LakeParams(
     treeFanout: Int = 64,
 ) { require(treeFanout >= 2, "treeFanout must be >= 2") }
 
+object LakeParams {
+  /** Reference-parity sizing (helpers/sieve.rs:4 `get_le_prime`): the
+    * bucket count derived as the largest prime at or below
+    * `indexSize`, the rule the reference applies to its hash index.
+    * Optional here — hash-prefix partitioning is uniform under any
+    * modulus — but a user porting a reference config gets the same
+    * bucket count they had.
+    */
+  def primeBuckets(indexSize: Int, base: LakeParams = LakeParams()): LakeParams =
+    base.copy(nBuckets = Sieve.getLePrime(indexSize))
+}
+
 /** A content-addressed, convergently-encrypted chunk store
   * re-expressed Spark-first.
   *
@@ -90,6 +102,8 @@ final class ChunkStore private (
     val params: LakeParams,
 ) {
   import ChunkStore._
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def chunksDir = s"$path/chunks"
   private def manifestDir = s"$path/manifest"
@@ -427,7 +441,7 @@ final class ChunkStore private (
       .agg(coalesce(max(col("tree_depth")), lit(0))).head().getInt(0)
 
     val perLevel = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to maxDepth) {
+    def expandLevel(): Unit = {
       val entries = frontier
         .join(
           prunedChunks(frontier).select(col("chunk_hash"), col("bucket"), col("enc"), col("data").as("stored")),
@@ -451,34 +465,57 @@ final class ChunkStore private (
       )
       frontier = entries.filter(col("ck") === "N").select(col("blob_hash"), col("chunk_hash"), col("key"), col("bucket"))
     }
-    // a frontier surviving maxDepth expansions means a tree deeper
-    // than its catalog row claims — corruption, never silently
-    // truncate the blob
-    if (!frontier.isEmpty)
-      throw new InvalidMagicException(
-        s"manifest tree deeper than recorded tree_depth=$maxDepth in $path")
+    for (_ <- 1 to maxDepth) expandLevel()
+    // A frontier surviving maxDepth expansions means a catalog row
+    // under-reports its tree's depth. The tree itself may still be
+    // intact (every node verified by its content address as we
+    // decode it), so availability wins: fall back to the
+    // depth-agnostic probe loop and finish the walk, paying one
+    // isEmpty job per extra level — only on this repair path. The
+    // hard cap bounds cyclic/garbage manifests; verify-on-read still
+    // backstops the payload.
+    var extraLevels = 0
+    while (!frontier.isEmpty) {
+      extraLevels += 1
+      if (extraLevels > 64)
+        throw new InvalidMagicException(
+          s"manifest tree does not terminate within tree_depth=$maxDepth+64 in $path")
+      log.warn(
+        s"tree deeper than recorded tree_depth=$maxDepth in $path " +
+          s"(extra level $extraLevels); continuing depth-agnostic walk")
+      expandLevel()
+    }
 
-    val m = leaves.dropDuplicates("blob_hash", "part_idx")
+    // The leaf set of a point read is bounded by the requested blobs'
+    // part counts (the point-lookup contract — bulk restores go
+    // through [[getBlobs]]), so land it on the driver: one action
+    // that also materializes every per-level cache exactly once.
+    // After this the level caches can be RELEASED — nothing
+    // downstream reads them — and the returned frame carries no
+    // cached state at all, so repeated point reads with fresh hash
+    // sets leak nothing into the block manager (each caller action
+    // re-scans only the bucket-pruned leaf files below).
+    val leafRows = leaves.dropDuplicates("blob_hash", "part_idx").collect().toIndexedSeq
+    val leafSchema = leaves.schema
+    perLevel.result().foreach(_.unpersist())
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(leafRows, math.max(1, leafRows.size / 1000)), leafSchema)
     // Leaf fetch: node levels are fanout-bounded so literal (bucket,
     // hash) predicates are right for them, but the LEAF set of a big
     // blob is parts-sized — thousands of hash literals make the scan
     // predicate itself the cost (measured ~5 s for 3×1500-part blobs
     // at sf0.1). Keep the partition pruning (bucket IN, ≤ nBuckets
     // literals) and do the hash membership as a broadcast semi join.
-    val leafBuckets = leaves.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val leafBuckets = leafRows.map(_.getAs[Int]("bucket")).distinct.sorted
+    val leafHashes = leafRows.map(_.getAs[String]("chunk_hash")).distinct
     val leafChunks =
       if (leafBuckets.isEmpty) chunks.limit(0)
       else chunks.filter(col("bucket").isin(leafBuckets.map(Integer.valueOf): _*))
-        .join(broadcast(leaves.select(col("chunk_hash")).distinct()), Seq("chunk_hash"), "left_semi")
-    val out = inline
+        .join(broadcast(leafHashes.toDF("chunk_hash")), Seq("chunk_hash"), "left_semi")
+    inline
       .unionByName(reassemble(m, leafChunks))
       .withColumn("verified", sha2(col("data"), 256) === col("blob_hash"))
-    // materialize-then-release: each level's expanded entries were
-    // cached for the frontier-isEmpty probe + the two reads; leaving
-    // them cached would leak one block-manager entry per tree level
-    // per call for the session lifetime
-    graft.GraftSession.materialized(out, Seq("blob_hash"), perLevel.result(): _*)
+      .orderBy("blob_hash")
   }
 
   /** chunks filtered by literal (bucket, hash) sets from `refs` —
@@ -659,13 +696,28 @@ final class ChunkStore private (
   /** Small-file compaction. Every put appends its own parquet files, so
     * a long-lived store fragments — the classic append-ingest killer at
     * scale (namenode/listing pressure, an open() per tiny file, no
-    * row-group locality). Rewrites chunks co-partitioned by `bucket`
-    * (one file per bucket per shuffle task) and manifest/catalog
-    * repartitioned on `blob_hash`, under the write lock with the same
-    * tmp-dir + rename swap as [[gc]]. Contents are untouched — only the
-    * file layout changes. Returns per-table before/after file counts.
+    * row-group locality), and the thing the reference's bump-allocated
+    * pages (store/mod.rs:330-390) never suffer: the Spark translation
+    * owes this maintenance op back. Rewrites chunks co-partitioned by
+    * `bucket` (one file per bucket per shuffle task — so the pruned
+    * point read of [[getBlobsByHashes]] opens ~one file per probed
+    * bucket again) and manifest/catalog repartitioned on `blob_hash`,
+    * under the write lock with the same tmp-dir + rename swap as
+    * [[gc]].
+    *
+    * With `reclaim = true` the rewrite is additionally GC-aware: the
+    * same liveness filter [[gc]] applies (live catalog; manifest rows
+    * of live blobs, replay-duplicates dropped; chunks referenced by at
+    * least one live manifest row — shared chunks of tombstoned blobs
+    * survive) is fused INTO the consolidation pass, and tombstones are
+    * cleared after the swap. A 100 TB store pays ONE full rewrite for
+    * both layout and reclamation instead of two.
+    *
+    * Default `reclaim = false` keeps the original contract: contents
+    * untouched, only the file layout changes. Returns per-table
+    * before/after file counts either way.
     */
-  def compact(): DataFrame = {
+  def compact(reclaim: Boolean = false): DataFrame = {
     if (readonly) throw new StoreReadOnlyException(path)
     import spark.implicits._
     withWriteLock {
@@ -679,12 +731,27 @@ final class ChunkStore private (
         "manifest" -> countDataFiles(manifestDir),
         "catalog" -> countDataFiles(catalogDir),
       )
-      chunks.repartition(col("bucket")).write.partitionBy("bucket")
+      val (outCat, outMan, outChunks) =
+        if (!reclaim) (catalog, manifest, chunks)
+        else {
+          val liveCat = liveCatalog
+          val liveMan = manifest
+            .dropDuplicates("blob_hash", "level", "part_idx")
+            .join(liveCat.select("blob_hash"), Seq("blob_hash"), "left_semi")
+          val liveChunks = chunks
+            .dropDuplicates("chunk_hash")
+            .join(liveMan.select("chunk_hash").distinct(), Seq("chunk_hash"), "left_semi")
+          (liveCat, liveMan, liveChunks)
+        }
+      // materialize into tmp BEFORE touching the source dirs (the
+      // frames above read them lazily)
+      outChunks.repartition(col("bucket")).write.partitionBy("bucket")
         .parquet(s"$path/.compact_tmp/chunks")
-      manifest.repartition(col("blob_hash")).write.parquet(s"$path/.compact_tmp/manifest")
-      catalog.repartition(col("blob_hash")).write.parquet(s"$path/.compact_tmp/catalog")
+      outMan.repartition(col("blob_hash")).write.parquet(s"$path/.compact_tmp/manifest")
+      outCat.repartition(col("blob_hash")).write.parquet(s"$path/.compact_tmp/catalog")
 
       swapCommitted(fs, tmpRoot, Seq("chunks", "manifest", "catalog"), "compact")
+      if (reclaim) fs.delete(new HPath(tombstonesDir), true)
 
       Seq("chunks", "manifest", "catalog").map { d =>
         val dir = d match {

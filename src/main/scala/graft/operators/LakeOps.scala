@@ -283,7 +283,10 @@ object LakeOps {
         col("max_load"), col("min_load"),
       )
     }
-    plan(128).unionByName(plan(97)).orderBy("new_buckets")
+    // the prime candidate is DERIVED the way the reference derives its
+    // index size (helpers/sieve.rs get_le_prime: largest prime ≤ the
+    // requested count), not hand-coded: get_le_prime(100) = 97
+    plan(128).unionByName(plan(graft.lake.Sieve.getLePrime(100))).orderBy("new_buckets")
   }
 
   val lakeRebalanceSql: String =
@@ -374,6 +377,118 @@ object LakeOps {
       |  CAST(1 AS BIGINT) AS n_phys_files
       |FROM uniq
       |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  /** §2.1 #9j — small-file compaction EXECUTION on the index-modulo
+    * store, the production gap a long-lived append-ingest store hits
+    * first: every put appends its own file per bucket
+    * ([[graft.lake.ChunkStore]] `SaveMode.Append`), so after N put
+    * batches every pruned point read opens N files per probed bucket;
+    * the reference's bump-allocated pages (store/mod.rs:330-390) never
+    * fragment, so the Spark translation owes the maintenance op back.
+    * This op PERFORMS the compaction on a scratch model store and
+    * reports the post-state FROM THE REWRITTEN FILES — the
+    * lake_rebalance_exec discipline:
+    *
+    *  1. BEFORE-state: the unique chunk set arrives in 4 put batches
+    *     (a chunk's arrival batch = min over its referencing docs of
+    *     doc_id mod 4 — idempotent put writes a chunk only the first
+    *     time it is seen), each batch appending one file per touched
+    *     bucket, exactly what 4 real puts do. `files_before` is read
+    *     from the fragmented files themselves (input_file_name), and
+    *     the oracle recomputes it as count(DISTINCT arrival batch) —
+    *     the hash match proves the physical fragmentation IS the
+    *     append model.
+    *  2. Tombstone model: blobs with doc_id mod 7 = 0 are deleted, so
+    *     compaction is GC-aware — chunks with zero LIVE refs are
+    *     dropped by the rewrite (the fused compact+reclaim of
+    *     [[graft.lake.ChunkStore.compact]]), while chunks shared with
+    *     any live blob survive (the convergent-store invariant).
+    *  3. AFTER-state: live chunks repartitioned by bucket, one
+    *     consolidated sorted file per bucket directory; n_chunks,
+    *     n_refs_live, bucket_bytes, files_after are all computed from
+    *     the rewritten files (input_file_name again), so the oracle
+    *     match proves the executed layout: every live chunk landed in
+    *     its hash-prefix directory, every dead chunk is gone, every
+    *     bucket is one physical file.
+    *
+    * Scale shape: one exchange of the unique chunk set keyed on
+    * bucket — the O(store) floor any rewrite pays — then two
+    * metadata-sized per-bucket rollups. The real-store twin (multi-put
+    * fragmentation → `compact(reclaim = true)` → fsck+scrub green,
+    * payload roundtrip, one-file-per-bucket, pruned tree-get plan
+    * unchanged) is pinned in Round21OpsSpec.
+    */
+  def lakeCompactExec(spark: SparkSession, dir: String): DataFrame = {
+    val uniq = chunkSplit(spark, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(
+        min(col("part_len")).as("bytes"),
+        count(lit(1)).as("n_refs"),
+        sum(when(col("doc_id") % 7 =!= 0, 1L).otherwise(0L)).as("n_refs_live"),
+        min(col("doc_id") % 4).as("min_batch"),
+      )
+      .withColumn("bucket", expr(
+        "CAST((locate(substring(chunk_hash,1,1), '0123456789abcdef') - 1) * 16 + " +
+          "locate(substring(chunk_hash,2,1), '0123456789abcdef') - 1 AS BIGINT) % 64"))
+    val base = s"${graft.sources.Ingest.scratchDir(spark)}/store_fragmented_${Integer.toHexString(dir.hashCode)}"
+    // fragmented before-state: 4 appended batches, each one file per
+    // touched bucket (repartition on bucket → a bucket's rows land in
+    // exactly one task → one file per bucket directory per batch)
+    for (b <- 0 to 3)
+      uniq.filter(col("min_batch") === b)
+        .repartition(col("bucket"))
+        .write.mode(if (b == 0) "overwrite" else "append")
+        .partitionBy("bucket").parquet(s"$base/chunks")
+    val frag = spark.read.parquet(s"$base/chunks")
+    val beforeStats = frag
+      .withColumn("f", input_file_name())
+      .groupBy(col("bucket").cast(LongType).as("bucket"))
+      .agg(
+        countDistinct(col("f")).as("files_before"),
+        sum(when(col("n_refs_live") === 0, 1L).otherwise(0L)).as("n_dropped"),
+      )
+    // the compaction rewrite: live-only, one consolidated file per bucket
+    frag.filter(col("n_refs_live") > 0)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "chunk_hash")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/chunks_compacted")
+    val afterStats = spark.read.parquet(s"$base/chunks_compacted")
+      .withColumn("f", input_file_name())
+      .groupBy(col("bucket").cast(LongType).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_refs_live")).as("n_refs_live"),
+        sum(col("bytes")).as("bucket_bytes"),
+        countDistinct(col("f")).as("files_after"),
+      )
+    beforeStats.join(afterStats, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_chunks", "n_refs_live", "bucket_bytes", "files_after"))
+      .select(
+        col("bucket"), col("n_chunks"), col("n_refs_live"), col("bucket_bytes"),
+        col("n_dropped"), col("files_before"), col("files_after"))
+      .orderBy("bucket")
+  }
+
+  val lakeCompactExecSql: String =
+    s"""$oracleChunkCte, uniq AS (
+      |  SELECT chunk_hash, min(part_len) AS bytes, count(*) AS n_refs,
+      |    sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS n_refs_live,
+      |    min(doc_id % 4) AS min_batch,
+      |    CAST((strpos('0123456789abcdef', substring(chunk_hash,1,1)) - 1) * 16 +
+      |         strpos('0123456789abcdef', substring(chunk_hash,2,1)) - 1 AS BIGINT) % 64 AS bucket
+      |  FROM chunks GROUP BY chunk_hash
+      |)
+      |SELECT bucket,
+      |  CAST(sum(CASE WHEN n_refs_live > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN n_refs_live > 0 THEN n_refs_live ELSE 0 END) AS BIGINT) AS n_refs_live,
+      |  CAST(sum(CASE WHEN n_refs_live > 0 THEN bytes ELSE 0 END) AS BIGINT) AS bucket_bytes,
+      |  CAST(sum(CASE WHEN n_refs_live = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(count(DISTINCT min_batch) AS BIGINT) AS files_before,
+      |  CAST(CASE WHEN sum(CASE WHEN n_refs_live > 0 THEN 1 ELSE 0 END) > 0
+      |       THEN 1 ELSE 0 END AS BIGINT) AS files_after
+      |FROM uniq
+      |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
   /** §2.1 #6 — convergent encryption roundtrip. The oracle hashes the
@@ -896,6 +1011,7 @@ object LakeOps {
     "lake_bucket_hist" -> (lakeBucketHist _),
     "lake_rebalance" -> (lakeRebalance _),
     "lake_rebalance_exec" -> (lakeRebalanceExec _),
+    "lake_compact_exec" -> (lakeCompactExec _),
     "lake_convergent" -> (lakeConvergent _),
   )
 
@@ -912,6 +1028,7 @@ object LakeOps {
     "lake_bucket_hist" -> lakeBucketHistSql,
     "lake_rebalance" -> lakeRebalanceSql,
     "lake_rebalance_exec" -> lakeRebalanceExecSql,
+    "lake_compact_exec" -> lakeCompactExecSql,
     "lake_convergent" -> lakeConvergentSql,
   )
 }

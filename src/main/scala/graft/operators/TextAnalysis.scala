@@ -150,6 +150,133 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
   }
 
+  /** 26-letter transliteration alphabets for the planted multi-script
+    * corpus of [[textLangid2]]: a..z mapped 1:1 into a contiguous run
+    * of each script's block, so the planted text is deterministic and
+    * both engines recompute it with one `translate`.
+    */
+  private val LatinAz = ('a' to 'z').mkString
+  private val Han26 = (0x4E00 until 0x4E00 + 26).map(_.toChar).mkString
+  private val Cyr26 = (0x0430 until 0x0430 + 26).map(_.toChar).mkString
+  private val Arab26 = (0x0627 until 0x0627 + 26).map(_.toChar).mkString
+
+  /** §2.5 #30b — script-aware language ID v2. The v1 stopword vote
+    * ([[textLangid]]) only works for space-delimited Latin-script
+    * languages: CJK/Cyrillic/Arabic text contains no Latin stopwords,
+    * scores 0 everywhere, and falls through to the priority-order
+    * default — the day-one misclassification of a multilingual crawl.
+    * v2 runs a unicode-script code-point histogram FIRST (map-side,
+    * one regexp count per script block), routes non-Latin scripts
+    * directly (Han→zh, Cyrillic→ru, Arabic→ar), and only lets the
+    * stopword vote decide among the Latin-script candidates
+    * (en/de/es/fr).
+    *
+    * The synthetic corpus is all-ASCII, so the multi-script input is
+    * PLANTED the lake_fsck way: docs in three disjoint doc_id classes
+    * are deterministically transliterated (a..z → a contiguous 26-run
+    * of the Han / Cyrillic / Arabic block via one `translate`), which
+    * both engines recompute identically — the oracle hash-match
+    * covers the planting, the histogram, the script routing, and the
+    * Latin stopword vote in one statement.
+    *
+    * Scale shape: fully map-side per-doc expressions (translate + 4
+    * regexp counts + fixed-size CASE), no shuffle beyond the output
+    * sort; at 100 TB this is a single codegen'd scan.
+    */
+  def textLangid2(spark: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 11 === 0, translate(col("text"), LatinAz, Han26))
+      .when(col("doc_id") % 11 === 1, translate(col("text"), LatinAz, Cyr26))
+      .when(col("doc_id") % 11 === 2, translate(col("text"), LatinAz, Arab26))
+      .otherwise(col("text"))
+    def scriptCount(range: String): Column =
+      length(regexp_replace(col("txt"), s"[^$range]", "")).cast(LongType)
+    val latinLangs = Seq("en", "de", "es", "fr")
+    val base = docs(spark, dir)
+      .select(col("doc_id"), planted.as("txt"))
+      .select(
+        col("doc_id") +: col("txt") +:
+          scriptCount("a-z").as("n_latin") +:
+          scriptCount("一-鿿").as("n_han") +:
+          scriptCount("Ѐ-ӿ").as("n_cyrillic") +:
+          scriptCount("؀-ۿ").as("n_arabic") +:
+          latinLangs.map { l =>
+            val list = stopwords.toMap.apply(l).map(w => s"'$w'").mkString(", ")
+            expr(s"CAST(size(filter(split(txt, ' '), w -> w IN ($list))) AS BIGINT)").as(s"score_$l")
+          }: _*
+      )
+    val latinVote = latinLangs.zipWithIndex.foldRight(lit(latinLangs.last)) { case ((l, i), elseCol) =>
+      if (i == latinLangs.size - 1) elseCol
+      else {
+        val geAll = latinLangs.drop(i + 1).map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+        when(geAll, lit(l)).otherwise(elseCol)
+      }
+    }
+    base
+      .withColumn(
+        "script",
+        when(col("n_han") >= col("n_cyrillic") && col("n_han") >= col("n_arabic") && col("n_han") > col("n_latin"), "han")
+          .when(col("n_cyrillic") >= col("n_arabic") && col("n_cyrillic") > col("n_latin"), "cyrillic")
+          .when(col("n_arabic") > col("n_latin"), "arabic")
+          .otherwise("latin"),
+      )
+      .withColumn(
+        "pred_lang",
+        when(col("script") === "han", "zh")
+          .when(col("script") === "cyrillic", "ru")
+          .when(col("script") === "arabic", "ar")
+          .otherwise(latinVote),
+      )
+      .select("doc_id", "n_latin", "n_han", "n_cyrillic", "n_arabic", "script", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  val textLangid2Sql: String = {
+    val scores = Seq("en", "de", "es", "fr").map { l =>
+      val list = stopwords.toMap.apply(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(txt, ' '), w -> w IN ($list))) AS BIGINT) AS score_$l"
+    }.mkString(",\n  ")
+    val hanR = "一-鿿"; val cyrR = "Ѐ-ӿ"; val arabR = "؀-ۿ"
+    s"""WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE
+      |      WHEN doc_id % 11 = 0 THEN translate(text, '$LatinAz', '$Han26')
+      |      WHEN doc_id % 11 = 1 THEN translate(text, '$LatinAz', '$Cyr26')
+      |      WHEN doc_id % 11 = 2 THEN translate(text, '$LatinAz', '$Arab26')
+      |      ELSE text
+      |    END AS txt
+      |  FROM documents
+      |), hist AS (
+      |  SELECT doc_id, txt,
+      |    CAST(length(regexp_replace(txt, '[^a-z]', '', 'g')) AS BIGINT) AS n_latin,
+      |    CAST(length(regexp_replace(txt, '[^$hanR]', '', 'g')) AS BIGINT) AS n_han,
+      |    CAST(length(regexp_replace(txt, '[^$cyrR]', '', 'g')) AS BIGINT) AS n_cyrillic,
+      |    CAST(length(regexp_replace(txt, '[^$arabR]', '', 'g')) AS BIGINT) AS n_arabic,
+      |    $scores
+      |  FROM planted
+      |), routed AS (
+      |  SELECT *,
+      |    CASE
+      |      WHEN n_han >= n_cyrillic AND n_han >= n_arabic AND n_han > n_latin THEN 'han'
+      |      WHEN n_cyrillic >= n_arabic AND n_cyrillic > n_latin THEN 'cyrillic'
+      |      WHEN n_arabic > n_latin THEN 'arabic'
+      |      ELSE 'latin'
+      |    END AS script
+      |  FROM hist
+      |)
+      |SELECT doc_id, n_latin, n_han, n_cyrillic, n_arabic, script,
+      |  CASE
+      |    WHEN script = 'han' THEN 'zh'
+      |    WHEN script = 'cyrillic' THEN 'ru'
+      |    WHEN script = 'arabic' THEN 'ar'
+      |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+      |    WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+      |    WHEN score_es >= score_fr THEN 'es'
+      |    ELSE 'fr'
+      |  END AS pred_lang
+      |FROM routed
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** §2.5 #33 — document fingerprint: md5 of whitespace-normalized
     * text (the canonical-form fingerprint; the winnowing rolling-hash
     * variant is in [[graft.functions.Winnowing]], ScalaTest-checked).
@@ -1817,6 +1944,7 @@ object TextAnalysis {
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_langid2" -> (textLangid2 _),
     "text_fingerprint" -> (textFingerprint _),
     "text_winnow_pairs" -> (textWinnowPairs _),
     "text_repetition" -> (textRepetition _),
@@ -1849,6 +1977,7 @@ object TextAnalysis {
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
+    "text_langid2" -> textLangid2Sql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,

@@ -35,12 +35,19 @@ object ScaleProbe {
     * line; three make a trend). Every shifted id column is int64, so
     * the key stride never overflows at any plausible factor.
     */
-  private val Factor = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(_.toInt).getOrElse(10)
-  /** Label for output dir + artifact: factor 10 → "1" (BENCH_sf1.json,
-    * target/sf1 — the established names), 30 → "3", etc.
+  private val Factor = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map { v =>
+    require(v.matches("\\d+") && v.toInt > 0,
+      s"SPARK_GRAFT_SCALE_FACTOR must be a positive integer (replication over sf0.1), got '$v'")
+    v.toInt
+  }.getOrElse(10)
+  /** Label for output dir + artifact: the actual scale factor
+    * Factor/10 — 10 → "1" (BENCH_sf1.json, target/sf1, the
+    * established names), 30 → "3", 15 → "1.5" (never "015", which
+    * reads as sf0.15 for sf1.5 data).
     */
   private val SfLabel =
-    if (Factor % 10 == 0) (Factor / 10).toString else s"0${Factor}"
+    if (Factor % 10 == 0) (Factor / 10).toString
+    else (Factor / 10.0).toString
   private val Offset = 100000000L // replica key stride; all sf0.1 keys ≪ 10^8
 
   /** id columns to shift per table; everything else copies verbatim. */

@@ -74,8 +74,19 @@ class Round20OpsSpec extends AnyFunSuite {
     for (m <- Seq("ivf", "ivf_indexed", "ivfpq")) {
       val cur = sweep.filter(_._1 == m).sortBy(_._2)
       assert(cur.map(_._2).toSeq == Seq(4, 8, 16), s"$m probe axis")
-      assert(cur.sliding(2).forall(w => w(0)._4 <= w(1)._4),
-        s"$m: n_hits must be non-decreasing in nProbes: ${cur.mkString(", ")}")
+      if (m == "ivfpq") {
+        // NOT a theorem for IVF-PQ: the top-(16·k) ADC shortlist is
+        // recomputed over the grown candidate set, so a truth item in
+        // the shortlist at p=4 can be displaced at p=8 by higher-ADC/
+        // lower-cosine candidates. Empirically monotone on this
+        // corpus; assert only no-collapse (a widened probe must not
+        // lose more than a shortlist-churn sliver) so data or seeding
+        // drift can't flake the suite.
+        assert(cur.sliding(2).forall(w => w(1)._4 >= w(0)._4 - math.max(1L, w(0)._4 / 10)),
+          s"$m: n_hits collapsed as nProbes grew: ${cur.mkString(", ")}")
+      } else
+        assert(cur.sliding(2).forall(w => w(0)._4 <= w(1)._4),
+          s"$m: n_hits must be non-decreasing in nProbes: ${cur.mkString(", ")}")
       assert(cur.forall(r => r._5 == r._4 * 1000000L / nTruth), s"$m: ppm arithmetic")
     }
     // 16-of-16 probes degenerates plain IVF (and its materialized twin)
@@ -290,8 +301,10 @@ class Round20OpsSpec extends AnyFunSuite {
       // listener delivery is async: poll for a pruned tree-store chunk
       // scan instead of racing the bus
       def prunedScanSeen: Boolean = {
-        import scala.jdk.CollectionConverters._
-        plans.asScala.exists { p =>
+        // snapshot under the list's own lock: the listener bus appends
+        // concurrently and synchronizedList does NOT cover iteration
+        val snapshot = plans.synchronized(plans.toArray(Array.empty[String])).toSeq
+        snapshot.exists { p =>
           val ls = p.linesIterator.toVector
           ls.zipWithIndex.exists { case (l, i) =>
             l.contains("PartitionFilters") && l.contains("bucket") &&
