@@ -319,12 +319,25 @@ object BenchBaseline {
     // r13 additions — first honest sf0.1 cold measurements
     // (tools/bench_only.sh, three readings each, best kept; the sweep
     // and tree-get amortize their scratch artifacts inside the run)
-    "ann_probe_sweep" -> 5.2,
+    // re-frozen r14 (was 5.2): the sweep gained its fourth family —
+    // multi-probe LSH at probes-per-table ∈ {1,2,4}, one widest-probe
+    // corpus bucket pass + prefix-filtered points, same fused shape;
+    // idle-box 7.57/7.3/7.44, best kept
+    "ann_probe_sweep" -> 7.3,
     "lake_fsck" -> 2.71,
     "lake_tree_get" -> 4.04,
     // one map-side scan of the chunk table; the deep-tree store build
     // amortizes out under Bench's min-of-two-runs timing
     "lake_scrub" -> 0.16,
+    // r14 additions — first honest sf0.1 cold measurements
+    // (tools/bench_only.sh, three readings each, best kept).
+    // lake_compact_exec writes the 4-batch fragmented scratch store,
+    // rewrites it consolidated, and reads both back — the floor is
+    // dominated by the six scratch write/read jobs, not the algebra
+    "lake_compact_exec" -> 5.67,
+    "text_langid2" -> 0.94,
+    "ann_range" -> 0.53,
+    "emb_rp" -> 0.31,
     // r10 batch — first honest sf0.1 cold-run numbers (zero-error,
     // zero-regression bench on the round-7 continuation box)
     "dedup_profile" -> 0.28,

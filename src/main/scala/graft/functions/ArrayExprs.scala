@@ -64,6 +64,12 @@ object ArrayExprs {
   def planeSignProbes(qv: Column, planes: Array[Array[Long]], bitsPerTable: Int, nProbes: Int): Column =
     ColumnBridge.column(PlaneSignProbes(ColumnBridge.expression(qv), planes, bitsPerTable, nProbes))
 
+  /** Dense integer projection of a quantized array<long> vector
+    * against a constant plane tensor (see [[PlaneProject]]).
+    */
+  def planeProject(qv: Column, planes: Array[Array[Long]]): Column =
+    ColumnBridge.column(PlaneProject(ColumnBridge.expression(qv), planes))
+
   /** BPE token count of a string word under a constant merge list
     * (see [[BpeEncodeCount]]).
     */
@@ -611,6 +617,62 @@ case class PlaneSignBuckets(child: Expression, planes: Array[Array[Long]], bitsP
          |      if ($s >= 0) $acc |= 1 << $b;
          |    }
          |    $out[$t] = $acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Dense projection of a quantized array<long> vector against a
+  * constant plane tensor: out[j] = Σ_i qv[i]·planes[j][i] — the
+  * matrix-multiply kernel behind Johnson-Lindenstrauss random
+  * projection (Achlioptas'01 ±1 planes — public). Shares the
+  * integer-exact discipline of [[PlaneSignBuckets]] (whose output is
+  * the SIGN of these dots): int64 dots reproduce bit-for-bit in
+  * DuckDB list arithmetic, so the projection is hash-oracle-able.
+  */
+case class PlaneProject(child: Expression, planes: Array[Array[Long]])
+    extends UnaryExpression {
+  private val numPlanes = planes.length
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val qv = in.asInstanceOf[ArrayData]
+    val n = qv.numElements()
+    val out = new Array[Long](numPlanes)
+    if (n == planes(0).length) {
+      var j = 0
+      while (j < numPlanes) {
+        val p = planes(j)
+        var s = 0L
+        var i = 0
+        while (i < n) { s += qv.getLong(i) * p(i); i += 1 }
+        out(j) = s
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "long[][]")
+    nullSafeCodeGen(ctx, ev, qv => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val j = ctx.freshName("j"); val p = ctx.freshName("p")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+         |int $n = $qv.numElements();
+         |long[] $out = new long[$numPlanes];
+         |if ($n == $planesRef[0].length) {
+         |  for (int $j = 0; $j < $numPlanes; $j++) {
+         |    long[] $p = $planesRef[$j];
+         |    long $s = 0L;
+         |    for (int $i = 0; $i < $n; $i++) { $s += $qv.getLong($i) * $p[$i]; }
+         |    $out[$j] = $s;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

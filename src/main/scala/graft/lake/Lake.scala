@@ -111,6 +111,24 @@ final class Lake private (val spark: SparkSession, val config: LakeConfig, val s
   def gc(): DataFrame =
     writable.map(s => s.gc().withColumn("store", lit(s.path)))
       .reduceLeft(_ unionByName _)
+
+  /** Compact every writable store (small-file consolidation; with
+    * `reclaim` the GC liveness filter is fused into the same rewrite —
+    * see [[ChunkStore.compact]]). The lake-level maintenance sibling
+    * of [[gc]]: per-store per-table before/after file counts keyed by
+    * path.
+    */
+  def compact(reclaim: Boolean = false): DataFrame =
+    writable.map(s => s.compact(reclaim).withColumn("store", lit(s.path)))
+      .reduceLeft(_ unionByName _)
+
+  /** Scrub every store, readable included (payload verification needs
+    * no write access); per-store per-invariant violation counts keyed
+    * by path — the fleet-wide form of the scheduled scrub.
+    */
+  def scrub(): DataFrame =
+    stores.map(s => s.scrub().withColumn("store", lit(s.path)))
+      .reduceLeft(_ unionByName _)
 }
 
 object Lake {

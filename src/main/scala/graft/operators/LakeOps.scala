@@ -431,6 +431,11 @@ object LakeOps {
       .withColumn("bucket", expr(
         "CAST((locate(substring(chunk_hash,1,1), '0123456789abcdef') - 1) * 16 + " +
           "locate(substring(chunk_hash,2,1), '0123456789abcdef') - 1 AS BIGINT) % 64"))
+    // (measured: caching this for the four batch writes is SLOWER at
+    // sf0.1 — 7.2-7.6 s vs 6.4-6.7 s uncached over three idle readings
+    // each; the split+agg recompute is codegen'd scan work, cheaper
+    // than the InMemoryRelation serialize/scan detour on a ~7k-row
+    // relation. Keep it uncached.)
     val base = s"${graft.sources.Ingest.scratchDir(spark)}/store_fragmented_${Integer.toHexString(dir.hashCode)}"
     // fragmented before-state: 4 appended batches, each one file per
     // touched bucket (repartition on bucket → a bucket's rows land in

@@ -263,23 +263,31 @@ object VectorOps {
     */
   private val LshProbes = 4
 
-  /** query-side multi-probe rows: one (id, tbl, bucket) per probe. */
-  private def withQProbes(d: DataFrame): DataFrame =
+  /** query-side multi-probe rows: one (id, tbl, bucket, prn) per
+    * probe, `prn` = 1-based position in the table's perturbation
+    * sequence — the prefix rank [[annProbeSweep]] derives operating
+    * points from (probe p of the kernel's fixed ordering is always
+    * probe p, so p-probe candidates are exactly rows with prn ≤ p).
+    */
+  private def withQProbes(d: DataFrame, nProbes: Int = LshProbes): DataFrame =
     d.select(col("id"), col("qv"), col("norm"),
         posexplode(graft.functions.ArrayExprs.planeSignProbes(
-          col("qv"), qplanes.flatten.toArray, BitsPerTable, LshProbes)).as(Seq("idx", "bucket")))
-      .withColumn("tbl", expr(s"idx div $LshProbes").cast(IntegerType))
+          col("qv"), qplanes.flatten.toArray, BitsPerTable, nProbes)).as(Seq("idx", "bucket")))
+      .withColumn("tbl", expr(s"idx div $nProbes").cast(IntegerType))
+      .withColumn("prn", (col("idx") % nProbes + 1).cast(IntegerType))
       .drop("idx")
 
   /** §2.4 #28 — random-hyperplane LSH ANN: 8 tables × 4 bits with
-    * 4-probe multi-probe on the query side; a query's candidates are
-    * all data vectors sharing any probed bucket; exact cosine re-rank
-    * within candidates. Shuffles only on (table, bucket) keys — no
-    * pair space beyond colliding candidates, and the probe factor
-    * multiplies only the query-side row count (queries ≪ corpus).
+    * `nProbes`-probe multi-probe on the query side (default 4, the
+    * operating point [[annProbeSweep]]'s lsh curve justifies); a
+    * query's candidates are all data vectors sharing any probed
+    * bucket; exact cosine re-rank within candidates. Shuffles only on
+    * (table, bucket) keys — no pair space beyond colliding
+    * candidates, and the probe factor multiplies only the query-side
+    * row count (queries ≪ corpus).
     */
-  def annLsh(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = withQProbes(prep(queries))
+  def annLsh(data: DataFrame, queries: DataFrame, k: Int, nProbes: Int = LshProbes): DataFrame = {
+    val q = withQProbes(prep(queries), nProbes)
       .select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"), col("tbl"), col("bucket"))
     val c = withQBuckets(prep(data))
       .select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"), col("tbl"), col("bucket"))
@@ -1934,8 +1942,10 @@ object VectorOps {
 
   /** §2.4 #29u — recall-vs-probes tuning curve: recall@5 at nProbes ∈
     * {4, 8, 16} for each IVF-family index (inline IVF, materialized
-    * IVF, composed IVF-PQ) against the exact brute-force truth on the
-    * same query batch. [[annRecall]] reports ONE operating point per
+    * IVF, composed IVF-PQ) plus nProbes ∈ {1, 2, 4} for multi-probe
+    * LSH (probes per table — the knob r8 hand-picked at 4; the lsh
+    * rows are the measured justification) against the exact
+    * brute-force truth on the same query batch. [[annRecall]] reports ONE operating point per
     * index; nProbes is the knob a deployer actually turns, so the
     * audit must hand back the curve, not a point — at 16-of-16 probes
     * plain IVF degenerates to exhaustive search (recall 1.0 by
@@ -2047,25 +2057,54 @@ object VectorOps {
         K)
     }
 
+    // LSH multi-probe: the fourth family, same fused shape — ONE
+    // widest pass (the kernel's full 4-step perturbation sequence per
+    // table), candidates carry the earliest probe rank that reached
+    // them (min prn across tables), and the p-probe operating point is
+    // the prefix filter prn <= p — identical to the standalone
+    // annLsh(nProbes = p) because the kernel's probe ordering is fixed
+    // (exact, flip-m0, flip-m1, flip-both). Probe axis {1, 2, 4}: the
+    // knob's full range at 4 bits/table (r8 hand-picked 4; this curve
+    // is the evidence). Candidate prefixes nest, scoring is exact
+    // cosine under the shared total order → n_hits monotone, the same
+    // theorem as ivf.
+    val LshAxis = Seq(1, 2, 4)
+    val scoredLsh = withQProbes(prep(qs), LshProbes)
+      .select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"),
+        col("tbl"), col("bucket"), col("prn"))
+      .join(
+        withQBuckets(prep(e))
+          .select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"),
+            col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"), col("prn"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("prn")).as("prn"), min(col("cosine")).as("cosine"))
+      .cache()
+
     try {
       val nTruth = truth.count()
       def hitsOf(df: DataFrame): Long = df.select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val families: Seq[(String, Seq[Int], Int => DataFrame)] = Seq(
+        ("ivf", ProbeAxis, p => topK(scoredIvf.filter(col("prn") <= p).drop("prn"), K)),
+        ("ivf_indexed", ProbeAxis, p => topK(scoredIdx.filter(col("prn") <= p).drop("prn"), K)),
+        ("ivfpq", ProbeAxis, ivfpqAt _),
+        ("lsh", LshAxis, p => topK(scoredLsh.filter(col("prn") <= p).drop("prn"), K)),
+      )
       val rows = for {
-        p <- ProbeAxis
-        (name, df) <- Seq(
-          "ivf" -> topK(scoredIvf.filter(col("prn") <= p).drop("prn"), K),
-          "ivf_indexed" -> topK(scoredIdx.filter(col("prn") <= p).drop("prn"), K),
-          "ivfpq" -> ivfpqAt(p),
-        )
+        (name, axis, at) <- families
+        p <- axis
       } yield {
-        val hits = hitsOf(df)
+        val hits = hitsOf(at(p))
         (name, p, nTruth, hits, hits * 1000000L / math.max(nTruth, 1L))
       }
       rows.toDF("method", "n_probes", "n_truth", "n_hits", "recall_ppm")
         .orderBy("method", "n_probes")
     } finally {
-      Seq(truth, scoredIvf, scoredIdx, probesIdx, probesPq, adc).foreach(_.unpersist()); ()
+      Seq(truth, scoredIvf, scoredIdx, probesIdx, probesPq, adc, scoredLsh).foreach(_.unpersist()); ()
     }
   }
 
@@ -2177,7 +2216,116 @@ object VectorOps {
       .orderBy("centroid_id")
   }
 
+  // ------------------------------------------------------- radius search
+
+  /** §2.4 #27b — exact cosine RADIUS search: every (query, corpus)
+    * pair with cosine ≥ τ for a bounded query batch — the
+    * threshold-query sibling of top-k [[annBruteforce]]. Top-k answers
+    * "the 5 closest whatever their quality"; radius answers
+    * "everything inside the match band", the shape near-dup mining,
+    * retrieval filtering, and collision audits actually consume (a
+    * query with no neighbors in the band correctly returns nothing
+    * instead of 5 bad ones). Exact by construction: broadcast query
+    * batch, one map-side cosine per corpus row, selection happens in
+    * the output, so the scan is one full pass — the exact-audit
+    * contract, like [[annBruteforce]]; the index path for unbounded
+    * query sets is the probed IVF/LSH family with a τ post-filter.
+    * Integer-quantized dots → IEEE-exact cosines → hash-oracled.
+    */
+  def annRange(data: DataFrame, queries: DataFrame, tau: Double): DataFrame = {
+    val q = prep(queries).select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"))
+    val c = prep(data).select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"))
+    broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** named query: first 20 vectors as queries, τ = 0.3 (the band the
+    * synthetic corpus actually populates — 0.6 is empty here).
+    */
+  def annRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    annRange(e, e.filter(col("id") < 20), 0.3)
+  }
+
+  val annRangeSql: String =
+    s"""$oracleQuantCte
+      |SELECT query_id, neighbor_id, cosine
+      |FROM p
+      |WHERE query_id < 20 AND cosine >= 0.3
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
+  // -------------------------------------------------- random projection
+
+  /** JL projection width and its deterministic ±1 planes (seed 11 —
+    * literal in the plan AND in the oracle SQL, like the LSH planes).
+    */
+  private val RpDims = 16
+  private val rpPlanes: Array[Array[Long]] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(RpDims)(Array.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  /** §2.4 #29v — Johnson-Lindenstrauss random projection 64 → 16
+    * dims with Achlioptas ±1 planes (public), plus the per-vector
+    * norm-preservation audit the JL lemma promises. The contrast with
+    * [[embPca]] is the point at 100 TB: PCA needs a full moment pass
+    * over the corpus to TRAIN its basis before it can project; a
+    * random projection is data-independent — zero training passes,
+    * the planes are 16×64 literals riding in the plan, and any new
+    * shard projects with no coordination. The price is optimality
+    * (PCA minimizes reconstruction error; JL only bounds distance
+    * distortion), which is why both exist.
+    *
+    * Per vector: the first four projected coords (the projection
+    * itself, integer-exact), ‖x‖², ‖y‖², and the norm-preservation
+    * ratio in ppm — E[‖y‖²] = 16·‖x‖² for ±1 planes, so
+    * ratio_ppm = ‖y‖²·62500 ÷ ‖x‖² concentrates near 1e6 (62500 =
+    * 1e6/16 exactly, keeping the arithmetic in int64). One codegen'd
+    * map-side kernel ([[graft.functions.ArrayExprs.planeProject]]);
+    * no shuffle beyond the output sort.
+    */
+  def embRp(spark: SparkSession, dir: String): DataFrame =
+    prep(emb(spark, dir).select(col("vec_id").as("id"), col("embedding")))
+      .withColumn("y", graft.functions.ArrayExprs.planeProject(col("qv"), rpPlanes))
+      .withColumn("norm2_orig", qdot(col("qv"), col("qv")))
+      .withColumn("norm2_proj", qdot(col("y"), col("y")))
+      .select(
+        col("id").as("vec_id"),
+        col("y").getItem(0).as("y0"), col("y").getItem(1).as("y1"),
+        col("y").getItem(2).as("y2"), col("y").getItem(3).as("y3"),
+        col("norm2_orig"), col("norm2_proj"),
+        expr("norm2_proj * 62500L div norm2_orig").as("ratio_ppm"),
+      )
+      .orderBy("vec_id")
+
+  val embRpSql: String = {
+    def dot(p: Array[Long]): String =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * ${p.mkString("[", ", ", "]")}[i])) AS BIGINT)"
+    val ys = rpPlanes.zipWithIndex.map { case (p, j) => s"${dot(p)} AS y$j" }.mkString(",\n    ")
+    val n2p = (0 until RpDims).map(j => s"y$j * y$j").mkString(" + ")
+    s"""WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), proj AS (
+      |  SELECT vec_id,
+      |    $ys,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS norm2_orig
+      |  FROM q
+      |)
+      |SELECT vec_id, y0, y1, y2, y3, norm2_orig,
+      |  CAST($n2p AS BIGINT) AS norm2_proj,
+      |  CAST(($n2p) * 62500 // norm2_orig AS BIGINT) AS ratio_ppm
+      |FROM proj
+      |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_range" -> (annRange(_: SparkSession, _: String)),
+    "emb_rp" -> (embRp _),
     "ann_recall" -> (annRecall _),
     "ann_probe_sweep" -> (annProbeSweep _),
     "ann_incremental" -> (annIncremental _),
@@ -2207,6 +2355,8 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann_range" -> annRangeSql,
+    "emb_rp" -> embRpSql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_outliers" -> embOutliersSql,
     "ann_classify" -> annClassifySql,

@@ -59,6 +59,42 @@ object EventsStream {
       }
       .start()
 
+  /** §2.7 — SCHEDULED payload scrub riding the ingest stream: the
+    * [[lakeSink]] put path plus, on every `scrubEvery`-th micro-batch
+    * (after that batch's put commits), a full
+    * [[graft.lake.ChunkStore.scrub]] of every store — each at-rest
+    * chunk re-hashed against its content address — with the summed
+    * per-invariant counters handed to `onScrub`. Corruption landing
+    * between ticks (bit rot, truncation, misfiled buckets, lost
+    * cells) is reported by the NEXT tick while ingestion continues:
+    * the streaming form of the schedule an object store runs its
+    * scrubber on, and the cadence knob trades detection latency for
+    * scan cost. The scrub is one map-side scan of the chunk table; it
+    * never blocks the put path beyond the per-batch serialization
+    * foreachBatch already imposes.
+    */
+  def lakeSinkWithScrub(
+      blobs: DataFrame,
+      lake: graft.lake.Lake,
+      checkpoint: String,
+      scrubEvery: Int,
+      onScrub: (Long, Map[String, Long]) => Unit,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(scrubEvery >= 1, "scrubEvery must be >= 1")
+    blobs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { lake.put(batch.select("data")); () }
+        if (batchId % scrubEvery == (scrubEvery - 1).toLong) {
+          val report = lake.stores
+            .flatMap(_.scrub().collect().map(r => r.getString(0) -> r.getLong(1)))
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+          onScrub(batchId, report)
+        }
+      }
+      .start()
+  }
+
   /** §2.7 #36b — watermarked HOPPING window aggregation: 1-day
     * windows every 6 hours (each event in 4 overlapping windows,
     * assigned map-side), append-emitted as the watermark closes each

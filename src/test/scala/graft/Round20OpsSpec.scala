@@ -68,12 +68,13 @@ class Round20OpsSpec extends AnyFunSuite {
   test("ann_probe_sweep: monotone hits per family, exhaustive anchor at 16/16") {
     val sweep = VectorOps.annProbeSweep(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    assert(sweep.length == 9, s"3 families x 3 probe counts: ${sweep.mkString(", ")}")
+    assert(sweep.length == 12, s"4 families x 3 probe counts: ${sweep.mkString(", ")}")
     val nTruth = sweep.head._3
     assert(sweep.forall(_._3 == nTruth), "one shared brute-force truth set")
-    for (m <- Seq("ivf", "ivf_indexed", "ivfpq")) {
+    for (m <- Seq("ivf", "ivf_indexed", "ivfpq", "lsh")) {
       val cur = sweep.filter(_._1 == m).sortBy(_._2)
-      assert(cur.map(_._2).toSeq == Seq(4, 8, 16), s"$m probe axis")
+      assert(cur.map(_._2).toSeq == (if (m == "lsh") Seq(1, 2, 4) else Seq(4, 8, 16)),
+        s"$m probe axis")
       if (m == "ivfpq") {
         // NOT a theorem for IVF-PQ: the top-(16·k) ADC shortlist is
         // recomputed over the grown candidate set, so a truth item in
@@ -122,6 +123,9 @@ class Round20OpsSpec extends AnyFunSuite {
       assert(sweep(("ivfpq", p)) == hits(VectorOps.annIvfPq(spark, sf, qs, 5, p, shortlistFactor = 16)),
         s"ivfpq point at p=$p diverges from the standalone operator")
     }
+    for (p <- Seq(1, 2, 4))
+      assert(sweep(("lsh", p)) == hits(VectorOps.annLsh(data, qs, 5, p)),
+        s"lsh point at p=$p diverges from the standalone operator")
   }
 
   test("IVF candidate sets nest as nProbes grows under one frozen quantizer") {

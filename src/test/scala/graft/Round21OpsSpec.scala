@@ -224,6 +224,95 @@ class Round21OpsSpec extends AnyFunSuite {
     assert(buckets.toSeq == Seq(lake.Sieve.getLePrime(100).toLong, 128L))
   }
 
+  // ------------------------------------------- lake-level maintenance
+
+  test("Lake.compact(reclaim) and Lake.scrub fan out per store") {
+    val root = tmp()
+    // store 0 holds ~2 payloads then spills over to store 1
+    val lake = graft.lake.Lake.init(spark, graft.lake.LakeConfig(Seq(
+      graft.lake.StoreEntry(s"$root/s0", maxBytes = 900L),
+      graft.lake.StoreEntry(s"$root/s1"),
+    )))
+    // incompressible payloads (hex chains) so the 900-byte cap actually
+    // spills: deflate+GCM stores ~300 B per blob at rest
+    val payloads = (1L to 6L).map(i =>
+      i -> (s"lake-compact-$i-" + (1 to 5).map(k => sha256hex(s"$i:$k".getBytes)).mkString))
+    payloads.foreach { case (i, s) => lake.put(blobDf(i -> s)) } // six appends
+    assert(lake.stores.forall(_.catalog.count() > 0), "spill-over must engage both stores")
+    def h(s: String) = sha256hex(s.getBytes(StandardCharsets.UTF_8))
+    lake.delete(Seq(h(payloads.head._2)))
+
+    val report = lake.compact(reclaim = true).collect()
+      .map(r => (r.getString(3), r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(report.keys.map(_._1).toSet.size == 2, "one report block per writable store")
+    val store0Chunks = report((s"$root/s0", "chunks"))
+    assert(store0Chunks._2 <= store0Chunks._1, s"files must not grow: $store0Chunks")
+    // deleted blob reclaimed, the rest roundtrip through the lake
+    intercept[BlobNotFoundException](lake.getBlob(h(payloads.head._2)))
+    payloads.tail.foreach { case (_, s) =>
+      assert(new String(lake.getBlob(h(s)), StandardCharsets.UTF_8) == s)
+    }
+    assert(lake.stores.forall(_.tombstones.count() == 0L))
+
+    val scrub = lake.scrub().collect()
+      .map(r => (r.getString(2), r.getString(0)) -> r.getLong(1)).toMap
+    assert(scrub.keys.map(_._1).toSet.size == 2, "scrub covers every store")
+    assert(scrub.filter(_._1._2 != "scanned_chunks").values.forall(_ == 0L), s"clean: $scrub")
+    assert(scrub.count { case ((_, c), v) => c == "scanned_chunks" && v > 0 } == 2)
+  }
+
+  // ----------------------------------------------- ann_range and emb_rp
+
+  test("ann_range: plain-Scala replay; band semantics differ from top-k") {
+    val got = operators.VectorOps.annRange(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000 + 0.5).toLong).toArray)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum.toDouble
+      dot / (math.sqrt(a.indices.map(i => a(i) * a(i)).sum.toDouble) *
+        math.sqrt(b.indices.map(i => b(i) * b(i)).sum.toDouble))
+    }
+    val want = for {
+      (qid, qa) <- vecs if qid < 20
+      (nid, qb) <- vecs if nid != qid
+      c = cos(qa, qb) if c >= 0.3
+    } yield (qid, nid, c)
+    assert(got.toSet == want.toSet, s"got ${got.length}, want ${want.length}")
+    assert(got.nonEmpty, "the 0.3 band must be populated")
+    // the band is a different contract from top-k: per-query match
+    // counts follow the data instead of being pinned at k
+    val counts = got.groupBy(_._1).view.mapValues(_.length).values.toSet
+    assert(counts.size > 1, s"in-band counts must vary across queries, got $counts")
+  }
+
+  test("emb_rp: plain-Scala replay; JL norm-preservation concentrates around 1e6 ppm") {
+    val got = operators.VectorOps.embRp(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val rnd = new scala.util.Random(11)
+    val planes = Array.fill(16)(Array.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+    val vecs = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000 + 0.5).toLong).toArray)
+    vecs.foreach { case (id, qv) =>
+      val y = planes.map(p => qv.indices.map(i => qv(i) * p(i)).sum)
+      val n2o = qv.map(v => v * v).sum
+      val n2p = y.map(v => v * v).sum
+      val want = (y(0), y(1), y(2), y(3), n2o, n2p, n2p * 62500L / n2o)
+      assert(got(id) == want, s"vec $id")
+    }
+    // JL concentration: the mean norm ratio sits near 1e6 ppm and the
+    // bulk of vectors inside ±50% (16 dims is coarse; the bound is
+    // loose by design — this is a sanity pin, not the lemma's ε)
+    val ratios = got.values.map(_._7).toSeq
+    val mean = ratios.sum / ratios.size
+    assert(mean > 800000L && mean < 1200000L, s"mean ratio_ppm $mean")
+    val inBand = ratios.count(r => r > 500000L && r < 1500000L)
+    assert(inBand * 10 >= ratios.size * 8, s"≥80% within ±50%: $inBand/${ratios.size}")
+  }
+
   // ------------------------------------------- point-read cache hygiene
 
   test("getBlobsByHashes leaves no cached blocks behind") {

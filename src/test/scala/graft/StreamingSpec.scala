@@ -358,6 +358,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scheduled scrub rides the ingest stream: corruption planted between batches is reported by the next tick while puts continue") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-scrub")
+    val lake = graft.lake.Lake.init(spark, graft.lake.LakeConfig(Seq(graft.lake.StoreEntry(s"$tmp/store"))))
+    val stream = MemoryStream[String]
+    val blobs = stream.toDF().select(col("value").cast("binary").as("data"))
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Map[String, Long])]
+    val q = EventsStream.lakeSinkWithScrub(blobs, lake, s"$tmp/ckpt", scrubEvery = 1,
+      (id, rep) => { reports.add(id -> rep); () })
+    try {
+      stream.addData(Seq("scrubbed stream blob A " * 20, "scrubbed stream blob B " * 20))
+      q.processAllAvailable()
+      val tick0 = reports.poll()
+      assert(tick0 != null && tick0._2("scanned_chunks") > 0, s"first tick must scan: $tick0")
+      assert(tick0._2("payload_hash_mismatch") == 0L, s"healthy store scrubs clean: $tick0")
+
+      // between micro-batches: bit rot lands in one at-rest chunk
+      val store = lake.stores.head
+      val rows = store.chunks.collect()
+      val mutated = rows.zipWithIndex.map { case (r, i) =>
+        var data = r.getAs[Array[Byte]](3)
+        if (i == 0) { data = data.clone(); data(0) = (data(0) ^ 0x7f).toByte }
+        (r.getString(0), r.getLong(1), r.getString(2), data, r.getInt(4))
+      }.toSeq
+      mutated.toDF("chunk_hash", "size", "enc", "data", "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/store/chunks")
+
+      // ingestion continues; the NEXT scrub tick must surface the rot
+      stream.addData(Seq("scrubbed stream blob C " * 20))
+      q.processAllAvailable()
+      val tick1 = reports.poll()
+      assert(tick1 != null, "second tick must fire")
+      assert(tick1._2("payload_hash_mismatch") == 1L,
+        s"the planted bit flip must be reported by the next tick: $tick1")
+      assert(tick1._2("scanned_chunks") > tick0._2("scanned_chunks"),
+        "puts continued between ticks (more chunks at rest)")
+      // the put path stayed live through the corrupted store
+      assert(lake.stores.head.catalog.count() == 3L)
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates: cross-batch dups caught, distinct docs silent") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String)]
