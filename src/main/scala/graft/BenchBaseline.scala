@@ -338,6 +338,7 @@ object BenchBaseline {
     "text_langid2" -> 0.94,
     "ann_range" -> 0.53,
     "emb_rp" -> 0.31,
+    "ann_rp" -> 0.85,
     // r10 batch — first honest sf0.1 cold-run numbers (zero-error,
     // zero-regression bench on the round-7 continuation box)
     "dedup_profile" -> 0.28,

@@ -2264,10 +2264,13 @@ object VectorOps {
     * literal in the plan AND in the oracle SQL, like the LSH planes).
     */
   private val RpDims = 16
-  private val rpPlanes: Array[Array[Long]] = {
+  private def rpPlanesOf(dims: Int): Array[Array[Long]] = {
     val rnd = new scala.util.Random(11)
-    Array.fill(RpDims)(Array.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+    Array.fill(dims)(Array.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
   }
+  private val rpPlanes: Array[Array[Long]] = rpPlanesOf(RpDims)
+  /** prefilter width: see [[annRpPrefilter]]'s recall/width trade. */
+  private[graft] val RpIndexDims = 32
 
   /** §2.4 #29v — Johnson-Lindenstrauss random projection 64 → 16
     * dims with Achlioptas ±1 planes (public), plus the per-vector
@@ -2323,9 +2326,66 @@ object VectorOps {
       |ORDER BY vec_id""".stripMargin
   }
 
+  /** §2.4 #29w — RP-prefiltered ANN: stage 1 scores every candidate in
+    * a `dims`-wide JL projection (integer dots over `dims` longs —
+    * half the multiplies and data motion of the 64-dim scan at the
+    * default 32) and keeps a `shortlistFactor`·k per-query shortlist;
+    * stage 2 re-ranks the shortlist with the exact 64-dim cosine.
+    * The two-stage shape of PQ-ADC ([[annPq]]) with a
+    * data-INDEPENDENT code, and that independence is the entire
+    * point AND the entire price:
+    *  - no codebook/quantizer training pass — any new shard projects
+    *    locally with zero coordination, so this is the BOOTSTRAP
+    *    index (cold start, streaming ingest before the first
+    *    training pass lands, corpora too churned to keep a codebook
+    *    fresh);
+    *  - measured recall@5 at the (dims=32, factor=32) default:
+    *    0.89 on the 500-vector corpus, 0.75 at sf0.1 (2000 vectors) —
+    *    below trained PQ-ADC's 0.89 at the same re-rank budget, which
+    *    is exactly what giving up the training pass costs (the full
+    *    grid is in Round21OpsSpec/BASELINE notes; recall falls as the
+    *    corpus outgrows a fixed shortlist, so size factor to corpus).
+    * Exactness anchor: at shortlistFactor = corpus the shortlist is
+    * everything and the operator equals brute force bit-for-bit
+    * (pinned). Engine-specific shortlist → rows-only by design.
+    */
+  def annRpPrefilter(data: DataFrame, queries: DataFrame, k: Int,
+      shortlistFactor: Int = 32, dims: Int = RpIndexDims): DataFrame = {
+    val planes = rpPlanesOf(dims)
+    def projected(d: DataFrame, idAs: String, pyAs: String, pnAs: String): DataFrame =
+      prep(d)
+        .withColumn("py", graft.functions.ArrayExprs.planeProject(col("qv"), planes))
+        .select(col("id").as(idAs), col("qv").as(s"${idAs}_qv"), col("norm").as(s"${idAs}_norm"),
+          col("py").as(pyAs), sqrt(qdot(col("py"), col("py")).cast(DoubleType)).as(pnAs))
+    val q = projected(queries, "query_id", "qa_py", "qa_pn")
+    val c = projected(data, "neighbor_id", "qb_py", "qb_pn")
+    val wApprox = Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("neighbor_id"))
+    val shortlist = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        col("query_id_qv").as("qa"), col("query_id_norm").as("na"),
+        col("neighbor_id_qv").as("qb"), col("neighbor_id_norm").as("nb"),
+        (qdot(col("qa_py"), col("qb_py")).cast(DoubleType) / (col("qa_pn") * col("qb_pn"))).as("approx"),
+      )
+      .withColumn("rn", row_number().over(wApprox))
+      .filter(col("rn") <= shortlistFactor * k)
+    topK(
+      shortlist.select(col("query_id"), col("neighbor_id"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine")),
+      k)
+  }
+
+  /** named query: first 20 vectors, k=5, 32·k shortlist, 32 dims. */
+  def annRpPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    annRpPrefilter(e, e.filter(col("id") < 20), 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_range" -> (annRange(_: SparkSession, _: String)),
     "emb_rp" -> (embRp _),
+    "ann_rp" -> (annRpPrefilter(_: SparkSession, _: String)),
     "ann_recall" -> (annRecall _),
     "ann_probe_sweep" -> (annProbeSweep _),
     "ann_incremental" -> (annIncremental _),

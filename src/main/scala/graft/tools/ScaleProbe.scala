@@ -79,7 +79,14 @@ object ScaleProbe {
     // r12 additions: the store rewrite (O(store) exchange — the one
     // op whose cost SHOULD be exactly linear) and the composed-index
     // read (must stay at the probed fraction as the corpus grows)
-    "lake_rebalance_exec", "ann_ivfpq")
+    "lake_rebalance_exec", "ann_ivfpq",
+    // r14 additions: the compaction rewrite (another O(store)
+    // exchange: fragmented write + consolidated rewrite), the 4-family
+    // probe sweep (per-family one corpus pass — must track the
+    // corpus), the exact radius scan (linear by contract), and the
+    // map-side JL projection (one kernel pass — the flattest curve in
+    // the set if the design claim holds)
+    "lake_compact_exec", "ann_probe_sweep", "ann_range", "emb_rp")
 
   private def buildScaled(spark: SparkSession, src: String, out: String): Unit = {
     idCols.foreach { case (name, ids) =>

@@ -313,6 +313,29 @@ class Round21OpsSpec extends AnyFunSuite {
     assert(inBand * 10 >= ratios.size * 8, s"≥80% within ±50%: $inBand/${ratios.size}")
   }
 
+  test("ann_rp: degenerates to exact brute force at a corpus-wide shortlist; useful recall at the default 32k/32-dim point") {
+    val data = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val qs = data.filter(col("id") < 20)
+    val bf = operators.VectorOps.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // shortlistFactor = corpus/k → the shortlist IS the corpus, so the
+    // exact re-rank must reproduce brute force bit-for-bit
+    val n = data.count().toInt
+    val full = operators.VectorOps.annRpPrefilter(data, qs, 5, shortlistFactor = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.toSeq == bf.toSeq, "full-shortlist RP prefilter must equal brute force exactly")
+    // the operating point: 32k shortlist from 32-dim integer scoring.
+    // Measured grid (this corpus): 0.39@(16,8) … 0.89@(32,32); at
+    // sf0.1 the same point reads 0.75 — the price of the zero-training
+    // code vs trained PQ. Pin below the measured 0.89 with margin.
+    val got = operators.VectorOps.annRpPrefilter(data, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = bf.map(r => (r._1, r._3)).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall@5 through the JL shortlist: $recall")
+  }
+
   // ------------------------------------------- point-read cache hygiene
 
   test("getBlobsByHashes leaves no cached blocks behind") {
