@@ -339,6 +339,7 @@ object BenchBaseline {
     "ann_range" -> 0.53,
     "emb_rp" -> 0.31,
     "ann_rp" -> 0.85,
+    "pipeline_dataset_card" -> 0.71,
     // r10 batch — first honest sf0.1 cold-run numbers (zero-error,
     // zero-regression bench on the round-7 continuation box)
     "dedup_profile" -> 0.28,

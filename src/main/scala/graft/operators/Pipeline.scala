@@ -1486,7 +1486,98 @@ object Pipeline {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------- dataset card
+
+  /** §2.3 #26x — dataset card: the per-source audit report a
+    * training-data team ships WITH a dataset (what a reviewer reads
+    * before anyone trains on it). One row per source:
+    * volume (docs, tokens, bytes), corpus share, exact-dup rate
+    * (docs minus distinct content fingerprints), token-length range
+    * and mean, language mix (distinct labels + majority label). Every
+    * column is integer/md5-exact — counts, split ppm/milli divisions,
+    * fixed tie-breaks — so the whole card hash-matches DuckDB.
+    *
+    * Scale shape: one map-side per-doc projection feeding one
+    * groupBy(source) with partial aggregation (the distinct-md5 count
+    * is the only two-phase agg); the language argmax runs on the
+    * ≤|sources|·|langs| rollup (a partitioned window over metadata);
+    * the corpus-total join is a 1-row broadcast. No fact-sized
+    * shuffle beyond the per-source agg itself.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir).select(
+      col("source"),
+      col("lang"),
+      md5(col("text")).as("fp"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+      octet_length(col("text")).cast(LongType).as("n_bytes"),
+    )
+    val agg = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(col("n_bytes")).as("bytes_total"),
+      min(col("n_tok")).as("min_tokens"),
+      max(col("n_tok")).as("max_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+    )
+    val wLang = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("lang"))
+    val topLang = perDoc.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wLang))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val total = perDoc.agg(sum(col("n_bytes")).as("corpus_bytes"))
+    agg
+      .join(broadcast(topLang), Seq("source"))
+      .join(broadcast(total), lit(true))
+      .select(
+        col("source"), col("n_docs"), col("n_exact_dups"),
+        expr("n_exact_dups * 1000000L div n_docs").as("dup_ppm"),
+        col("n_tokens"),
+        expr("n_tokens * 1000L div n_docs").as("avg_tokens_milli"),
+        col("min_tokens"), col("max_tokens"),
+        col("bytes_total"),
+        expr("bytes_total * 1000000L div corpus_bytes").as("corpus_share_ppm"),
+        col("n_langs"), col("top_lang"),
+      )
+      .orderBy("source")
+  }
+
+  val datasetCardSql: String =
+    """WITH per_doc AS (
+      |  SELECT source, lang, md5(text) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(strlen(text) AS BIGINT) AS n_bytes
+      |  FROM documents
+      |), agg AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    count(*) - count(DISTINCT fp) AS n_exact_dups,
+      |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
+      |    min(n_tok) AS min_tokens, max(n_tok) AS max_tokens,
+      |    count(DISTINCT lang) AS n_langs
+      |  FROM per_doc GROUP BY source
+      |), top_lang AS (
+      |  SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang,
+      |      row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+      |    FROM per_doc GROUP BY source, lang
+      |  ) WHERE rn = 1
+      |), total AS (
+      |  SELECT CAST(sum(n_bytes) AS BIGINT) AS corpus_bytes FROM per_doc
+      |)
+      |SELECT a.source, n_docs, n_exact_dups,
+      |  n_exact_dups * 1000000 // n_docs AS dup_ppm,
+      |  n_tokens,
+      |  n_tokens * 1000 // n_docs AS avg_tokens_milli,
+      |  min_tokens, max_tokens, bytes_total,
+      |  bytes_total * 1000000 // corpus_bytes AS corpus_share_ppm,
+      |  n_langs, top_lang
+      |FROM agg a JOIN top_lang t ON a.source = t.source CROSS JOIN total
+      |ORDER BY a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dataset_card" -> (datasetCard _),
     "pipeline_incremental" -> ((s, d) => pipelineIncremental(s, d)),
     "sample_dsir" -> (sampleDsir _),
     "sample_temperature" -> (sampleTemperature _),
@@ -1510,6 +1601,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dataset_card" -> datasetCardSql,
     "pipeline_incremental" -> pipelineIncrementalSql,
     "sample_dsir" -> sampleDsirSql,
     "sample_temperature" -> sampleTemperatureSql,

@@ -336,6 +336,33 @@ class Round21OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@5 through the JL shortlist: $recall")
   }
 
+  // -------------------------------------------------------- dataset card
+
+  test("pipeline_dataset_card: per-source card replays exactly in plain Scala") {
+    val got = operators.Pipeline.datasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+        r.getLong(10), r.getString(11)))).toMap
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("source"), col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val corpusBytes = docs.map(_._3.length.toLong).sum
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val nDocs = rows.length.toLong
+      val dups = nDocs - rows.map(_._3).distinct.length
+      val toks = rows.map(_._3.split(' ').length.toLong)
+      val bytes = rows.map(_._3.length.toLong).sum
+      val topLang = rows.groupBy(_._2).toSeq
+        .map { case (l, rs) => (l, rs.length) }
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      src -> ((nDocs, dups, dups * 1000000L / nDocs, toks.sum,
+        toks.sum * 1000L / nDocs, toks.min, toks.max, bytes,
+        bytes * 1000000L / corpusBytes, rows.map(_._2).distinct.length.toLong, topLang))
+    }
+    assert(got == want)
+    assert(got.size > 1, "multiple sources must be present for the card to mean anything")
+  }
+
   // ------------------------------------------- point-read cache hygiene
 
   test("getBlobsByHashes leaves no cached blocks behind") {
