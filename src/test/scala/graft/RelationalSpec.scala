@@ -233,7 +233,18 @@ class PlanSpec extends AnyFunSuite {
       // text_overlap_sketch crosses the TWO ≤|sources|-row (20)
       // MinHash signature tables on the same non-equi predicate —
       // the text_overlap bounded-both-sides shape
-      "text_overlap_sketch")
+      "text_overlap_sketch",
+      // ann_range broadcasts the bounded 20-query batch against the
+      // corpus on the non-equi self-exclusion predicate — the
+      // ann_bruteforce contract (queries ≪ corpus by API contract)
+      "ann_range",
+      // ann_rp: the same broadcast bounded-query-batch shape for the
+      // 32-dim shortlist scan; the exact re-rank is an equi-join on
+      // (query_id, neighbor_id)
+      "ann_rp",
+      // pipeline_dataset_card cross-joins a broadcast 1-ROW corpus
+      // byte total into the |sources|-row card — the q_zorder shape
+      "pipeline_dataset_card")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
