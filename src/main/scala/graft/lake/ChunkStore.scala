@@ -717,6 +717,62 @@ final class ChunkStore private (
     * untouched, only the file layout changes. Returns per-table
     * before/after file counts either way.
     */
+  /** Maintenance planner — the WHEN for [[compact]]/[[gc]], completing
+    * the plan → execute → verify loop ([[compact]] executes,
+    * [[fsck]]/[[scrub]] verify). One row of integer health metrics:
+    *  - fragmentation: chunk file count, buckets used, files per used
+    *    bucket (milli — every put batch appends ~one file per touched
+    *    bucket, so this ≈ put batches since the last compact; it is
+    *    the number of opens a pruned point read pays per probed
+    *    bucket),
+    *  - liveness: chunks whose every referencing blob is tombstoned
+    *    (what [[gc]] or compact(reclaim=true) would reclaim), as a
+    *    count and ppm,
+    *  - `recommend` — "compact_reclaim" when both thresholds trip,
+    *    "compact" for fragmentation only, "reclaim" for dead mass
+    *    only, "none" otherwise. Thresholds: > `maxFilesPerBucketMilli`
+    *    (default 2000 = two files/bucket) and dead_ppm >
+    *    `maxDeadPpm` (default 300000 — the q_compact_plan 30%
+    *    dead-fraction trigger convention).
+    *
+    * Cost: one recursive listing of chunks/ (driver-side, bounded by
+    * file count — the same listing pressure the report exists to
+    * flag) + two metadata-sized aggregates. Read-only; safe on a
+    * readonly store.
+    */
+  def maintenanceReport(maxFilesPerBucketMilli: Long = 2000L, maxDeadPpm: Long = 300000L): DataFrame = {
+    import spark.implicits._
+    val nFiles = countDataFiles(chunksDir)
+    val nBucketsUsed = {
+      val p = new HPath(chunksDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).count(s => s.isDirectory && s.getPath.getName.startsWith("bucket=")).toLong
+    }
+    val filesPerBucketMilli = if (nBucketsUsed == 0) 0L else nFiles * 1000L / nBucketsUsed
+    val nChunks = chunks.select(col("chunk_hash")).distinct().count()
+    val nLive = chunks
+      .join(
+        manifest
+          .dropDuplicates("blob_hash", "level", "part_idx")
+          .join(liveCatalog.select("blob_hash"), Seq("blob_hash"), "left_semi")
+          .select("chunk_hash").distinct(),
+        Seq("chunk_hash"), "left_semi")
+      .select(col("chunk_hash")).distinct().count()
+    val nDead = nChunks - nLive
+    val deadPpm = if (nChunks == 0) 0L else nDead * 1000000L / nChunks
+    val frag = filesPerBucketMilli > maxFilesPerBucketMilli
+    val dead = deadPpm > maxDeadPpm
+    val recommend =
+      if (frag && dead) "compact_reclaim"
+      else if (frag) "compact"
+      else if (dead) "reclaim"
+      else "none"
+    Seq((nFiles, nBucketsUsed, filesPerBucketMilli, nChunks, nDead, deadPpm, recommend))
+      .toDF("n_chunk_files", "n_buckets_used", "files_per_bucket_milli",
+        "n_chunks", "n_dead_chunks", "dead_ppm", "recommend")
+  }
+
   def compact(reclaim: Boolean = false): DataFrame = {
     if (readonly) throw new StoreReadOnlyException(path)
     import spark.implicits._

@@ -124,6 +124,34 @@ class Round21OpsSpec extends AnyFunSuite {
       .forall(scrub(_) == 0L), s"scrub green after compact: $scrub")
   }
 
+  test("maintenanceReport: fragmented+tombstoned store recommends compact_reclaim; healthy after the rewrite") {
+    val store = ChunkStore.init(spark, tmp())
+    // 4 put batches of 30 multi-chunk blobs: each batch touches most
+    // of the 64 buckets, so buckets accumulate ~one file per batch —
+    // the real append-ingest fragmentation shape
+    val batches = (0 until 4).map(b =>
+      (1L to 30L).map(i => (b * 100L + i) -> (s"maint-$b-$i-" + ("m" * 300))))
+    batches.foreach(b => store.putBlobs(blobDf(b: _*)))
+    // tombstone the first two batches: half the blobs, all-dead chunks
+    store.deleteBlobs(batches.take(2).flatten.map { case (_, s) =>
+      sha256hex(s.getBytes(StandardCharsets.UTF_8))
+    })
+    def report() = store.maintenanceReport().collect().head
+    val before = report()
+    assert(before.getAs[Long]("files_per_bucket_milli") > 2000L,
+      s"six appends must fragment past two files/bucket: $before")
+    assert(before.getAs[Long]("dead_ppm") > 300000L,
+      s"half the blobs tombstoned must strand >30% of chunks: $before")
+    assert(before.getAs[String]("recommend") == "compact_reclaim", before.toString)
+
+    store.compact(reclaim = true)
+    val after = report()
+    assert(after.getAs[String]("recommend") == "none", after.toString)
+    assert(after.getAs[Long]("n_dead_chunks") == 0L)
+    assert(after.getAs[Long]("files_per_bucket_milli") <= 2000L)
+    assert(after.getAs[Long]("n_chunks") > 0L, "live chunks must survive")
+  }
+
   // --------------------------------------- under-recorded tree_depth fallback
 
   test("getBlobsByHashes: an under-recorded tree_depth degrades to the probe loop, not an error") {
