@@ -102,13 +102,19 @@ object Bench {
     // Full per-query detail goes to bench_full.json in the working
     // directory (the repo root under the driver's sbt invocation, so
     // the round-end auto-commit preserves it for the judge). The
-    // printed line is a capture-budget-constrained digest.
+    // printed line is a capture-budget-constrained digest. TARGETED
+    // probes (SPARK_GRAFT_ONLY set — tools/bench_only.sh adjudication
+    // runs) must NOT clobber the full-run artifact with a 2-query
+    // file (r14 judge-process note: a probe overwrote the round-close
+    // copy); they write bench_probe.json instead.
     val fullJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${times.size},""" +
         s""""queries":${times.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")},""" +
         s""""errors":$errs,"regressions":$regsFull,"sf":"$sfDir"}"""
+    val fullPath =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) "bench_probe.json" else "bench_full.json"
     try {
-      val w = new java.io.PrintWriter("bench_full.json")
+      val w = new java.io.PrintWriter(fullPath)
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () }
     // The driver captures only the last 2000 bytes of output (measured
@@ -132,7 +138,7 @@ object Bench {
     val sfShort = sfDir.split('/').last
     def line(qs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","qn":${times.size},""" +
-        s""""full":"bench_full.json","queries":${qs.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")}""" +
+        s""""full":"$fullPath","queries":${qs.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")}""" +
         s"""$errsField$regsField,"sf":"$sfShort"}"""
     val byCost = times.toSeq.sortBy(-_._2)
     var keep = byCost.length

@@ -465,27 +465,6 @@ final class ChunkStore private (
       )
       frontier = entries.filter(col("ck") === "N").select(col("blob_hash"), col("chunk_hash"), col("key"), col("bucket"))
     }
-    for (_ <- 1 to maxDepth) expandLevel()
-    // A frontier surviving maxDepth expansions means a catalog row
-    // under-reports its tree's depth. The tree itself may still be
-    // intact (every node verified by its content address as we
-    // decode it), so availability wins: fall back to the
-    // depth-agnostic probe loop and finish the walk, paying one
-    // isEmpty job per extra level — only on this repair path. The
-    // hard cap bounds cyclic/garbage manifests; verify-on-read still
-    // backstops the payload.
-    var extraLevels = 0
-    while (!frontier.isEmpty) {
-      extraLevels += 1
-      if (extraLevels > 64)
-        throw new InvalidMagicException(
-          s"manifest tree does not terminate within tree_depth=$maxDepth+64 in $path")
-      log.warn(
-        s"tree deeper than recorded tree_depth=$maxDepth in $path " +
-          s"(extra level $extraLevels); continuing depth-agnostic walk")
-      expandLevel()
-    }
-
     // The leaf set of a point read is bounded by the requested blobs'
     // part counts (the point-lookup contract — bulk restores go
     // through [[getBlobs]]), so land it on the driver: one action
@@ -494,10 +473,37 @@ final class ChunkStore private (
     // downstream reads them — and the returned frame carries no
     // cached state at all, so repeated point reads with fresh hash
     // sets leak nothing into the block manager (each caller action
-    // re-scans only the bucket-pruned leaf files below).
-    val leafRows = leaves.dropDuplicates("blob_hash", "part_idx").collect().toIndexedSeq
+    // re-scans only the bucket-pruned leaf files below). The walk AND
+    // the collect sit inside try/finally: a non-terminating-manifest
+    // throw or a failed collect must not strand up to maxDepth+64
+    // cached level frames in the block manager for the session.
+    val leafRows =
+      try {
+        for (_ <- 1 to maxDepth) expandLevel()
+        // A frontier surviving maxDepth expansions means a catalog row
+        // under-reports its tree's depth. The tree itself may still be
+        // intact (every node verified by its content address as we
+        // decode it), so availability wins: fall back to the
+        // depth-agnostic probe loop and finish the walk, paying one
+        // isEmpty job per extra level — only on this repair path. The
+        // hard cap bounds cyclic/garbage manifests; verify-on-read still
+        // backstops the payload.
+        var extraLevels = 0
+        while (!frontier.isEmpty) {
+          extraLevels += 1
+          if (extraLevels > 64)
+            throw new InvalidMagicException(
+              s"manifest tree does not terminate within tree_depth=$maxDepth+64 in $path")
+          log.warn(
+            s"tree deeper than recorded tree_depth=$maxDepth in $path " +
+              s"(extra level $extraLevels); continuing depth-agnostic walk")
+          expandLevel()
+        }
+        leaves.dropDuplicates("blob_hash", "part_idx").collect().toIndexedSeq
+      } finally {
+        perLevel.result().foreach(_.unpersist())
+      }
     val leafSchema = leaves.schema
-    perLevel.result().foreach(_.unpersist())
     val m = spark.createDataFrame(
       spark.sparkContext.parallelize(leafRows, math.max(1, leafRows.size / 1000)), leafSchema)
     // Leaf fetch: node levels are fanout-bounded so literal (bucket,
@@ -1006,11 +1012,18 @@ object ChunkStore {
     * blob_hash/level/part_idx/part_len/chunk_hash; chunks: chunk_hash;
     * catalog: blob_hash/kind/total_len/inline_data/root_hash).
     *
-    * Shape: ONE plan — nine count-aggregates unioned — instead of
-    * nine sequential driver count() jobs; every check is an anti/equi
+    * Shape: ONE plan — the count-aggregates unioned — instead of
+    * sequential driver count() jobs; every check is an anti/equi
     * join or grouped filter on a hash key, so at store scale each is
     * a hash-partitioned shuffle with map-side partial counts and the
     * report is metadata-sized.
+    *
+    * The `catalog_tree_depth_mismatch` check (recorded tree_depth vs
+    * the manifest's actual max level — the corruption class the read
+    * path TOLERATES via its depth-agnostic fallback walk, which is
+    * exactly why verification must still surface it) activates only
+    * when the inputs carry `tree_depth`/`level`; synthetic universes
+    * that model a flat manifest keep the column-minimal contract.
     */
   def fsckReport(m: DataFrame, c: DataFrame, cat: DataFrame): DataFrame = {
     val refs = m.select(col("chunk_hash"))
@@ -1049,6 +1062,19 @@ object ChunkStore {
         cat.filter(col("kind") === "inline" && col("inline_data").isNull),
       "chunked_missing_root" ->
         cat.filter(col("kind") =!= "inline" && col("root_hash").isNull),
+    ) ++ (
+      // recorded depth must equal the tree's actual max level (a null
+      // recording counts as a mismatch); inner join so blobs with no
+      // manifest at all stay the catalog_without_manifest finding
+      if (cat.columns.contains("tree_depth") && m.columns.contains("level"))
+        Seq("catalog_tree_depth_mismatch" ->
+          cat.filter(col("kind") =!= "inline")
+            .join(
+              m.groupBy("blob_hash").agg(max(col("level")).as("actual_depth")),
+              Seq("blob_hash"),
+            )
+            .filter(coalesce(col("tree_depth"), lit(-1)) =!= col("actual_depth")))
+      else Seq.empty
     )
     checks.map { case (name, df) =>
       df.agg(count(lit(1)).as("violations")).select(lit(name).as("check"), col("violations"))

@@ -8,6 +8,16 @@ package graft.lake
   * already uniform — so here the prime count is an OPTION
   * ([[LakeParams.primeBuckets]]) and a derived rebalance candidate
   * ([[graft.operators.LakeOps.lakeRebalance]]), not a requirement.
+  *
+  * INTENTIONAL DIVERGENCE from the reference: helpers/sieve.rs bounds
+  * its inner sieve with `while factor < q` (q = isqrt(limit)), which
+  * skips sieving when factor == isqrt(limit) — so for odd-prime-SQUARE
+  * limits it returns the composite limit itself (get_le_prime(9)=9,
+  * 25=25, 49=49). This sieve is correct (9→7, 25→23, 49→47); a config
+  * ported from the reference with such an indexSize therefore derives
+  * a DIFFERENT (actually prime) bucket count here. Pinned in
+  * Round21OpsSpec's exhaustive-to-2000 parity test, which necessarily
+  * asserts the correct values, not the reference's off-by-one ones.
   */
 object Sieve {
 

@@ -700,7 +700,7 @@ object LakeOps {
     * oracled algebra (the lake_gc_plan treatment): a synthetic store
     * universe is derived from the documents table at content-hash
     * grain — catalog (ladder kind, length, root ref, inline payload),
-    * level-0 manifest (256-byte chunk split), chunk set — and NINE
+    * level-0 manifest (256-byte chunk split), chunk set — and TEN
     * deterministic corruptions are planted, each keyed to a disjoint
     * `min_id mod p` class (p prime, so classes overlap rarely and
     * every invariant fires at sf0.01):
@@ -713,6 +713,7 @@ object LakeOps {
     *   - total_len inflated +1, min_id ≡ 5 mod 31 → blob_length_mismatch
     *   - inline payload nulled, min_id ≡ 6 mod 11 → inline_missing_payload
     *   - root ref nulled, min_id ≡ 7 mod 37       → chunked_missing_root
+    *   - tree_depth over-recorded +1, ≡ 8 mod 41  → catalog_tree_depth_mismatch
     * The report runs through the EXACT static audit a real store runs
     * ([[graft.lake.ChunkStore.fsckReport]] — one union-of-aggregates
     * plan, every check an anti/equi join or grouped filter on a hash
@@ -745,6 +746,10 @@ object LakeOps {
         when(col("kind") =!= "inline" && col("min_id") % 37 =!= 7,
           sha2(expr(s"substring(text, 1, $ChunkChars)"), 256))
           .otherwise(lit(null).cast(StringType)).as("root_hash"),
+        // the synthetic manifest is flat (all level 0), so the true
+        // depth is 0 everywhere; over-record by 1 in the planted class
+        when(col("kind") =!= "inline" && col("min_id") % 41 === 8, lit(1))
+          .otherwise(lit(0)).as("tree_depth"),
       )
     val manifest0 = blobs
       .filter(col("kind") =!= "inline")
@@ -780,7 +785,8 @@ object LakeOps {
       |  SELECT blob_hash, kind,
       |    true_len + (CASE WHEN min_id % 31 = 5 AND kind <> 'inline' THEN 1 ELSE 0 END) AS total_len,
       |    CASE WHEN kind = 'inline' AND min_id % 11 <> 6 THEN text END AS inline_data,
-      |    CASE WHEN kind <> 'inline' AND min_id % 37 <> 7 THEN sha256(substring(text, 1, 256)) END AS root_hash
+      |    CASE WHEN kind <> 'inline' AND min_id % 37 <> 7 THEN sha256(substring(text, 1, 256)) END AS root_hash,
+      |    CASE WHEN kind <> 'inline' AND min_id % 41 = 8 THEN 1 ELSE 0 END AS tree_depth
       |  FROM b2 WHERE min_id % 29 <> 4
       |), m0 AS (
       |  SELECT blob_hash, min_id, part_idx,
@@ -791,9 +797,9 @@ object LakeOps {
       |        FROM b2 WHERE kind <> 'inline')
       |), mkept AS (SELECT * FROM m0 WHERE min_id % 23 <> 3),
       |m AS (
-      |  SELECT blob_hash, part_idx, part_len, chunk_hash FROM mkept
+      |  SELECT blob_hash, 0 AS level, part_idx, part_len, chunk_hash FROM mkept
       |  UNION ALL
-      |  SELECT blob_hash, part_idx, part_len, chunk_hash FROM mkept WHERE min_id % 19 = 2
+      |  SELECT blob_hash, 0 AS level, part_idx, part_len, chunk_hash FROM mkept WHERE min_id % 19 = 2
       |), ckept AS (
       |  SELECT DISTINCT chunk_hash FROM m0 WHERE substring(chunk_hash, 1, 1) <> '0'
       |), c AS (
@@ -836,6 +842,11 @@ object LakeOps {
       |  UNION ALL
       |  SELECT 'chunked_missing_root', count(*) FROM cat
       |    WHERE kind <> 'inline' AND root_hash IS NULL
+      |  UNION ALL
+      |  SELECT 'catalog_tree_depth_mismatch', count(*) FROM cat
+      |    JOIN (SELECT blob_hash, max(level) AS actual_depth FROM m GROUP BY blob_hash) md
+      |      USING (blob_hash)
+      |    WHERE cat.kind <> 'inline' AND coalesce(cat.tree_depth, -1) <> md.actual_depth
       |)
       |SELECT chk AS "check", CAST(violations AS BIGINT) AS violations
       |FROM rep ORDER BY chk""".stripMargin

@@ -33,10 +33,17 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "le", "wo", "bu", "zhe", "ni"),
   )
 
-  private def stopCount(lang: String): Column = {
-    val list = stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
-    expr(s"CAST(size(filter(split(text, ' '), w -> w IN ($list))) AS BIGINT)")
-  }
+  /** Stopword hits via the codegen'd [[graft.functions.ArrayExprs
+    * .refSetHitCount]] set-membership kernel. The interpreted HOF it
+    * replaces (`size(filter(split(text,' '), w -> w IN (...)))`) is
+    * the per-token-lambda shape §4 measured in the 100-400× class —
+    * and langid runs on EVERY doc of a crawl, so it must stay inside
+    * whole-stage codegen (pinned kernel ≡ HOF in ArrayExprsSpec).
+    */
+  private def stopCount(lang: String): Column =
+    graft.functions.ArrayExprs
+      .refSetHitCount(split(col("text"), " "), stopwords.toMap.apply(lang))
+      .cast(LongType)
 
   private def stopCountSqlDuck(lang: String): String = {
     val list = stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -200,8 +207,11 @@ object TextAnalysis {
           scriptCount("Ѐ-ӿ").as("n_cyrillic") +:
           scriptCount("؀-ۿ").as("n_arabic") +:
           latinLangs.map { l =>
-            val list = stopwords.toMap.apply(l).map(w => s"'$w'").mkString(", ")
-            expr(s"CAST(size(filter(split(txt, ' '), w -> w IN ($list))) AS BIGINT)").as(s"score_$l")
+            // codegen set-membership kernel, not an interpreted HOF —
+            // see stopCount; this vote runs ×4 on every doc
+            graft.functions.ArrayExprs
+              .refSetHitCount(split(col("txt"), " "), stopwords.toMap.apply(l))
+              .cast(LongType).as(s"score_$l")
           }: _*
       )
     val latinVote = latinLangs.zipWithIndex.foldRight(lit(latinLangs.last)) { case ((l, i), elseCol) =>
@@ -669,7 +679,11 @@ object TextAnalysis {
     */
   def bm25(d: DataFrame, textCol: Column, terms: Seq[String], k: Int): DataFrame = {
     val ws = split(textCol, " ")
-    def tfCol(t: String): Column = size(filter(ws, w => w === lit(t))).cast(LongType)
+    // per-term occurrence count through the codegen set-membership
+    // kernel (singleton set) — same count as the interpreted
+    // size(filter(ws, = term)) HOF it replaces, pinned in ArrayExprsSpec
+    def tfCol(t: String): Column =
+      graft.functions.ArrayExprs.refSetHitCount(ws, Seq(t)).cast(LongType)
     val base = d
       .select(
         col("doc_id") +: size(ws).cast(LongType).as("dl") +:

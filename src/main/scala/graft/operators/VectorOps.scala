@@ -2366,7 +2366,13 @@ object VectorOps {
         col("query_id"), col("neighbor_id"),
         col("query_id_qv").as("qa"), col("query_id_norm").as("na"),
         col("neighbor_id_qv").as("qb"), col("neighbor_id_norm").as("nb"),
-        (qdot(col("qa_py"), col("qb_py")).cast(DoubleType) / (col("qa_pn") * col("qb_pn"))).as("approx"),
+        // A zero projected vector (possible: ±1 planes can annihilate a
+        // nonzero input) makes the cosine 0/0 = NaN, and NaN sorts ABOVE
+        // every double under desc — degenerate vectors would crowd every
+        // shortlist. Park them at -1 (below any real cosine) instead.
+        when(col("qa_pn") > 0 && col("qb_pn") > 0,
+          qdot(col("qa_py"), col("qb_py")).cast(DoubleType) / (col("qa_pn") * col("qb_pn")))
+          .otherwise(lit(-1.0)).as("approx"),
       )
       .withColumn("rn", row_number().over(wApprox))
       .filter(col("rn") <= shortlistFactor * k)

@@ -208,7 +208,11 @@ object AvroBridge {
     val sparkSchema = toStructType(avroSchema)
     val avroJson = avroSchema.toString
 
-    val files = spark.read.format("binaryFile").load(s"$path/*.avro").select(col("content"))
+    // pathGlobFilter instead of a glob IN the path: the literal-path
+    // form makes FileStreamSink.hasMetadata log its expected
+    // FileNotFoundException as a full WARN stack trace on first read
+    val files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+      .load(path).select(col("content"))
     files.mapPartitions { it =>
       val schema = new Schema.Parser().parse(avroJson)
       val target = toStructType(schema)

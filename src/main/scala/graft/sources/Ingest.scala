@@ -16,11 +16,28 @@ object Ingest {
     * name index over the content-addressed store.
     */
   def ingestFiles(lake: Lake, glob: String): (PutResult, DataFrame) = {
-    val files = lake.spark.read.format("binaryFile").load(glob)
+    val files = binaryFiles(lake.spark, glob)
       .select(col("path"), col("content").as("data"))
     val res = lake.put(files.select(col("data")))
     val mapping = files.select(col("path"), sha2(col("data"), 256).as("blob_hash"))
     (res, mapping)
+  }
+
+  /** binaryFile scan of `dir/<glob>`. A glob embedded IN the load path
+    * works, but Spark's FileStreamSink.hasMetadata probes the literal
+    * path first and logs its expected FileNotFoundException as a
+    * 40-line WARN stack trace on every first read — noise that buries
+    * real failures in CI logs. Splitting the glob into pathGlobFilter
+    * keeps the load path a real directory, so the probe succeeds
+    * silently; same files, same distributed scan.
+    */
+  private[graft] def binaryFiles(spark: SparkSession, glob: String): DataFrame = {
+    val slash = glob.lastIndexOf('/')
+    val (dir, last) =
+      if (slash < 0) (".", glob) else (glob.substring(0, slash), glob.substring(slash + 1))
+    if (last.exists("*?[{".contains(_)))
+      spark.read.format("binaryFile").option("pathGlobFilter", last).load(dir)
+    else spark.read.format("binaryFile").load(glob)
   }
 
   /** Extension-dispatched structured read (parquet/csv/json) with the

@@ -144,4 +144,27 @@ class ArrayExprsSpec extends AnyFunSuite {
     assert(got(0) == viaIntersect(0) && got(2) == viaIntersect(2) && got(3) == viaIntersect(3),
       "on distinct arrays the kernel must agree with array_intersect")
   }
+
+  test("RefSetHitCount equals the interpreted stopword-vote HOF on the real corpus") {
+    // the langid/quality stopword vote swapped size(filter(..., w -> w
+    // IN (...))) for the kernel; pin bit-equality on actual documents
+    // for every language list the vote uses
+    val stops = Map(
+      "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+      "es" -> Seq("el", "la", "de", "los", "y", "es", "un"),
+      "fr" -> Seq("le", "les", "et", "de", "un", "est", "dans"),
+      "zh" -> Seq("de", "shi", "le", "wo", "bu", "zhe", "ni"),
+    )
+    val d = GraftSession.table(spark, sf, "documents").select(col("text"))
+    stops.foreach { case (lang, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      val mismatches = d.select(
+        ArrayExprs.refSetHitCount(split(col("text"), " "), ws).cast("long").as("fast"),
+        expr(s"CAST(size(filter(split(text, ' '), w -> w IN ($list))) AS BIGINT)").as("slow"),
+      ).filter(col("fast") =!= col("slow") ||
+        col("fast").isNull =!= col("slow").isNull).count()
+      assert(mismatches == 0, s"kernel != HOF for $lang")
+    }
+  }
 }

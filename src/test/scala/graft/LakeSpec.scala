@@ -180,6 +180,26 @@ class LakeSpec extends AnyFunSuite {
     assert(broken("manifest_missing_chunks") > 0)
   }
 
+  test("fsck: under-recorded tree_depth is surfaced even though the read path tolerates it") {
+    val store = ChunkStore.init(spark, tmp())
+    val h = store.putBlobs(blobDf(1L -> big)).blobs.head.blobHash
+    // corrupt the catalog in place: record the tree one level shallower
+    // than it is — exactly the class the depth-bounded walk degrades on
+    val rows = store.catalog.collect().toIndexedSeq.map { r =>
+      val d = r.getInt(r.fieldIndex("tree_depth"))
+      org.apache.spark.sql.Row(r(0), r(1), r(2), r(3), r(4), r(5), r(6), math.max(0, d - 1))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), ChunkStore.catalogSchema)
+      .write.mode("overwrite").parquet(s"${store.path}/catalog")
+    val reloaded = ChunkStore.load(spark, store.path, readonly = false)
+    val rep = reloaded.fsck().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("catalog_tree_depth_mismatch") == 1, s"depth mismatch must be flagged: $rep")
+    assert(rep.count(_._2 > 0) == 1, s"only the depth check may fire: $rep")
+    // availability wins on the read path: the depth-agnostic fallback
+    // walk still reconstructs the blob the audit just flagged
+    assert(new String(reloaded.getBlob(h), StandardCharsets.UTF_8) == big)
+  }
+
   test("delete + gc: tombstone hides the blob, gc reclaims unique chunks, shared chunks survive") {
     val store = ChunkStore.init(spark, tmp())
     val shared = "x" * 256

@@ -170,7 +170,9 @@ class Round20OpsSpec extends AnyFunSuite {
       val tot = len + (if (mid % 31 == 5 && k != "inline") 1L else 0L)
       val inl = if (k == "inline" && mid % 11 != 6) Some(text) else None
       val root = if (k != "inline" && mid % 37 != 7) Some(sha256hex(text.substring(0, math.min(256, text.length)))) else None
-      (h, k, tot, inl, root)
+      // planted depth over-recording (the flat universe's true max level is 0)
+      val depth = if (k != "inline" && mid % 41 == 8) 1 else 0
+      (h, k, tot, inl, root, depth)
     }
     val manifest0 = blobs.filter(b => kind(b._4) != "inline").flatMap { case (h, mid, text, _) =>
       parts(text).map { case (pi, pl, ch) => (h, mid, pi, pl, ch) }
@@ -197,6 +199,8 @@ class Round20OpsSpec extends AnyFunSuite {
         c._2 != "inline" && lenByBlob.get(c._1).exists(_ != c._3)).toLong,
       "inline_missing_payload" -> cat.count(c => c._2 == "inline" && c._4.isEmpty).toLong,
       "chunked_missing_root" -> cat.count(c => c._2 != "inline" && c._5.isEmpty).toLong,
+      "catalog_tree_depth_mismatch" -> cat.count(c =>
+        c._2 != "inline" && mBlobSet.contains(c._1) && c._6 != 0).toLong,
     )
     assert(got == expected, s"got $got\nexpected $expected")
     // the planted classes that must actually fire at this SF (the

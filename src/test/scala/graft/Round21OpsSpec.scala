@@ -243,6 +243,13 @@ class Round21OpsSpec extends AnyFunSuite {
     assert(lake.Sieve.getLePrime(65536) == 65521)
     assert(lake.Sieve.getLePrime(1000000) == 999983)
     intercept[IllegalArgumentException](lake.Sieve.getLePrime(1))
+    // documented divergence from helpers/sieve.rs: its `factor < q`
+    // bound skips the isqrt(limit) factor, so the reference returns
+    // the composite limit itself for odd-prime-square limits (9, 25,
+    // 49); graft is correct — pin the correct values explicitly
+    assert(lake.Sieve.getLePrime(9) == 7)
+    assert(lake.Sieve.getLePrime(25) == 23)
+    assert(lake.Sieve.getLePrime(49) == 47)
     assert(LakeParams.primeBuckets(100).nBuckets == 97)
     assert(LakeParams.primeBuckets(128, LakeParams(treeFanout = 8)).treeFanout == 8)
   }
