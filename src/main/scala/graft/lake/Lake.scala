@@ -129,6 +129,32 @@ final class Lake private (val spark: SparkSession, val config: LakeConfig, val s
   def scrub(): DataFrame =
     stores.map(s => s.scrub().withColumn("store", lit(s.path)))
       .reduceLeft(_ unionByName _)
+
+  /** Fleet-level maintenance planner — the WHEN for [[compact]]/[[gc]]
+    * at the grain the reference's multi-store routing implies
+    * (lake/mod.rs:59-118): one [[ChunkStore.maintenanceReport]] row
+    * per store, keyed by path. Readonly stores still MEASURE
+    * (fragmentation and dead fraction are read-side observable, and a
+    * degraded readonly member explains slow lake reads) but never
+    * recommend a write action: their tripped recommendation degrades
+    * to `read_only` so a scheduler executing this column can never be
+    * steered into a StoreReadOnlyException. Completes the fleet-level
+    * plan → execute ([[compact]]) → verify ([[scrub]]/fsck) loop.
+    */
+  def maintenanceReport(
+      maxFilesPerBucketMilli: Long = 2000L,
+      maxDeadPpm: Long = 300000L,
+  ): DataFrame =
+    stores.map { s =>
+      val base = s.maintenanceReport(maxFilesPerBucketMilli, maxDeadPpm)
+        .withColumn("store", lit(s.path))
+        .withColumn("readonly", lit(s.readonly))
+      if (s.readonly)
+        base.withColumn(
+          "recommend",
+          when(col("recommend") === "none", lit("none")).otherwise(lit("read_only")))
+      else base
+    }.reduceLeft(_ unionByName _)
 }
 
 object Lake {

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.lake.{ChunkStore, Lake, LakeConfig, StoreEntry}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-22 pins: the fleet-level maintenance planner
+  * (`Lake.maintenanceReport` — one ChunkStore report row per store,
+  * readonly stores measure but never recommend writes) and the
+  * fleet-level plan → execute → verify loop it completes.
+  */
+class Round22OpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def sha256hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(b).map("%02x".format(_)).mkString
+
+  private def tmp(): String = Files.createTempDirectory("graft-r22").toString
+
+  private def blobDf(blobs: (Long, String)*) =
+    blobs.toSeq.toDF("blob_id", "s")
+      .select(col("blob_id"), col("s").cast("binary").as("data"))
+
+  test("Lake.maintenanceReport: degraded writable store recommends compact_reclaim, " +
+    "readonly store reports read-only-safe, all-none after Lake.compact(reclaim=true)") {
+    // store A: built degraded, then reopened READONLY in the lake —
+    // the planner must still measure it but never recommend a write
+    val pathA = tmp()
+    val a = ChunkStore.init(spark, pathA)
+    val batchesA = (0 until 4).map(b =>
+      (1L to 30L).map(i => (b * 100L + i) -> (s"ro-$b-$i-" + ("r" * 300))))
+    batchesA.foreach(b => a.putBlobs(blobDf(b: _*)))
+    a.deleteBlobs(batchesA.take(2).flatten.map { case (_, s) =>
+      sha256hex(s.getBytes(StandardCharsets.UTF_8))
+    })
+
+    // store B: writable, same append-ingest fragmentation + tombstones
+    val pathB = tmp()
+    val b = ChunkStore.init(spark, pathB)
+    val batchesB = (0 until 4).map(n =>
+      (1L to 30L).map(i => (n * 100L + i) -> (s"rw-$n-$i-" + ("w" * 300))))
+    batchesB.foreach(bb => b.putBlobs(blobDf(bb: _*)))
+    b.deleteBlobs(batchesB.take(2).flatten.map { case (_, s) =>
+      sha256hex(s.getBytes(StandardCharsets.UTF_8))
+    })
+
+    val lake = Lake.init(spark, LakeConfig(Seq(
+      StoreEntry(pathA, readonly = true), StoreEntry(pathB))))
+    def report() = lake.maintenanceReport().collect()
+      .map(r => r.getAs[String]("store") -> r).toMap
+
+    val before = report()
+    assert(before.size == 2, "one planner row per store")
+    val roRow = before(pathA); val rwRow = before(pathB)
+    // both stores measure identically degraded...
+    Seq(roRow, rwRow).foreach { r =>
+      assert(r.getAs[Long]("files_per_bucket_milli") > 2000L, r.toString)
+      assert(r.getAs[Long]("dead_ppm") > 300000L, r.toString)
+    }
+    // ...but only the writable one is told to act
+    assert(rwRow.getAs[String]("recommend") == "compact_reclaim", rwRow.toString)
+    assert(!rwRow.getAs[Boolean]("readonly"))
+    assert(roRow.getAs[String]("recommend") == "read_only", roRow.toString)
+    assert(roRow.getAs[Boolean]("readonly"))
+
+    // execute the plan at the fleet grain: only the writable store is
+    // rewritten (Lake.compact routes around readonly members)
+    lake.compact(reclaim = true)
+    val after = report()
+    assert(after(pathB).getAs[String]("recommend") == "none", after(pathB).toString)
+    assert(after(pathB).getAs[Long]("n_dead_chunks") == 0L)
+    // the readonly member is untouched and still reports (not "none")
+    assert(after(pathA).getAs[String]("recommend") == "read_only", after(pathA).toString)
+    assert(after(pathA).getAs[Long]("n_dead_chunks") > 0L)
+    // verify leg: the executed store's payloads survive the rewrite
+    batchesB.drop(2).flatten.foreach { case (_, s) =>
+      val h = sha256hex(s.getBytes(StandardCharsets.UTF_8))
+      assert(new String(lake.getBlob(h), StandardCharsets.UTF_8) == s)
+    }
+  }
+
+  test("Lake.maintenanceReport: healthy two-store lake is all-none, readonly included") {
+    val cfg = LakeConfig(Seq(StoreEntry(tmp()), StoreEntry(tmp())))
+    val lake0 = Lake.init(spark, cfg)
+    lake0.put(blobDf(1L -> ("healthy " * 50)).select(col("data")))
+    // reopen with the second store readonly: a HEALTHY readonly store
+    // reports plain "none" (read_only only replaces a tripped action)
+    val lake = Lake.init(spark, LakeConfig(Seq(
+      cfg.stores.head, cfg.stores(1).copy(readonly = true))))
+    val rows = lake.maintenanceReport().collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("recommend") == "none"), rows.mkString("; "))
+  }
+}
