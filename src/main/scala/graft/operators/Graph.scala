@@ -474,25 +474,70 @@ object Graph {
 
   /** Distributed connected components by min-label propagation with
     * POINTER JUMPING over an undirected edge list (`u`, `v`, one row
-    * per direction). Each round does (a) the neighbor-min transfer —
+    * per direction), after a PER-PARTITION UNION-FIND CONTRACTION.
+    *
+    * Phase 1 (contraction, one mapPartitions pass — no shuffle): each
+    * edge partition runs a local min-rooted union-find and emits its
+    * spanning STARS — (node, local_root) rows, at most |V_p| per
+    * partition instead of the partition's |E_p| edges. The union over
+    * partitions of these stars has exactly the original graph's
+    * connectivity (a spanning forest of each E_p preserves E_p's
+    * connectivity, and connectivity is the union of the partitions'),
+    * so the iterative phase runs on the CONTRACTED graph: fewer edge
+    * rows per round on any multi-edge-dense graph, and every local
+    * chain is already depth-1 — the pre-shrink move of the public
+    * two-phase CC literature (Kiveris'14 CC-MR / Stergiou'18).
+    *
+    * Phase 2: each round does (a) the neighbor-min transfer —
     * the O(diameter) relational Pregel step — and (b) a label-chain
     * halving (join labels against themselves on lbl=node), which
     * compresses L→L'→L'' chains to L→'' and brings convergence to
     * O(log diameter) rounds: the reason this survives a path-shaped
     * 100 TB graph where plain propagation would need O(n) rounds.
+    * The star edges are hash-repartitioned ON THE JOIN KEY before the
+    * checkpoint cut, and localCheckpoint preserves that partitioning
+    * into the LogicalRDD — so the per-round neighbor-min join
+    * reshuffles only the (small) label side, never the edge side.
     * Convergence is detected by sum(lbl) (labels only decrease, so
     * the sum is a strictly decreasing potential — one cheap agg per
     * round, no join against the previous labels). Fixpoint labels are
     * exactly each component's min node id (labels are always same-
     * component node ids; at a symmetric-edge fixpoint they are
     * constant per component and the min node's own label bounds them
-    * below). localCheckpoint per round cuts the O(rounds) lineage —
-    * the q_bfs idiom.
+    * below — partition-independent, so the contraction cannot change
+    * the answer). localCheckpoint per round cuts the O(rounds)
+    * lineage — the q_bfs idiom.
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val e = edges.select(col("u"), col("v")).transform(cut)
-    var lab = e.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("lbl"))
-      .select(col("u").as("node"), col("lbl")).transform(cut)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val raw = edges.select(col("u").cast(LongType), col("v").cast(LongType)).as[(Long, Long)]
+    // (node, local_root) for EVERY node the partition saw — roots
+    // appear as (r, r), so label init below covers isolated-by-
+    // self-loop nodes and single-partition components alike
+    val mappingAll = raw.mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      it.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      parent.keysIterator.map(x => (x, find(x)))
+    }.toDF("node", "root").transform(cut)
+    val stars = mappingAll.filter(col("node") =!= col("root"))
+    val e = stars.select(col("node").as("u"), col("root").as("v"))
+      .unionByName(stars.select(col("root").as("u"), col("node").as("v")))
+      .repartition(col("v")) // preserved through cut: per-round joins reshuffle labels only
+      .transform(cut)
+    var lab = mappingAll.groupBy(col("node")).agg(min(col("root")).as("lbl")).transform(cut)
     // DECIMAL(38,0) potential: an int64 sum could overflow on a
     // billion-node graph (labels up to 2^31 × n rows)
     def labelSum(d: DataFrame): BigDecimal =

@@ -189,10 +189,30 @@ object ScaleProbe {
       (n, t01, t1, ratio)
     }
     def num(v: Double) = "%.2f".format(v)
-    val json = rows.map { case (n, a, b, r) =>
-      s""""$n":{"sf01_sec":${num(a)},"sf${SfLabel}_sec":${num(b)},"ratio":${num(r)}}"""
-    }.mkString(s"""{"factor":$Factor,"queries":{""", ",", "}}")
-    val w = new java.io.PrintWriter(s"BENCH_sf$SfLabel.json")
+    // MERGE into the standing artifact instead of clobbering it: a
+    // targeted probe of one query must not erase the other 20 entries
+    // of scale evidence (the bench_full.json lesson — a probe once
+    // overwrote the round's full artifact). The file is this tool's
+    // own fixed format, so a line-free regex pull of existing entries
+    // is exact; probed queries overwrite their old entry.
+    val artifact = new java.io.File(s"BENCH_sf$SfLabel.json")
+    val existing: Seq[(String, String)] =
+      if (!artifact.exists()) Seq.empty
+      else {
+        val txt = scala.io.Source.fromFile(artifact).mkString
+        // flat objects only ([^{}]): the `"queries":{` wrapper cannot
+        // match, so it can't swallow the first real entry
+        """"([A-Za-z0-9_]+)":(\{[^{}]*\})""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toSeq
+      }
+    val fresh = rows.map { case (n, a, b, r) =>
+      n -> s"""{"sf01_sec":${num(a)},"sf${SfLabel}_sec":${num(b)},"ratio":${num(r)}}"""
+    }
+    val freshKeys = fresh.map(_._1).toSet
+    val merged = existing.filterNot(e => freshKeys(e._1)) ++ fresh
+    val json = merged.map { case (n, body) => s""""$n":$body""" }
+      .mkString(s"""{"factor":$Factor,"queries":{""", ",", "}}")
+    val w = new java.io.PrintWriter(artifact)
     try w.println(json) finally w.close()
     val worst = rows.maxBy(_._4)
     println(s"[scaleprobe] worst ratio: ${worst._1} at ${num(worst._4)}x (gate: <= $Factor x)")
