@@ -50,12 +50,14 @@ object BenchBaseline {
     "dedup_jaccard" -> 1.1,
     "dedup_minhash_lsh" -> 0.9,
     "dedup_ngram_exact" -> 2.0,
-    // re-frozen r15 1.5 → 1.7: two-round constant-factor drift on a
-    // byte-identical plan adjudicated as box/JIT noise (phase-split
-    // probe: both the bounded quantizer jobs and the ~6-stage
-    // within-cluster join are fixed-overhead-dominated at sf0.1);
-    // best honest cold of the r15 readings — see BASELINE.md
-    "dedup_semantic" -> 1.7,
+    // re-frozen r15 1.5 → 1.25: the cluster assignment moved from a
+    // broadcast-join + per-id max-struct aggregation (a full
+    // |corpus|-row shuffle) to the NearestCentroidPacked map-side
+    // argmax kernel — the op's only wide exchanges are now the
+    // within-cluster self-join's; best honest cold 1.25/1.48/1.52
+    // (the r14 watch-item drift was separately adjudicated as box/JIT
+    // noise on the old plan — see BASELINE.md)
+    "dedup_semantic" -> 1.25,
     // re-frozen late r7: the 0.329 r5 floor predates the cache-lifecycle
     // fix (dedup_simhash was on the r4 leaked-cache list, so its r5
     // number measured a warm-cache second run no honest cold run can

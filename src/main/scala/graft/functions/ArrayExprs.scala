@@ -127,6 +127,19 @@ object ArrayExprs {
     ref.foreach(s => set.add(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
     ColumnBridge.column(RefSetHitCount(ColumnBridge.expression(arr), set))
   }
+
+  /** Nearest frozen centroid of a quantized vector, packed as
+    * cid·4e6 + (sim_ppm + 2e6) (see [[NearestCentroidPacked]]).
+    * `cents` must be (cid, quantized vector, norm) triples.
+    */
+  def nearestCentroidPacked(
+      qv: Column, norm: Column, cents: Seq[(Int, Seq[Long], Double)]): Column = {
+    val sorted = cents.sortBy(_._1)
+    ColumnBridge.column(NearestCentroidPacked(
+      ColumnBridge.expression(qv), ColumnBridge.expression(norm),
+      sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray,
+      sorted.map(_._3).toArray))
+  }
 }
 
 /** Space-joined n-grams of a word array; a document shorter than n
@@ -960,6 +973,71 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int) extends Bi
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Argmax-cosine assignment of a quantized vector to a FROZEN centroid
+  * table, returned as ONE packed int64: cid·4_000_000 + (sim_ppm +
+  * 2_000_000), where sim_ppm = floor(cos·1e6 + 0.5) ∈ [-1e6, 1e6]
+  * (decode: cid = p DIV 4e6; sim_ppm = p % 4e6 − 2e6; p ≥ 0 always).
+  *
+  * Exists as a kernel because the per-centroid Column formulation
+  * (`greatest(struct(pairCos(qv, lit(cv_i), …), -i), …)`) inlines k
+  * literal-array dot products into the generated projection — at the
+  * test k=16 that is already ~200 ms of janino compile per plan, and
+  * at a production k (√n — thousands of inverted lists) it would not
+  * compile at all. Here the whole scan is one compiled Scala method
+  * riding a reference object (the CenteredProject discipline): k·dims
+  * multiply-adds per row, O(1) generated code regardless of k.
+  *
+  * Arithmetic and tie-break are EXACTLY the Column formulation's:
+  * cos = (double) longDot(qv, cv) / (norm · cnorm), compared with
+  * Double.compare (NaN greatest — Spark's double ordering), ties on
+  * cos going to the SMALLEST cid (the max-struct (cos, -cid)
+  * convention); pinned kernel ≡ greatest-struct in ArrayExprsSpec.
+  * `cids`/`cents`/`cnorms` are parallel arrays sorted by cid.
+  */
+case class NearestCentroidPacked(
+    left: Expression, right: Expression,
+    cids: Array[Int], cents: Array[Array[Long]], cnorms: Array[Double])
+    extends BinaryExpression {
+  require(cents.nonEmpty && cents.length == cnorms.length && cents.length == cids.length)
+  override def dataType: DataType = LongType
+
+  def assign(qvAny: Any, norm: Double): Long = {
+    val qv = qvAny.asInstanceOf[ArrayData]
+    val dims = qv.numElements()
+    var bestCos = Double.NegativeInfinity
+    var bestCid = -1
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var dot = 0L
+      var j = 0
+      val n = math.min(dims, cv.length)
+      while (j < n) { dot += qv.getLong(j) * cv(j); j += 1 }
+      val cos = dot.toDouble / (norm * cnorms(c))
+      // Double.compare: NaN sorts greatest (Spark's double ordering);
+      // strict > in ascending-cid order keeps the smallest cid on ties
+      if (bestCid < 0 || java.lang.Double.compare(cos, bestCos) > 0) {
+        bestCos = cos; bestCid = cids(c)
+      }
+      c += 1
+    }
+    val simPpm = math.floor(bestCos * 1000000.0 + 0.5).toLong
+    bestCid.toLong * 4000000L + (simPpm + 2000000L)
+  }
+
+  override def nullSafeEval(qvAny: Any, normAny: Any): Any =
+    assign(qvAny, normAny.asInstanceOf[java.lang.Double].doubleValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ncent", this, classOf[NearestCentroidPacked].getName)
+    nullSafeCodeGen(ctx, ev, (qv, norm) =>
+      s"${ev.value} = $ref.assign($qv, $norm);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Charikar'02 SimHash over 62 bits: bit i of the result is set iff

@@ -1471,17 +1471,19 @@ object VectorOps {
     * (SemDeDup's own scaling knob). No all-pairs join at any scale.
     */
   def semDedup(data: DataFrame, numClusters: Int, tau: Double): DataFrame = {
-    val cs = broadcast(kmeansCentroids(data, numClusters))
+    val cents = kmeansCentroids(data, numClusters).collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
+    // cluster assignment is MAP-SIDE ([[assignFrozen]]'s argmax kernel
+    // with qv/norm kept for the pair stage): the former broadcast-join
+    // + per-id max-struct aggregation paid a full |corpus|-row shuffle
+    // before the within-cluster join; the row-local argmax pays none,
+    // so the op's only wide exchanges are the within-cluster
+    // self-join's — the part that IS the operator.
+    val packed = graft.functions.ArrayExprs.nearestCentroidPacked(col("qv"), col("norm"), cents)
     val assigned = prep(data)
-      .join(cs, lit(true))
-      .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
-      .groupBy(col("id"))
-      .agg(
-        max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"),
-        first(col("qv")).as("qv"),
-        first(col("norm")).as("norm"),
-      )
-      .select(col("id"), col("qv"), col("norm"), (-col("m.nid")).cast(IntegerType).as("cluster_id"))
+      .withColumn("p", packed)
+      .select(col("id"), col("qv"), col("norm"),
+        expr("p DIV 4000000").cast(IntegerType).as("cluster_id"))
       .cache() // both sides of the within-cluster join read this
     val a = assigned.select(col("id").as("vec_id"), col("qv").as("qa"), col("norm").as("na"), col("cluster_id"))
     val b = assigned.select(col("id").as("dup_of"), col("qv").as("qb"), col("norm").as("nb"), col("cluster_id"))
@@ -2133,23 +2135,70 @@ object VectorOps {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
     val old = e.filter(col("id") % 10 =!= 0)
     val fresh = e.filter(col("id") % 10 === 0)
-    val cs = broadcast(kmeansCentroids(old, 16))
-    def assigned(d: DataFrame): DataFrame = prep(d)
-      .join(cs, lit(true))
-      .withColumn("cos", pairCos(col("qv"), col("cv"), col("norm"), col("cnorm")))
-      .groupBy(col("id"))
-      .agg(max(struct(col("cos"), (-col("centroid_id")).cast(LongType).as("nid"))).as("m"))
-      .select(col("id"), (-col("m.nid")).cast(IntegerType).as("centroid_id"),
-        // round-half-up, the suite-wide ppm convention (embKmeans uses
-        // the same form — the two reports must quantize identically so
-        // cohesion/drift numbers are comparable across ops)
-        floor(col("m.cos") * 1000000 + 0.5).cast(LongType).as("sim_ppm"))
-    val oldS = assigned(old).groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("n_old"),
-        expr("sum(sim_ppm) div count(1)").as("mean_old_ppm"))
-    val newS = assigned(fresh).groupBy(col("centroid_id"))
+    // centroids collect (bounded: k rows, and a LocalRelation no-op on
+    // the driver fast path); BOTH stat sides stay lazy so the whole
+    // report is one materialization job — the streaming twin
+    // ([[ivfSnapshot]] + EventsStream.ivfIngestMonitor) is where the
+    // old side is eagerly frozen, because there it must outlive the
+    // batch session and ride micro-batch plans as literals.
+    val cents = kmeansCentroids(old, 16).collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
+    ivfHealthReport(
+      ivfArrivalStats(assignFrozen(old, cents))
+        .select(col("centroid_id"), col("n_new").as("n_old"),
+          col("mean_new_ppm").as("mean_old_ppm")),
+      ivfArrivalStats(assignFrozen(fresh, cents)))
+  }
+
+  // --------------------------- frozen-quantizer assignment (map-side)
+
+  /** Nearest frozen centroid per vector — (id, centroid_id, sim_ppm) —
+    * with the k centroids riding the plan as LITERALS: one row-local
+    * argmax (greatest over (cos, -cid) structs), NO join, NO shuffle,
+    * no state. The same (cosine desc, centroid_id asc) tie-break and
+    * the same floor(cos·1e6 + 0.5) ppm quantization as the join+agg
+    * formulation it replaces (Round11OpsSpec replays it brute-force),
+    * but the assignment now costs a map pass at ANY corpus size — and
+    * being stateless is what lets the SAME code assign arriving
+    * vectors inside a STREAMING ingest (the 48c/48d frozen-model
+    * discipline; a stream-static cross join + per-id max agg would be
+    * a stateful aggregation).
+    */
+  private[graft] def assignFrozen(d: DataFrame, cents: Seq[(Int, Seq[Long], Double)]): DataFrame = {
+    require(cents.nonEmpty, "assignFrozen needs at least one centroid")
+    // one codegen kernel call per row (k·dims multiply-adds inside a
+    // compiled method — O(1) generated code at any k; the
+    // greatest-of-k-structs Column formulation it replaces paid ~200ms
+    // of janino compile at k=16 and would not compile at a production
+    // k of thousands); packed decode is exact int64 arithmetic. The
+    // ppm quantization is round-half-up, the suite-wide convention
+    // (embKmeans uses the same form — the two reports must quantize
+    // identically so cohesion/drift numbers are comparable across ops).
+    val packed = graft.functions.ArrayExprs.nearestCentroidPacked(col("qv"), col("norm"), cents)
+    prep(d)
+      .select(col("id"), packed.as("p"))
+      .select(col("id"),
+        expr("p DIV 4000000").cast(IntegerType).as("centroid_id"),
+        (expr("p % 4000000") - 2000000L).cast(LongType).as("sim_ppm"))
+  }
+
+  /** per-list arrival stats over an assigned frame: one grouped agg,
+    * ≤ k rows out (map-side partial combine makes the shuffle
+    * metadata-sized at any arrival rate). Shared by the batch report
+    * and the streaming monitor — the stream ≡ batch pin leans on the
+    * two legs running literally this code.
+    */
+  private[graft] def ivfArrivalStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_new"),
         expr("sum(sim_ppm) div count(1)").as("mean_new_ppm"))
+
+  /** the retrain-trigger report: standing per-list stats vs arrivals.
+    * growth_ppm skew = arriving data concentrating in few lists;
+    * drift_ppm < 0 = arrivals sit farther from every centroid than
+    * the standing corpus did — the quantizer is going stale.
+    */
+  private[graft] def ivfHealthReport(oldS: DataFrame, newS: DataFrame): DataFrame =
     oldS.join(newS, Seq("centroid_id"), "full_outer")
       .select(col("centroid_id"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
@@ -2159,6 +2208,25 @@ object VectorOps {
       .withColumn("growth_ppm", expr("n_new * 1000000 div greatest(n_old, 1)"))
       .withColumn("drift_ppm", col("mean_new_ppm") - col("mean_old_ppm"))
       .orderBy("centroid_id")
+
+  /** Frozen-quantizer snapshot for the ingest paths: the k coarse
+    * centroids (id, quantized vector, norm — the exact doubles the
+    * batch quantizer computed) and the standing corpus' per-list
+    * stats. Both BOUNDED BY CONSTRUCTION (k rows each), so they ride
+    * any later plan — batch or streaming — as literals; retraining is
+    * a batch concern that mints a new snapshot (the `ann_incremental`
+    * contract).
+    */
+  final case class IvfSnapshot(
+      centroids: Seq[(Int, Seq[Long], Double)],
+      oldStats: Map[Int, (Long, Long)]) // centroid_id -> (n_old, mean_old_ppm)
+
+  def ivfSnapshot(standing: DataFrame, k: Int): IvfSnapshot = {
+    val cents = kmeansCentroids(standing, k).collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
+    val olds = ivfArrivalStats(assignFrozen(standing, cents)).collect().toIndexedSeq
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    IvfSnapshot(cents, olds)
   }
 
   /** Tombstone-aware IVF read: the delete path of a vector index.

@@ -953,6 +953,58 @@ object EventsStream {
     * with NO complete store — a crash before the tmp→dst rename would
     * silently drop every never-again-emitting source.
     */
+  /** §2.7 #48g — STREAMING vector-index maintenance: the live twin of
+    * `ann_incremental`, closing the one production family that had no
+    * streaming leg (an embedding INGEST stream could not reach the
+    * IVF index's health view). The shape is the proven frozen-model
+    * discipline end to end:
+    *  - the coarse quantizer and the standing corpus' per-list stats
+    *    arrive as an [[graft.operators.VectorOps.IvfSnapshot]] — both
+    *    BOUNDED (k rows each) and FROZEN, riding the streaming plan as
+    *    literals (48c/48d; retraining mints a new snapshot, a batch
+    *    concern);
+    *  - each arriving vector assigns MAP-SIDE to its nearest frozen
+    *    centroid (`assignFrozen` — row-local argmax over k literal
+    *    centroids, the exact code the batch report runs; no join, no
+    *    per-id state, append-safe at any arrival rate);
+    *  - per-list arrival health accumulates in a plain UPDATE-MODE
+    *    streaming aggregation keyed by centroid_id (`ivfArrivalStats`,
+    *    again the batch code; counts and sim-sums are mergeable, so
+    *    the agg converges to exactly the batch stats under ANY
+    *    micro-batch split — state is k rows of int64s, bounded by
+    *    construction);
+    *  - each trigger REPUBLISHES the full `ann_incremental`
+    *    retrain-trigger report through the SAME `ivfHealthReport`
+    *    code the batch op runs (the 48e monitor shape): update-mode
+    *    rows are cumulative per key, so the foreachBatch merge is a
+    *    REPLACE — idempotent under at-least-once replay — into a
+    *    ≤k-entry standing map, unioned with the frozen old stats.
+    */
+  def ivfIngestMonitor(
+      vecs: DataFrame,
+      snapshot: graft.operators.VectorOps.IvfSnapshot,
+  )(publish: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    import graft.operators.VectorOps
+    // centroid_id -> (n_new, mean_new_ppm); replace-merge (see above)
+    val standing = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    VectorOps.ivfArrivalStats(VectorOps.assignFrozen(vecs, snapshot.centroids))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // changed per-list rows: ≤ k per trigger
+        batch.collect().foreach { r =>
+          standing.put(r.getInt(0), (r.getLong(1), r.getLong(2))): Unit
+        }
+        val newRows = standing.entrySet().asScala.toSeq
+          .map(e => (e.getKey, e.getValue._1, e.getValue._2))
+        val oldRows = snapshot.oldStats.toSeq.map { case (cid, (n, m)) => (cid, n, m) }
+        publish(batchId, VectorOps.ivfHealthReport(
+          spark.createDataFrame(oldRows).toDF("centroid_id", "n_old", "mean_old_ppm"),
+          spark.createDataFrame(newRows).toDF("centroid_id", "n_new", "mean_new_ppm")))
+      }
+  }
+
   private[graft] def promoteStore(
       fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,

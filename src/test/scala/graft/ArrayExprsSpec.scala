@@ -145,6 +145,41 @@ class ArrayExprsSpec extends AnyFunSuite {
       "on distinct arrays the kernel must agree with array_intersect")
   }
 
+  test("NearestCentroidPacked equals the greatest-of-structs formulation on real vectors") {
+    // the kernel replaced greatest(struct(cos, -cid), ...) in
+    // assignFrozen/semDedup; pin identical (centroid_id, sim_ppm) —
+    // same dot/divide arithmetic, same (cos desc, cid asc) tie-break
+    val d = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 10000 + 0.5).cast("long")).as("qv"))
+      .withColumn("norm", sqrt(ArrayExprs.longDot(col("qv"), col("qv")).cast("double")))
+    // deterministic fake centroids derived from the corpus itself: the
+    // first 7 vectors (duplicated norms/ties exercised via vector 0
+    // twice under different ids — the tie MUST go to the smaller cid)
+    val cents0 = d.orderBy("id").limit(7).collect().toIndexedSeq
+      .map(r => (r.getSeq[Long](1), math.sqrt(r.getSeq[Long](1).map(x => x.toDouble * x).sum)))
+    val cents = cents0.zipWithIndex.map { case ((cv, n), i) => (i, cv, n) } :+
+      ((7, cents0.head._1, cents0.head._2)) // duplicate of cid 0 → ties
+    val viaKernel = d
+      .withColumn("p", ArrayExprs.nearestCentroidPacked(col("qv"), col("norm"), cents))
+      .select(col("id"), expr("p DIV 4000000").cast("int").as("cid"),
+        (expr("p % 4000000") - 2000000L).as("ppm"))
+    val scored = cents.map { case (cid, cv, cnorm) =>
+      struct(
+        (ArrayExprs.longDot(col("qv"), typedlit(cv)).cast("double") / (col("norm") * lit(cnorm))).as("cos"),
+        lit(-cid.toLong).as("nid"))
+    }
+    val viaStructs = d
+      .withColumn("m", greatest(scored: _*))
+      .select(col("id"), (-col("m.nid")).cast("int").as("cid"),
+        floor(col("m.cos") * 1000000 + 0.5).cast("long").as("ppm"))
+    val k = viaKernel.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val s = viaStructs.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(k == s, "kernel assignment diverges from the greatest-struct formulation")
+    // the planted duplicate centroid (cid 7 ≡ cid 0) must never win
+    assert(!k.values.exists(_._1 == 7), "tie must resolve to the smaller cid")
+  }
+
   test("RefSetHitCount equals the interpreted stopword-vote HOF on the real corpus") {
     // the langid/quality stopword vote swapped size(filter(..., w -> w
     // IN (...))) for the kernel; pin bit-equality on actual documents

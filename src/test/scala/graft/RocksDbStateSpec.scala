@@ -198,6 +198,31 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rocksdb: IVF ingest monitor converges to the batch ann_incremental report") {
+    implicit val sc = rs.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val input = stream.toDF().toDF("id", "embedding")
+    val e = GraftSession.table(rs, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val snap = operators.VectorOps.ivfSnapshot(e.filter(col("id") % 10 =!= 0), 16)
+    @volatile var latest: Seq[(Int, Long, Long, Long, Long, Long, Long)] = Seq.empty
+    val q = streaming.EventsStream.ivfIngestMonitor(input, snap) { (_, rep) =>
+      latest = rep.collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    }.start()
+    try {
+      val fresh = e.filter(col("id") % 10 === 0).as[(Long, Seq[Float])].collect().toSeq
+      val (b1, b2) = fresh.splitAt(fresh.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val want = operators.VectorOps.queries("ann_incremental")(rs, sf)
+        .collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      assert(latest.sortBy(_._1) == want.sortBy(_._1),
+        "rocksdb ivf ingest report diverges from the batch report")
+    } finally q.stop()
+  }
+
   test("rocksdb: the provider actually in use is RocksDB, not the default") {
     // guard against a silently-ignored conf: the session must report
     // the provider these tests claim to exercise

@@ -482,6 +482,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF ingest monitor equals batch ann_incremental report (frozen quantizer)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val input = stream.toDF().toDF("id", "embedding")
+
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val snap = operators.VectorOps.ivfSnapshot(e.filter(col("id") % 10 =!= 0), 16)
+    assert(snap.centroids.size == 16 && snap.oldStats.nonEmpty)
+
+    @volatile var latest: Seq[(Int, Long, Long, Long, Long, Long, Long)] = Seq.empty
+    @volatile var publishes = 0
+    @volatile var everyReportFull = true
+    val q = streaming.EventsStream.ivfIngestMonitor(input, snap) { (_, rep) =>
+      val rows = rep.collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      // the frozen old side covers every list, so EVERY republish is
+      // the full-width retrain-trigger report, never a delta
+      if (rows.map(_._1).toSet != snap.oldStats.keySet) everyReportFull = false
+      latest = rows; publishes += 1
+    }.start()
+    try {
+      val fresh = e.filter(col("id") % 10 === 0)
+        .as[(Long, Seq[Float])].collect().toSeq
+      // hash-sliced micro-batches: convergence must not depend on the split
+      val slices = fresh.groupBy(t => math.abs(t._1.hashCode) % 3).toSeq.sortBy(_._1)
+      assert(slices.size == 3)
+      var fed = 0L
+      slices.foreach { case (_, s) =>
+        stream.addData(s); q.processAllAvailable()
+        fed += s.size
+        // conservation per trigger: arrivals so far all land in some list
+        assert(latest.map(_._3).sum == fed, "n_new must conserve arrivals")
+      }
+      val want = operators.VectorOps.queries("ann_incremental")(spark, sf)
+        .collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      assert(latest.sortBy(_._1) == want.sortBy(_._1),
+        "converged stream report diverges from batch ann_incremental")
+      assert(publishes >= 3 && everyReportFull)
+    } finally q.stop()
+  }
+
   test("streaming adaptive quality gate equals batch text_adaptive_filter (frozen thresholds)") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, String, String)]
