@@ -348,6 +348,10 @@ object BenchBaseline {
     "text_langid2" -> 0.94,
     "ann_range" -> 0.53,
     "emb_rp" -> 0.31,
+    // r15 additions, first honest sf0.1 cold readings (best of three)
+    "emb_bitpack" -> 0.34,
+    "ann_hamming" -> 0.6,
+    "text_collocations" -> 0.49,
     "ann_rp" -> 0.85,
     "pipeline_dataset_card" -> 0.71,
     // r10 batch — first honest sf0.1 cold-run numbers (zero-error,

@@ -339,6 +339,75 @@ object TextAnalysis {
   private def ngrams(n: Int): Column =
     graft.functions.ArrayExprs.wordNgrams(words, n)
 
+  /** §2.5 #31j — collocation mining: corpus-level top-100 adjacent
+    * bigrams by PMI LIFT, the unsupervised multiword-expression
+    * detector ("new york", "machine learning") a corpus pipeline runs
+    * before tokenizer training so collocations become single units.
+    * The score is the LOG-FREE rational PMI (the bm25-idf trick —
+    * log is transcendental and rounds differently across engines,
+    * while the lift ratio is monotone-equivalent):
+    * lift = P(w1w2) / (P(w1)·P(w2)) = c12·N² / (Nb·c1·c2), evaluated
+    * in IEEE double with one FIXED operation order (left-to-right
+    * alternating ·N /c — keeps magnitudes near 1 so nothing overflows
+    * at ANY corpus size, and identical expression text in both
+    * engines makes the floor-ppm hash-stable), min support c12 ≥ 5,
+    * total order (lift DESC, w1, w2).
+    *
+    * Scale shape: bigram assembly is the codegen [[graft.functions
+    * .WordNgrams]] kernel (n=2) + map-side explode — no per-token
+    * interpreted lambda on the every-doc path; bigram and unigram
+    * counts shuffle on Zipf-bounded vocab keys with map-side partial
+    * aggs; the two totals ride a 1-row broadcast; the top-100 is a
+    * TakeOrdered under the total order, never a global sort.
+    */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val multi = d.filter(size(words) >= 2)
+    val big = multi
+      .select(explode(ngrams(2)).as("gram"))
+      .select(
+        substring_index(col("gram"), " ", 1).as("w1"),
+        substring_index(col("gram"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val uni = d.select(explode(words).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = d.agg(
+      sum(size(words)).cast(LongType).as("n_tokens"),
+      sum(greatest(size(words) - 1, lit(0))).cast(LongType).as("n_bigrams"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .join(broadcast(totals), lit(true))
+      .withColumn("lift_ppm",
+        expr("CAST(floor(CAST(c12 AS DOUBLE) * n_tokens / c1 * n_tokens / c2 / n_bigrams * 1000000.0 + 0.5) AS BIGINT)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  val textCollocationsSql: String =
+    """WITH ws AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |), big AS (
+      |  SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c12
+      |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM ws WHERE len(w) >= 2)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5
+      |), uni AS (
+      |  SELECT unnest(w) AS word FROM ws
+      |), uc AS (
+      |  SELECT word, count(*) AS c FROM uni GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+      |    CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n_bigrams
+      |  FROM ws
+      |)
+      |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+      |  CAST(floor(CAST(c12 AS DOUBLE) * n_tokens / u1.c * n_tokens / u2.c / n_bigrams * 1000000.0 + 0.5) AS BIGINT) AS lift_ppm
+      |FROM big JOIN uc u1 ON big.w1 = u1.word JOIN uc u2 ON big.w2 = u2.word, tot
+      |ORDER BY lift_ppm DESC, w1, w2
+      |LIMIT 100""".stripMargin
+
   /** §2.5 #31c — repetition scoring: the repeated-n-gram ratio
     * (1 − distinct/total over 2- and 3-grams), the standard boilerplate
     * / degenerate-generation signal (Gopher/MassiveText-style repetition
@@ -1963,6 +2032,7 @@ object TextAnalysis {
     "text_winnow_pairs" -> (textWinnowPairs _),
     "text_repetition" -> (textRepetition _),
     "text_tfidf" -> (textTfidf _),
+    "text_collocations" -> (textCollocations _),
     "text_rake" -> (textRake _),
     "text_pii" -> (textPii _),
     "text_vocab" -> (textVocab _),
@@ -1995,6 +2065,7 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
+    "text_collocations" -> textCollocationsSql,
     "text_rake" -> textRakeSql,
     "text_pii" -> textPiiSql,
     "text_vocab" -> textVocabSql,

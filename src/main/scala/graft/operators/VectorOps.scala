@@ -2284,6 +2284,104 @@ object VectorOps {
       .orderBy("centroid_id")
   }
 
+  // ------------------------------------------- 1-bit (sign) quantization
+
+  /** sign-bit pack of the 64-dim embedding into TWO non-negative
+    * 32-bit words stored as int64 (`bits_lo` = dims 1-32, `bits_hi` =
+    * dims 33-64; bit j-1 set iff dim j is strictly positive). Two
+    * halves instead of one 64-bit word ON PURPOSE: bit 63 of a single
+    * word is the int64 sign bit, and signed-overflow shift semantics
+    * differ across engines — two ≤2^32 words are exact everywhere,
+    * and the hamming arithmetic is the same two xor+popcounts.
+    */
+  private val bitsLo: Column = expr(
+    "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      "IF(CAST(element_at(embedding, i) AS DOUBLE) > 0.0, shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))")
+  private val bitsHi: Column = expr(
+    "aggregate(sequence(33, 64), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      "IF(CAST(element_at(embedding, i) AS DOUBLE) > 0.0, shiftleft(CAST(1 AS BIGINT), i - 33), CAST(0 AS BIGINT)))")
+
+  /** §2.4 #29x — BINARY (1-bit sign) quantization: 64 float32 dims →
+    * 64 bits, a 256× memory reduction, the quantization that makes a
+    * 100 TB embedding corpus fit RAM-adjacent storage and turns
+    * similarity into xor+popcount (the Hamming-space retrieval
+    * literature's standard first stage; cosine-sign agreement follows
+    * from hyperplane LSH theory — each coordinate IS an axis-aligned
+    * hyperplane). Per vector: both packed words, the positive-dim
+    * count, and a balance ppm (n_pos/64 — a healthy embedding model
+    * sits near 500000; collapse toward 0/1e6 means dead dimensions).
+    * Fully integer → hash-oracled (rare for the ANN family, where
+    * engine-specific quantizers force rows-only checks).
+    */
+  def embBitpack(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), bitsLo.as("bits_lo"), bitsHi.as("bits_hi"))
+      .withColumn("n_pos", (bit_count(col("bits_lo")) + bit_count(col("bits_hi"))).cast(LongType))
+      .withColumn("balance_ppm", expr("n_pos * 1000000 div 64"))
+      .orderBy("vec_id")
+
+  private val bitpackCteSql: String =
+    """WITH b AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS bits_lo,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)) AS BIGINT) AS bits_hi
+      |  FROM embeddings
+      |)""".stripMargin
+
+  val embBitpackSql: String =
+    s"""$bitpackCteSql
+      |SELECT vec_id, bits_lo, bits_hi,
+      |  CAST(bit_count(bits_lo) + bit_count(bits_hi) AS BIGINT) AS n_pos,
+      |  CAST((bit_count(bits_lo) + bit_count(bits_hi)) * 1000000 // 64 AS BIGINT) AS balance_ppm
+      |FROM b
+      |ORDER BY vec_id""".stripMargin
+
+  /** §2.4 #29y — HAMMING-space top-k over the sign-bit code: per
+    * query, the k nearest corpus vectors by xor+popcount distance,
+    * total order (hamming ASC, neighbor_id ASC). This is the serving
+    * arithmetic of every binary-quantized vector store: ~2 CPU
+    * instructions per candidate word vs 64 multiply-adds for the
+    * float scan — the 100 TB first-pass filter (re-rank the shortlist
+    * with exact cosine where precision matters; [[annRpPrefilter]] is
+    * that second stage's shape). Broadcast bounded query batch,
+    * map-side distances (built-in codegen'd `^` + bit_count), one
+    * per-query top-k window — the annBruteforce plan with integer
+    * arithmetic. Exact integers end to end → hash-oracled, again rare
+    * for the ANN family.
+    */
+  def annHamming(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val packed = emb(spark, dir)
+      .select(col("vec_id"), bitsLo.as("bits_lo"), bitsHi.as("bits_hi"))
+    val q = packed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("bits_lo").as("qlo"), col("bits_hi").as("qhi"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
+    broadcast(q)
+      .join(packed.select(col("vec_id").as("neighbor_id"), col("bits_lo"), col("bits_hi")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        (bit_count(expr("qlo ^ bits_lo")) + bit_count(expr("qhi ^ bits_hi"))).cast(LongType))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annHammingSql: String =
+    s"""$bitpackCteSql, d AS (
+      |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(bit_count(xor(a.bits_lo, c.bits_lo)) + bit_count(xor(a.bits_hi, c.bits_hi)) AS BIGINT) AS hamming
+      |  FROM b a JOIN b c ON a.vec_id < 20 AND a.vec_id != c.vec_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, hamming,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+      |  FROM d
+      |)
+      |SELECT query_id, rank, neighbor_id, hamming
+      |FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------- radius search
 
   /** §2.4 #27b — exact cosine RADIUS search: every (query, corpus)
@@ -2457,6 +2555,8 @@ object VectorOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_bitpack" -> (embBitpack _),
+    "ann_hamming" -> (annHamming(_: SparkSession, _: String)),
     "ann_range" -> (annRange(_: SparkSession, _: String)),
     "emb_rp" -> (embRp _),
     "ann_rp" -> (annRpPrefilter(_: SparkSession, _: String)),
@@ -2491,6 +2591,8 @@ object VectorOps {
   val oracles: Map[String, String] = Map(
     "ann_range" -> annRangeSql,
     "emb_rp" -> embRpSql,
+    "emb_bitpack" -> embBitpackSql,
+    "ann_hamming" -> annHammingSql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_outliers" -> embOutliersSql,
     "ann_classify" -> annClassifySql,

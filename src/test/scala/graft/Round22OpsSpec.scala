@@ -84,6 +84,74 @@ class Round22OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------ 1-bit quantization + hamming ANN
+
+  private def packedBits: Map[Long, (Long, Long)] =
+    GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        def pack(from: Int, until: Int): Long =
+          (from until until).foldLeft(0L) { (acc, i) =>
+            if (e(i).toDouble > 0.0) acc | (1L << (i - from)) else acc
+          }
+        r.getLong(0) -> ((pack(0, 32), pack(32, 64)))
+      }.toMap
+
+  test("emb_bitpack: packed words replay bit-exactly in plain Scala, balance arithmetic exact") {
+    val want = packedBits
+    val got = operators.VectorOps.queries("emb_bitpack")(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (lo, hi) = want(r.getLong(0))
+      assert(r.getLong(1) == lo && r.getLong(2) == hi, s"pack mismatch for ${r.getLong(0)}")
+      val nPos = java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi)
+      assert(r.getLong(3) == nPos.toLong)
+      assert(r.getLong(4) == nPos.toLong * 1000000L / 64L)
+      assert(lo >= 0 && hi >= 0, "two half-words must never touch the int64 sign bit")
+    }
+  }
+
+  test("ann_hamming: top-5 replays the brute-force xor+popcount scan with the (dist, id) tie-break") {
+    val bits = packedBits
+    val got = operators.VectorOps.queries("ann_hamming")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq }
+    val queries = bits.keys.filter(_ < 20)
+    assert(got.keySet == queries.toSet)
+    queries.foreach { q =>
+      val (qlo, qhi) = bits(q)
+      val want = bits.toSeq.filter(_._1 != q)
+        .map { case (id, (lo, hi)) =>
+          (id, (java.lang.Long.bitCount(qlo ^ lo) + java.lang.Long.bitCount(qhi ^ hi)).toLong)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5)
+      assert(got(q) == want, s"hamming top-5 diverges for query $q")
+    }
+  }
+
+  // ------------------------------------------------ collocation mining
+
+  test("text_collocations: top-100 PMI lift replays in plain Scala with the exact double formula") {
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0).split(" ", -1).toSeq)
+    val uni = docs.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val big = docs.filter(_.size >= 2).flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 5)
+    val nTok = docs.map(_.size.toLong).sum
+    val nBig = docs.map(ws => math.max(ws.size - 1, 0).toLong).sum
+    val want = big.toSeq.map { case ((w1, w2), c12) =>
+      val lift = math.floor(
+        c12.toDouble * nTok / uni(w1) * nTok / uni(w2) / nBig * 1000000.0 + 0.5).toLong
+      (w1, w2, c12, uni(w1), uni(w2), lift)
+    }.sortBy { case (w1, w2, _, _, _, l) => (-l, w1, w2) }.take(100)
+    val got = operators.TextAnalysis.queries("text_collocations")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, "collocation top-100 diverges from the plain-Scala replay")
+    assert(got.nonEmpty && got.forall(_._3 >= 5))
+  }
+
   test("Lake.maintenanceReport: healthy two-store lake is all-none, readonly included") {
     val cfg = LakeConfig(Seq(StoreEntry(tmp()), StoreEntry(tmp())))
     val lake0 = Lake.init(spark, cfg)
