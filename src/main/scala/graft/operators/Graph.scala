@@ -66,7 +66,12 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src").cache() // loop invariant: read every iteration
+    // loop invariant: read every iteration. Already hash-partitioned
+    // on src — the deg join's own exchange — so the cached relation
+    // needs no extra repartition for the per-round mass join (and at
+    // bench scale AQE broadcasts the node-sized mass side anyway;
+    // measured: an explicit repartition(src) here changes nothing).
+    val ed = edges.join(deg, "src").cache()
     // node universe from the CACHED edge relation, not from a second
     // `deg` plan: deriving it upstream would compute the (possibly
     // expensive) edge list twice — once for this checkpoint, once for
@@ -174,7 +179,7 @@ object Graph {
   ): DataFrame = {
     require(iterations >= 1 && seeds.nonEmpty)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src").cache()
+    val ed = edges.join(deg, "src").cache() // src-partitioned by the deg join — see pageRank
     val nodes = ed.select(col("src").as("node_id")).dropDuplicates("node_id").transform(cut)
     val isSeed = col("node_id").isin(seeds: _*)
     val teleport = when(isSeed, lit(scale * 15 / 100)).otherwise(lit(0L))
@@ -259,7 +264,8 @@ object Graph {
     */
   def bfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val ed = edges.select(col("src"), col("dst")).cache()
+    // key-partitioned loop-invariant edges — see pageRank
+    val ed = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
     var dist = seeds.select(col("node_id"), lit(0L).as("dist")).transform(cut)
     for (_ <- 1 to rounds) {
       val relaxed = ed.join(dist, col("src") === col("node_id"))
@@ -629,6 +635,10 @@ object Graph {
     */
   def hits(edges: DataFrame, rounds: Int, scale: Long = 1000000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // HITS alternates join keys (hub by src, auth by dst) — measured:
+    // pre-partitioning two edge copies costs two |E| exchanges upfront
+    // and buys nothing back, because the per-round score sides are
+    // node-sized and broadcast; one shared checkpointed edge list wins.
     val e = edges.select(col("src"), col("dst")).distinct().transform(cut)
     val srcs = e.select(col("src")).dropDuplicates("src").transform(cut)
     def maxOf(d: DataFrame, c: String): Long =

@@ -78,30 +78,20 @@ object Pipeline {
         .map(x => (x, find(x)))
         .toDF("doc_id", "cluster_id")
     }
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .cache()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.withColumnRenamed("cluster_id", "old")
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"), col("old"))
-        .cache()
-      changed = next.filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next.drop("old")
-      iter += 1
-    }
-    edges.unpersist()
+    // Distributed path: delegate to Graph.connectedComponents — the
+    // per-partition union-find CONTRACTION + pointer-jumping loop
+    // (O(log diameter) rounds on star edges instead of plain
+    // O(diameter) propagation over the raw pair list; same min-id
+    // fixpoint by construction, so the driver fast path, this path,
+    // and the recursive-CTE oracle all agree).
+    val out = Graph
+      .connectedComponents(
+        p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v"))),
+        maxRounds = maxIters)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
     p.unpersist()
-    labels
+    out
   }
 
   /** §2.3 #22b — near-dup cluster assignment: MinHash-LSH pairs
