@@ -166,7 +166,10 @@ object BenchBaseline {
     "q_median" -> 0.63,
     "q_histogram" -> 0.29,
     "q_skewjoin" -> 1.60,
-    "q_bfs" -> 4.0,
+    // re-frozen r15 4.0 → 3.13: loop-invariant edges pre-partitioned
+    // on the join key (per-round edge reshuffle gone; shuffle bytes
+    // 36 → 19 MiB at sf0.1)
+    "q_bfs" -> 3.13,
     "emb_centroids" -> 0.20,
     "q_bucket_join" -> 0.69,
     "text_bigram" -> 0.83,
@@ -351,6 +354,7 @@ object BenchBaseline {
     // r15 additions, first honest sf0.1 cold readings (best of three)
     "emb_bitpack" -> 0.34,
     "ann_hamming" -> 0.6,
+    "ann_hamming_rerank" -> 0.86,
     "text_collocations" -> 0.49,
     "ann_rp" -> 0.85,
     "pipeline_dataset_card" -> 0.71,

@@ -2382,6 +2382,84 @@ object VectorOps {
       |FROM r WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** §2.4 #29z — the full binary-quantized SERVING path: stage 1
+    * shortlists `shortlistFactor`·k candidates per query in Hamming
+    * space (xor+popcount over the 29x sign code, (hamming ASC, id
+    * ASC) total order — deterministic, so unlike the trained-index
+    * shortlists this one is SQL-replayable and the WHOLE two-stage
+    * result is hash-oracled); stage 2 re-ranks the shortlist with the
+    * exact 64-dim quantized cosine. The [[annRpPrefilter]] /
+    * PQ-ADC two-stage shape with the cheapest possible first stage:
+    * 2 instructions per candidate word and 256× less candidate I/O —
+    * at 100 TB the corpus scan reads 16 bytes/vector instead of
+    * 256+, and only shortlist rows ever touch the float data.
+    * Exactness anchor: at shortlistFactor ≥ corpus the shortlist is
+    * everything and the result equals [[annBruteforce]] bit-for-bit
+    * (pinned); measured recall@5 vs exact cosine at the (k=5,
+    * factor=8) default lives in Round22OpsSpec/BASELINE.
+    */
+  def annHammingRerank(data: DataFrame, queries: DataFrame, k: Int,
+      shortlistFactor: Int = 8): DataFrame = {
+    // qv/norm/bits in ONE projection (prep's exact arithmetic inlined
+    // so stage 2's cosine is bit-identical to annBruteforce's) — a
+    // prep⋈bits self-join here would pay a pointless |corpus| shuffle
+    def packed(d: DataFrame, idAs: String, pfx: String): DataFrame =
+      d.select(col("id").as(idAs), qvec.as(s"${pfx}qv"),
+        bitsLo.as(s"${pfx}lo"), bitsHi.as(s"${pfx}hi"))
+        .withColumn(s"${pfx}norm", sqrt(qdot(col(s"${pfx}qv"), col(s"${pfx}qv")).cast(DoubleType)))
+    val q = packed(queries, "query_id", "qa_")
+    val c = packed(data, "neighbor_id", "qb_")
+    val wHam = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
+    val wCos = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        (bit_count(expr("qa_lo ^ qb_lo")) + bit_count(expr("qa_hi ^ qb_hi"))).cast(LongType))
+      .withColumn("rn", row_number().over(wHam))
+      .filter(col("rn") <= shortlistFactor * k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        pairCos(col("qa_qv"), col("qb_qv"), col("qa_norm"), col("qb_norm")).as("cosine"))
+      .withColumn("rank", row_number().over(wCos).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** named query: first 20 vectors, k=5, 8·k shortlist. */
+  def annHammingRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    annHammingRerank(e, e.filter(col("id") < 20), 5)
+  }
+
+  val annHammingRerankSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS bits_lo,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)) AS BIGINT) AS bits_hi
+      |  FROM embeddings
+      |), d AS (
+      |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(bit_count(xor(a.bits_lo, c.bits_lo)) + bit_count(xor(a.bits_hi, c.bits_hi)) AS BIGINT) AS hamming,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * c.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+      |         * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])) AS DOUBLE))) AS cosine
+      |  FROM q a JOIN q c ON a.vec_id < 20 AND a.vec_id != c.vec_id
+      |), s AS (
+      |  SELECT query_id, neighbor_id, hamming, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+      |  FROM d
+      |), r AS (
+      |  SELECT query_id, neighbor_id, hamming, cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM s WHERE rn <= 40
+      |)
+      |SELECT query_id, rank, neighbor_id, hamming, cosine
+      |FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------- radius search
 
   /** §2.4 #27b — exact cosine RADIUS search: every (query, corpus)
@@ -2557,6 +2635,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_bitpack" -> (embBitpack _),
     "ann_hamming" -> (annHamming(_: SparkSession, _: String)),
+    "ann_hamming_rerank" -> (annHammingRerank(_: SparkSession, _: String)),
     "ann_range" -> (annRange(_: SparkSession, _: String)),
     "emb_rp" -> (embRp _),
     "ann_rp" -> (annRpPrefilter(_: SparkSession, _: String)),
@@ -2593,6 +2672,7 @@ object VectorOps {
     "emb_rp" -> embRpSql,
     "emb_bitpack" -> embBitpackSql,
     "ann_hamming" -> annHammingSql,
+    "ann_hamming_rerank" -> annHammingRerankSql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_outliers" -> embOutliersSql,
     "ann_classify" -> annClassifySql,

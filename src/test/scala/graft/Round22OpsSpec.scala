@@ -130,6 +130,30 @@ class Round22OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_hamming_rerank: corpus-wide shortlist equals brute force bit-for-bit; default recall measured") {
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 20)
+    val n = e.count().toInt
+    // exactness anchor: shortlist = everything → the two-stage path IS
+    // the exact scan (same (cosine desc, id) final order)
+    val anchor = operators.VectorOps.annHammingRerank(e, q, 5, shortlistFactor = n)
+      .select("query_id", "rank", "neighbor_id", "cosine").collect().toSeq
+    val brute = operators.VectorOps.annBruteforce(e, q, 5).collect().toSeq
+    assert(anchor.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))) ==
+      brute.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))),
+      "corpus-wide shortlist must reduce to exact brute force")
+    // measured recall@5 at the (k=5, factor=8) default vs exact cosine
+    val got = operators.VectorOps.queries("ann_hamming_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = brute.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallPpm = got.intersect(truth).size.toLong * 1000000L / truth.size
+    info(s"hamming-rerank recall@5 at factor=8: ${recallPpm / 10000.0}%")
+    // the sign code keeps most of the cosine signal on this corpus;
+    // gate loosely (the honest measured number lives in BASELINE.md)
+    assert(recallPpm >= 500000L, s"recall collapsed: $recallPpm ppm")
+  }
+
   // ------------------------------------------------ collocation mining
 
   test("text_collocations: top-100 PMI lift replays in plain Scala with the exact double formula") {
