@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.GraftSession.table
-import graft.lake.{ChunkStore, Convergent, LakeParams}
+import graft.lake.{ChunkStore, Convergent, Lake, LakeConfig, LakeParams, StoreEntry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -900,6 +900,97 @@ object LakeOps {
     ChunkStore.load(spark, path, readonly = true, params = TreeP)
   }
 
+  /** Single-chunk params for the fleet-planner demo store: chunkMax
+    * far above every doc, so each non-inline blob is ONE chunk and no
+    * manifest tree exists — making the REAL store's chunk-liveness
+    * arithmetic exactly replayable by DuckDB without modelling node
+    * chunks or convergent ciphertexts (counts only, no hash replay).
+    */
+  private val MaintP = LakeParams(inlineMax = 64, chunkMax = 1L << 20, nBuckets = 64)
+  private val maintStoreLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private val maintStoreDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]
+
+  /** Degraded demo store for the fleet planner, built ONCE per
+    * (session, corpus): every distinct document text put as a blob,
+    * then every blob whose min doc_id ≡ 0 mod 3 tombstoned (≈⅓ of
+    * chunks stranded — above the 30% reclaim threshold).
+    */
+  private[graft] def maintStorePath(spark: SparkSession, dir: String): String = {
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    val path = s"${graft.sources.Ingest.scratchDir(spark)}/maint_store_$dirKey"
+    val lock = maintStoreLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!maintStoreDone.contains(path)) {
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        val dst = new org.apache.hadoop.fs.Path(path)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val building = ChunkStore.init(spark, tmp.toString, params = MaintP)
+        val blobs = docs(spark, dir)
+          .groupBy(col("text")).agg(min(col("doc_id")).as("min_id"))
+        building.putBlobsDf(blobs.select(col("text").cast(BinaryType).as("data"))).count()
+        val dead = blobs.filter(col("min_id") % 3 === 0)
+          .select(sha2(col("text"), 256)).collect().map(_.getString(0)).toSeq
+        building.deleteBlobs(dead)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"maintStore: rename $tmp -> $dst failed")
+        maintStoreDone.add(path)
+      }
+    }
+    path
+  }
+
+  /** §2.1 #9m — the FLEET maintenance planner as an oracled query:
+    * [[graft.lake.Lake.maintenanceReport]] over a two-mount lake — the
+    * SAME degraded physical store mounted writable and readonly (the
+    * writer + read-replica pattern), so one build serves both rows and
+    * the planner's readonly routing is observable: identical liveness
+    * metrics, `reclaim` for the writable mount, `read_only` for the
+    * replica. The fragmentation trigger is disabled for this query
+    * (physical file counts depend on task scheduling — not
+    * oracle-replayable; the file-side planner behavior stays pinned
+    * on real stores in Round21/22 specs), so the oracled half is the
+    * chunk-liveness arithmetic the gc/reclaim decision runs on, from
+    * a REAL ChunkStore through the REAL planner code.
+    */
+  def lakeMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val path = maintStorePath(spark, dir)
+    val lake = Lake.init(spark, LakeConfig(Seq(
+      StoreEntry(path), StoreEntry(path, readonly = true))), MaintP)
+    lake.maintenanceReport(maxFilesPerBucketMilli = Long.MaxValue)
+      .select(
+        when(col("readonly"), "b_readonly_replica").otherwise("a_writable").as("mount"),
+        col("readonly"),
+        col("n_chunks"), col("n_dead_chunks"), col("dead_ppm"), col("recommend"))
+      .orderBy("mount")
+  }
+
+  val lakeMaintenanceSql: String =
+    """WITH blobs AS (
+      |  SELECT text, min(doc_id) AS min_id, max(strlen(text)) AS len
+      |  FROM documents GROUP BY text
+      |), cl AS (
+      |  SELECT len > 64 AS chunked, min_id % 3 = 0 AS dead FROM blobs
+      |), m AS (
+      |  SELECT CAST(count(*) FILTER (chunked) AS BIGINT) AS n_chunks,
+      |    CAST(count(*) FILTER (chunked AND dead) AS BIGINT) AS n_dead_chunks
+      |  FROM cl
+      |), r AS (
+      |  SELECT n_chunks, n_dead_chunks,
+      |    CAST(n_dead_chunks * 1000000 // n_chunks AS BIGINT) AS dead_ppm
+      |  FROM m
+      |)
+      |SELECT 'a_writable' AS mount, false AS readonly, n_chunks, n_dead_chunks, dead_ppm,
+      |  CASE WHEN dead_ppm > 300000 THEN 'reclaim' ELSE 'none' END AS recommend
+      |FROM r
+      |UNION ALL
+      |SELECT 'b_readonly_replica', true, n_chunks, n_dead_chunks, dead_ppm,
+      |  CASE WHEN dead_ppm > 300000 THEN 'read_only' ELSE 'none' END
+      |FROM r
+      |ORDER BY mount""".stripMargin
+
   /** §2.1 — point reads through the RECURSIVE manifest tree
     * ([[graft.lake.ChunkStore.getBlobsByHashes]], the reference's
     * LongHkey expansion): three of the eight demo blobs are fetched by
@@ -1016,6 +1107,7 @@ object LakeOps {
     "lake_fsck" -> (lakeFsck _),
     "lake_scrub" -> (lakeScrub _),
     "lake_tree_get" -> (lakeTreeGet _),
+    "lake_maintenance" -> (lakeMaintenance _),
     "lake_gc_plan" -> (lakeGcPlan _),
     "lake_replicate" -> (lakeReplicate _),
     "lake_cdc_split" -> (lakeCdcSplit _),
@@ -1034,6 +1126,7 @@ object LakeOps {
   val oracles: Map[String, String] = Map(
     "lake_fsck" -> lakeFsckSql,
     "lake_tree_get" -> lakeTreeGetSql,
+    "lake_maintenance" -> lakeMaintenanceSql,
     "lake_gc_plan" -> lakeGcPlanSql,
     "lake_replicate" -> lakeReplicateSql,
     "lake_put_blob" -> lakePutBlobSql,

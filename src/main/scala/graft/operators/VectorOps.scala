@@ -2313,12 +2313,20 @@ object VectorOps {
     * Fully integer → hash-oracled (rare for the ANN family, where
     * engine-specific quantizers force rows-only checks).
     */
-  def embBitpack(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir)
-      .select(col("vec_id"), bitsLo.as("bits_lo"), bitsHi.as("bits_hi"))
+  /** the pack as a reusable transform over any (vec_id, embedding)
+    * frame — STATELESS and data-independent (sign bits need no
+    * training pass, no corpus statistics), so the same projection
+    * quantizes a STREAMING embedding ingest append-safely at any rate
+    * (the 48c frozen-model discipline with nothing to freeze —
+    * pinned stream ≡ batch in StreamingSpec).
+    */
+  def bitpackOn(d: DataFrame): DataFrame =
+    d.select(col("vec_id"), bitsLo.as("bits_lo"), bitsHi.as("bits_hi"))
       .withColumn("n_pos", (bit_count(col("bits_lo")) + bit_count(col("bits_hi"))).cast(LongType))
       .withColumn("balance_ppm", expr("n_pos * 1000000 div 64"))
-      .orderBy("vec_id")
+
+  def embBitpack(spark: SparkSession, dir: String): DataFrame =
+    bitpackOn(emb(spark, dir)).orderBy("vec_id")
 
   private val bitpackCteSql: String =
     """WITH b AS (

@@ -482,6 +482,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming binary quantization equals batch emb_bitpack (stateless, nothing to freeze)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val input = stream.toDF().toDF("vec_id", "embedding")
+    val q = operators.VectorOps.bitpackOn(input)
+      .writeStream.format("memory").queryName("bitpack_out").outputMode("append").start()
+    try {
+      val vecs = GraftSession.table(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toSeq
+      val (b1, b2) = vecs.splitAt(vecs.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val got = spark.table("bitpack_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      val want = operators.VectorOps.queries("emb_bitpack")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == want, "streamed sign codes diverge from the batch pack")
+    } finally q.stop()
+  }
+
   test("streaming IVF ingest monitor equals batch ann_incremental report (frozen quantizer)") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, Seq[Float])]
