@@ -490,6 +490,65 @@ object Pipeline {
       |WHERE u32 < CAST(rate * 4294967296 AS BIGINT)
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.3 #26y — deterministic output SHARDING manifest: the last
+    * step of a training-data pipeline — write the curated corpus as N
+    * shards a trainer streams — audited before any byte moves. Shard
+    * assignment is a pure content-independent hash of the doc id
+    * (md5-derived uniform, the [[sampleMix]] reproducibility idiom):
+    * any worker on any engine computes the same placement with ZERO
+    * coordination, new docs route without reshuffling old shards'
+    * identity, and balance follows from hash uniformity instead of a
+    * planner (the scale answer; greedy first-fit-decreasing packs
+    * tighter but is inherently sequential — a driver bottleneck at
+    * corpus scale — and renumbers everything on every append).
+    * Per shard: doc/byte/token masses, a doc_id checksum that pins
+    * the ASSIGNMENT (not just the counts), and byte-mass skew vs the
+    * ideal N-way split in ppm — the audit that catches a broken hash
+    * or a pathological corpus before a 100 TB write.
+    * One map-side hash + one ≤N-row aggregate; no data movement.
+    */
+  def pipelineShards(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat_ws(":", lit("shard"), col("doc_id"))), 1, 8), 16, 10)
+          .cast(LongType), lit(nShards.toLong)))
+    val tokens = size(split(col("text"), " ")).cast(LongType)
+    val total = d.agg(sum(octet_length(col("text"))).cast(LongType).as("total_bytes"))
+    d.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text"))).cast(LongType).as("n_bytes"),
+        sum(tokens).as("n_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+      .join(broadcast(total), lit(true))
+      .withColumn("skew_ppm",
+        expr(s"n_bytes * 1000000 div (total_bytes div $nShards) - 1000000"))
+      .select(col("shard"), col("n_docs"), col("n_bytes"), col("n_tokens"),
+        col("id_checksum"), col("skew_ppm"))
+      .orderBy("shard")
+  }
+
+  def pipelineShards(spark: SparkSession, dir: String): DataFrame =
+    pipelineShards(spark, dir, 16)
+
+  val pipelineShardsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard
+      |  FROM documents
+      |), tot AS (
+      |  SELECT CAST(sum(strlen(text)) AS BIGINT) AS total_bytes FROM d
+      |)
+      |SELECT shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+      |  CAST(CAST(sum(strlen(text)) AS BIGINT) * 1000000 // (total_bytes // 16) - 1000000 AS BIGINT) AS skew_ppm
+      |FROM d, tot
+      |GROUP BY shard, total_bytes
+      |ORDER BY shard""".stripMargin
+
   // ------------------------------------------------- importance sampling
 
   /** §2.3 #26j — quality-weighted importance sampling: each doc is
@@ -1574,6 +1633,7 @@ object Pipeline {
     "q_split_holdout" -> (qSplitHoldout _),
     "text_domain_cap" -> (textDomainCap _),
     "pipeline_e2e" -> (pipelineE2e _),
+    "pipeline_shards" -> (pipelineShards(_: SparkSession, _: String)),
     "pipeline_lineage" -> (pipelineLineage _),
     "pipeline_mixture" -> (pipelineMixture _),
     "sample_weighted" -> (sampleWeighted _),
@@ -1598,6 +1658,7 @@ object Pipeline {
     "q_split_holdout" -> qSplitHoldoutSql,
     "text_domain_cap" -> textDomainCapSql,
     "pipeline_e2e" -> pipelineE2eSql,
+    "pipeline_shards" -> pipelineShardsSql,
     "pipeline_lineage" -> pipelineLineageSql,
     "pipeline_mixture" -> pipelineMixtureSql,
     "dedup_clusters" -> dedupClustersSql,
