@@ -244,7 +244,22 @@ class PlanSpec extends AnyFunSuite {
       "ann_rp",
       // pipeline_dataset_card cross-joins a broadcast 1-ROW corpus
       // byte total into the |sources|-row card — the q_zorder shape
-      "pipeline_dataset_card")
+      "pipeline_dataset_card",
+      // ann_hamming broadcasts the bounded 20-query batch against the
+      // corpus on the non-equi self-exclusion predicate — the
+      // ann_bruteforce contract (queries ≪ corpus by API contract)
+      "ann_hamming",
+      // ann_hamming_rerank: the same broadcast bounded-query-batch
+      // shape for the hamming shortlist scan; the re-rank stays on
+      // the shortlist rows
+      "ann_hamming_rerank",
+      // text_collocations cross-joins a broadcast 1-ROW token/bigram
+      // totals aggregate into the bigram-type table — the q_zorder
+      // shape
+      "text_collocations",
+      // pipeline_shards cross-joins a broadcast 1-ROW corpus byte
+      // total into the ≤16-row shard manifest — the q_zorder shape
+      "pipeline_shards")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
