@@ -993,7 +993,13 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int) extends Bi
   * cos = (double) longDot(qv, cv) / (norm · cnorm), compared with
   * Double.compare (NaN greatest — Spark's double ordering), ties on
   * cos going to the SMALLEST cid (the max-struct (cos, -cid)
-  * convention); pinned kernel ≡ greatest-struct in ArrayExprsSpec.
+  * convention); pinned kernel ≡ greatest-struct in ArrayExprsSpec +
+  * PropertySpec random tables. ONE deliberate edge divergence: on a
+  * zero norm the Column formulation's Divide THROWS under ANSI SQL,
+  * while this kernel follows raw IEEE — the all-NaN scan keeps the
+  * lowest cid with sim_ppm 0 (PropertySpec pins it): a degenerate
+  * vector in a 100 TB ingest should land in SOME list deterministically,
+  * not abort the job.
   * `cids`/`cents`/`cnorms` are parallel arrays sorted by cid.
   */
 case class NearestCentroidPacked(

@@ -187,6 +187,89 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("contracted connectedComponents equals plain union-find on random graphs incl. adversarial shapes") {
+    // the r15 per-partition contraction must not change the fixpoint on
+    // ANY graph shape: random sparse, long paths (the pointer-jumping
+    // stressor), stars, and disconnected singleton-ish fragments
+    val rnd = new scala.util.Random(23)
+    def check(edges: Seq[(Long, Long)], label: String): Unit = {
+      val und = (edges ++ edges.map(_.swap)).distinct
+      val got = operators.Graph.connectedComponents(und.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      und.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      assert(got == want, s"$label: contraction fixpoint != union-find (n=${want.size})")
+    }
+    for (trial <- 1 to 3) {
+      val n = 25 + trial * 20
+      check((0 until n * 2).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct, s"random-$trial")
+    }
+    // one long path spanning many partitions: the O(log diameter) case
+    check((0L until 120L).map(i => (i, i + 1)), "path-120")
+    // a star (hub can't break min-rooting) + far-away disjoint pairs
+    check((1L to 40L).map(i => (0L, i)) ++ Seq((1000L, 1001L), (2000L, 2001L)), "star+fragments")
+  }
+
+  test("NearestCentroidPacked equals the greatest-struct argmax on random vectors and centroids") {
+    // random int vectors + random centroid tables (incl. a duplicated
+    // centroid under a larger cid and a zero centroid → ±Inf/NaN
+    // cosines): pack/decode must reproduce the struct-ordering argmax
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val dims = 8 + trial * 4
+      val k = 3 + trial * 2
+      val cents0 = (0 until k).map { i =>
+        val cv = Seq.fill(dims)((rnd.nextInt(2001) - 1000).toLong)
+        (i, cv, math.sqrt(cv.map(x => x.toDouble * x).sum))
+      }
+      // duplicate centroid 0 under the LARGEST cid (tie → smaller wins).
+      // Zero norms are EXCLUDED from the equality domain on purpose:
+      // under ANSI SQL the struct formulation's double division THROWS
+      // on a zero divisor, while the kernel degrades deterministically
+      // (NaN-greatest pick, sim_ppm 0) — pinned separately below.
+      val cents = cents0 :+ ((k, cents0.head._2, cents0.head._3))
+      val vecs = (0 until 150).map { i =>
+        (i.toLong, Seq.fill(dims)((rnd.nextInt(2001) - 1000).toLong))
+      }
+      val d = vecs.toDF("id", "qv")
+        .withColumn("norm", sqrt(graft.functions.ArrayExprs.longDot(col("qv"), col("qv")).cast("double")))
+      val viaKernel = d
+        .withColumn("p", graft.functions.ArrayExprs.nearestCentroidPacked(col("qv"), col("norm"), cents))
+        .select(col("id"), expr("p DIV 4000000").cast("int").as("cid"),
+          (expr("p % 4000000") - 2000000L).as("ppm"))
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      val scored = cents.map { case (cid, cv, cnorm) =>
+        struct(
+          (graft.functions.ArrayExprs.longDot(col("qv"), typedlit(cv)).cast("double") /
+            (col("norm") * lit(cnorm))).as("cos"),
+          lit(-cid.toLong).as("nid"))
+      }
+      val viaStructs = d
+        .withColumn("m", greatest(scored: _*))
+        .select(col("id"), (-col("m.nid")).cast("int").as("cid"),
+          floor(col("m.cos") * 1000000 + 0.5).cast("long").as("ppm"))
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      assert(viaKernel == viaStructs, s"trial $trial (dims=$dims, k=${cents.size})")
+    }
+    // zero-norm edge: the kernel must not throw (ANSI Divide would) and
+    // must be deterministic — the all-NaN scan keeps the FIRST (lowest
+    // cid) centroid and quantizes the undefined cosine to ppm 0
+    val zCents = Seq((0, Seq(1L, 2L), math.sqrt(5.0)), (1, Seq(3L, 4L), 5.0))
+    val z = Seq((0L, Seq(0L, 0L))).toDF("id", "qv")
+      .withColumn("norm", sqrt(graft.functions.ArrayExprs.longDot(col("qv"), col("qv")).cast("double")))
+      .withColumn("p", graft.functions.ArrayExprs.nearestCentroidPacked(col("qv"), col("norm"), zCents))
+      .select(expr("p DIV 4000000").cast("int"), (expr("p % 4000000") - 2000000L))
+      .collect().head
+    assert(z.getInt(0) == 0 && z.getLong(1) == 0L, s"zero-norm edge: $z")
+  }
+
   test("boruvkaMsf equals Kruskal on random graphs with duplicate weights") {
     // the per-component argmin + contraction rounds must land on the
     // exact forest Kruskal picks under the (w, u, v) total order —
