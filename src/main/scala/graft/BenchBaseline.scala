@@ -361,6 +361,7 @@ object BenchBaseline {
     "ann_hamming_rerank" -> 0.86,
     "text_collocations" -> 0.49,
     "pipeline_shards" -> 0.63,
+    "dedup_binary" -> 0.92,
     "ann_rp" -> 0.85,
     "pipeline_dataset_card" -> 0.71,
     // r10 batch — first honest sf0.1 cold-run numbers (zero-error,

@@ -2468,6 +2468,76 @@ object VectorOps {
       |FROM r WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** §2.3 #26z — embedding near-dup by BINARY code + pigeonhole
+    * blocking: pairs within Hamming ≤ 7 over the 29x sign code,
+    * candidates from 8 disjoint 8-bit bands (≤7 differing bits cannot
+    * touch all 8 bands, so every true pair shares an exact band — a
+    * LOSSLESS blocking; the join shuffles (band, value) keys, never
+    * the O(n²) pair space — the multimodal_phash_pairs discipline on
+    * the embedding domain). This is the no-training near-dup detector
+    * that closes the binary family: quantize (29x) → serve (29y/29z)
+    * → dedup, all from one 16-byte code, the cross-shard-coordination-
+    * free alternative to trained LSH for exact-threshold duplicates.
+    * Near-dups are PLANTED the lake_fsck way (vec_id ≡ 0 mod 5 gets a
+    * +100000-id copy with coordinate 0 negated — a ≤1-bit code flip,
+    * recomputed identically by both engines); the oracle replays the
+    * brute-force all-pairs Hamming scan, so the hash match proves the
+    * blocking lossless. Skew note: a pathological corpus could pile
+    * onto one band value (e.g. all-positive embeddings → band 0xFF);
+    * at production scale the band-bucket sizes are the `q_skew_report`
+    * audit's job and hot bands get the salting treatment.
+    */
+  def dedupBinary(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, -x, x))").as("embedding"))
+    val packed = base.unionAll(planted)
+      .select(col("vec_id"), bitsLo.as("lo"), bitsHi.as("hi"))
+    val bands = packed.select(
+      col("vec_id"), col("lo"), col("hi"),
+      explode(array((0 until 8).map { j =>
+        val w = if (j < 4) col("lo") else col("hi")
+        struct(lit(j).as("band_idx"), pmod(shiftright(w, (j % 4) * 8), lit(256L)).as("band_val"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("lo"), col("hi"),
+        col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    bands
+      .select(col("vec_id").as("vec_a"), col("lo").as("lo_a"), col("hi").as("hi_a"),
+        col("band_idx"), col("band_val"))
+      .join(
+        bands.select(col("vec_id").as("vec_b"), col("lo").as("lo_b"), col("hi").as("hi_b"),
+          col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 7)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupBinarySql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN -x ELSE x END)
+      |  FROM embeddings WHERE vec_id % 5 = 0
+      |), b AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)) AS BIGINT) AS hi
+      |  FROM corpus
+      |)
+      |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+      |  CAST(bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) AS BIGINT) AS hamming
+      |FROM b a JOIN b c ON a.vec_id < c.vec_id
+      |WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 7
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   // ------------------------------------------------------- radius search
 
   /** §2.4 #27b — exact cosine RADIUS search: every (query, corpus)
@@ -2644,6 +2714,7 @@ object VectorOps {
     "emb_bitpack" -> (embBitpack _),
     "ann_hamming" -> (annHamming(_: SparkSession, _: String)),
     "ann_hamming_rerank" -> (annHammingRerank(_: SparkSession, _: String)),
+    "dedup_binary" -> (dedupBinary _),
     "ann_range" -> (annRange(_: SparkSession, _: String)),
     "emb_rp" -> (embRp _),
     "ann_rp" -> (annRpPrefilter(_: SparkSession, _: String)),
@@ -2681,6 +2752,7 @@ object VectorOps {
     "emb_bitpack" -> embBitpackSql,
     "ann_hamming" -> annHammingSql,
     "ann_hamming_rerank" -> annHammingRerankSql,
+    "dedup_binary" -> dedupBinarySql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_outliers" -> embOutliersSql,
     "ann_classify" -> annClassifySql,
