@@ -57,6 +57,13 @@ object ArrayExprs {
   def planeSignBuckets(qv: Column, planes: Array[Array[Long]], bitsPerTable: Int): Column =
     ColumnBridge.column(PlaneSignBuckets(ColumnBridge.expression(qv), planes, bitsPerTable))
 
+  /** Sign-bit pack of a raw array<float> embedding into the two
+    * non-negative 32-bit words `[bits_lo, bits_hi]` (see
+    * [[SignBitsPack]]).
+    */
+  def signBitsPack(embedding: Column): Column =
+    ColumnBridge.column(SignBitsPack(ColumnBridge.expression(embedding)))
+
   /** Per-table MULTI-PROBE LSH buckets of a quantized array<long>
     * vector — the query-side companion of [[planeSignBuckets]] (see
     * [[PlaneSignProbes]]).
@@ -636,6 +643,58 @@ case class PlaneSignBuckets(child: Expression, planes: Array[Array[Long]], bitsP
        """.stripMargin
     })
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Sign-bit pack of a raw array<float> embedding into the two
+  * non-negative 32-bit words of the binary-quantization code:
+  * out = [bits_lo, bits_hi], bit j-1 of bits_lo set iff dim j
+  * (1-based, dims 1-32) is strictly positive as a double, dims 33-64
+  * in bits_hi (the axis-aligned special case of hyperplane-LSH sign
+  * codes — Charikar'02, public). Two halves because bit 63 of one
+  * int64 word is the sign bit and signed-shift semantics differ
+  * across engines; two ≤2^32 words reproduce bit-for-bit in DuckDB.
+  * Dims beyond 64 are ignored and missing/null dims contribute a 0
+  * bit — element-for-element the `aggregate(sequence(1,32), …)` HOF
+  * it replaces (interpreted, per-row lambda allocation on the
+  * EVERY-VECTOR pack path; ArrayExprsSpec pins kernel ≡ HOF).
+  */
+case class SignBitsPack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val qv = in.asInstanceOf[ArrayData]
+    val n = math.min(qv.numElements(), 64)
+    var lo = 0L
+    var hi = 0L
+    var i = 0
+    while (i < n) {
+      if (!qv.isNullAt(i) && qv.getFloat(i) > 0.0f) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(lo, hi))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, qv => {
+      // freshName'd locals — see WinnowFingerprints.doGenCode.
+      val n = ctx.freshName("n"); val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi"); val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($qv.numElements(), 64);
+         |long $lo = 0L;
+         |long $hi = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$qv.isNullAt($i) && $qv.getFloat($i) > 0.0f) {
+         |    if ($i < 32) $lo |= 1L << $i; else $hi |= 1L << ($i - 32);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[]{$lo, $hi});
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -507,8 +507,15 @@ object Pipeline {
     * or a pathological corpus before a 100 TB write.
     * One map-side hash + one ≤N-row aggregate; no data movement.
     */
-  def pipelineShards(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
-    val d = docs(spark, dir)
+  def pipelineShards(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame =
+    pipelineShardsOn(docs(spark, dir), nShards)
+
+  /** Core of [[pipelineShards]] over any (doc_id, text) frame —
+    * exposed so the degenerate-corpus guard (sub-nShards-bytes total)
+    * is pinnable with a planted frame (Round23OpsSpec).
+    */
+  def pipelineShardsOn(docsDf: DataFrame, nShards: Int): DataFrame = {
+    val d = docsDf
       .withColumn("shard",
         pmod(conv(substring(md5(concat_ws(":", lit("shard"), col("doc_id"))), 1, 8), 16, 10)
           .cast(LongType), lit(nShards.toLong)))
@@ -522,7 +529,10 @@ object Pipeline {
         sum(col("doc_id")).as("id_checksum"))
       .join(broadcast(total), lit(true))
       .withColumn("skew_ppm",
-        expr(s"n_bytes * 1000000 div (total_bytes div $nShards) - 1000000"))
+        // greatest(…, 1) guards the sub-nShards-bytes degenerate corpus
+        // (ideal per-shard mass rounds to 0 → div-by-zero null); on any
+        // real corpus total_bytes ≥ nShards so the guard is identity.
+        expr(s"n_bytes * 1000000 div greatest(total_bytes div $nShards, 1L) - 1000000"))
       .select(col("shard"), col("n_docs"), col("n_bytes"), col("n_tokens"),
         col("id_checksum"), col("skew_ppm"))
       .orderBy("shard")

@@ -467,6 +467,88 @@ object VectorOps {
   private val knnGraphDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val knnGraphLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** §2.4 #29aa — k-NN graph APPEND maintenance: fold a batch of
+    * arriving vectors into a standing NN-descent graph in O(batch)
+    * work, closing the one index family that had neither an append
+    * nor a delete leg (IVF has 29l/29p/48g). NN-descent is
+    * incremental by construction (Dong et al.'11 §2.3 — the local
+    * join only ever needs a node's CURRENT neighbor candidates):
+    *  1. SEED each arrival from its LSH buckets — the arrival-side
+    *     bucket set is batch-bounded and BROADCAST, so the corpus
+    *     bucket relation streams map-side and never shuffles;
+    *  2. EXPAND one hop through the STANDING graph's lists (a
+    *     bounded equi-join: |seeds|·k rows) — the standing index is
+    *     the accelerator, exactly how a deployed graph index absorbs
+    *     an ingest batch without an O(corpus) rebuild;
+    *  3. exact-score the candidates and take the arrivals' top-k;
+    *  4. REVERSE-UPDATE: every scored (arrival, base) candidate is
+    *     offered back to its base node, whose standing list is merged
+    *     and re-cut to k — only nodes in the delta's neighborhoods
+    *     are touched (batch-bounded), every other standing row passes
+    *     through untouched via a broadcast anti-join.
+    * Deletes compose as the broadcast-tombstone anti-join on the
+    * output lists (the [[annIvfLive]] merge-on-read shape) — no new
+    * operator needed. Engine-specific (LSH-seeded, iterative
+    * ancestry) → rows-only; Round23OpsSpec pins conservation (every
+    * live node keeps exactly k rows, no self-loops, ranks total) and
+    * MEASURED graph recall after append vs the O(corpus) fresh
+    * rebuild.
+    */
+  def knnGraphAppend(base: DataFrame, arrivals: DataFrame, graph: DataFrame, k: Int): DataFrame = {
+    val d = prep(base.unionAll(arrivals)).cache()
+    val withVecs = (cand: DataFrame) => cand
+      .join(d.select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na")), "query_id")
+      .join(d.select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+    val b = withQBuckets(d)
+    val arrB = b.join(arrivals.select(col("id")), Seq("id"))
+    val seeds = broadcast(arrB.select(col("id").as("query_id"), col("tbl"), col("bucket")))
+      .join(b.select(col("id").as("neighbor_id"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val g = graph.select(col("vec_id").as("g_src"), col("neighbor_id").as("g_dst"))
+    val hop = seeds.join(g, col("neighbor_id") === col("g_src"))
+      .select(col("query_id"), col("g_dst").as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    // scored once, consumed twice (arrival lists + reverse offers)
+    val scored = withVecs(seeds.unionAll(hop).distinct()).localCheckpoint()
+    val arrKnn = topK(scored, k)
+    val rev = scored
+      .select(col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"), col("cosine"))
+      .join(arrivals.select(col("id").as("query_id")), Seq("query_id"), "left_anti")
+    val touched = rev.select(col("query_id")).distinct()
+    val standing = graph.select(col("vec_id").as("query_id"), col("neighbor_id"), col("cosine"))
+    val updatedTouched = topK(
+      standing.join(broadcast(touched), Seq("query_id"), "left_semi")
+        .unionAll(rev)
+        .dropDuplicates("query_id", "neighbor_id"), k)
+    val untouched = graph
+      .join(broadcast(touched.select(col("query_id").as("vec_id"))), Seq("vec_id"), "left_anti")
+    val out = untouched
+      .unionAll(updatedTouched.select(col("query_id").as("vec_id"), col("rank"),
+        col("neighbor_id"), col("cosine")))
+      .unionAll(arrKnn.select(col("query_id").as("vec_id"), col("rank"),
+        col("neighbor_id"), col("cosine")))
+      .orderBy("vec_id", "rank")
+      .localCheckpoint()
+    d.unpersist()
+    out
+  }
+
+  /** named query: the [[annIncremental]] 90/10 split — standing 5-NN
+    * graph over the 90% base (3 descent rounds), the 10% arrival
+    * batch folded in by [[knnGraphAppend]]. The harness is stateless
+    * per query so the standing build runs inline; its cost is the
+    * build, the append's own work is O(batch).
+    */
+  def annGraphAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    val base = e.filter(col("id") % 10 =!= 0)
+    val fresh = e.filter(col("id") % 10 === 0)
+    knnGraphAppend(base, fresh, knnGraph(base, 5, 3), 5)
+  }
+
   /** named query: IVF seeds for the 20-query workload, 2-hop
     * expansion over the materialized 5-NN graph ([[knnGraphTable]] —
     * built once per session, so steady-state timing measures the true
@@ -1929,7 +2011,13 @@ object VectorOps {
       val nTruth = truth.count()
       val methods = Seq(
         "lsh" -> annLsh(spark, dir),
-        "ivf" -> annIvf(spark, dir),
+        // the ivf row audits the MATERIALIZED index read — exact
+        // result equality with inline annIvf under the same frozen
+        // quantizer is pinned by Round17OpsSpec, so the recall number
+        // is identical and the audit stops re-training/re-assigning
+        // the corpus it already indexed (ivfpq reads its own artifact
+        // the same way)
+        "ivf" -> annIvfIndexed(spark, dir),
         "pq" -> annPq(spark, dir),
         "ivfpq" -> annIvfPq(spark, dir),
       )
@@ -2293,13 +2381,17 @@ object VectorOps {
     * word is the int64 sign bit, and signed-overflow shift semantics
     * differ across engines — two ≤2^32 words are exact everywhere,
     * and the hamming arithmetic is the same two xor+popcounts.
+    * The pack is the codegen [[graft.functions.SignBitsPack]] kernel
+    * (the interpreted `aggregate(sequence(…))` HOF it replaces sat on
+    * the EVERY-VECTOR path of the whole binary family — the §4
+    * 100-400× interpreted-HOF class; kernel ≡ HOF pinned in
+    * ArrayExprsSpec). Both words come from ONE kernel evaluation —
+    * whole-stage codegen subexpression elimination folds the two
+    * element_at projections onto a single SignBitsPack call.
     */
-  private val bitsLo: Column = expr(
-    "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc + " +
-      "IF(CAST(element_at(embedding, i) AS DOUBLE) > 0.0, shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))")
-  private val bitsHi: Column = expr(
-    "aggregate(sequence(33, 64), CAST(0 AS BIGINT), (acc, i) -> acc + " +
-      "IF(CAST(element_at(embedding, i) AS DOUBLE) > 0.0, shiftleft(CAST(1 AS BIGINT), i - 33), CAST(0 AS BIGINT)))")
+  private val signPack: Column = graft.functions.ArrayExprs.signBitsPack(col("embedding"))
+  private val bitsLo: Column = element_at(signPack, 1)
+  private val bitsHi: Column = element_at(signPack, 2)
 
   /** §2.4 #29x — BINARY (1-bit sign) quantization: 64 float32 dims →
     * 64 bits, a 256× memory reduction, the quantization that makes a
@@ -2326,7 +2418,46 @@ object VectorOps {
       .withColumn("balance_ppm", expr("n_pos * 1000000 div 64"))
 
   def embBitpack(spark: SparkSession, dir: String): DataFrame =
-    bitpackOn(emb(spark, dir)).orderBy("vec_id")
+    bitpackTable(spark, dir)
+      .withColumn("n_pos", (bit_count(col("bits_lo")) + bit_count(col("bits_hi"))).cast(LongType))
+      .withColumn("balance_ppm", expr("n_pos * 1000000 div 64"))
+      .orderBy("vec_id")
+
+  /** The sign-bit code table as a MATERIALIZED serving artifact:
+    * (vec_id, bits_lo, bits_hi), 16 bytes of payload per vector,
+    * built once per (session, corpus) with the [[signPack]] codegen
+    * kernel and written to sha-keyed scratch parquet with the
+    * [[knnGraphTable]] build-then-atomic-rename discipline. This is
+    * what makes the binary family's serving story PHYSICAL: at 100 TB
+    * the Hamming first pass ([[annHamming]], [[annHammingRerank]]
+    * stage 1) scans THIS table — 256× less candidate I/O than the
+    * float corpus — and the raw embeddings are only ever read for
+    * shortlist rows. Round22OpsSpec pins that the serving plans scan
+    * the code table and not `embeddings.parquet`.
+    */
+  def bitpackTable(spark: SparkSession, dir: String): DataFrame = {
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    val path = s"${graft.sources.Ingest.scratchDir(spark)}/bitpack_$dirKey"
+    val lock = bitpackLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!bitpackDone.contains(path)) {
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        val dst = new org.apache.hadoop.fs.Path(path)
+        emb(spark, dir)
+          .select(col("vec_id"), bitsLo.as("bits_lo"), bitsHi.as("bits_hi"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"bitpackTable: rename $tmp -> $dst failed")
+        bitpackDone.add(path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+  private val bitpackDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val bitpackLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private val bitpackCteSql: String =
     """WITH b AS (
@@ -2360,8 +2491,11 @@ object VectorOps {
     * for the ANN family.
     */
   def annHamming(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val packed = emb(spark, dir)
-      .select(col("vec_id"), bitsLo.as("bits_lo"), bitsHi.as("bits_hi"))
+    // serving path: read the materialized 16-byte-per-vector code
+    // table ([[bitpackTable]]) — the raw float corpus is never
+    // scanned (Round22OpsSpec pins the plan reads bitpack_*, not
+    // embeddings.parquet)
+    val packed = bitpackTable(spark, dir)
     val q = packed.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("bits_lo").as("qlo"), col("bits_hi").as("qhi"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
@@ -2433,10 +2567,53 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
-  /** named query: first 20 vectors, k=5, 8·k shortlist. */
+  /** named query: first 20 vectors, k=5, 8·k shortlist — served from
+    * the MATERIALIZED code table, the physical 100 TB shape: stage 1
+    * scans [[bitpackTable]] (16 B/vector, never the floats); the
+    * bounded shortlist (≤ |queries|·factor·k = 800 rows by
+    * construction) is collected — the bounded-candidate-set collect
+    * class — and its ids drive a parquet IN-pushdown read of the
+    * float corpus, so only shortlist rows ever touch the embedding
+    * data. Results bit-identical to the inline
+    * [[annHammingRerank(data:*]] (same codes, same quantized cosine —
+    * Round22OpsSpec pins it); the SQL oracle replays both stages.
+    */
   def annHammingRerank(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding"))
-    annHammingRerank(e, e.filter(col("id") < 20), 5)
+    val k = 5
+    val shortlistFactor = 8
+    val codes = bitpackTable(spark, dir)
+    val q = codes.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("bits_lo").as("qlo"), col("bits_hi").as("qhi"))
+    val wHam = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
+    val shortlist = broadcast(q)
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("bits_lo"), col("bits_hi")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        (bit_count(expr("qlo ^ bits_lo")) + bit_count(expr("qhi ^ bits_hi"))).cast(LongType))
+      .withColumn("rn", row_number().over(wHam))
+      .filter(col("rn") <= shortlistFactor * k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val pairs = shortlist.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.toSeq
+    val floats = prep(emb(spark, dir)
+      .filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id").as("id"), col("embedding")))
+    val pairsDf = {
+      import spark.implicits._
+      pairs.toSeq.toDF("query_id", "neighbor_id", "hamming")
+    }
+    val wCos = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(pairsDf)
+      .join(floats.select(col("id").as("query_id"), col("qv").as("qa_qv"), col("norm").as("qa_norm")),
+        Seq("query_id"))
+      .join(floats.select(col("id").as("neighbor_id"), col("qv").as("qb_qv"), col("norm").as("qb_norm")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        pairCos(col("qa_qv"), col("qb_qv"), col("qa_norm"), col("qb_norm")).as("cosine"))
+      .withColumn("rank", row_number().over(wCos).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"), col("cosine"))
+      .orderBy("query_id", "rank")
   }
 
   val annHammingRerankSql: String =
@@ -2492,8 +2669,32 @@ object VectorOps {
     val planted = base.filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + 100000L).as("vec_id"),
         expr("transform(embedding, (x, i) -> IF(i = 0, -x, x))").as("embedding"))
-    val packed = base.unionAll(planted)
-      .select(col("vec_id"), bitsLo.as("lo"), bitsHi.as("hi"))
+    // base codes come from the materialized 16 B/vector artifact
+    // ([[bitpackTable]]); only the synthetic planted rows pack inline
+    val packed = bitpackTable(spark, dir)
+      .select(col("vec_id"), col("bits_lo").as("lo"), col("bits_hi").as("hi"))
+      .unionAll(planted.select(col("vec_id"), bitsLo.as("lo"), bitsHi.as("hi")))
+    binaryNearDupPairs(packed).orderBy("vec_a", "vec_b")
+  }
+
+  /** Core of [[dedupBinary]] over an already-packed (vec_id, lo, hi)
+    * code frame, with HOT-BAND skew routing: only 8·256 = 2048
+    * distinct (band, value) keys EXIST, so at corpus scale every key
+    * is hot by pigeonhole and a pathological corpus (all-positive
+    * embeddings → every row in band 0xFF) piles onto ONE reducer no
+    * matter how many partitions exist. The band histogram is
+    * metadata-sized (≤2048 rows — a bounded collect); keys above
+    * `hotThreshold` rows take [[Skew.saltedJoin]] (a-side salted,
+    * b-side replicated `salts`×, pairs exactly once per (key, salt)),
+    * cold keys take the plain equi-join, and the union is
+    * row-identical to the unsplit join (Round23OpsSpec plants a
+    * hot band and pins pair equality against brute force). The
+    * hamming filter runs BEFORE the distinct so the dedup shuffle
+    * carries only true near-dups, never the band-collision candidate
+    * space (candidates ≫ matches by construction).
+    */
+  def binaryNearDupPairs(packed: DataFrame, maxHamming: Int = 7,
+      hotThreshold: Long = 65536L, salts: Int = 8): DataFrame = {
     val bands = packed.select(
       col("vec_id"), col("lo"), col("hi"),
       explode(array((0 until 8).map { j =>
@@ -2501,20 +2702,31 @@ object VectorOps {
         struct(lit(j).as("band_idx"), pmod(shiftright(w, (j % 4) * 8), lit(256L)).as("band_val"))
       }: _*)).as("b"))
       .select(col("vec_id"), col("lo"), col("hi"),
-        col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-    bands
-      .select(col("vec_id").as("vec_a"), col("lo").as("lo_a"), col("hi").as("hi_a"),
-        col("band_idx"), col("band_val"))
-      .join(
-        bands.select(col("vec_id").as("vec_b"), col("lo").as("lo_b"), col("hi").as("hi_b"),
-          col("band_idx"), col("band_val")),
-        Seq("band_idx", "band_val"))
+        (col("b.band_idx") * 256L + col("b.band_val")).as("band_key"))
+    val aSide = bands.select(col("vec_id").as("vec_a"), col("lo").as("lo_a"),
+      col("hi").as("hi_a"), col("band_key"))
+    val bSide = bands.select(col("vec_id").as("vec_b"), col("lo").as("lo_b"),
+      col("hi").as("hi_b"), col("band_key"))
+    val hotKeys = bands.groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotThreshold)
+      .collect().map(_.getLong(0)).toSet
+    val joined =
+      if (hotKeys.isEmpty) aSide.join(bSide, Seq("band_key"))
+      else {
+        val hk = hotKeys.toSeq
+        aSide.filter(!col("band_key").isInCollection(hk))
+          .join(bSide.filter(!col("band_key").isInCollection(hk)), Seq("band_key"))
+          .unionAll(Skew.saltedJoin(
+            aSide.filter(col("band_key").isInCollection(hk)),
+            bSide.filter(col("band_key").isInCollection(hk)),
+            "band_key", salts))
+      }
+    joined
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
-      .filter(col("hamming") <= 7)
-      .orderBy("vec_a", "vec_b")
   }
 
   val dedupBinarySql: String =
@@ -2738,6 +2950,7 @@ object VectorOps {
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "ann_lsh" -> (annLsh(_: SparkSession, _: String)),
     "ann_knn_graph" -> (annKnnGraph _),
+    "ann_graph_append" -> (annGraphAppend _),
     "sample_diversity" -> (sampleDiversity _),
     "ann_graph_expand" -> (annGraphExpand _),
     "ann_ivf" -> (annIvf(_: SparkSession, _: String)),

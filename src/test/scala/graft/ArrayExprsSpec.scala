@@ -27,6 +27,24 @@ class ArrayExprsSpec extends AnyFunSuite {
     assert(both.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("SignBitsPack equals the aggregate(sequence(...)) HOF formulation on real embeddings") {
+    // the kernel replaced the interpreted per-row aggregate lambdas on
+    // the every-vector pack path of the whole binary family (r15
+    // verdict item 1); the four binary oracles' hash parity depends on
+    // this equivalence
+    val hofLo = expr("aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      "IF(CAST(element_at(embedding, i) AS DOUBLE) > 0.0, shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))")
+    val hofHi = expr("aggregate(sequence(33, 64), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      "IF(CAST(element_at(embedding, i) AS DOUBLE) > 0.0, shiftleft(CAST(1 AS BIGINT), i - 33), CAST(0 AS BIGINT)))")
+    val d = GraftSession.table(spark, sf, "embeddings")
+      .select(ArrayExprs.signBitsPack(col("embedding")).as("pack"),
+        hofLo.as("slow_lo"), hofHi.as("slow_hi"))
+    assert(d.filter(element_at(col("pack"), 1) =!= col("slow_lo") ||
+      element_at(col("pack"), 2) =!= col("slow_hi")).count() == 0)
+    assert(d.filter(element_at(col("pack"), 1) < 0 || element_at(col("pack"), 2) < 0).count() == 0,
+      "half-words must never touch the int64 sign bit")
+  }
+
   test("PlaneSignProbes: probe 0 is the exact bucket, flips follow the margin order") {
     val planes: Array[Array[Long]] = {
       val rnd = new scala.util.Random(11)

@@ -146,7 +146,7 @@ class PlanSpec extends AnyFunSuite {
     // count) are the same bounded 1-row-broadcast shape.
     // text_rrf fuses two top-100 rankings; the BM25 side carries
     // text_bm25's 1-row global-stats cross join.
-    val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "ann_pq", "dedup_semantic",
+    val boundedBroadcast = Set("ann_bruteforce", "ann_ivf", "ann_pq",
       "text_tfidf", "text_bm25", "text_surprisal", "q_zorder", "q_histogram",
       "sample_negatives", "q22_idle", "ann_classify", "text_pmi", "text_heavy_hitters",
       "q_skew_report", "q_abtest", "q_rolling_dau", "text_rrf", "q_decay", "q_benford",
@@ -162,9 +162,6 @@ class PlanSpec extends AnyFunSuite {
       // q_seqmine cross-joins a broadcast 1-ROW distinct-user count
       // into the ≤|event_types|² pattern table — the q_benford shape
       "q_seqmine",
-      // ann_incremental assigns both sides against the broadcast
-      // 16-centroid table — the ann_ivf quantizer shape
-      "ann_incremental",
       // ann_delete assigns the corpus against the broadcast
       // 16-centroid table (ann_ivf quantizer shape); the tombstone
       // join is a broadcast equi-join, not part of the BNLJ
@@ -249,10 +246,10 @@ class PlanSpec extends AnyFunSuite {
       // corpus on the non-equi self-exclusion predicate — the
       // ann_bruteforce contract (queries ≪ corpus by API contract)
       "ann_hamming",
-      // ann_hamming_rerank: the same broadcast bounded-query-batch
-      // shape for the hamming shortlist scan; the re-rank stays on
-      // the shortlist rows
-      "ann_hamming_rerank",
+      // (ann_hamming_rerank's hamming-shortlist BNLJ runs at
+      // CONSTRUCTION time against the materialized code table; its
+      // FINAL plan is the bounded-pair equi-join re-rank — no BNLJ,
+      // so it is deliberately NOT whitelisted)
       // text_collocations cross-joins a broadcast 1-ROW token/bigram
       // totals aggregate into the bigram-type table — the q_zorder
       // shape
@@ -260,15 +257,24 @@ class PlanSpec extends AnyFunSuite {
       // pipeline_shards cross-joins a broadcast 1-ROW corpus byte
       // total into the ≤16-row shard manifest — the q_zorder shape
       "pipeline_shards")
+    // Two-sided: a whitelisted query whose plan no longer contains a
+    // BNLJ is ALSO a failure — a stale entry would silently mask a
+    // future unbounded BNLJ reappearing in that query (r15 verdict:
+    // dedup_semantic/ann_incremental rotted exactly this way after
+    // their kernel rewrites removed the quantizer BNLJ).
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val hasBnlj = plan.contains("BroadcastNestedLoopJoin")
       val cartesian = if (plan.contains("CartesianProduct")) Seq(s"$name plans a cartesian product") else Nil
       val bnlj =
-        if (!boundedBroadcast(name) && plan.contains("BroadcastNestedLoopJoin"))
-          Seq(s"$name plans an unbounded BNLJ")
+        if (!boundedBroadcast(name) && hasBnlj) Seq(s"$name plans an unbounded BNLJ")
+        else if (boundedBroadcast(name) && !hasBnlj)
+          Seq(s"$name is BNLJ-whitelisted but plans no BNLJ — prune the stale entry")
         else Nil
       cartesian ++ bnlj
     }
+    val unknown = boundedBroadcast -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"BNLJ whitelist names unknown queries: $unknown")
     assert(failures.isEmpty, failures.mkString("; "))
   }
 

@@ -154,6 +154,33 @@ class Round22OpsSpec extends AnyFunSuite {
     assert(recallPpm >= 500000L, s"recall collapsed: $recallPpm ppm")
   }
 
+  test("binary serving path scans the materialized code table, never the full float corpus") {
+    // the 100 TB claim made physical (r16): stage 1 of the serving
+    // family reads bitpackTable's 16 B/vector parquet, not the raw
+    // embeddings; the rerank touches floats only through the
+    // shortlist-id IN-pushdown
+    val ham = operators.VectorOps.queries("ann_hamming")(spark, sf)
+    val hamPlan = ham.queryExecution.executedPlan.toString
+    assert(hamPlan.contains("bitpack_"), "ann_hamming must read the bitpackTable artifact")
+    assert(!hamPlan.contains("embeddings.parquet"),
+      "ann_hamming's plan must not scan the float corpus")
+    val rr = operators.VectorOps.queries("ann_hamming_rerank")(spark, sf)
+    val rrPlan = rr.queryExecution.executedPlan.toString
+    assert(rrPlan.contains("In(vec_id"),
+      "rerank's float read must carry the shortlist-id pushdown filter")
+  }
+
+  test("ann_hamming_rerank: materialized-artifact serving path equals the inline two-stage plan") {
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val inline = operators.VectorOps.annHammingRerank(e, e.filter(col("id") < 20), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val named = operators.VectorOps.queries("ann_hamming_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(named.toSeq == inline.toSeq,
+      "code-table serving path must be bit-identical to the inline two-stage plan")
+  }
+
   // ------------------------------------------------ collocation mining
 
   test("text_collocations: top-100 PMI lift replays in plain Scala with the exact double formula") {

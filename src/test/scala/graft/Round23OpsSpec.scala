@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{Pipeline, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 pins: k-NN graph append maintenance (§2.4 #29aa),
+  * hot-band skew routing in the binary near-dup join, and the
+  * pipelineShards degenerate-corpus division guard.
+  */
+class Round23OpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val K = 5
+
+  /** brute-force true K-NN over the full corpus (quantized cosine,
+    * (cos DESC, id ASC) order) — the truth both graphs are scored
+    * against.
+    */
+  private lazy val truth: Map[Long, Seq[Long]] = {
+    val vs = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 10000 + 0.5).cast("long")).as("qv"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray)
+    val norms = vs.map { case (id, q) => id -> math.sqrt(q.map(x => x.toDouble * x).sum) }.toMap
+    vs.map { case (a, qa) =>
+      val top = vs.filter(_._1 != a).map { case (b, qb) =>
+        var dot = 0L; var i = 0
+        while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
+        (b, dot.toDouble / (norms(a) * norms(b)))
+      }.sortBy { case (b, c) => (-c, b) }.take(K).map(_._1)
+      a -> top.toSeq
+    }.toMap
+  }
+
+  private def recallOf(graph: Array[(Long, Long)]): Double = {
+    val byNode = graph.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = truth.toSeq.map { case (v, want) =>
+      byNode.getOrElse(v, Set.empty).intersect(want.toSet).size
+    }.sum
+    hits.toDouble / (truth.size * K)
+  }
+
+  test("ann_graph_append: conservation — every live node keeps exactly K ranked self-free rows") {
+    val rows = VectorOps.queries("ann_graph_append")(spark, sf).collect()
+    val universe = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id")).as[Long].collect().toSet
+    val byNode = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(byNode.keySet == universe, "every vector (base AND arrival) must own a neighbor list")
+    byNode.foreach { case (v, rs) =>
+      assert(rs.length == K, s"node $v has ${rs.length} rows")
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to K.toLong), s"node $v ranks not total")
+      val ns = rs.map(_.getAs[Long]("neighbor_id")).toSet
+      assert(ns.size == K && !ns.contains(v), s"node $v neighbors not distinct/self-free")
+      assert(ns.subsetOf(universe), s"node $v references a non-existent neighbor")
+    }
+  }
+
+  test("ann_graph_append: recall after append holds against the O(corpus) fresh rebuild") {
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val fresh = VectorOps.knnGraph(e, K, 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+    val appended = VectorOps.queries("ann_graph_append")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+    val freshRecall = recallOf(fresh)
+    val appendRecall = recallOf(appended)
+    info(f"graph recall: fresh rebuild $freshRecall%.4f, append path $appendRecall%.4f")
+    // measured on the named corpus: fresh 0.9020, append 0.9208 — the
+    // append path's LSH-seed + standing-graph expansion gives arrivals
+    // a RICHER candidate set than one descent round's local join, so
+    // recall-after-append ≥ build-recall holds outright (deterministic
+    // corpus + deterministic algorithm)
+    assert(appendRecall >= freshRecall,
+      f"append degraded graph quality: $appendRecall%.4f vs fresh $freshRecall%.4f")
+  }
+
+  test("binaryNearDupPairs: planted hot band through the salted route equals brute force") {
+    // 60 codes ALL sharing band 0 (lowest byte of lo = 0xAB): ids 0-9
+    // are 1-bit perturbations of one code (a dense true-pair cluster),
+    // 10-59 differ in high bits far beyond the threshold
+    val baseLo = 0xABL | (0x5A5A5A00L << 8)
+    val baseHi = 0x0123456789L
+    val rows =
+      (0L until 10L).map(i => (i, baseLo ^ (if (i == 0) 0L else 1L << (10 + i)), baseHi)) ++
+        (10L until 60L).map(i => (i, 0xABL | (i * 0x9E3779B9L & 0x7FFFFFFF00L), i * 0xDEADBEEFL & 0x7FFFFFFFFFL))
+    val packed = rows.toDF("vec_id", "lo", "hi")
+    def brute(maxH: Int): Set[(Long, Long)] =
+      (for {
+        (a, la, ha) <- rows; (b, lb, hb) <- rows if a < b
+        h = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+        if h <= maxH
+      } yield (a, b)).toSet
+    val want = brute(7)
+    assert(want.size >= 40, s"test corpus must contain a dense true-pair cluster, got ${want.size}")
+    // hot route: threshold 10 makes the shared band hot (60 rows > 10)
+    val salted = VectorOps.binaryNearDupPairs(packed, maxHamming = 7, hotThreshold = 10L, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cold route: threshold above any band population
+    val plain = VectorOps.binaryNearDupPairs(packed, maxHamming = 7, hotThreshold = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == want, "salted hot-band route must emit exactly the brute-force pair set")
+    assert(plain == want, "plain route must emit exactly the brute-force pair set")
+  }
+
+  test("pipelineShardsOn: sub-nShards-bytes corpus keeps skew_ppm non-null (division guard)") {
+    // 3 docs, 9 total bytes < 16 shards → ideal per-shard mass rounds
+    // to 0; ungarded this nulls every skew_ppm (r15 ADVICE item)
+    val tiny = Seq((1L, "abc"), (2L, "de"), (3L, "fghi")).toDF("doc_id", "text")
+    val out = Pipeline.pipelineShardsOn(tiny, 16).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("skew_ppm")),
+        s"skew_ppm null on degenerate corpus for shard ${r.getAs[Long]("shard")}")
+    }
+  }
+}
