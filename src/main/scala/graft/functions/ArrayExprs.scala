@@ -1076,9 +1076,15 @@ case class NearestCentroidPacked(
     var c = 0
     while (c < cents.length) {
       val cv = cents(c)
+      // a query/centroid dimensionality mismatch is a WIRING bug —
+      // fail loudly rather than return a plausible-looking assignment
+      // from a silently truncated dot product (r15 ADVICE)
+      if (dims != cv.length)
+        throw new IllegalArgumentException(
+          s"NearestCentroidPacked: vector has $dims dims, centroid ${cids(c)} has ${cv.length}")
       var dot = 0L
       var j = 0
-      val n = math.min(dims, cv.length)
+      val n = dims
       while (j < n) { dot += qv.getLong(j) * cv(j); j += 1 }
       val cos = dot.toDouble / (norm * cnorms(c))
       // Double.compare: NaN sorts greatest (Spark's double ordering);

@@ -210,9 +210,16 @@ object AvroBridge {
 
     // pathGlobFilter instead of a glob IN the path: the literal-path
     // form makes FileStreamSink.hasMetadata log its expected
-    // FileNotFoundException as a full WARN stack trace on first read
-    val files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro")
-      .load(path).select(col("content"))
+    // FileNotFoundException as a full WARN stack trace on first read.
+    // Guarded: if the dir ever carries a _spark_metadata sink log,
+    // load(dir) would silently restrict to sink-committed files — fall
+    // back to the glob-in-path form there (Ingest.binaryFiles doc)
+    val files =
+      (if (graft.sources.Ingest.hasStreamSinkLog(spark, path))
+        spark.read.format("binaryFile").load(s"$path/*.avro")
+      else
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path))
+      .select(col("content"))
     files.mapPartitions { it =>
       val schema = new Schema.Parser().parse(avroJson)
       val target = toStructType(schema)

@@ -30,14 +30,30 @@ object Ingest {
     * real failures in CI logs. Splitting the glob into pathGlobFilter
     * keeps the load path a real directory, so the probe succeeds
     * silently; same files, same distributed scan.
+    *
+    * Latent constraint (same for AvroBridge.readAvro): load(dir) +
+    * pathGlobFilter HONORS a `_spark_metadata` FileStreamSink log if
+    * one ever exists under `dir` — the scan would silently restrict
+    * to sink-committed files, where the old glob-in-path form bypassed
+    * the probe entirely. No graft writer produces streaming-sink
+    * directories, so we guard by detection: fall back to the
+    * glob-in-path form (and its one-time WARN noise) rather than
+    * silently dropping files.
     */
   private[graft] def binaryFiles(spark: SparkSession, glob: String): DataFrame = {
     val slash = glob.lastIndexOf('/')
     val (dir, last) =
       if (slash < 0) (".", glob) else (glob.substring(0, slash), glob.substring(slash + 1))
-    if (last.exists("*?[{".contains(_)))
+    if (last.exists("*?[{".contains(_)) && !hasStreamSinkLog(spark, dir))
       spark.read.format("binaryFile").option("pathGlobFilter", last).load(dir)
     else spark.read.format("binaryFile").load(glob)
+  }
+
+  /** True iff `dir/_spark_metadata` exists — see [[binaryFiles]]. */
+  private[graft] def hasStreamSinkLog(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_spark_metadata")
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    catch { case _: Exception => false }
   }
 
   /** Extension-dispatched structured read (parquet/csv/json) with the

@@ -200,10 +200,16 @@ object ScaleProbe {
       if (!artifact.exists()) Seq.empty
       else {
         val txt = scala.io.Source.fromFile(artifact).mkString
-        // flat objects only ([^{}]): the `"queries":{` wrapper cannot
-        // match, so it can't swallow the first real entry
-        """"([A-Za-z0-9_]+)":(\{[^{}]*\})""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2)).toSeq
+        // entries measured under a DIFFERENT factor (or a pre-factor
+        // vintage) must not be re-presented under this run's wrapper
+        // as if produced by its configuration — drop them (r15 ADVICE)
+        val oldFactor = """"factor":([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+        if (!oldFactor.contains(Factor.toDouble)) Seq.empty
+        else
+          // flat objects only ([^{}]): the `"queries":{` wrapper cannot
+          // match, so it can't swallow the first real entry
+          """"([A-Za-z0-9_]+)":(\{[^{}]*\})""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2)).toSeq
       }
     val fresh = rows.map { case (n, a, b, r) =>
       n -> s"""{"sf01_sec":${num(a)},"sf${SfLabel}_sec":${num(b)},"ratio":${num(r)}}"""
