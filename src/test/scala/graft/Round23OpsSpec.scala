@@ -77,6 +77,28 @@ class Round23OpsSpec extends AnyFunSuite {
       f"append degraded graph quality: $appendRecall%.4f vs fresh $freshRecall%.4f")
   }
 
+  test("graph-index deletes compose as the broadcast-tombstone anti-join (no corpse surfaces)") {
+    // the delete leg the 29aa doc promises: tombstone the graph rows
+    // on BOTH ends (dead node's list, dead neighbor references) and
+    // query through graphExpand — no tombstoned id may surface
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val tomb = e.select(col("id")).filter(col("id") % 7 === 3)
+    val tombIds = tomb.as[Long].collect().toSet
+    val graph = VectorOps.queries("ann_graph_append")(spark, sf)
+      .join(broadcast(tomb.select(col("id").as("vec_id"))), Seq("vec_id"), "left_anti")
+      .join(broadcast(tomb.select(col("id").as("neighbor_id"))), Seq("neighbor_id"), "left_anti")
+    val live = e.join(broadcast(tomb), Seq("id"), "left_anti")
+    val queries = live.filter(col("id") < 30)
+    val seeds = VectorOps.annBruteforce(live, queries, 5)
+    val got = VectorOps.graphExpand(live, queries, 5, seeds, graph).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(!tombIds.contains(r.getAs[Long]("neighbor_id")),
+        s"tombstoned neighbor ${r.getAs[Long]("neighbor_id")} surfaced")
+    }
+  }
+
   test("binaryNearDupPairs: planted hot band through the salted route equals brute force") {
     // 60 codes ALL sharing band 0 (lowest byte of lo = 0xAB): ids 0-9
     // are 1-bit perturbations of one code (a dense true-pair cluster),
