@@ -1005,6 +1005,40 @@ object EventsStream {
       }
   }
 
+  /** §2.7 #48i — streaming k-NN graph ingest: the graph-index twin of
+    * 48g's IVF maintenance, closing the index-maintenance symmetry
+    * (every index family now has batch build + batch append + a
+    * streaming leg). Each micro-batch of arriving vectors is folded
+    * into the STANDING NN-descent graph by the batch
+    * [[graft.operators.VectorOps.knnGraphAppend]] — O(batch) work per
+    * trigger: broadcast LSH seeds, one-hop standing-graph expansion,
+    * reverse offers to only the delta's neighborhoods. State is the
+    * evolving (corpus, graph) pair; at production scale both live as
+    * the sha-keyed `knnGraphTable` artifact (write-tmp → atomic
+    * promote per trigger — the [[overlapMatrixMonitor]] store
+    * discipline); at harness scale they ride localCheckpointed plans.
+    * Every trigger republishes the full updated graph. Stream ≡ batch
+    * by CONSTRUCTION: the monitor applies the batch operator per
+    * trigger, so an N-split ingest equals the N-fold sequential batch
+    * application bit-for-bit (StreamingSpec pins it, plus per-trigger
+    * conservation).
+    */
+  def graphIngestMonitor(vecs: DataFrame, base: DataFrame, baseGraph: DataFrame, k: Int = 5)(
+      publish: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.VectorOps
+    @volatile var corpus = base.localCheckpoint()
+    @volatile var graph = baseGraph.localCheckpoint()
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arrivals = batch.select(col("id"), col("embedding")).localCheckpoint()
+        if (arrivals.count() > 0) {
+          graph = VectorOps.knnGraphAppend(corpus, arrivals, graph, k)
+          corpus = corpus.unionAll(arrivals).localCheckpoint()
+        }
+        publish(batchId, graph)
+      }
+  }
+
   private[graft] def promoteStore(
       fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,

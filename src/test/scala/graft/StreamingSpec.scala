@@ -545,6 +545,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming k-NN graph ingest equals the sequential batch append fold") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val input = stream.toDF().toDF("id", "embedding")
+
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val base = e.filter(col("id") % 10 =!= 0)
+    val g0 = operators.VectorOps.knnGraph(base, 5, 3)
+
+    @volatile var latest: Seq[(Long, Long, Long)] = Seq.empty
+    @volatile var publishes = 0
+    val q = streaming.EventsStream.graphIngestMonitor(input, base, g0) { (_, g) =>
+      latest = g.collect().toSeq
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+      publishes += 1
+    }.start()
+    try {
+      val fresh = e.filter(col("id") % 10 === 0).as[(Long, Seq[Float])].collect().toSeq
+      // arrival ids are all ≡0 mod 10, so slice on id/10 parity
+      val slices = fresh.groupBy(t => (t._1 / 10) % 2).toSeq.sortBy(_._1).map(_._2)
+      assert(slices.size == 2)
+      var expectedCorpus = base
+      var expectedGraph = g0
+      slices.foreach { s =>
+        stream.addData(s); q.processAllAvailable()
+        val arrivals = s.toDF("id", "embedding")
+        expectedGraph = operators.VectorOps.knnGraphAppend(expectedCorpus, arrivals, expectedGraph, 5)
+        expectedCorpus = expectedCorpus.unionAll(arrivals).localCheckpoint()
+        val want = expectedGraph.collect().toSeq
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+        assert(latest.sorted == want.sorted,
+          "streamed graph diverges from the sequential batch append at this trigger")
+      }
+      // conservation at convergence: every vector owns exactly 5 rows
+      val byNode = latest.groupBy(_._1)
+      assert(byNode.keySet == e.select(col("id")).as[Long].collect().toSet)
+      byNode.values.foreach(rs => assert(rs.length == 5))
+      assert(publishes >= 2)
+    } finally q.stop()
+  }
+
   test("streaming adaptive quality gate equals batch text_adaptive_filter (frozen thresholds)") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, String, String)]
