@@ -149,6 +149,41 @@ object VectorOps {
   private val qplanes: Seq[Seq[Array[Long]]] =
     planes.map(_.map(_.map(x => math.floor(x * 10000 + 0.5).toLong)))
 
+  /** Corpus-size-adaptive bucket width for the ROWS-ONLY seed/graph
+    * family: bitsPerTable = max(4, ceil(log2(n/64))), so bucket
+    * population stays ≈64 and the per-bucket seed self-join stays
+    * LINEAR in corpus size. The fixed 4-bit tables (128 standing
+    * buckets) make bucket population n/128 and the seed pair space
+    * n²/128 — measured 6.1× per 10× on the sf1 graph-build probe, a
+    * genuine 100 TB scale defect. The ORACLED LSH queries
+    * (dedup_embedding, ann_lsh) keep the fixed 4-bit planes their
+    * DuckDB twins replay; at n ≤ 1024 this returns 4, reproducing the
+    * fixed planes draw-for-draw (same seed, same order), so
+    * small-corpus results are bit-identical.
+    */
+  private def adaptiveBits(n: Long): Int =
+    math.max(BitsPerTable,
+      math.ceil(math.log(math.max(1L, n / 64).toDouble) / math.log(2.0)).toInt)
+
+  /** Quantized plane tensor for `bits` bits/table, same seed-7 draw
+    * discipline as [[qplanes]] (tables outer, bits inner), cached per
+    * width.
+    */
+  private val adaptivePlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Long]]]()
+  private def qplanesFor(bits: Int): Array[Array[Long]] =
+    adaptivePlaneCache.computeIfAbsent(bits, { b =>
+      val rnd = new scala.util.Random(7)
+      Seq.fill(NumTables)(Seq.fill(b)(Array.fill(64)(rnd.nextGaussian())))
+        .flatten.map(_.map(x => math.floor(x * 10000 + 0.5).toLong)).toArray
+    })
+
+  /** [[withQBuckets]] at an adaptive bucket width. */
+  private def withQBucketsN(d: DataFrame, bits: Int): DataFrame =
+    d.select(col("id"), col("qv"), col("norm"),
+      posexplode(graft.functions.ArrayExprs.planeSignBuckets(
+        col("qv"), qplanesFor(bits), bits)).as(Seq("tbl", "bucket")))
+
   /** all-table bucket ids of quantized vector `qv` — one compact
     * kernel call ([[graft.functions.PlaneSignBuckets]]): the unrolled
     * per-(table, bit) sign-test columns inlined 2048 plane literals
@@ -347,8 +382,10 @@ object VectorOps {
       .join(d.select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
-    // seed: exact top-k within LSH buckets (the annLsh candidate shape)
-    val b = withQBuckets(d)
+    // seed: exact top-k within LSH buckets (the annLsh candidate
+    // shape) at the corpus-adaptive width — bucket population ≈64, so
+    // this self-join stays linear in n (see [[adaptiveBits]])
+    val b = withQBucketsN(d, adaptiveBits(d.count()))
     val seedScored = b.select(col("id").as("query_id"), col("qv").as("qa"), col("norm").as("na"), col("tbl"), col("bucket"))
       .join(b.select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
@@ -501,7 +538,7 @@ object VectorOps {
       .join(d.select(col("id").as("neighbor_id"), col("qv").as("qb"), col("norm").as("nb")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         pairCos(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
-    val b = withQBuckets(d)
+    val b = withQBucketsN(d, adaptiveBits(d.count()))
     val arrB = b.join(arrivals.select(col("id")), Seq("id"))
     val seeds = broadcast(arrB.select(col("id").as("query_id"), col("tbl"), col("bucket")))
       .join(b.select(col("id").as("neighbor_id"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
