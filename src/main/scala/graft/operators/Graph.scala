@@ -774,13 +774,22 @@ object Graph {
           expr("(sum_2b div 77351) * 100000 + ((sum_2b % 77351) * 100000) div 77351")
             .as("est_reach"))
     var out = summarize(0, reg)
+    // systolic delta propagation — the [[neighborhoodFunctionK]]
+    // optimization at k=1: OR-accumulation is monotone, so only
+    // registers that CHANGED last round can contribute new bits;
+    // lossless, the SQL oracle's dense replay produces identical
+    // registers
+    var changed = reg
     for (t <- 1 to rounds) {
-      val nbr = e.join(reg, col("node_id") === col("dst"))
+      val nbr = e.join(changed, col("node_id") === col("dst"))
         .groupBy(col("src")).agg(expr("bit_or(reg)").as("o"))
         .select(col("src").as("node_id"), col("o"))
-      reg = reg.join(nbr, Seq("node_id"), "left")
-        .select(col("node_id"), expr("reg | coalesce(o, CAST(0 AS BIGINT))").as("reg"))
+      val merged = reg.join(nbr, Seq("node_id"), "left")
+        .select(col("node_id"), expr("reg | coalesce(o, CAST(0 AS BIGINT))").as("reg"),
+          expr("(coalesce(o, CAST(0 AS BIGINT)) & ~reg) != 0").as("chg"))
         .transform(cut)
+      reg = merged.drop("chg")
+      changed = merged.filter(col("chg")).drop("chg")
       out = out.unionAll(summarize(t, reg))
     }
     out.orderBy("t")
