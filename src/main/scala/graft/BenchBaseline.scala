@@ -176,13 +176,13 @@ object BenchBaseline {
     "text_adaptive_filter" -> 0.82,
     "sample_curriculum" -> 0.75,
     "q_join_card" -> 0.27,
-    "q_neighborhood" -> 3.91,
+    "q_neighborhood" -> 2.97,
     // r10 additions: first honest idle-box cold sf0.1 measurements
     // (235-query zero-regression zero-error run, total 207.0 s)
     "q_ltv" -> 0.57,
     "q_join_card2" -> 0.59,
     "lake_preflight" -> 0.29,
-    "q_neighborhood_k" -> 7.18,
+    "q_neighborhood_k" -> 5.76,
     "q_gini" -> 0.66,
     "q_acf" -> 0.52,
     // re-frozen r12: 1.52 / 1.37 idle-box (three targeted runs:
@@ -328,7 +328,7 @@ object BenchBaseline {
     // joined lsh/ivf/pq in r12 — so the op's work changed, not its
     // plan quality. The pre-multi-probe 3.02 tripwire convention ends
     // here: the floor tracks the current 4-index sweep.
-    "ann_recall" -> 5.62,
+    "ann_recall" -> 5.56,
     // r13 additions — first honest sf0.1 cold measurements
     // (tools/bench_only.sh, three readings each, best kept; the sweep
     // and tree-get amortize their scratch artifacts inside the run)
@@ -352,16 +352,16 @@ object BenchBaseline {
     "ann_range" -> 0.53,
     "emb_rp" -> 0.31,
     // r15 additions, first honest sf0.1 cold readings (best of three)
-    "emb_bitpack" -> 0.34,
+    "emb_bitpack" -> 0.15,
     // first reading includes the one-time per-JVM demo-store build
     // (put every distinct doc + tombstones) — the lake_compact_exec
     // cost class: the store construction IS the fixture
     "lake_maintenance" -> 4.0,
-    "ann_hamming" -> 0.6,
-    "ann_hamming_rerank" -> 0.86,
+    "ann_hamming" -> 0.32,
+    "ann_hamming_rerank" -> 0.61,
     "text_collocations" -> 0.49,
-    "pipeline_shards" -> 0.63,
-    "dedup_binary" -> 0.92,
+    "pipeline_shards" -> 0.27,
+    "dedup_binary" -> 0.6,
     "ann_rp" -> 0.85,
     "pipeline_dataset_card" -> 0.71,
     // r10 batch — first honest sf0.1 cold-run numbers (zero-error,
@@ -397,11 +397,12 @@ object BenchBaseline {
     "q11_important" -> 1.16,
     "q16_suppcnt" -> 0.73,
     "ann_knn_graph" -> 4.96,
+    "ann_graph_append" -> 2.22,
     "sample_temperature" -> 1.04,
     // graph build (4.96 alone) + IVF seed + expansion — the named query
     // rebuilds the reusable index inline because the harness is
     // stateless per query
-    "ann_graph_expand" -> 1.96,
+    "ann_graph_expand" -> 1.64,
     "sample_diversity" -> 1.27,
     "sample_dsir" -> 1.95,
     "q_theta_sets" -> 1.31,
