@@ -362,6 +362,7 @@ object BenchBaseline {
     "text_collocations" -> 0.49,
     "pipeline_shards" -> 0.27,
     "dedup_binary" -> 0.6,
+    "dedup_binary_incremental" -> 2.08,
     "ann_rp" -> 0.85,
     "pipeline_dataset_card" -> 0.71,
     // r10 batch — first honest sf0.1 cold-run numbers (zero-error,

@@ -2760,9 +2760,12 @@ object VectorOps {
     * carries only true near-dups, never the band-collision candidate
     * space (candidates ≫ matches by construction).
     */
-  def binaryNearDupPairs(packed: DataFrame, maxHamming: Int = 7,
-      hotThreshold: Long = 65536L, salts: Int = 8): DataFrame = {
-    val bands = packed.select(
+  /** (vec_id, lo, hi) → one row per (vec_id, band_key): the 8-band
+    * pigeonhole explode shared by the batch and incremental binary
+    * near-dup ops (band_key = band_idx·256 + band_val, ≤2048 values).
+    */
+  private def bandExplode(packed: DataFrame): DataFrame =
+    packed.select(
       col("vec_id"), col("lo"), col("hi"),
       explode(array((0 until 8).map { j =>
         val w = if (j < 4) col("lo") else col("hi")
@@ -2770,6 +2773,10 @@ object VectorOps {
       }: _*)).as("b"))
       .select(col("vec_id"), col("lo"), col("hi"),
         (col("b.band_idx") * 256L + col("b.band_val")).as("band_key"))
+
+  def binaryNearDupPairs(packed: DataFrame, maxHamming: Int = 7,
+      hotThreshold: Long = 65536L, salts: Int = 8): DataFrame = {
+    val bands = bandExplode(packed)
     val aSide = bands.select(col("vec_id").as("vec_a"), col("lo").as("lo_a"),
       col("hi").as("hi_a"), col("band_key"))
     val bSide = bands.select(col("vec_id").as("vec_b"), col("lo").as("lo_b"),
@@ -2815,6 +2822,70 @@ object VectorOps {
       |  CAST(bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) AS BIGINT) AS hamming
       |FROM b a JOIN b c ON a.vec_id < c.vec_id
       |WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 7
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** §2.3 #26z2 — INCREMENTAL binary near-dup: the O(batch) ingest
+    * leg of [[dedupBinary]], completing the incremental symmetry
+    * (exact dedup has 26e, MinHash has the band-index stream — the
+    * binary family now has its arrival leg too). Reports every
+    * near-dup pair TOUCHING an arrival (arrival↔standing and
+    * arrival↔arrival, Hamming ≤ 7 over the 29x sign code) — the DELTA
+    * of the corpus pair set, which is all an ingest gate needs; the
+    * standing↔standing pairs were already reported when THEIR batches
+    * arrived. Scale shape: the batch's band rows are BROADCAST and
+    * the standing code table ([[bitpackTable]] — 16 B/vector) streams
+    * map-side against them — no corpus shuffle, no standing-pair
+    * recompute, O(batch) wide work per ingest (the [[knnGraphAppend]]
+    * seed discipline). Blocking is the same lossless 8-band
+    * pigeonhole; arrivals are the ids ≡ 0 mod 10 with the planted
+    * ≤1-bit copies (+100000, coord-0 flip) guaranteeing true pairs at
+    * any SF; deterministic integers → hash-oracled (the oracle
+    * replays the brute-force delta scan, proving the broadcast probe
+    * lossless).
+    */
+  def dedupBinaryIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val codes = bitpackTable(spark, dir)
+      .select(col("vec_id"), col("bits_lo").as("lo"), col("bits_hi").as("hi"))
+    val planted = emb(spark, dir).filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, -x, x))").as("embedding"))
+      .select(col("vec_id"), bitsLo.as("lo"), bitsHi.as("hi"))
+    val all = codes.unionAll(planted)
+    val arrBands = bandExplode(all.filter(col("vec_id") % 10 === 0))
+      .select(col("vec_id").as("arr_id"), col("lo").as("lo_a"), col("hi").as("hi_a"), col("band_key"))
+    val allBands = bandExplode(all)
+      .select(col("vec_id").as("other_id"), col("lo").as("lo_b"), col("hi").as("hi_b"), col("band_key"))
+    broadcast(arrBands)
+      .join(allBands, Seq("band_key"))
+      .filter(col("arr_id") =!= col("other_id"))
+      .select(least(col("arr_id"), col("other_id")).as("vec_a"),
+        greatest(col("arr_id"), col("other_id")).as("vec_b"),
+        (bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 7)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupBinaryIncrementalSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN -x ELSE x END)
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |), b AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)) AS BIGINT) AS hi
+      |  FROM corpus
+      |)
+      |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+      |  CAST(bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) AS BIGINT) AS hamming
+      |FROM b a JOIN b c ON a.vec_id < c.vec_id
+      |WHERE (a.vec_id % 10 = 0 OR c.vec_id % 10 = 0)
+      |  AND bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 7
       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ------------------------------------------------------- radius search
@@ -2994,6 +3065,7 @@ object VectorOps {
     "ann_hamming" -> (annHamming(_: SparkSession, _: String)),
     "ann_hamming_rerank" -> (annHammingRerank(_: SparkSession, _: String)),
     "dedup_binary" -> (dedupBinary _),
+    "dedup_binary_incremental" -> (dedupBinaryIncremental _),
     "ann_range" -> (annRange(_: SparkSession, _: String)),
     "emb_rp" -> (embRp _),
     "ann_rp" -> (annRpPrefilter(_: SparkSession, _: String)),
@@ -3033,6 +3105,7 @@ object VectorOps {
     "ann_hamming" -> annHammingSql,
     "ann_hamming_rerank" -> annHammingRerankSql,
     "dedup_binary" -> dedupBinarySql,
+    "dedup_binary_incremental" -> dedupBinaryIncrementalSql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_outliers" -> embOutliersSql,
     "ann_classify" -> annClassifySql,
