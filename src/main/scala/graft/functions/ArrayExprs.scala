@@ -650,7 +650,9 @@ case class PlaneSignBuckets(child: Expression, planes: Array[Array[Long]], bitsP
 /** Sign-bit pack of a raw array<float> embedding into the two
   * non-negative 32-bit words of the binary-quantization code:
   * out = [bits_lo, bits_hi], bit j-1 of bits_lo set iff dim j
-  * (1-based, dims 1-32) is strictly positive as a double, dims 33-64
+  * (1-based, dims 1-32) is strictly positive as a double (NaN counts
+  * as positive — both engines order NaN greatest, see the eval
+  * comment), dims 33-64
   * in bits_hi (the axis-aligned special case of hyperplane-LSH sign
   * codes — Charikar'02, public). Two halves because bit 63 of one
   * int64 word is the sign bit and signed-shift semantics differ
@@ -663,6 +665,25 @@ case class PlaneSignBuckets(child: Expression, planes: Array[Array[Long]], bitsP
 case class SignBitsPack(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // lazy: child.dataType is only resolvable post-analysis
+  private lazy val elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"SignBitsPack needs array<float> or array<double>, got ${other.catalogString}")
+    }
+
+  // Sign test is (v > 0.0 || isNaN(v)): Spark SQL and DuckDB both
+  // order NaN GREATER than every numeric, so the HOF this kernel
+  // replaced (`CAST(e AS DOUBLE) > 0.0`) set the bit on a NaN dim —
+  // raw Java `>` is false for NaN and would silently flip it.
   override def nullSafeEval(in: Any): Any = {
     val qv = in.asInstanceOf[ArrayData]
     val n = math.min(qv.numElements(), 64)
@@ -670,8 +691,11 @@ case class SignBitsPack(child: Expression) extends UnaryExpression {
     var hi = 0L
     var i = 0
     while (i < n) {
-      if (!qv.isNullAt(i) && qv.getFloat(i) > 0.0f) {
-        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      if (!qv.isNullAt(i)) {
+        val v: Double = if (elemIsDouble) qv.getDouble(i) else qv.getFloat(i).toDouble
+        if (v > 0.0 || java.lang.Double.isNaN(v)) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
       }
       i += 1
     }
@@ -683,13 +707,18 @@ case class SignBitsPack(child: Expression) extends UnaryExpression {
       // freshName'd locals — see WinnowFingerprints.doGenCode.
       val n = ctx.freshName("n"); val lo = ctx.freshName("lo")
       val hi = ctx.freshName("hi"); val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val get = if (elemIsDouble) s"$qv.getDouble($i)" else s"(double) $qv.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($qv.numElements(), 64);
          |long $lo = 0L;
          |long $hi = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$qv.isNullAt($i) && $qv.getFloat($i) > 0.0f) {
-         |    if ($i < 32) $lo |= 1L << $i; else $hi |= 1L << ($i - 32);
+         |  if (!$qv.isNullAt($i)) {
+         |    double $v = $get;
+         |    if ($v > 0.0 || java.lang.Double.isNaN($v)) {
+         |      if ($i < 32) $lo |= 1L << $i; else $hi |= 1L << ($i - 32);
+         |    }
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[]{$lo, $hi});

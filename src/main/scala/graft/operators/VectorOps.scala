@@ -550,7 +550,26 @@ object VectorOps {
       .filter(col("query_id") =!= col("neighbor_id"))
     // scored once, consumed twice (arrival lists + reverse offers)
     val scored = withVecs(seeds.unionAll(hop).distinct()).localCheckpoint()
-    val arrKnn = topK(scored, k)
+    val arrKnn0 = topK(scored, k)
+    // an out-of-distribution arrival can be a bucket singleton in all
+    // tables → zero candidates → it would silently VANISH from the
+    // graph, breaking the every-live-node-keeps-k conservation
+    // contract. Brute-force-seed exactly the missing set (bounded by
+    // the batch, normally EMPTY — the collect is the bounded-
+    // candidate-set class and the branch is skipped entirely).
+    val missingIds = arrivals.select(col("id"))
+      .join(arrKnn0.select(col("query_id").as("id")).distinct(), Seq("id"), "left_anti")
+      .collect().map(_.getLong(0)).toSeq
+    val arrKnn =
+      if (missingIds.isEmpty) arrKnn0
+      else {
+        val spark = base.sparkSession
+        import spark.implicits._
+        val cand = broadcast(missingIds.toDF("query_id"))
+          .crossJoin(d.select(col("id").as("neighbor_id")))
+          .filter(col("query_id") =!= col("neighbor_id"))
+        arrKnn0.unionAll(topK(withVecs(cand), k))
+      }
     val rev = scored
       .select(col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"), col("cosine"))
       .join(arrivals.select(col("id").as("query_id")), Seq("query_id"), "left_anti")
@@ -2479,16 +2498,21 @@ object VectorOps {
     * (the 48c frozen-model discipline with nothing to freeze —
     * pinned stream ≡ batch in StreamingSpec).
     */
-  def bitpackOn(d: DataFrame): DataFrame =
-    d.select(col("vec_id"), bitsLo.as("bits_lo"), bitsHi.as("bits_hi"))
+  /** n_pos + balance_ppm over a packed (vec_id, bits_lo, bits_hi)
+    * frame — ONE definition serving both the streaming transform and
+    * the batch query (a drifted copy would silently fork the oracle's
+    * balance convention).
+    */
+  private def withPackStats(packed: DataFrame): DataFrame =
+    packed
       .withColumn("n_pos", (bit_count(col("bits_lo")) + bit_count(col("bits_hi"))).cast(LongType))
       .withColumn("balance_ppm", expr("n_pos * 1000000 div 64"))
 
+  def bitpackOn(d: DataFrame): DataFrame =
+    withPackStats(d.select(col("vec_id"), bitsLo.as("bits_lo"), bitsHi.as("bits_hi")))
+
   def embBitpack(spark: SparkSession, dir: String): DataFrame =
-    bitpackTable(spark, dir)
-      .withColumn("n_pos", (bit_count(col("bits_lo")) + bit_count(col("bits_hi"))).cast(LongType))
-      .withColumn("balance_ppm", expr("n_pos * 1000000 div 64"))
-      .orderBy("vec_id")
+    withPackStats(bitpackTable(spark, dir)).orderBy("vec_id")
 
   /** The sign-bit code table as a MATERIALIZED serving artifact:
     * (vec_id, bits_lo, bits_hi), 16 bytes of payload per vector,
@@ -2741,7 +2765,7 @@ object VectorOps {
     val packed = bitpackTable(spark, dir)
       .select(col("vec_id"), col("bits_lo").as("lo"), col("bits_hi").as("hi"))
       .unionAll(planted.select(col("vec_id"), bitsLo.as("lo"), bitsHi.as("hi")))
-    binaryNearDupPairs(packed).orderBy("vec_a", "vec_b")
+    binaryNearDupPairs(packed) // already totally ordered (vec_a, vec_b)
   }
 
   /** Core of [[dedupBinary]] over an already-packed (vec_id, lo, hi)
@@ -2776,7 +2800,10 @@ object VectorOps {
 
   def binaryNearDupPairs(packed: DataFrame, maxHamming: Int = 7,
       hotThreshold: Long = 65536L, salts: Int = 8): DataFrame = {
-    val bands = bandExplode(packed)
+    // cached: read by the hot-key histogram AND both self-join sides —
+    // uncached this was three (hot path: five) full packed scans;
+    // released via materialize-then-unpersist below
+    val bands = bandExplode(packed).cache()
     val aSide = bands.select(col("vec_id").as("vec_a"), col("lo").as("lo_a"),
       col("hi").as("hi_a"), col("band_key"))
     val bSide = bands.select(col("vec_id").as("vec_b"), col("lo").as("lo_b"),
@@ -2795,12 +2822,13 @@ object VectorOps {
             bSide.filter(col("band_key").isInCollection(hk)),
             "band_key", salts))
       }
-    joined
+    val pairs = joined
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    graft.GraftSession.materialized(pairs, Seq("vec_a", "vec_b"), bands)
   }
 
   val dedupBinarySql: String =
@@ -2851,11 +2879,14 @@ object VectorOps {
         expr("transform(embedding, (x, i) -> IF(i = 0, -x, x))").as("embedding"))
       .select(col("vec_id"), bitsLo.as("lo"), bitsHi.as("hi"))
     val all = codes.unionAll(planted)
-    val arrBands = bandExplode(all.filter(col("vec_id") % 10 === 0))
+    // one band materialization feeds both the broadcast arrival side
+    // and the streamed corpus side
+    val bands = bandExplode(all).cache()
+    val arrBands = bands.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("arr_id"), col("lo").as("lo_a"), col("hi").as("hi_a"), col("band_key"))
-    val allBands = bandExplode(all)
+    val allBands = bands
       .select(col("vec_id").as("other_id"), col("lo").as("lo_b"), col("hi").as("hi_b"), col("band_key"))
-    broadcast(arrBands)
+    val pairs = broadcast(arrBands)
       .join(allBands, Seq("band_key"))
       .filter(col("arr_id") =!= col("other_id"))
       .select(least(col("arr_id"), col("other_id")).as("vec_a"),
@@ -2863,7 +2894,7 @@ object VectorOps {
         (bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= 7)
       .distinct()
-      .orderBy("vec_a", "vec_b")
+    graft.GraftSession.materialized(pairs, Seq("vec_a", "vec_b"), bands)
   }
 
   val dedupBinaryIncrementalSql: String =

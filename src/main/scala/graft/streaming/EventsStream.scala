@@ -1030,7 +1030,14 @@ object EventsStream {
     @volatile var graph = baseGraph.localCheckpoint()
     vecs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val arrivals = batch.select(col("id"), col("embedding")).localCheckpoint()
+        // at-least-once replay guard: a re-delivered batch's ids are
+        // already absorbed into (corpus, graph) — fold only genuinely
+        // NEW ids, so a replayed trigger is a no-op (the replace-merge
+        // idempotence discipline every monitor in this file follows)
+        val arrivals = batch.select(col("id"), col("embedding"))
+          .dropDuplicates("id")
+          .join(corpus.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint()
         if (arrivals.count() > 0) {
           graph = VectorOps.knnGraphAppend(corpus, arrivals, graph, k)
           corpus = corpus.unionAll(arrivals).localCheckpoint()

@@ -45,6 +45,25 @@ class ArrayExprsSpec extends AnyFunSuite {
       "half-words must never touch the int64 sign bit")
   }
 
+  test("SignBitsPack: NaN dims pack as positive (NaN-greatest in both engines); array<double> supported") {
+    // DuckDB: SELECT 'NaN'::DOUBLE > 0.0 → true; Spark orders NaN
+    // greater than any numeric — the kernel must match both (raw Java
+    // `>` is false for NaN and would silently flip the bit)
+    val df = Seq((1L, Seq(Float.NaN, -1.0f, 2.0f)), (2L, Seq(-0.5f, 0.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val hofLo = expr("aggregate(sequence(1, 3), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      "IF(CAST(element_at(embedding, i) AS DOUBLE) > 0.0, shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))")
+    val rows = df.select(col("vec_id"),
+      element_at(ArrayExprs.signBitsPack(col("embedding")), 1).as("k"), hofLo.as("h")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L)._1 == 5L, "NaN dim must set its bit (bits 0 and 2)")
+    assert(rows(2L)._1 == 4L)
+    rows.foreach { case (id, (k, h)) => assert(k == h, s"kernel != HOF on row $id") }
+    val dd = Seq((1L, Seq(1.0, -1.0, Double.NaN))).toDF("vec_id", "embedding")
+    assert(dd.select(element_at(ArrayExprs.signBitsPack(col("embedding")), 1)).head.getLong(0) == 5L,
+      "array<double> input must pack via getDouble")
+  }
+
   test("PlaneSignProbes: probe 0 is the exact bucket, flips follow the margin order") {
     val planes: Array[Array[Long]] = {
       val rnd = new scala.util.Random(11)
