@@ -756,15 +756,23 @@ final class ChunkStore private (
       else fs.listStatus(p).count(s => s.isDirectory && s.getPath.getName.startsWith("bucket=")).toLong
     }
     val filesPerBucketMilli = if (nBucketsUsed == 0) 0L else nFiles * 1000L / nBucketsUsed
-    val nChunks = chunks.select(col("chunk_hash")).distinct().count()
-    val nLive = chunks
-      .join(
-        manifest
-          .dropDuplicates("blob_hash", "level", "part_idx")
-          .join(liveCatalog.select("blob_hash"), Seq("blob_hash"), "left_semi")
-          .select("chunk_hash").distinct(),
-        Seq("chunk_hash"), "left_semi")
-      .select(col("chunk_hash")).distinct().count()
+    // ONE pass over the chunk table for both liveness counts (was two:
+    // a distinct count, then a semi-join + distinct count that re-read
+    // every chunk row): the distinct chunk set left-joins the live
+    // reference set once, and a single scalar aggregate yields total
+    // and live together. Identical numbers — the semi-join's "exists"
+    // is the left join's matched marker.
+    val liveRefs = manifest
+      .dropDuplicates("blob_hash", "level", "part_idx")
+      .join(liveCatalog.select("blob_hash"), Seq("blob_hash"), "left_semi")
+      .select("chunk_hash").distinct()
+      .withColumn("live_", lit(1L))
+    val cnts = chunks.select(col("chunk_hash")).distinct()
+      .join(liveRefs, Seq("chunk_hash"), "left")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("live_")), lit(0L)).as("nl"))
+      .head()
+    val nChunks = cnts.getLong(0)
+    val nLive = cnts.getLong(1)
     val nDead = nChunks - nLive
     val deadPpm = if (nChunks == 0) 0L else nDead * 1000000L / nChunks
     val frag = filesPerBucketMilli > maxFilesPerBucketMilli

@@ -144,17 +144,29 @@ final class Lake private (val spark: SparkSession, val config: LakeConfig, val s
   def maintenanceReport(
       maxFilesPerBucketMilli: Long = 2000L,
       maxDeadPpm: Long = 300000L,
-  ): DataFrame =
+  ): DataFrame = {
+    // Per-store reports are independent measurement jobs — run them
+    // from driver threads so each store's listing + liveness aggregate
+    // back-fills executors freed by the previous one's tail (the
+    // overlap-independent-jobs idiom; Spark's FIFO scheduler handles
+    // concurrent driver actions). Results are awaited in store order,
+    // so the fleet report is byte-identical to the sequential fold.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     stores.map { s =>
-      val base = s.maintenanceReport(maxFilesPerBucketMilli, maxDeadPpm)
-        .withColumn("store", lit(s.path))
-        .withColumn("readonly", lit(s.readonly))
-      if (s.readonly)
-        base.withColumn(
-          "recommend",
-          when(col("recommend") === "none", lit("none")).otherwise(lit("read_only")))
-      else base
-    }.reduceLeft(_ unionByName _)
+      Future {
+        val base = s.maintenanceReport(maxFilesPerBucketMilli, maxDeadPpm)
+          .withColumn("store", lit(s.path))
+          .withColumn("readonly", lit(s.readonly))
+        if (s.readonly)
+          base.withColumn(
+            "recommend",
+            when(col("recommend") === "none", lit("none")).otherwise(lit("read_only")))
+        else base
+      }
+    }.map(Await.result(_, Duration.Inf)).reduceLeft(_ unionByName _)
+  }
 }
 
 object Lake {

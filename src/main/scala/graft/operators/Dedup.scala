@@ -222,28 +222,58 @@ object Dedup {
   def dedupLshTune(spark: SparkSession, dir: String): DataFrame = {
     val configs = Seq((32, 2), (16, 4), (8, 8))
     val d = docs(spark, dir).select(col("doc_id"), shingles.as("sh")).cache()
-    val sigd = d.withColumn("sig", signature(col("sh"))).select(col("doc_id"), col("sig")).cache()
+    // r16 fusion: the three configs NEST (an 8-row band is two 4-row
+    // halves is four 2-row quarters), so the 32×2 candidate set is a
+    // superset of the other two and ONE self-join at the finest
+    // banding decides all three — each exploded row carries, next to
+    // its own 2-row key, the keys of its ENCLOSING 16×4 and 8×8
+    // bands; a pair is a 16×4 (8×8) candidate iff any colliding
+    // quarter agrees on the enclosing k4 (k8). The previous shape ran
+    // three band self-joins + three exact-verify joins + six count
+    // actions; this runs one of each, and one scalar aggregation
+    // yields all six counts. Identical sets: a wider-band key match
+    // is slice equality (xxhash64 of equal slices), which forces
+    // every quarter to collide with equal enclosing keys.
+    val q4 = (bi: Column) => (bi / lit(2)).cast(IntegerType)
+    val q8 = (bi: Column) => (bi / lit(4)).cast(IntegerType)
+    val bandArr = transform(
+      sequence(lit(0), lit(31)),
+      bi => struct(
+        bi.cast(IntegerType).as("band_idx"),
+        xxhash64(slice(col("sig"), bi * 2 + 1, lit(2))).as("k2"),
+        xxhash64(slice(col("sig"), q4(bi) * 4 + 1, lit(4))).as("k4"),
+        xxhash64(slice(col("sig"), q8(bi) * 8 + 1, lit(8))).as("k8")))
+    val bands = d.withColumn("sig", signature(col("sh")))
+      .select(col("doc_id"), explode(bandArr).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"),
+        col("b.k2").as("k2"), col("b.k4").as("k4"), col("b.k8").as("k8"))
+      .cache()
+    val pairs = bands
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("k2"),
+        col("k4").as("k4a"), col("k8").as("k8a"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("k2"),
+        col("k4").as("k4b"), col("k8").as("k8b")),
+        Seq("band_idx", "k2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        max(when(col("k4a") === col("k4b"), 1L).otherwise(0L)).as("in4"),
+        max(when(col("k8a") === col("k8b"), 1L).otherwise(0L)).as("in8"))
+    val counts = pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha_")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb_")), "doc_b")
+      .select(col("in4"), col("in8"),
+        when(jaccard(col("sha_"), col("shb_")) >= VerifyThreshold, 1L).otherwise(0L).as("ver"))
+      .agg(
+        count(lit(1)).as("c2"), sum(col("in4")).as("c4"), sum(col("in8")).as("c8"),
+        sum(col("ver")).as("v2"), sum(col("in4") * col("ver")).as("v4"),
+        sum(col("in8") * col("ver")).as("v8"))
+      .head()
+    d.unpersist(); bands.unpersist()
+    def cnt(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+    val perCfg = Map(2 -> (cnt(0), cnt(3)), 4 -> (cnt(1), cnt(4)), 8 -> (cnt(2), cnt(5)))
     val rows = configs.map { case (b, r) =>
-      val bandArr = transform(
-        sequence(lit(0), lit(b - 1)),
-        bi => struct(
-          bi.cast(IntegerType).as("band_idx"),
-          xxhash64(slice(col("sig"), bi * r + 1, lit(r))).as("band_key")))
-      val bands = sigd.select(col("doc_id"), explode(bandArr).as("band"))
-        .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
-      val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
-          Seq("band_idx", "band_key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-        .cache()
-      val nCand = cand.count()
-      val nVer = cand
-        .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha_")), "doc_a")
-        .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb_")), "doc_b")
-        .filter(jaccard(col("sha_"), col("shb_")) >= VerifyThreshold)
-        .count()
-      cand.unpersist()
+      val (nCand, nVer) = perCfg(r)
       val theory = math.floor(
         (1 - math.pow(1 - math.pow(VerifyThreshold, r), b)) * 1e6 + 0.5).toLong
       // zero candidates → NULL precision, not 1e6: an empty config
@@ -251,7 +281,6 @@ object Dedup {
       (s"${b}x$r", b.toLong, r.toLong, nCand, nVer,
         if (nCand == 0) None else Some(nVer * 1000000L / nCand), theory)
     }
-    d.unpersist(); sigd.unpersist()
     import spark.implicits._
     rows.toDF("cfg", "n_bands", "rows_per_band", "n_candidates", "n_verified",
       "precision_ppm", "theory_recall_ppm")
