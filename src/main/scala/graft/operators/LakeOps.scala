@@ -431,20 +431,21 @@ object LakeOps {
       .withColumn("bucket", expr(
         "CAST((locate(substring(chunk_hash,1,1), '0123456789abcdef') - 1) * 16 + " +
           "locate(substring(chunk_hash,2,1), '0123456789abcdef') - 1 AS BIGINT) % 64"))
-    // (measured: caching this for the four batch writes is SLOWER at
-    // sf0.1 — 7.2-7.6 s vs 6.4-6.7 s uncached over three idle readings
-    // each; the split+agg recompute is codegen'd scan work, cheaper
-    // than the InMemoryRelation serialize/scan detour on a ~7k-row
-    // relation. Keep it uncached.)
     val base = s"${graft.sources.Ingest.scratchDir(spark)}/store_fragmented_${Integer.toHexString(dir.hashCode)}"
     // fragmented before-state: 4 appended batches, each one file per
-    // touched bucket (repartition on bucket → a bucket's rows land in
-    // exactly one task → one file per bucket directory per batch)
-    for (b <- 0 to 3)
-      uniq.filter(col("min_batch") === b)
-        .repartition(col("bucket"))
-        .write.mode(if (b == 0) "overwrite" else "append")
-        .partitionBy("bucket").parquet(s"$base/chunks")
+    // touched bucket. ONE partitioned write builds the same physical
+    // model: partitionBy(min_batch, bucket) after a repartition on the
+    // pair puts every (batch, bucket) group in exactly one task → one
+    // file per batch per bucket directory, so countDistinct(file) per
+    // bucket still equals the number of batches that touched it. The
+    // r16 rewrite replaces the four overwrite/append jobs, each of
+    // which recomputed the full chunk-split + dedup aggregation (the
+    // earlier measured-slower cache note applied to THAT shape: 4
+    // scans beat 1 scan + 4 InMemoryRelation reads; with a single
+    // write the question is moot — one scan, one exchange, one job).
+    uniq.repartition(col("min_batch"), col("bucket"))
+      .write.mode("overwrite")
+      .partitionBy("min_batch", "bucket").parquet(s"$base/chunks")
     val frag = spark.read.parquet(s"$base/chunks")
     val beforeStats = frag
       .withColumn("f", input_file_name())

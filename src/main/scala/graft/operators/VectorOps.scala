@@ -2107,9 +2107,20 @@ object VectorOps {
         "pq" -> annPq(spark, dir),
         "ivfpq" -> annIvfPq(spark, dir),
       )
-      methods.map { case (name, df) =>
-        val hits = df.select(col("query_id"), col("neighbor_id"))
-          .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      // ONE counting action for all four legs (was four sequential
+      // join+count jobs): the legs are independent subtrees, so the
+      // fused job's DAG scheduler runs their stages concurrently and
+      // the truth semi-join + per-method count happens once. A method
+      // with zero hits simply has no group row — restored as 0 from
+      // the driver-side map (identical output either way).
+      val hitMap = methods.map { case (name, df) =>
+        df.select(lit(name).as("method"), col("query_id"), col("neighbor_id"))
+      }.reduce(_.unionAll(_))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("method")).agg(count(lit(1)).as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      methods.map { case (name, _) =>
+        val hits = hitMap.getOrElse(name, 0L)
         (name, nTruth, hits, hits * 1000000L / math.max(nTruth, 1L))
       }.toDF("method", "n_truth", "n_hits", "recall_ppm")
         .orderBy("method")
@@ -2262,19 +2273,32 @@ object VectorOps {
 
     try {
       val nTruth = truth.count()
-      def hitsOf(df: DataFrame): Long = df.select(col("query_id"), col("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
       val families: Seq[(String, Seq[Int], Int => DataFrame)] = Seq(
         ("ivf", ProbeAxis, p => topK(scoredIvf.filter(col("prn") <= p).drop("prn"), K)),
         ("ivf_indexed", ProbeAxis, p => topK(scoredIdx.filter(col("prn") <= p).drop("prn"), K)),
         ("ivfpq", ProbeAxis, ivfpqAt _),
         ("lsh", LshAxis, p => topK(scoredLsh.filter(col("prn") <= p).drop("prn"), K)),
       )
+      // ONE counting action for the whole 12-point sweep (was 12
+      // sequential join+count jobs, each paying scheduler + truth-join
+      // latency): every operating point's top-k is a bounded subtree
+      // over its family's CACHED widest-probe scored relation, so the
+      // fused union costs the same per-point work but the DAG
+      // scheduler overlaps the independent subtrees and the truth
+      // semi-join runs once. A point with zero hits has no group row —
+      // restored as 0 from the driver map (identical output).
+      val hitMap = families.flatMap { case (name, axis, at) =>
+        axis.map(p => at(p).select(lit(name).as("method"), lit(p).as("n_probes"),
+          col("query_id"), col("neighbor_id")))
+      }.reduce(_.unionAll(_))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("method"), col("n_probes")).agg(count(lit(1)).as("h"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
       val rows = for {
-        (name, axis, at) <- families
+        (name, axis, _) <- families
         p <- axis
       } yield {
-        val hits = hitsOf(at(p))
+        val hits = hitMap.getOrElse((name, p), 0L)
         (name, p, nTruth, hits, hits * 1000000L / math.max(nTruth, 1L))
       }
       rows.toDF("method", "n_probes", "n_truth", "n_hits", "recall_ppm")
