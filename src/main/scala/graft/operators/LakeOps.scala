@@ -727,6 +727,14 @@ object LakeOps {
     */
   def lakeFsck(spark: SparkSession, dir: String): DataFrame = {
     val ChunkChars = 256
+    // r16: materialize the synthetic-universe derivation chain once.
+    // fsckReport is a union of ten aggregates whose subtrees reference
+    // manifest ×6, chunks ×3 and catalog ×5 — uncut, every reference
+    // re-derived the store universe from the documents table (a sha256
+    // per blob plus a sha256 per 256-char chunk, the expensive part of
+    // the whole query). Two eager checkpoints (blob grain, then the
+    // exploded level-0 manifest) make every check a LogicalRDD scan;
+    // the report itself is unchanged, so the oracle hash is too.
     val blobs = docs(spark, dir)
       .groupBy(sha2(col("text"), 256).as("blob_hash"))
       .agg(
@@ -735,6 +743,7 @@ object LakeOps {
         max(octet_length(col("text"))).cast(LongType).as("true_len"),
       )
       .withColumn("kind", ChunkStore.kindOf(col("true_len"), P))
+      .localCheckpoint()
     val catalog = blobs
       .filter(col("min_id") % 29 =!= 4)
       .select(
@@ -761,6 +770,7 @@ object LakeOps {
       .select(col("blob_hash"), col("min_id"), lit(0).as("level"), col("part_idx"),
         octet_length(col("part")).cast(LongType).as("part_len"),
         sha2(col("part"), 256).as("chunk_hash"))
+      .localCheckpoint()
     val mKept = manifest0.filter(col("min_id") % 23 =!= 3)
     val manifest = mKept.unionAll(mKept.filter(col("min_id") % 19 === 2))
       .drop("min_id")
