@@ -2,12 +2,18 @@
 """Local self-check harness mimicking the driver's t2 correctness gate.
 
 Usage:
-  python3 tools/check.py <sfDir> <verifyOutDir>
+  python3 tools/check.py <sfDir> <verifyOutDir> [only]
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the
 sf tables, and compares: columns sorted by name, exact value equality
 row by row. Exit code 0 iff every oracled query matches.
+
+Optional `only` is a comma-separated subset of oracle names (each may
+be prefixed with `-` to EXCLUDE instead — an all-minus list), so a
+long sf0.1 sweep can be split around the quadratic oracles and run in
+parallel slices. `DUCKDB_THREADS=n` bounds DuckDB's thread pool for a
+slice that must coexist with timing probes.
 """
 import json
 import math
@@ -50,13 +56,24 @@ def eq(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    import os
+    threads = os.environ.get("DUCKDB_THREADS")
+    con = duckdb.connect(
+        config={"threads": int(threads)} if threads else {})
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if only is not None:
+        includes = {n for n in only if not n.startswith("-")}
+        excludes = {n[1:] for n in only if n.startswith("-")}
+        oracles = {
+            n: s for n, s in oracles.items()
+            if (n in includes if includes else n not in excludes)
+        }
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
